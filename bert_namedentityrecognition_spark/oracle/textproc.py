@@ -1,0 +1,95 @@
+"""Text preprocessing semantics.
+
+- ``preprocess_text``  — strip + remove literal ``<core>`` tags
+  (semantics of ``util/text_utils.py:5-24``)
+- ``split_sentences``  — the exact sentence-split regex of
+  ``util/text_utils.py:27-47`` (kept byte-identical; parity-critical)
+- ``han_to_zen``       — half-width → full-width normalization matching
+  ``mojimoji.han_to_zen`` defaults (ascii+digit+kana), used at
+  ``BERT/Model.py:403-405`` and on every dictionary side
+  (``knowledge_bases/manbyo.py:58``). Normalization MUST be applied
+  identically to mentions and dictionary surfaces or fuzzy-join parity breaks.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Byte-identical to the reference regex (util/text_utils.py:38-39).
+SENTENCE_SPLIT_REGEX = (
+    r"(?<!\w\.\w.)(?<![A-Z][a-z]\.)(?<=[.?!])\s\n*"
+    r"|(?<=[^A-zＡ-ｚ0-9０-９ ].)(?<=[。．.?？!！])(?![\.」])\n*"
+)
+_SENT_RE = re.compile(SENTENCE_SPLIT_REGEX)
+
+
+def preprocess_text(text: str, remove_core_tag: bool = True) -> str:
+    if remove_core_tag:
+        text = text.replace("<core>", "").replace("</core>", "")
+    return text.strip()
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split one text into sentences; strip each, drop empties."""
+    parts = _SENT_RE.split(text)
+    return [p.strip() for p in parts if p is not None and p.strip() != ""]
+
+
+# --- han_to_zen ------------------------------------------------------------
+
+_HW_KANA = "ｦｧｨｩｪｫｬｭｮｯｰｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊﾋﾌﾍﾎﾏﾐﾑﾒﾓﾔﾕﾖﾗﾘﾙﾚﾛﾜﾝ"
+_FW_KANA = "ヲァィゥェォャュョッーアイウエオカキクケコサシスセソタチツテトナニヌネノハヒフヘホマミムメモヤユヨラリルレロワン"
+_HW_PUNCT = {"｡": "。", "｢": "「", "｣": "」", "､": "、", "･": "・", "ﾞ": "゛", "ﾟ": "゜"}
+_DAKUTEN_BASE = "ｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾊﾋﾌﾍﾎｳ"
+_DAKUTEN_FULL = "ガギグゲゴザジズゼゾダヂヅデドバビブベボヴ"
+_HANDAKUTEN_BASE = "ﾊﾋﾌﾍﾎ"
+_HANDAKUTEN_FULL = "パピプペポ"
+
+_KANA_MAP = dict(zip(_HW_KANA, _FW_KANA))
+_DAKUTEN_MAP = dict(zip(_DAKUTEN_BASE, _DAKUTEN_FULL))
+_HANDAKUTEN_MAP = dict(zip(_HANDAKUTEN_BASE, _HANDAKUTEN_FULL))
+
+
+def han_to_zen(text: str) -> str:
+    """Half-width ASCII/digit/katakana → full-width (mojimoji defaults)."""
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < n else ""
+        code = ord(ch)
+        if ch == " ":
+            out.append("　")
+        elif 0x21 <= code <= 0x7E:
+            out.append(chr(code + 0xFEE0))
+        elif ch in _DAKUTEN_MAP and nxt == "ﾞ":
+            out.append(_DAKUTEN_MAP[ch])
+            i += 1
+        elif ch in _HANDAKUTEN_MAP and nxt == "ﾟ":
+            out.append(_HANDAKUTEN_MAP[ch])
+            i += 1
+        elif ch in _KANA_MAP:
+            out.append(_KANA_MAP[ch])
+        elif ch in _HW_PUNCT:
+            out.append(_HW_PUNCT[ch])
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def remove_tags(text: str, tag_list: list[str] | None = None) -> str:
+    """Strip XML tags (``util/text_utils.py:86-98`` semantics)."""
+    if tag_list:
+        for tag in tag_list:
+            text = re.sub(r"</?{}>".format(re.escape(tag)), "", text)
+        return text
+    return re.sub("<[^<>]*>", "", text)
+
+
+def exclude_long_sentences(max_length: int, sentences: list[str], tags: list) -> tuple[list, list]:
+    """Drop (not truncate) sentences longer than ``max_length`` chars
+    (``util/text_utils.py:50-61``)."""
+    keep = [(s, t) for s, t in zip(sentences, tags) if len(s) <= max_length]
+    return [s for s, _ in keep], [t for _, t in keep]
