@@ -1,0 +1,129 @@
+"""Distributed evaluation — strict span P/R/F1 and relaxed metrics.
+
+Strict (seqeval ``mode='strict'`` analogue, ``BERT/evaluate.py:46-52``):
+exact-span equi-join of gold × pred mention tables on
+``(url, sent_id, start, end, type)`` → TP; anti-joins → FN / FP; one
+aggregation. This is the P/R ≥ 0.95 gate of the north rule, expressed as
+three hash joins Catalyst can plan freely.
+
+Relaxed (``util/relaxed_metrics.py:111-189``): the greedy Jaccard matcher is
+inherently per-sentence, so it runs as a **cogrouped applyInPandas** over
+``(url, sent_id)`` groups, reusing the oracle kernel verbatim inside the
+Arrow UDF; per-type tp/fp/fn are additive across groups → final ``groupBy``
+sum. Distribution-safe because the reference metric itself never compares
+entities across sentences.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_KEY = ["url", "sent_id", "start", "end", "type"]
+
+
+def strict_span_prf(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """One-row DataFrame: tp, fp, fn, precision, recall, f1."""
+    g = gold.select(*SPAN_KEY).distinct()
+    p = pred.select(*SPAN_KEY).distinct()
+    tp = g.join(p, SPAN_KEY, "inner").count()
+    fn = g.join(p, SPAN_KEY, "left_anti").count()
+    fp = p.join(g, SPAN_KEY, "left_anti").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    spark = gold.sparkSession
+    return spark.createDataFrame(
+        [(tp, fp, fn, precision, recall, f1)],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+_RELAXED_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("tp", T.LongType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("fn", T.LongType()),
+    ]
+)
+
+
+def relaxed_span_metrics(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Per-type tp/fp/fn/precision/recall/f1 under the relaxed (Jaccard
+    overlap, greedy matching) semantics. gold/pred: mention tables with
+    token-position spans (start inclusive, end exclusive)."""
+
+    def per_sentence(key, gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame):
+        # token-position sets per entity; greedy Jaccard matching per type —
+        # identical algorithm to oracle.relaxed but on span rows directly
+        import numpy as np
+
+        types = set(gold_pdf["type"]) | set(pred_pdf["type"])
+        rows = []
+        for ent_type in types:
+            tt = [
+                set(range(s, e))
+                for s, e, t in zip(gold_pdf["start"], gold_pdf["end"], gold_pdf["type"])
+                if t == ent_type
+            ]
+            pp = [
+                set(range(s, e))
+                for s, e, t in zip(pred_pdf["start"], pred_pdf["end"], pred_pdf["type"])
+                if t == ent_type
+            ]
+            mat = np.zeros((len(tt), len(pp)))
+            for ti, ts in enumerate(tt):
+                for pi, ps in enumerate(pp):
+                    mat[ti, pi] = len(ts & ps) / len(ts | ps)
+            true_matched: list[int] = []
+            pred_matched: list[int] = []
+            while np.sum(mat > 0):
+                best = mat.max()
+                t_idx, p_idx = np.where(mat == best)
+                for pi, ti in zip(p_idx, t_idx):
+                    if ti in true_matched or pi in pred_matched:
+                        continue
+                    true_matched.append(ti)
+                    pred_matched.append(pi)
+                    mat[ti, pi] = 0
+                mat[t_idx, p_idx] = 0
+            rows.append(
+                (
+                    ent_type,
+                    len(true_matched),
+                    len(pp) - len(pred_matched),
+                    len(tt) - len(true_matched),
+                )
+            )
+        return pd.DataFrame(rows, columns=["type", "tp", "fp", "fn"])
+
+    g = gold.select("url", "sent_id", "start", "end", "type")
+    p = pred.select("url", "sent_id", "start", "end", "type")
+    counts = (
+        g.groupBy("url", "sent_id")
+        .cogroup(p.groupBy("url", "sent_id"))
+        .applyInPandas(per_sentence, schema=_RELAXED_SCHEMA)
+    )
+    agg = counts.groupBy("type").agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    return agg.select(
+        "type",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") + F.col("fp")))
+        .alias("precision"),
+        (F.col("tp") / F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") + F.col("fn")))
+        .alias("recall"),
+        (
+            F.col("tp")
+            / F.when(
+                F.col("tp") + 0.5 * (F.col("fp") + F.col("fn")) > 0,
+                F.col("tp") + 0.5 * (F.col("fp") + F.col("fn")),
+            )
+        ).alias("f1"),
+    )

@@ -1,0 +1,186 @@
+"""Model NER stage — iterator-of-pandas Arrow UDF with broadcast weights.
+
+Re-expresses the reference inference path (``BERT/Model.py:295-351``,
+``BERT/predict.py:1-7``) as one ``mapInPandas`` stage:
+
+    sentences(url, sent_id, sent) → mentions(url, sent_id, start, end, type, word)
+
+Per Arrow batch, inside the Python worker:
+1. han_to_zen + tokenize + prepend [CLS] id      (``prepare_sentences``, :329-351)
+2. sort indices by token length desc, sub-batch,
+   right-pad each sub-batch to its own max ≤512  (``Batch``, data_utils.py:66-97
+   — the padding-efficiency trick Catalyst can't know about)
+3. model forward → argmax over label axis        (:311-318)
+4. drop the [CLS] position, trim to sentence length, map ids→labels,
+   stray [PAD]→'O'                               (:320-327, :391-397; predict.py:5)
+5. BIO-decode to mention spans via the reference FSM (iob_util.py:62-94)
+
+The model is pluggable: anything with ``logits(ids: list[list[int]]) ->
+[B, T, num_labels] ndarray``. ``TorchTokenClassifier`` (gated import) wraps a
+real ``BertForTokenClassification`` state_dict broadcast via
+``SparkContext.broadcast`` and loaded once per executor worker.
+``DictionaryStubModel`` is the deterministic stand-in used in this sandbox:
+same tensor shapes, same decode path, logits derived from a gazetteer.
+
+At 100 TB the unit of work is the Arrow batch (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``), so executor-python peak
+memory is flat; weights ship once per executor, not per task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..oracle.iob import iob_to_spans
+from ..oracle.matcher import automaton_match, build_automaton
+from ..oracle.textproc import han_to_zen
+from .tagger import MENTION_SCHEMA, matches_to_iob
+
+PAD, CLS, UNK = "[PAD]", "[CLS]", "[UNK]"
+MAX_LEN = 512
+
+
+class CharTokenizer:
+    """Char-level tokenizer + vocab (stand-in for WordPiece; same interface)."""
+
+    def __init__(self, alphabet: list[str] | None = None):
+        self.itos = [PAD, CLS, UNK] + sorted(set(alphabet or []))
+        self.stoi = {t: i for i, t in enumerate(self.itos)}
+
+    def tokenize(self, text: str) -> list[str]:
+        return list(text)
+
+    def encode(self, tokens: list[str]) -> list[int]:
+        unk = self.stoi[UNK]
+        return [self.stoi[CLS]] + [self.stoi.get(t, unk) for t in tokens]
+
+    def decode(self, ids: list[int]) -> list[str]:
+        return [self.itos[i] for i in ids[1:]]  # drop [CLS]
+
+
+class LabelVocab:
+    """[PAD]=0, first-seen order (``BERT/bert_utils.py:39-55``)."""
+
+    def __init__(self, labels: list[str]):
+        self.itos = [PAD]
+        for l in labels:
+            if l not in self.itos:
+                self.itos.append(l)
+        self.stoi = {l: i for i, l in enumerate(self.itos)}
+
+    def to_labels(self, ids: np.ndarray) -> list[str]:
+        return [self.itos[i] if self.itos[i] != PAD else "O" for i in ids]
+
+
+def label_vocab_for_types(types: list[str]) -> LabelVocab:
+    labels = ["O"]
+    for t in sorted(set(types)):
+        labels += [f"B-{t}", f"I-{t}"]
+    return LabelVocab(labels)
+
+
+class DictionaryStubModel:
+    """Deterministic logits from a gazetteer — the sandbox's 'weights'.
+
+    Produces a [B, T, L] float32 tensor with 1.0 at the IOB label of each
+    char position (positions covered by a dictionary match) so that
+    ``argmax`` recovers exactly the gazetteer tags through the full
+    pad/trim/decode machinery.
+    """
+
+    def __init__(self, term_types: dict[str, str], label_vocab: LabelVocab):
+        self.term_types = {han_to_zen(k): v for k, v in term_types.items()}
+        self.label_vocab = label_vocab
+        self._automaton = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_automaton"] = None  # rebuilt lazily on each executor
+        return state
+
+    def logits(self, texts: list[str], padded_len: int) -> np.ndarray:
+        if self._automaton is None:
+            self._automaton = build_automaton(list(self.term_types))
+        out = np.zeros((len(texts), padded_len, len(self.label_vocab.itos)), np.float32)
+        o_id = self.label_vocab.stoi["O"]
+        out[:, :, o_id] = 0.5  # default O everywhere (incl. [CLS]/[PAD] pos)
+        for bi, text in enumerate(texts):
+            matches = automaton_match(text, self._automaton)
+            tags = matches_to_iob(text, matches, self.term_types)
+            for ti, tag in enumerate(tags):
+                if tag != "O":
+                    # +1: position 0 is [CLS]
+                    out[bi, ti + 1, self.label_vocab.stoi[tag]] = 1.0
+        return out
+
+
+class TorchTokenClassifier:
+    """Real-model adapter (requires torch; absent in this sandbox).
+
+    Holds a broadcastable state_dict + config; loads the module once per
+    executor python worker (module-level cache), runs ``no_grad`` forward.
+    """
+
+    def __init__(self, state_dict_bytes: bytes, num_labels: int):
+        self.state_dict_bytes = state_dict_bytes
+        self.num_labels = num_labels
+        self._model = None
+
+    def logits(self, texts: list[str], padded_len: int) -> np.ndarray:
+        raise NotImplementedError(
+            "torch is not available in this environment; use DictionaryStubModel. "
+            "The adapter exists so a trained BertForTokenClassification can be "
+            "dropped in without touching the pipeline."
+        )
+
+
+def ner_sentences(
+    sentences: DataFrame,
+    model,
+    label_vocab: LabelVocab,
+    batch_size: int = 8,
+    max_len: int = MAX_LEN,
+) -> DataFrame:
+    """The NER mapInPandas stage. ``model``/``label_vocab`` are broadcast."""
+    sc = sentences.sparkSession.sparkContext
+    bc = sc.broadcast((model, label_vocab))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mdl, vocab = bc.value
+        for pdf in batches:
+            urls, sids, starts, ends, tps, words = [], [], [], [], [], []
+            texts = [han_to_zen(s) for s in pdf["sent"]]
+            # length-sorted sub-batching: minimizes padding waste per forward
+            order = sorted(range(len(texts)), key=lambda i: -len(texts[i]))
+            for ofs in range(0, len(order), batch_size):
+                idxs = order[ofs : ofs + batch_size]
+                chunk = [texts[i][: max_len - 1] for i in idxs]
+                padded = max((len(c) for c in chunk), default=0) + 1  # +[CLS]
+                logits = mdl.logits(chunk, padded)
+                pred_ids = logits.argmax(axis=2)[:, 1:]  # drop [CLS] position
+                for row, i in enumerate(idxs):
+                    n = len(chunk[row])
+                    labels = vocab.to_labels(pred_ids[row, :n])
+                    for span in iob_to_spans(list(chunk[row]), labels):
+                        urls.append(pdf["url"].iloc[i])
+                        sids.append(int(pdf["sent_id"].iloc[i]))
+                        starts.append(span["start"])
+                        ends.append(span["end"])
+                        tps.append(span["type"])
+                        words.append(span["word"])
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_id": pd.Series(sids, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "type": pd.Series(tps, dtype="object"),
+                    "word": pd.Series(words, dtype="object"),
+                }
+            )
+
+    return sentences.mapInPandas(run, schema=MENTION_SCHEMA)

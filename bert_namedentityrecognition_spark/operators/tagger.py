@@ -1,0 +1,109 @@
+"""Dictionary (gazetteer) NER tagger — sentences → mentions.
+
+The scale path of the reference's containment join
+(``util/text_utils.py:154-192`` + ``knowledge_bases/hyakuyaku.py:71-88``):
+instead of scanning the text once per dictionary term (O(|text|·|dict|)),
+an Aho-Corasick automaton is built ONCE on the driver from the (small)
+dictionary, broadcast to executors, and each Arrow batch is scanned in
+O(|text|). Longest-first overlap masking matches the reference greedy loop
+exactly (property-tested in tests/test_oracle_text_fuzzy.py).
+
+Matching happens on han_to_zen-normalized text — identical normalization to
+the dictionary side (``knowledge_bases/manbyo.py:58``), the invariant that
+keeps downstream joins consistent.
+
+Output: mentions(url, sent_id, start, end, type, word) — char offsets into
+the normalized sentence, end-exclusive.
+
+For parity with the model path the matcher result is round-tripped through
+char-level IOB tags and the reference BIO FSM (so the production decode code
+path is exercised even with the dictionary stand-in model).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..oracle.iob import iob_to_spans
+from ..oracle.matcher import automaton_match, build_automaton
+from ..oracle.textproc import han_to_zen
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("sent_id", T.IntegerType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("word", T.StringType(), False),
+    ]
+)
+
+
+def matches_to_iob(text: str, matches: list[tuple[int, int, str]], types: dict[str, str]) -> list[str]:
+    """Char-level IOB2 tags from non-overlapping matches."""
+    tags = ["O"] * len(text)
+    for s, e, term in matches:
+        ttype = types[term]
+        tags[s] = "B-" + ttype
+        for i in range(s + 1, e):
+            tags[i] = "I-" + ttype
+    return tags
+
+
+def tag_sentences(
+    sentences: DataFrame,
+    term_types: dict[str, str],
+    decode_via_iob: bool = True,
+) -> DataFrame:
+    """sentences(url, sent_id, sent) → mentions. One Arrow stage, no shuffle.
+
+    term_types: dictionary surface → entity type (e.g. 'drug'/'symptom').
+    Surfaces are han_to_zen-normalized before automaton build.
+    """
+    normalized_types = {han_to_zen(k): v for k, v in term_types.items()}
+    terms = list(normalized_types)
+    sc = sentences.sparkSession.sparkContext
+    bc = sc.broadcast((terms, normalized_types))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        term_list, types = bc.value
+        automaton = build_automaton(term_list)
+        for pdf in batches:
+            urls, sids, starts, ends, tps, words = [], [], [], [], [], []
+            for url, sid, sent in zip(pdf["url"], pdf["sent_id"], pdf["sent"]):
+                text = han_to_zen(sent)
+                matches = automaton_match(text, automaton)
+                if decode_via_iob:
+                    tags = matches_to_iob(text, matches, types)
+                    for span in iob_to_spans(list(text), tags):
+                        urls.append(url)
+                        sids.append(sid)
+                        starts.append(span["start"])
+                        ends.append(span["end"])
+                        tps.append(span["type"])
+                        words.append(span["word"])
+                else:
+                    for s, e, term in matches:
+                        urls.append(url)
+                        sids.append(sid)
+                        starts.append(s)
+                        ends.append(e)
+                        tps.append(types[term])
+                        words.append(term)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_id": pd.Series(sids, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "type": pd.Series(tps, dtype="object"),
+                    "word": pd.Series(words, dtype="object"),
+                }
+            )
+
+    return sentences.mapInPandas(run, schema=MENTION_SCHEMA)

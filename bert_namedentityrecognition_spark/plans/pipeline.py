@@ -1,0 +1,84 @@
+"""End-to-end KG construction pipeline: pages → nodes/edges/triples.
+
+Spark dataflow (SURVEY.md §7):
+
+    pages(url, warc_ts, html, text, lang)
+      → sentences   (filter + posexplode, no shuffle)
+      → mentions    (one mapInPandas Arrow stage: han_to_zen + tag + BIO decode)
+      → normalized  (distinct surfaces → exact broadcast join → banded fuzzy
+                     broadcast join + window top-1 → broadcast join back)
+      → canonical   (alias connected-components map, broadcast)
+      → triples     (co-scope pairing join + salted groupBy count)
+      → nodes/edges (partitioned parquet sinks; Iceberg bucketing documented)
+
+Shuffles: exactly two on the hot path at scale — the pairing self-join keyed
+by url (avoidable with bucketed storage) and the triple count aggregation
+(map-side combined, salt-able). Everything else is broadcast or narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import apply_alias_map, canonical_alias_map
+from ..operators.normalize import normalize_mentions
+from ..operators.sentences import pages_to_sentences
+from ..operators.tagger import tag_sentences
+from ..operators.triples import build_triples
+
+
+def run_kg_pipeline(
+    pages: DataFrame,
+    dim: DataFrame,
+    term_types: dict[str, str],
+    alias_edges: DataFrame | None = None,
+    threshold: float = 70.0,
+    scope: str = "document",
+    remove_duplicates: bool = True,
+    lang_filter: str | None = "ja",
+    salt_buckets: int = 0,
+) -> dict[str, DataFrame]:
+    """Returns the full lineage: sentences, mentions, normalized, triples, nodes."""
+    sentences = pages_to_sentences(pages, lang_filter=lang_filter)
+    mentions = tag_sentences(sentences, term_types)
+    normalized = normalize_mentions(mentions, dim, threshold=threshold)
+    if alias_edges is not None:
+        alias_map = canonical_alias_map(alias_edges, dim)
+        normalized = apply_alias_map(normalized, alias_map)
+    triples = build_triples(
+        normalized,
+        scope=scope,
+        remove_duplicates=remove_duplicates,
+        salt_buckets=salt_buckets,
+    )
+    nodes = (
+        normalized.filter(F.col("canonical").isNotNull() & (F.col("canonical") != ""))
+        .groupBy(F.col("canonical").alias("node"), F.col("type").alias("kind"))
+        .agg(
+            F.count("*").alias("mention_count"),
+            F.countDistinct("url").alias("doc_count"),
+        )
+    )
+    return {
+        "sentences": sentences,
+        "mentions": mentions,
+        "normalized": normalized,
+        "triples": triples,
+        "nodes": nodes,
+    }
+
+
+def write_outputs(outputs: dict[str, DataFrame], base_dir: str, url_buckets: int = 64):
+    """Materialize the KG tables.
+
+    Parquet here; on a real deployment these are Iceberg tables with
+    ``partitionedBy(bucket(url_buckets, 'url'))`` for mentions (co-locates
+    the pairing join → no shuffle) and ``bucket(N, 'subj')`` for triples.
+    Each write is an atomic directory replace = the idempotent-resume unit.
+    """
+    outputs["mentions"].repartition(url_buckets, "url").write.mode(
+        "overwrite"
+    ).parquet(f"{base_dir}/mentions")
+    outputs["triples"].write.mode("overwrite").parquet(f"{base_dir}/triples")
+    outputs["nodes"].write.mode("overwrite").parquet(f"{base_dir}/nodes")

@@ -1,0 +1,240 @@
+"""Deterministic synthetic fixtures (seed=42, no external data).
+
+Generates the Common-Crawl-style ``pages`` corpus of BASELINE.json's
+input_hint — ``(url, warc_ts, html, text, lang)`` — plus the canonical
+``entity_dim`` dimension table of FIXTURES.md §4. Content is medical-NER
+styled (drug / symptom surfaces) so the KG pipeline exercises every
+reference path:
+
+- multi-sentence texts (。-terminated, exercises the split regex)
+- half-width surfaces (han_to_zen path, ``BERT/Model.py:403-405``)
+- a > 512-char sentence (drop path, ``util/text_utils.py:50-61``)
+- null / empty texts (NaN-skip, ``scripts/predict/predict_for_xls_folder.py:56-58``)
+- duplicate mentions in one doc (dedup, ``ade_table/ade_table.py:25-27``)
+- drug-only docs ("No Symptoms", ``ade_table/ade_table.py:41-46``)
+- one hot drug in ~30% of docs (skew / salting path)
+- non-ja rows (lang filter)
+- near-miss dictionary spellings at controlled edit distance (fuzzy join)
+- alias chains A→B→C (connected-components canonicalization)
+
+Everything is derived from ``random.Random(seed)`` — same seed, same corpus,
+on any machine. The generator is pure Python returning row dicts; Spark /
+pandas / DuckDB ingestion is the caller's choice.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import random
+
+HOT_DRUG = "ロキソニン"
+
+DRUGS = [
+    "ロキソニン",
+    "アスピリン",
+    "イブプロフェン",
+    "カロナール",
+    "バファリン",
+    "ボルタレン",
+    "セレコックス",
+    "リリカ",
+]
+# half-width variants that han_to_zen folds onto full-width dictionary surfaces
+DRUGS_HALFWIDTH = {"バファリン": "ﾊﾞﾌｧﾘﾝ", "ロキソニン": "ﾛｷｿﾆﾝ"}
+
+SYMPTOMS = [
+    "頭痛",
+    "発熱",
+    "腹痛",
+    "めまい",
+    "嘔吐",
+    "倦怠感",
+    "発疹",
+    "動悸",
+]
+
+# canonical ids for the dimension table
+DRUG_IDS = {d: f"DRG{i:03d}" for i, d in enumerate(DRUGS)}
+SYMPTOM_IDS = {s: f"SYM{i:03d}" for i, s in enumerate(SYMPTOMS)}
+
+# near-miss surfaces (edit distance 1-2 from a real surface) — fuzzy path
+NEAR_MISS = {
+    "ロキソニソ": "ロキソニン",  # dist 1
+    "アスピリソ": "アスピリン",
+    "頭痛い": "頭痛",
+    "発熱感": "発熱",
+}
+
+# alias chains for connected components: surface aliases pointing at the
+# same canonical entity through intermediate ids
+ALIAS_CHAINS = [
+    ("ロキソプロフェン", "ロキソニン"),  # A -> B (B already canonical)
+    ("ロキソプロフェンナトリウム", "ロキソプロフェン"),  # C -> A (chain)
+]
+
+_TEMPLATES = [
+    "{drug}を服用後、{symptom}が出現した。",
+    "{drug}の投与により{symptom}を認めた。",
+    "{symptom}に対して{drug}を処方した。",
+    "{drug}内服中に{symptom}および{symptom2}が見られた。",
+    "患者は{drug}と{drug2}を併用し、{symptom}を訴えた。",
+    "{drug}を中止したところ{symptom}は改善した。",
+]
+_FILLER = [
+    "経過は良好である。",
+    "特記すべき所見はない。",
+    "定期検査を実施した。",
+    "既往歴に特記事項なし。",
+]
+
+
+def generate_pages(n_docs: int = 200, seed: int = 42) -> list[dict]:
+    """Synthetic pages rows: url, warc_ts, html, text, lang."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for i in range(n_docs):
+        url = f"https://crawl.example/{i:07d}"
+        ts = base_ts + dt.timedelta(minutes=i * 13 % 50000)
+        lang = "ja" if rng.random() < 0.85 else rng.choice(["en", "zh"])
+        kind = rng.random()
+        if kind < 0.03:
+            text = None  # NaN-skip path
+        elif kind < 0.05:
+            text = ""  # empty path
+        elif kind < 0.08:
+            # >512-char single sentence (drop path)
+            text = "こ" * 600 + "。"
+        else:
+            n_sent = rng.randint(1, 5)
+            sents = []
+            hot = rng.random() < 0.30
+            for _ in range(n_sent):
+                t = rng.choice(_TEMPLATES)
+                drug = HOT_DRUG if hot else rng.choice(DRUGS)
+                if rng.random() < 0.10 and drug in DRUGS_HALFWIDTH:
+                    drug = DRUGS_HALFWIDTH[drug]
+                symptom = rng.choice(SYMPTOMS)
+                if rng.random() < 0.05:
+                    symptom = rng.choice(list(NEAR_MISS))
+                sent = t.format(
+                    drug=drug,
+                    drug2=rng.choice(DRUGS),
+                    symptom=symptom,
+                    symptom2=rng.choice(SYMPTOMS),
+                )
+                sents.append(sent)
+                hot = False
+                if rng.random() < 0.3:
+                    sents.append(rng.choice(_FILLER))
+            if rng.random() < 0.10:  # drug-only doc (No Symptoms path)
+                sents = [f"{rng.choice(DRUGS)}を処方した。"]
+            if rng.random() < 0.10:  # duplicate-mention doc
+                sents.append(sents[0])
+            text = "".join(sents)
+        html = (
+            ("<html><body>" + (text or "") + "</body></html>").encode("utf-8")
+            if text is not None
+            else None
+        )
+        rows.append(
+            {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
+        )
+    return rows
+
+
+def generate_entity_dim() -> list[dict]:
+    """Canonical-entity dimension rows (FIXTURES.md §4)."""
+    rows: list[dict] = []
+    for surface, eid in DRUG_IDS.items():
+        rows.append(
+            {
+                "entity_id": eid,
+                "surface": surface,
+                "canonical": surface,
+                "code": "ATC" + hashlib.md5(surface.encode()).hexdigest()[:4].upper(),
+                "kind": "drug",
+                "human_check": None,
+            }
+        )
+    for surface, sid in SYMPTOM_IDS.items():
+        rows.append(
+            {
+                "entity_id": sid,
+                "surface": surface,
+                "canonical": surface,
+                "code": "ICD" + hashlib.md5(surface.encode()).hexdigest()[:4].upper(),
+                "kind": "symptom",
+                "human_check": None,
+            }
+        )
+    # short surface (≤2 chars) exercising the candidate floor
+    rows.append(
+        {
+            "entity_id": "SYM900",
+            "surface": "咳",
+            "canonical": "咳嗽",
+            "code": "ICDR05",
+            "kind": "symptom",
+            "human_check": None,
+        }
+    )
+    return rows
+
+
+def generate_alias_edges() -> list[dict]:
+    """Alias edges (src_surface -> dst_surface) for canonicalization."""
+    return [{"src": a, "dst": b} for a, b in ALIAS_CHAINS]
+
+
+def dictionary_terms(kind: str | None = None) -> list[str]:
+    """Matcher dictionary: surfaces > 2 chars (hyakuyaku.py:78-79 floor)."""
+    terms = []
+    if kind in (None, "drug"):
+        terms += DRUGS
+    if kind in (None, "symptom"):
+        terms += SYMPTOMS + ["咳"]
+    return [t for t in terms if len(t) > 2 or t in SYMPTOMS]
+
+
+def pipeline_term_types() -> dict[str, str]:
+    """Tagger dictionary for the e2e pipeline: dimension surfaces plus the
+    near-miss spellings (the NER model would emit unseen surfaces too —
+    including them makes the fuzzy-normalization path fire end-to-end)."""
+    tt = {d: "drug" for d in DRUGS}
+    tt.update({s: "symptom" for s in SYMPTOMS})
+    for near, target in NEAR_MISS.items():
+        tt[near] = "drug" if target in DRUG_IDS else "symptom"
+    return tt
+
+
+def pages_to_spark(spark, rows: list[dict]):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def entity_dim_to_spark(spark, rows: list[dict] | None = None):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", T.StringType(), False),
+            T.StructField("surface", T.StringType(), False),
+            T.StructField("canonical", T.StringType(), True),
+            T.StructField("code", T.StringType(), True),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("human_check", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows or generate_entity_dim(), schema=schema)
