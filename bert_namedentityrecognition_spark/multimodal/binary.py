@@ -1,0 +1,132 @@
+"""Multimodal (binary-column) plumbing.
+
+Images / audio / video ride through the engine as opaque ``binary`` columns
+with typed metadata structs — the Spark-side contract (schema, partitioning,
+Arrow batch shape, UDF signatures) is real and tested; the actual codecs are
+stubbed (no image/audio libraries in this container) behind
+``DecoderRegistry``: a deterministic fake decoder for tests, and a
+``NotImplementedError`` decoder marking where PIL/ffmpeg drop in.
+
+Pattern: ``mapInPandas`` over (id, content, media_type) — per Arrow batch
+the decoder yields fixed-shape feature rows. Batch-bounded memory: one batch
+of decoded frames lives at a time, never a partition's worth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def real_decoder(content: bytes, media_type: str) -> np.ndarray:
+    """Drop-in point for PIL/librosa/ffmpeg — not available in this container."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "register a real decoder via DecoderRegistry for production"
+    )
+
+
+def fake_decoder(content: bytes, media_type: str, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in: feature = normalized bytes of sha256(content)."""
+    digest = hashlib.sha256(content).digest()
+    arr = np.frombuffer(digest[:dim], dtype=np.uint8).astype(np.float32)
+    return arr / 255.0
+
+
+class DecoderRegistry:
+    _decoders: dict[str, Callable] = {"fake": fake_decoder, "real": real_decoder}
+
+    @classmethod
+    def get(cls, name: str) -> Callable:
+        return cls._decoders[name]
+
+    @classmethod
+    def register(cls, name: str, fn: Callable) -> None:
+        cls._decoders[name] = fn
+
+
+def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """media(MEDIA_SCHEMA) → FEATURE_SCHEMA via one Arrow stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = DecoderRegistry.get(decoder)
+        for pdf in batches:
+            ids, feats, sizes, hashes, status = [], [], [], [], []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                ids.append(mid)
+                if content is None:
+                    feats.append(None)
+                    sizes.append(None)
+                    hashes.append(None)
+                    status.append("null_content")
+                    continue
+                content = bytes(content)
+                sizes.append(len(content))
+                hashes.append(hashlib.md5(content).hexdigest())
+                try:
+                    feats.append(decode(content, mtype).tolist())
+                    status.append("ok")
+                except NotImplementedError:
+                    feats.append(None)
+                    status.append("decoder_unavailable")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "feature": feats,
+                    "n_bytes": pd.array(sizes, dtype="Int32"),
+                    "content_hash": hashes,
+                    "status": status,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def pages_html_as_media(pages: DataFrame) -> DataFrame:
+    """Adapter: the pages table's html binary column as a media table."""
+    return pages.select(
+        F.col("url").alias("media_id"),
+        F.lit("text/html").alias("media_type"),
+        F.col("html").alias("content"),
+        F.lit(None)
+        .cast(MEDIA_SCHEMA["meta"].dataType)
+        .alias("meta"),
+    )

@@ -1,0 +1,265 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection over a
+``documents``-style table. Design points for 100 TB:
+
+- **exact**: one hash-shuffle on a 16-byte fingerprint, window min keeps the
+  canonical copy. Never compares full texts.
+- **minhash**: shingle → portable-polynomial universal hashes → per-doc min
+  per seed (map-side combined agg); LSH banding turns O(n²) into a
+  groupBy-band join that only pairs candidates sharing a band.
+- **simhash**: 64-bit signature from token hashes; near-dups = signatures
+  equal in all but ≤ k bits, found via pivot-on-bands (4×16-bit chunks).
+- **ngram jaccard**: relational set-similarity join — shingles exploded,
+  equi-join on shingle, count/|union| ≥ τ. A length/size prefilter bounds
+  the candidate blowup.
+
+The shingle/minhash hash is the *portable* polynomial family (same
+arithmetic runs in DuckDB), so the driver's SQL oracle can verify the exact
+signature values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.textstats import md5_fingerprint, poly_hash
+
+POLY_MOD = 1_000_000_007
+
+# fixed universal-hash parameters (seed family), deterministic everywhere
+MINHASH_PARAMS = [(2 * i + 1, 7 * i + 3) for i in range(1, 17)]  # 16 seeds
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint, is_duplicate): duplicate = not the min-id doc of
+    its fingerprint group."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), md5_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+def token_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle): distinct n-token shingles, built JVM-side via
+    split + transform + slice + array_join (no UDF)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    params: list[tuple[int, int]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, seed, minhash) — one row per doc per hash-family member.
+
+    minhash_i(doc) = min over shingles of (a_i * poly(shingle) + b_i) % p.
+    Aggregation is a plain groupBy min → map-side partial agg at scale.
+    """
+    params = params or MINHASH_PARAMS
+    sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sh = sh.withColumn("h", poly_hash(F.col("shingle")))
+    seeds = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), ((F.col("h") * a + b) % POLY_MOD).alias("hv"))
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    exploded = sh.select("doc_id", F.explode(seeds).alias("s")).select(
+        "doc_id", F.col("s.seed").alias("seed"), F.col("s.hv").alias("hv")
+    )
+    return exploded.groupBy("doc_id", "seed").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    params: list[tuple[int, int]] | None = None,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): LSH candidates verified by true shingle
+    Jaccard. Only docs sharing a full band of minhashes are compared."""
+    params = params or MINHASH_PARAMS
+    rows_per_band = len(params) // bands
+    sig = minhash_signatures(docs, n=n, params=params, id_col=id_col, text_col=text_col)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return verify_jaccard(cand, docs, n=n, id_col=id_col, text_col=text_col).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """True shingle-set Jaccard for candidate pairs."""
+    sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, (pairs.doc_b == b.doc_b) & (F.col("shingle") == F.col("shingle_b")))
+        .drop(b.doc_b)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold via the relational
+    set-similarity join (shingle equi-join prunes non-overlapping pairs; a
+    size-ratio prefilter removes pairs that cannot reach the threshold)."""
+    sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    joined = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        # size prefilter: J ≤ min/max ⇒ require min/max ≥ τ
+        .filter(
+            F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b") >= F.lit(threshold)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return joined
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash signature, JVM-side.
+
+    Per token t with weight=count: for each bit j, add +w if bit j of
+    hash(t) set else -w; signature bit j = (sum_j > 0). Implemented with
+    explode + groupBy over (doc, bit) then bit-OR assembly — no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    counted = counted.withColumn("h", F.xxhash64("tok"))
+    bit_rows = (
+        counted.select(
+            "doc_id",
+            "w",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            "delta",
+            F.expr("case when (shiftright(h, bit) & 1L) = 1 then w else -w end"),
+        )
+    )
+    bit_sums = bit_rows.groupBy("doc_id", "bit").agg(F.sum("delta").alias("v"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(F.expr("case when v > 0 then shiftleft(1L, bit) else 0L end")).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) via 16-bit-chunk blocking:
+    signatures within hamming k ≤ 3 share at least one of 4 chunks exactly."""
+    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn("ck", F.expr("shiftright(simhash, chunk * 16) & 65535"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "ck"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,157 @@
+"""Source readers — the reference's scan operators as lazy DataFrame scans.
+
+| reference                                   | here                         |
+|---------------------------------------------|------------------------------|
+| ``util/Dataset.py`` NaN-skip text corpora    | ``read_text_corpus``         |
+| ``util/Dataset.py:72-116`` Twitter CSV dir   | ``read_csv_dir``             |
+| ``predict_for_jst_data.py:17-31`` JSON lines | ``read_jsonl``               |
+| ``train_data_IM_v6.py:11-18`` TSV corpus     | ``read_tsv``                 |
+| ``BERT/data_utils.py:1-20`` CoNLL IOB files  | ``read_conll``               |
+| ``util/xml_parser.py`` articles XML          | ``read_articles_xml``        |
+
+All return DataFrames; nothing is materialized on the driver. The CoNLL and
+articles-XML readers use one Arrow stage for the stateful parse (sentence /
+article grouping), keyed by file + line so results are deterministic under
+any partitioning.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_text_corpus(spark: SparkSession, path: str, text_col: str = "value") -> DataFrame:
+    """Text files; blank/whitespace rows dropped (NaN-skip semantics)."""
+    df = spark.read.text(path).withColumn("source_file", F.input_file_name())
+    return df.filter(F.trim(F.col(text_col)) != "").withColumnRenamed(text_col, "text")
+
+
+def read_csv_dir(
+    spark: SparkSession, path: str, text_column: int = 1, header: bool = False
+) -> DataFrame:
+    df = spark.read.option("header", str(header).lower()).csv(path)
+    col = df.columns[text_column]
+    return df.select(F.col(col).alias("text")).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, field: str) -> DataFrame:
+    """JSON-lines scan projecting one field; missing-key rows dropped."""
+    df = spark.read.json(path)
+    if field not in df.columns:
+        return spark.createDataFrame([], "text string")
+    return df.select(F.col(field).alias("text")).filter(F.col("text").isNotNull())
+
+
+def read_tsv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+_CONLL_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def read_conll(spark: SparkSession, path: str) -> DataFrame:
+    """CoNLL/IOB files (token\\ttag rows, blank-line sentence breaks) →
+    (source_file, sent_id, tokens, tags). Whole-file grouping per Arrow
+    batch (wholeTextFiles keeps sentence boundaries intact per file)."""
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "source_file", F.input_file_name()
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"source_file": [], "sent_id": [], "tokens": [], "tags": []}
+            for fname, content in zip(pdf["source_file"], pdf["value"]):
+                sid = 0
+                for block in content.split("\n\n"):
+                    rows = [r.split("\t") for r in block.split("\n") if r != ""]
+                    if not rows:
+                        continue
+                    out["source_file"].append(fname)
+                    out["sent_id"].append(sid)
+                    out["tokens"].append([r[0] for r in rows])
+                    out["tags"].append([r[1] if len(r) > 1 else "O" for r in rows])
+                    sid += 1
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(parse, schema=_CONLL_SCHEMA)
+
+
+_ARTICLE_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("article_id", T.StringType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_ARTICLE_RE = re.compile(
+    r"<article\b([^>]*)>(.*?)</article>", re.DOTALL | re.IGNORECASE
+)
+_ATTR_RE = re.compile(r"(\w+)\s*=\s*\"([^\"]*)\"")
+
+
+def read_articles_xml(spark: SparkSession, path: str) -> DataFrame:
+    """``<articles><article id=...>text</article>...`` corpus scan
+    (``util/xml_parser.py:23-96`` shape): regex-parsed headers → map column,
+    article body → text. Whole-file per batch; lazy across files."""
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "source_file", F.input_file_name()
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"source_file": [], "article_id": [], "headers": [], "text": []}
+            for fname, content in zip(pdf["source_file"], pdf["value"]):
+                for m in _ARTICLE_RE.finditer(content):
+                    headers = dict(_ATTR_RE.findall(m.group(1)))
+                    out["source_file"].append(fname)
+                    out["article_id"].append(headers.get("id"))
+                    out["headers"].append(headers)
+                    out["text"].append(m.group(2).strip())
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(parse, schema=_ARTICLE_SCHEMA)
+
+
+def write_articles_xml(df: DataFrame, path: str) -> None:
+    """Fixture-boundary sink mirroring ``articles_to_xml``
+    (``util/xml_parser.py:247-266``): one XML part per partition."""
+    header_col = "headers" if "headers" in df.columns else None
+
+    def fmt(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                attrs = ""
+                if header_col and isinstance(row[header_col], dict):
+                    attrs = "".join(
+                        f' {k}="{v}"' for k, v in sorted(row[header_col].items())
+                    )
+                rows.append(f"<article{attrs}>{row['text']}</article>")
+            yield pd.DataFrame({"value": ["\n".join(rows)]})
+
+    (
+        df.mapInPandas(fmt, schema="value string")
+        .write.mode("overwrite")
+        .text(path)
+    )

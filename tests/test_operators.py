@@ -1,0 +1,289 @@
+"""Operator unit tests: NER model path, dedup family, similarity, textstats,
+multimodal plumbing, readers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bert_namedentityrecognition_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# --- NER model path ----------------------------------------------------------
+
+
+def test_ner_stub_model_equals_tagger(spark):
+    """The full BERT-shaped path (tokenize → [CLS] → pad/batch → logits →
+    argmax → trim → BIO decode) must reproduce the gazetteer tagger."""
+    from bert_namedentityrecognition_spark.operators.ner import (
+        DictionaryStubModel,
+        label_vocab_for_types,
+        ner_sentences,
+    )
+    from bert_namedentityrecognition_spark.operators.sentences import pages_to_sentences
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+
+    term_types = fixtures.pipeline_term_types()
+    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(60, seed=7))
+    sentences = pages_to_sentences(pages)
+    vocab = label_vocab_for_types(list(term_types.values()))
+    model = DictionaryStubModel(term_types, vocab)
+    via_model = {
+        tuple(r) for r in ner_sentences(sentences, model, vocab, batch_size=8).collect()
+    }
+    via_tagger = {tuple(r) for r in tag_sentences(sentences, term_types).collect()}
+    assert via_model == via_tagger
+    assert len(via_model) > 20
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_flags_copies(spark):
+    from bert_namedentityrecognition_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.is_duplicate for r in exact_dedup(df).collect()}
+    assert rows == {1: False, 2: True, 3: False}
+
+
+def test_token_shingles(spark):
+    from bert_namedentityrecognition_spark.operators.dedup import token_shingles
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r.shingle for r in token_shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_minhash_matches_python(spark):
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        MINHASH_PARAMS,
+        POLY_MOD,
+        minhash_signatures,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {
+        (r.seed, r.minhash) for r in minhash_signatures(df, n=3).collect()
+    }
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % POLY_MOD
+        return h
+
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    want = set()
+    for i, (a, b) in enumerate(MINHASH_PARAMS):
+        want.add((i, min((a * poly(s) + b) % POLY_MOD for s in shingles)))
+    assert got == want
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from bert_namedentityrecognition_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "w%d " * 30
+    t1 = " ".join(f"w{i}" for i in range(30))
+    t2 = " ".join(f"w{i}" for i in range(29)) + " zzz"  # near-dup
+    t3 = " ".join(f"v{i}" for i in range(30))  # unrelated
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark):
+    from bert_namedentityrecognition_spark.operators.dedup import ngram_jaccard_pairs
+
+    t1 = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(1, t1), (2, t1), (3, "a b c d e")], ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_simhash_near_pairs(spark):
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    t1 = " ".join(f"w{i}" for i in range(50))
+    t2 = " ".join(f"w{i}" for i in range(49)) + " zzz"
+    t3 = " ".join(f"v{i}" for i in range(50))
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)], ["doc_id", "text"])
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert sigs[1] != sigs[3]
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    from bert_namedentityrecognition_spark.operators.similarity import cosine_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(embeddings, queries, k=5).collect()
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist())
+    ids = pdf["vec_id"].to_numpy()
+    for qid in range(3):
+        qv = mat[ids == qid][0]
+        sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = [
+            int(ids[i])
+            for i in sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+            if ids[i] != qid
+        ][:5]
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert mine == order
+
+
+def test_lsh_topk_structure(spark, embeddings):
+    """On random (unclustered) embeddings LSH recall is inherently noisy, so
+    assert structural correctness: results exist, cosines are exact, ranks
+    are contiguous and ordered, and an identical copy of a query vector (a
+    guaranteed same-bucket neighbor) is always found at rank 1."""
+
+    from bert_namedentityrecognition_spark.operators.similarity import lsh_cosine_topk
+
+    clone = embeddings.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        F.col("label"),
+    )
+    vecs = embeddings.unionByName(clone)
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_cosine_topk(vecs, queries, k=3, m_bits=4).collect()
+    assert got
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+    # the exact clone of query 0 shares every LSH bit → must be rank 1, cos≈1
+    top0 = by_q[0][0]
+    assert top0.vec_id == 100000
+    assert abs(top0.cosine - 1.0) < 1e-9
+
+
+# --- textstats ---------------------------------------------------------------
+
+
+def test_textstats_known_values(spark):
+    from bert_namedentityrecognition_spark.functions import textstats as ts
+
+    df = spark.createDataFrame([("the cat sat on a mat.",), ("",)], ["text"])
+    row = df.select(
+        ts.ws_token_count(F.col("text")).alias("n"),
+        ts.bpe_token_count(F.col("text")).alias("b"),
+        ts.stopword_ratio(F.col("text")).alias("sr"),
+        ts.lang_guess(F.col("text")).alias("lg"),
+        ts.poly_hash(F.col("text")).alias("ph"),
+    ).collect()
+    assert row[0].n == 6
+    assert row[0].b == 7  # 6 words + '.'
+    assert abs(row[0].sr - 2 / 6) < 1e-9
+    assert row[0].lg == "en"
+    h = 0
+    for ch in "the cat sat on a mat.":
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    assert row[0].ph == h
+    assert row[1].n == 0
+
+
+def test_lang_guess_cjk(spark):
+    from bert_namedentityrecognition_spark.functions.textstats import lang_guess
+
+    df = spark.createDataFrame([("頭痛がする",)], ["text"])
+    assert df.select(lang_guess(F.col("text")).alias("g")).first().g == "cjk"
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_feature_plumbing(spark):
+    from bert_namedentityrecognition_spark.multimodal.binary import (
+        extract_features,
+        fake_decoder,
+        pages_html_as_media,
+    )
+
+    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(20, seed=3))
+    media = pages_html_as_media(pages)
+    feats = extract_features(media, decoder="fake").collect()
+    assert len(feats) == 20
+    ok = [f for f in feats if f.status == "ok"]
+    assert ok and all(len(f.feature) == 16 for f in ok)
+    # deterministic: same bytes → same feature
+    one = next(f for f in feats if f.status == "ok")
+    page = next(p for p in fixtures.generate_pages(20, seed=3) if p["url"] == one.media_id)
+    assert np.allclose(one.feature, fake_decoder(page["html"], "text/html"))
+    nulls = [f for f in feats if f.status == "null_content"]
+    assert all(f.feature is None for f in nulls)
+
+
+def test_multimodal_real_decoder_is_stub(spark):
+    from bert_namedentityrecognition_spark.multimodal.binary import (
+        extract_features,
+        pages_html_as_media,
+    )
+
+    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(5, seed=3))
+    feats = extract_features(pages_html_as_media(pages), decoder="real").collect()
+    assert all(f.status in ("decoder_unavailable", "null_content") for f in feats)
+
+
+# --- readers -----------------------------------------------------------------
+
+
+def test_conll_reader_roundtrip(spark, tmp_path):
+    p = tmp_path / "sample.iob"
+    p.write_text("私\tO\n頭\tB-C\n痛\tI-C\n\n薬\tB-M\n", encoding="utf-8")
+    from bert_namedentityrecognition_spark.sources.readers import read_conll
+
+    rows = read_conll(spark, str(tmp_path)).orderBy("sent_id").collect()
+    assert rows[0].tokens == ["私", "頭", "痛"]
+    assert rows[0].tags == ["O", "B-C", "I-C"]
+    assert rows[1].tokens == ["薬"]
+
+
+def test_articles_xml_reader(spark, tmp_path):
+    p = tmp_path / "articles.xml"
+    p.write_text(
+        '<articles><article id="1" patient_id="p9">頭痛がする。</article>'
+        '<article id="2">発熱あり。</article></articles>',
+        encoding="utf-8",
+    )
+    from bert_namedentityrecognition_spark.sources.readers import read_articles_xml
+
+    rows = read_articles_xml(spark, str(tmp_path)).orderBy("article_id").collect()
+    assert rows[0].article_id == "1"
+    assert rows[0].headers["patient_id"] == "p9"
+    assert rows[0].text == "頭痛がする。"
+    assert rows[1].text == "発熱あり。"
