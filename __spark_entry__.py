@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline (synthetic pages → triples).
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
+DuckDB-executable twin for every SQL-expressible query (the rest get the
+weaker rows-only check: fuzzy-UDF normalization parity, simhash/LSH pair
+generation, the cogrouped relaxed metric, multimodal plumbing, and the
+synthetic-corpus e2e pipeline — each of those is additionally pinned by
+pytest against the pure-Python oracle in tests/).
+
+Numeric-compare policy: money sums go through decimal(18,4) (exact) before a
+final double cast + round, counts are BIGINT both sides, ratios are
+round(·, 6) — so the order-insensitive value hash is stable across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +19,739 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# --- shared dictionaries (documents corpus is a closed 31-word vocabulary) ---
+
+DOC_DRUG_TERMS = ["spark", "stream", "batch", "merge", "window"]
+DOC_SYM_TERMS = ["slow", "dup", "big", "small", "fast"]
+DOC_TERM_TYPES = {**{t: "drug" for t in DOC_DRUG_TERMS}, **{t: "symptom" for t in DOC_SYM_TERMS}}
+# pred dictionary for the metric queries: one term dropped → recall < 1
+PRED_TERM_TYPES = {k: v for k, v in DOC_TERM_TYPES.items() if k != "merge"}
+
+# inline normalization dim: misspelled surfaces → canonical ids
+LEV_DIM = [
+    ("sparc", "APACHE_SPARK"),
+    ("streem", "STREAM_PROC"),
+    ("bigg", "BIG_DATA"),
+    ("windoww", "WINDOW_FN"),
+    ("quer", "QUERY_LANG"),
+    ("merg", "MERGE_OP"),
+]
+LEV_THRESHOLD = 60.0
+
+_DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _money(col):
+    return F.col(col).cast(_DEC)
+
+
+def _doc_sentences(spark, sf_dir):
+    """documents as a one-sentence-per-doc corpus for the tagger."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("sent_id"),
+        F.col("text").alias("sent"),
+    )
+
+
+def _doc_mentions(spark, sf_dir, term_types=None):
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+
+    return tag_sentences(
+        _doc_sentences(spark, sf_dir), term_types or DOC_TERM_TYPES, normalize=False
+    )
+
+
+_TERMS_SQL = "(VALUES " + ", ".join(
+    f"('{t}', '{k}')" for t, k in DOC_TERM_TYPES.items()
+) + ") AS t(term, kind)"
+_PRED_TERMS_SQL = "(VALUES " + ", ".join(
+    f"('{t}', '{k}')" for t, k in PRED_TERM_TYPES.items()
+) + ") AS t(term, kind)"
+_OCC_SQL = f"""
+    SELECT d.doc_id, t.term, t.kind,
+           CAST((length(d.text) - length(replace(d.text, t.term, ''))) / length(t.term) AS BIGINT) AS n
+    FROM documents d CROSS JOIN {_TERMS_SQL}
+    WHERE length(d.text) - length(replace(d.text, t.term, '')) > 0
+"""
+_LEV_DIM_SQL = "(VALUES " + ", ".join(
+    f"('{s}', '{c}')" for s, c in LEV_DIM
+) + ") AS dim(surface, canonical)"
+
+
+# =============================================================================
+# entry
+# =============================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (synthetic Common-Crawl-style pages →
+    (subj, pred, obj, count) triples) + a sanity join against sf0.001
+    documents mentions. Returns the triples DataFrame."""
+    from bert_namedentityrecognition_spark.plans.pipeline import run_kg_pipeline
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(200, seed=42))
+    dim = fixtures.entity_dim_to_spark(spark)
+    alias = spark.createDataFrame(fixtures.generate_alias_edges(), ["src", "dst"])
+    out = run_kg_pipeline(
+        pages, dim, fixtures.pipeline_term_types(), alias_edges=alias, threshold=70.0
+    )
+    return out["triples"].orderBy(F.desc("count"), "subj", "obj")
+
+
+# =============================================================================
+# queries + oracles
+# =============================================================================
+
+
+def _q1(spark, sf):  # scan+filter+agg (SURVEY §2.9): exact-decimal money sums
+    l = _t(spark, sf, "lineitem")
+    disc = F.lit(1).cast(_DEC) - _money("l_discount")
+    charge = disc * (F.lit(1).cast(_DEC) + _money("l_tax"))
+    g = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_money("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_money("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(_money("l_extendedprice") * disc).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(_money("l_extendedprice") * charge).cast("double"), 2).alias("sum_charge"),
+            F.round(
+                F.sum(_money("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_money("l_discount")).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return g
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC})) * (CAST(1 AS {_DEC}) + CAST(l_tax AS {_DEC}))) AS DOUBLE), 2) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_discount AS {_DEC})) AS DOUBLE) / count(*), 6) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark, sf):  # 3-way join + agg + top-k (SURVEY §2.8/2.10)
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    disc = F.lit(1).cast(_DEC) - _money("l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(_money("l_extendedprice") * disc).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey, o_orderpriority,
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q5(spark, sf):  # 5-way star join (broadcast dims) + agg
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    disc = F.lit(1).cast(_DEC) - _money("l_discount")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(_money("l_extendedprice") * disc).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, r_name,
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))) AS DOUBLE), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name, r_name
+"""
+
+
+def _top_customers(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(_money("o_totalprice")).cast("double"), 2).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+_TOP_CUSTOMERS_SQL = f"""
+SELECT o_custkey,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total_spend,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey ASC LIMIT 20
+"""
+
+
+def _order_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority
+"""
+
+
+def _events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 2).alias("total_value"),
+    )
+
+
+_EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _events_sessionize(spark, sf):  # window functions: lag + conditional sum
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so ntz→ltz→double gives
+    # the same naive epoch seconds DuckDB's epoch() computes
+    ep = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    sess = e.withColumn("new_session", F.when(gap > 1800.0, 1).otherwise(0))
+    return sess.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def _events_json(spark, sf):  # semi-structured projection
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.sum(k).cast("double") / F.count("*"), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k,
+  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def _kg_mentions(spark, sf):  # gazetteer NER (§2.8 containment join)
+    m = _doc_mentions(spark, sf)
+    return m.groupBy(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("word").alias("term"),
+        F.col("type").alias("kind"),
+    ).agg(F.count("*").alias("n"))
+
+
+_KG_MENTIONS_SQL = f"SELECT doc_id, term, kind, n FROM ({_OCC_SQL})"
+
+
+def _kg_triples(spark, sf):  # pairing + No Symptoms + count (§2.8/2.9)
+    from bert_namedentityrecognition_spark.operators.triples import build_triples
+
+    m = _doc_mentions(spark, sf)
+    return build_triples(
+        m, scope="document", remove_duplicates=True, use_canonical=False
+    ).select("subj", "pred", "obj", F.col("count").cast("long").alias("count"))
+
+
+_KG_TRIPLES_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+drugs AS (SELECT DISTINCT doc_id, term AS subj FROM occ WHERE kind = 'drug' AND length(trim(term)) >= 2),
+syms  AS (SELECT DISTINCT doc_id, term AS obj  FROM occ WHERE kind = 'symptom' AND length(trim(term)) >= 2),
+pairs AS (SELECT subj, obj FROM drugs JOIN syms USING (doc_id)
+          UNION ALL
+          SELECT subj, 'No Symptoms' AS obj FROM drugs
+          WHERE doc_id NOT IN (SELECT doc_id FROM syms))
+SELECT subj, 'HAS_ADVERSE_EVENT' AS pred, obj, CAST(count(*) AS BIGINT) AS count
+FROM pairs GROUP BY subj, obj
+"""
+
+
+def _kg_top_subjects(spark, sf):  # row-sum ordering + top-k (§2.9/2.10)
+    t = _kg_triples(spark, sf)
+    return (
+        t.groupBy("subj")
+        .agg(F.sum("count").alias("total"))
+        .orderBy(F.desc("total"), F.asc("subj"))
+        .limit(3)
+    )
+
+
+_KG_TOP_SUBJECTS_SQL = f"""
+SELECT subj, CAST(sum(count) AS BIGINT) AS total
+FROM ({_KG_TRIPLES_SQL}) GROUP BY subj
+ORDER BY total DESC, subj ASC LIMIT 3
+"""
+
+
+def _kg_normalize_lev(spark, sf):  # fuzzy top-1 normalization, JVM scorer
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        normalize_surfaces_lev,
+    )
+
+    words = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .distinct()
+    )
+    dim = spark.createDataFrame(LEV_DIM, ["surface", "canonical"])
+    return normalize_surfaces_lev(words, dim, threshold=LEV_THRESHOLD)
+
+
+_KG_NORMALIZE_LEV_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT w AS word FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+  ) WHERE length(w) >= 2
+),
+scored AS (
+  SELECT w.word, dim.surface, dim.canonical,
+    round(100.0 * (1.0 - CAST(levenshtein(w.word, dim.surface) AS DOUBLE)
+          / greatest(length(w.word), length(dim.surface))), 6) AS score,
+    row_number() OVER (PARTITION BY w.word ORDER BY
+      round(100.0 * (1.0 - CAST(levenshtein(w.word, dim.surface) AS DOUBLE)
+          / greatest(length(w.word), length(dim.surface))), 6) DESC,
+      dim.surface ASC) AS rn
+  FROM words w CROSS JOIN {_LEV_DIM_SQL}
+)
+SELECT word,
+  CASE WHEN score > {LEV_THRESHOLD} THEN canonical ELSE '' END AS canonical,
+  score
+FROM scored WHERE rn = 1
+"""
+
+
+def _strict_mention_prf(spark, sf):  # evaluation join (§2.11), count-keyed
+    gold = _kg_mentions(spark, sf)
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+
+    pred_m = tag_sentences(_doc_sentences(spark, sf), PRED_TERM_TYPES, normalize=False)
+    pred = pred_m.groupBy(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("word").alias("term"),
+        F.col("type").alias("kind"),
+    ).agg(F.count("*").alias("n"))
+    key = ["doc_id", "term", "kind", "n"]
+    g = gold.withColumn("_g", F.lit(1))
+    p = pred.withColumn("_p", F.lit(1))
+    j = g.join(p, key, "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+    )
+
+
+_STRICT_PRF_SQL = f"""
+WITH gold AS ({_OCC_SQL}),
+pred AS (
+  SELECT d.doc_id, t.term, t.kind,
+         CAST((length(d.text) - length(replace(d.text, t.term, ''))) / length(t.term) AS BIGINT) AS n
+  FROM documents d CROSS JOIN {_PRED_TERMS_SQL}
+  WHERE length(d.text) - length(replace(d.text, t.term, '')) > 0
+),
+j AS (
+  SELECT coalesce(g.ok, 0) AS g_ok, coalesce(p.ok, 0) AS p_ok
+  FROM (SELECT doc_id, term, kind, n, 1 AS ok FROM gold) g
+  FULL OUTER JOIN (SELECT doc_id, term, kind, n, 1 AS ok FROM pred) p
+  USING (doc_id, term, kind, n)
+)
+SELECT
+  CAST(sum(CASE WHEN g_ok = 1 AND p_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN g_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN p_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  round(sum(CASE WHEN g_ok = 1 AND p_ok = 1 THEN 1 ELSE 0 END)
+    / CAST(sum(CASE WHEN g_ok = 1 AND p_ok = 1 THEN 1 ELSE 0 END) + sum(CASE WHEN g_ok = 0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS precision,
+  round(sum(CASE WHEN g_ok = 1 AND p_ok = 1 THEN 1 ELSE 0 END)
+    / CAST(sum(CASE WHEN g_ok = 1 AND p_ok = 1 THEN 1 ELSE 0 END) + sum(CASE WHEN p_ok = 0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS recall
+FROM j
+"""
+
+
+def _text_stats(spark, sf):  # quality scoring / token counting / lang-ID
+    from bert_namedentityrecognition_spark.functions import textstats as ts
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        ts.ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ts.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.round(ts.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        ts.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+_TEXT_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+  round(len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is')))
+        / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stopword_ratio,
+  CASE WHEN len(regexp_extract_all(text, '[぀-ヿ㐀-鿿]')) > 0 THEN 'cjk'
+       WHEN len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is'))) > 0 THEN 'en'
+       ELSE 'other' END AS lang_guess
+FROM toks
+"""
+
+
+def _doc_fingerprint(spark, sf):  # exact-dup fingerprints (md5 + poly hash)
+    from bert_namedentityrecognition_spark.functions.textstats import (
+        md5_fingerprint,
+        poly_hash,
+    )
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fp_md5"),
+        poly_hash(F.col("text")).alias("fp_poly"),
+    )
+
+
+_DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(lower(trim(text))) AS fp_md5,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(text, '.'), x -> CAST(ascii(x) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007
+  ) AS BIGINT) AS fp_poly
+FROM documents
+"""
+
+
+def _dedup_exact(spark, sf):
+    from bert_namedentityrecognition_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_duplicate
+FROM documents
+"""
+
+
+def _minhash_sigs(spark, sf):  # MinHash signatures (portable hash family)
+    from bert_namedentityrecognition_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf, "documents"), n=3).select(
+        "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
+    )
+
+
+_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(shingle, '.'), x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) AS h
+  FROM shingles
+)
+SELECT doc_id, CAST(s.seed AS BIGINT) AS seed,
+  CAST(min((h * (2 * s.seed + 3) + (7 * s.seed + 10)) % 1000000007) AS BIGINT) AS minhash
+FROM hashed, unnest(range(0, 16)) AS s(seed)
+GROUP BY doc_id, s.seed
+"""
+
+
+def _ngram_dups(spark, sf):  # n-gram Jaccard near-dup join, integer-exact
+    from bert_namedentityrecognition_spark.operators.dedup import token_shingles
+
+    sh = token_shingles(_t(spark, sf, "documents"), n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(F.col("inter") * 10 >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")) * 6)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b")
+    )
+    return out
+
+
+_NGRAM_DUPS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 6
+"""
+
+
+def _ann_topk(spark, sf):  # brute-force cosine top-k (ids/ranks only)
+    from bert_namedentityrecognition_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id"
+    )
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(q.qvec, e.embedding) AS cosine,
+    row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qvec, e.embedding) DESC, e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= 5
+"""
+
+
+# --- rows-only queries (non-SQL-expressible; pinned by pytest instead) -------
+
+
+def _kg_e2e_triples(spark, sf):
+    return entry(spark)
+
+
+def _kg_fuzzy_indel(spark, sf):
+    """Reference-parity fuzzy normalization (indel ratio Arrow UDF): runs the
+    near-miss document vocabulary through the two-phase exact→fuzzy join."""
+    from bert_namedentityrecognition_spark.operators.normalize import normalize_surfaces
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    surfaces = spark.createDataFrame(
+        [("頭痛い", "symptom"), ("発熱感", "symptom"), ("ロキソニソ", "drug"), ("頭痛", "symptom")],
+        ["word", "type"],
+    )
+    dim = fixtures.entity_dim_to_spark(spark)
+    return normalize_surfaces(surfaces, dim, threshold=70.0).select(
+        "word", "type", "canonical", "score", "method"
+    )
+
+
+def _simhash_sigs(spark, sf):
+    from bert_namedentityrecognition_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf, "documents"))
+
+
+def _minhash_lsh(spark, sf):
+    from bert_namedentityrecognition_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+
+
+def _lsh_ann(spark, sf):
+    from bert_namedentityrecognition_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, queries, k=5, m_bits=4).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+def _multimodal_features(spark, sf):
+    from bert_namedentityrecognition_spark.multimodal.binary import (
+        extract_features,
+        pages_html_as_media,
+    )
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(100, seed=42))
+    return extract_features(pages_html_as_media(pages), decoder="fake")
+
+
+def _relaxed_metrics(spark, sf):
+    from bert_namedentityrecognition_spark.operators.metrics import relaxed_span_metrics
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+
+    gold = _doc_mentions(spark, sf)
+    pred = tag_sentences(_doc_sentences(spark, sf), PRED_TERM_TYPES, normalize=False)
+    return relaxed_span_metrics(gold, pred)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # generic engine: scans, filters, joins, aggs, sorts, limits, windows
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_nation_revenue": _q5,
+        "top_customers": _top_customers,
+        "order_priority_count": _order_priority,
+        "events_hourly": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "events_json_extract": _events_json,
+        # KG construction family (SURVEY §2 core)
+        "kg_mentions": _kg_mentions,
+        "kg_triples_codoc": _kg_triples,
+        "kg_top_subjects": _kg_top_subjects,
+        "kg_normalize_lev": _kg_normalize_lev,
+        "kg_normalize_fuzzy_indel": _kg_fuzzy_indel,
+        "kg_e2e_triples": _kg_e2e_triples,
+        "strict_mention_prf": _strict_mention_prf,
+        "relaxed_metrics": _relaxed_metrics,
+        # training-data pipeline family
+        "text_stats": _text_stats,
+        "doc_fingerprint": _doc_fingerprint,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_signatures": _minhash_sigs,
+        "dedup_ngram_jaccard": _ngram_dups,
+        "dedup_simhash_signatures": _simhash_sigs,
+        "dedup_minhash_lsh_pairs": _minhash_lsh,
+        "ann_cosine_topk": _ann_topk,
+        "ann_lsh_topk": _lsh_ann,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "top_customers": _TOP_CUSTOMERS_SQL,
+        "order_priority_count": _ORDER_PRIORITY_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_json_extract": _EVENTS_JSON_SQL,
+        "kg_mentions": _KG_MENTIONS_SQL,
+        "kg_triples_codoc": _KG_TRIPLES_SQL,
+        "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,
+        "kg_normalize_lev": _KG_NORMALIZE_LEV_SQL,
+        "strict_mention_prf": _STRICT_PRF_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_signatures": _MINHASH_SQL,
+        "dedup_ngram_jaccard": _NGRAM_DUPS_SQL,
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+    }

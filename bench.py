@@ -1,0 +1,152 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], then the KG-pipeline throughput scaling check at
+two parallelism levels (local[N] vs local[4N] — the sandbox stand-in for N vs
+4N executors per BASELINE.md). Prints ONE JSON line:
+
+    {"metric": ..., "value": <total headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "kg_scaling": {"cores_low": N, "cores_high": 4N,
+                    "triples_per_sec_low": ..., "triples_per_sec_high": ...,
+                    "pages_per_sec_low": ..., "pages_per_sec_high": ...,
+                    "scaling_efficiency": ...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, KG_BENCH_PAGES (corpus size,
+default 60000), KG_BENCH_SKIP_SCALING=1 to skip the two-session scaling run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "kg_mentions",
+    "kg_triples_codoc",
+    "kg_normalize_lev",
+    "text_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+]
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DATA = os.path.join(REPO, "var", "bench_pages")
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_headline(sf_dir: str, cores: int) -> dict:
+    import __spark_entry__ as entrymod
+    from bert_namedentityrecognition_spark.plans.session import build_session
+
+    spark = build_session(app_name="bench", cores=cores, shuffle_partitions=cores)
+    qs = entrymod.queries()
+    timings = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _noop_write(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def _ensure_bench_corpus(n_pages: int) -> str:
+    """Deterministic pages corpus on disk (generated once, reused)."""
+    marker = os.path.join(BENCH_DATA, f".n{n_pages}")
+    if os.path.exists(marker):
+        return BENCH_DATA
+    if os.path.isdir(BENCH_DATA):
+        shutil.rmtree(BENCH_DATA)
+    import pandas as pd
+
+    from bert_namedentityrecognition_spark.plans.session import build_session
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    rows = fixtures.generate_pages(n_pages, seed=42)
+    spark = build_session(app_name="bench-gen", cores=8, shuffle_partitions=8)
+    fixtures.pages_to_spark(spark, rows).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(BENCH_DATA)
+    spark.stop()
+    open(marker, "w").close()
+    return BENCH_DATA
+
+
+def run_kg_scaling(n_pages: int, cores_low: int, cores_high: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from bert_namedentityrecognition_spark.plans.pipeline import run_kg_pipeline
+    from bert_namedentityrecognition_spark.plans.session import build_session
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    data_dir = _ensure_bench_corpus(n_pages)
+    out = {"cores_low": cores_low, "cores_high": cores_high, "n_pages": n_pages}
+    n_triples = None
+    for label, cores in (("low", cores_low), ("high", cores_high)):
+        spark = build_session(
+            app_name=f"kg-bench-{cores}", cores=cores, shuffle_partitions=cores
+        )
+        pages = spark.read.parquet(data_dir)
+        dim = fixtures.entity_dim_to_spark(spark)
+        # warm-up: JVM + python workers + broadcast (excluded from timing)
+        pages.limit(64).count()
+        t0 = time.perf_counter()
+        result = run_kg_pipeline(pages, dim, fixtures.pipeline_term_types())
+        triples = result["triples"]
+        n_triples = triples.agg(F.sum("count")).collect()[0][0]
+        dt = time.perf_counter() - t0
+        out[f"wall_sec_{label}"] = round(dt, 3)
+        out[f"triples_per_sec_{label}"] = round(n_triples / dt, 1)
+        out[f"pages_per_sec_{label}"] = round(n_pages / dt, 1)
+        spark.stop()
+    out["n_triples"] = int(n_triples)
+    speedup = out["triples_per_sec_high"] / out["triples_per_sec_low"]
+    out["speedup"] = round(speedup, 3)
+    out["scaling_efficiency"] = round(speedup / (cores_high / cores_low), 3)
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    timings = run_headline(sf_dir, cores)
+    total = round(sum(timings.values()), 3)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+    }
+
+    if os.environ.get("KG_BENCH_SKIP_SCALING", "0") != "1":
+        n_pages = int(os.environ.get("KG_BENCH_PAGES", "60000"))
+        low = max(cores // 4, 1)
+        result["kg_scaling"] = run_kg_scaling(n_pages, low, cores)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,27 @@ def strict_span_prf(gold: DataFrame, pred: DataFrame) -> DataFrame:
     )
 
 
+def strict_span_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Plan-only variant of ``strict_span_prf`` (no driver .count() actions):
+    full-outer join → one aggregation row. Composable into larger plans and
+    usable as a driver-checkable query."""
+    g = gold.select(*SPAN_KEY).distinct().withColumn("_g", F.lit(1))
+    p = pred.select(*SPAN_KEY).distinct().withColumn("_p", F.lit(1))
+    joined = g.join(p, SPAN_KEY, "full_outer")
+    agg = joined.agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6).alias("precision"),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6).alias("recall"),
+    )
+
+
 _RELAXED_SCHEMA = T.StructType(
     [
         T.StructField("type", T.StringType()),

@@ -146,6 +146,52 @@ def normalize_surfaces(
     return hits.unionByName(fuzzy)
 
 
+def normalize_surfaces_lev(
+    surfaces: DataFrame,
+    dim: DataFrame,
+    threshold: float = 50.0,
+    surface_col: str = "surface",
+) -> DataFrame:
+    """All-JVM fuzzy top-1 variant: score = 100·(1 − levenshtein/max(len)).
+
+    Same staging as ``normalize_surfaces`` but the scorer is Spark's builtin
+    ``levenshtein`` — zero Python on the path, fully codegen-able, and
+    bit-identical to any ANSI engine's ``levenshtein`` (used by the driver's
+    DuckDB oracle). Prefer this when indel-ratio parity with rapidfuzz is
+    not required.
+
+    surfaces(word) × dim(surface, canonical) → (word, canonical, score).
+    Deterministic top-1: score desc, surface asc. Below-threshold → ''.
+    """
+    d = dim.select(
+        F.col(surface_col).alias("_surface"), F.col("canonical").alias("_canon")
+    )
+    scored = surfaces.join(F.broadcast(d)).withColumn(
+        "score",
+        F.round(
+            100.0
+            * (
+                1.0
+                - F.levenshtein(F.col("word"), F.col("_surface"))
+                / F.greatest(F.length("word"), F.length("_surface")).cast("double")
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("word").orderBy(F.col("score").desc(), F.col("_surface").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "word",
+            F.when(F.col("score") > threshold, F.col("_canon"))
+            .otherwise(F.lit(SENTINEL))
+            .alias("canonical"),
+            "score",
+        )
+    )
+
+
 def normalize_mentions(
     mentions: DataFrame,
     dim: DataFrame,

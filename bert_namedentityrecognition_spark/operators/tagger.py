@@ -59,24 +59,29 @@ def tag_sentences(
     sentences: DataFrame,
     term_types: dict[str, str],
     decode_via_iob: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """sentences(url, sent_id, sent) → mentions. One Arrow stage, no shuffle.
 
     term_types: dictionary surface → entity type (e.g. 'drug'/'symptom').
-    Surfaces are han_to_zen-normalized before automaton build.
+    With ``normalize`` (reference behavior) text and surfaces are
+    han_to_zen-normalized before matching; disable for ASCII corpora where
+    surfaces should surface verbatim.
     """
-    normalized_types = {han_to_zen(k): v for k, v in term_types.items()}
+    normalized_types = {
+        (han_to_zen(k) if normalize else k): v for k, v in term_types.items()
+    }
     terms = list(normalized_types)
     sc = sentences.sparkSession.sparkContext
-    bc = sc.broadcast((terms, normalized_types))
+    bc = sc.broadcast((terms, normalized_types, normalize))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        term_list, types = bc.value
+        term_list, types, do_norm = bc.value
         automaton = build_automaton(term_list)
         for pdf in batches:
             urls, sids, starts, ends, tps, words = [], [], [], [], [], []
             for url, sid, sent in zip(pdf["url"], pdf["sent_id"], pdf["sent"]):
-                text = han_to_zen(sent)
+                text = han_to_zen(sent) if do_norm else sent
                 matches = automaton_match(text, automaton)
                 if decode_via_iob:
                     tags = matches_to_iob(text, matches, types)
