@@ -68,23 +68,40 @@ def run_headline(sf_dir: str, cores: int) -> dict:
 
 
 def _ensure_bench_corpus(n_pages: int) -> str:
-    """Deterministic pages corpus on disk (generated once, reused)."""
+    """Deterministic pages corpus on disk (generated once, reused).
+
+    Written directly with pyarrow (no Spark) in 32 row-group-sized files so
+    both parallelism levels see identical, well-split input.
+    """
     marker = os.path.join(BENCH_DATA, f".n{n_pages}")
     if os.path.exists(marker):
         return BENCH_DATA
     if os.path.isdir(BENCH_DATA):
         shutil.rmtree(BENCH_DATA)
-    import pandas as pd
+    os.makedirs(BENCH_DATA)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    from bert_namedentityrecognition_spark.plans.session import build_session
     from bert_namedentityrecognition_spark.sources import fixtures
 
-    rows = fixtures.generate_pages(n_pages, seed=42)
-    spark = build_session(app_name="bench-gen", cores=8, shuffle_partitions=8)
-    fixtures.pages_to_spark(spark, rows).repartition(32).write.mode(
-        "overwrite"
-    ).parquet(BENCH_DATA)
-    spark.stop()
+    rows = fixtures.generate_pages(n_pages, seed=42, min_sents=4, max_sents=12)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    n_files = 32
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        table = pa.Table.from_pylist(chunk, schema=schema)
+        pq.write_table(table, os.path.join(BENCH_DATA, f"part-{i:05d}.parquet"))
     open(marker, "w").close()
     return BENCH_DATA
 
@@ -96,19 +113,29 @@ def run_kg_scaling(n_pages: int, cores_low: int, cores_high: int) -> dict:
     from bert_namedentityrecognition_spark.plans.session import build_session
     from bert_namedentityrecognition_spark.sources import fixtures
 
+    from bert_namedentityrecognition_spark.operators.ner import (
+        DictionaryStubModel,
+        label_vocab_for_types,
+    )
+
     data_dir = _ensure_bench_corpus(n_pages)
     out = {"cores_low": cores_low, "cores_high": cores_high, "n_pages": n_pages}
     n_triples = None
+    term_types = fixtures.pipeline_term_types()
+    vocab = label_vocab_for_types(list(term_types.values()))
     for label, cores in (("low", cores_low), ("high", cores_high)):
         spark = build_session(
             app_name=f"kg-bench-{cores}", cores=cores, shuffle_partitions=cores
         )
         pages = spark.read.parquet(data_dir)
         dim = fixtures.entity_dim_to_spark(spark)
+        model = DictionaryStubModel(term_types, vocab)
         # warm-up: JVM + python workers + broadcast (excluded from timing)
         pages.limit(64).count()
         t0 = time.perf_counter()
-        result = run_kg_pipeline(pages, dim, fixtures.pipeline_term_types())
+        result = run_kg_pipeline(
+            pages, dim, term_types, model=model, label_vocab=vocab
+        )
         triples = result["triples"]
         n_triples = triples.agg(F.sum("count")).collect()[0][0]
         dt = time.perf_counter() - t0
@@ -141,7 +168,7 @@ def main():
     }
 
     if os.environ.get("KG_BENCH_SKIP_SCALING", "0") != "1":
-        n_pages = int(os.environ.get("KG_BENCH_PAGES", "60000"))
+        n_pages = int(os.environ.get("KG_BENCH_PAGES", "150000"))
         low = max(cores // 4, 1)
         result["kg_scaling"] = run_kg_scaling(n_pages, low, cores)
 

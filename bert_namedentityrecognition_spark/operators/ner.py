@@ -138,6 +138,50 @@ class TorchTokenClassifier:
         )
 
 
+def _infer_rows(rows, mdl, vocab, batch_size: int, max_len: int, out: dict):
+    """Shared batched-inference kernel over (url, sent_id, raw_sent) rows.
+
+    Applies han_to_zen, length-sorted sub-batching (padding-efficiency trick
+    of ``BERT/data_utils.py:66-97``), forward, argmax, [CLS] drop, trim,
+    BIO decode; appends mention fields into ``out`` column lists.
+    """
+    texts = [han_to_zen(r[2]) for r in rows]
+    order = sorted(range(len(texts)), key=lambda i: -len(texts[i]))
+    for ofs in range(0, len(order), batch_size):
+        idxs = order[ofs : ofs + batch_size]
+        chunk = [texts[i][: max_len - 1] for i in idxs]
+        padded = max((len(c) for c in chunk), default=0) + 1  # +[CLS]
+        logits = mdl.logits(chunk, padded)
+        pred_ids = logits.argmax(axis=2)[:, 1:]  # drop [CLS] position
+        for row, i in enumerate(idxs):
+            n = len(chunk[row])
+            labels = vocab.to_labels(pred_ids[row, :n])
+            for span in iob_to_spans(list(chunk[row]), labels):
+                out["url"].append(rows[i][0])
+                out["sent_id"].append(int(rows[i][1]))
+                out["start"].append(span["start"])
+                out["end"].append(span["end"])
+                out["type"].append(span["type"])
+                out["word"].append(span["word"])
+
+
+def _out_to_pdf(out: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "url": pd.Series(out["url"], dtype="object"),
+            "sent_id": pd.Series(out["sent_id"], dtype="int32"),
+            "start": pd.Series(out["start"], dtype="int32"),
+            "end": pd.Series(out["end"], dtype="int32"),
+            "type": pd.Series(out["type"], dtype="object"),
+            "word": pd.Series(out["word"], dtype="object"),
+        }
+    )
+
+
+def _empty_out() -> dict:
+    return {k: [] for k in ("url", "sent_id", "start", "end", "type", "word")}
+
+
 def ner_sentences(
     sentences: DataFrame,
     model,
@@ -145,42 +189,56 @@ def ner_sentences(
     batch_size: int = 8,
     max_len: int = MAX_LEN,
 ) -> DataFrame:
-    """The NER mapInPandas stage. ``model``/``label_vocab`` are broadcast."""
+    """The NER mapInPandas stage over a sentences table."""
     sc = sentences.sparkSession.sparkContext
     bc = sc.broadcast((model, label_vocab))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mdl, vocab = bc.value
         for pdf in batches:
-            urls, sids, starts, ends, tps, words = [], [], [], [], [], []
-            texts = [han_to_zen(s) for s in pdf["sent"]]
-            # length-sorted sub-batching: minimizes padding waste per forward
-            order = sorted(range(len(texts)), key=lambda i: -len(texts[i]))
-            for ofs in range(0, len(order), batch_size):
-                idxs = order[ofs : ofs + batch_size]
-                chunk = [texts[i][: max_len - 1] for i in idxs]
-                padded = max((len(c) for c in chunk), default=0) + 1  # +[CLS]
-                logits = mdl.logits(chunk, padded)
-                pred_ids = logits.argmax(axis=2)[:, 1:]  # drop [CLS] position
-                for row, i in enumerate(idxs):
-                    n = len(chunk[row])
-                    labels = vocab.to_labels(pred_ids[row, :n])
-                    for span in iob_to_spans(list(chunk[row]), labels):
-                        urls.append(pdf["url"].iloc[i])
-                        sids.append(int(pdf["sent_id"].iloc[i]))
-                        starts.append(span["start"])
-                        ends.append(span["end"])
-                        tps.append(span["type"])
-                        words.append(span["word"])
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype="object"),
-                    "sent_id": pd.Series(sids, dtype="int32"),
-                    "start": pd.Series(starts, dtype="int32"),
-                    "end": pd.Series(ends, dtype="int32"),
-                    "type": pd.Series(tps, dtype="object"),
-                    "word": pd.Series(words, dtype="object"),
-                }
-            )
+            out = _empty_out()
+            rows = list(zip(pdf["url"], pdf["sent_id"], pdf["sent"]))
+            _infer_rows(rows, mdl, vocab, batch_size, max_len, out)
+            yield _out_to_pdf(out)
 
     return sentences.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def ner_pages(
+    pages: DataFrame,
+    model,
+    label_vocab: LabelVocab,
+    batch_size: int = 8,
+    max_len: int = MAX_LEN,
+    lang_filter: str | None = "ja",
+    text_col: str = "text",
+    key_col: str = "url",
+) -> DataFrame:
+    """Fused pages → mentions via the model path: preprocess + sentence
+    split + batched inference + BIO decode in ONE Arrow stage (one Python
+    runner section per Spark stage — see operators/tagger.extract_mentions
+    for why fusion matters at high parallelism)."""
+    from ..oracle.textproc import preprocess_text, split_sentences
+    from pyspark.sql import functions as F
+
+    sc = pages.sparkSession.sparkContext
+    bc = sc.broadcast((model, label_vocab))
+
+    df = pages.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    if lang_filter is not None and "lang" in pages.columns:
+        df = df.filter(F.col("lang") == lang_filter)
+    src = df.select(F.col(key_col).alias("url"), F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mdl, vocab = bc.value
+        for pdf in batches:
+            out = _empty_out()
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for sid, sent in enumerate(split_sentences(preprocess_text(text))):
+                    if len(sent) <= max_len:
+                        rows.append((url, sid, sent))
+            _infer_rows(rows, mdl, vocab, batch_size, max_len, out)
+            yield _out_to_pdf(out)
+
+    return src.mapInPandas(run, schema=MENTION_SCHEMA)

@@ -146,6 +146,57 @@ def normalize_surfaces(
     return hits.unionByName(fuzzy)
 
 
+def normalize_mentions_udf(
+    mentions: DataFrame,
+    dim_rows: list[dict],
+    threshold: float = 70.0,
+    type_to_kind: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming-safe normalization: one Arrow stage resolving each mention
+    against the broadcast dimension with the oracle kernels (per-worker LRU
+    over distinct surfaces). No shuffle, no window, no driver collect —
+    legal on streaming DataFrames and exactly the batch semantics."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    sc = mentions.sparkSession.sparkContext
+    bc = sc.broadcast((dim_rows, threshold, type_to_kind))
+    schema = T.StructType(
+        mentions.schema.fields
+        + [
+            T.StructField("canonical", T.StringType()),
+            T.StructField("entity_id", T.StringType()),
+            T.StructField("code", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("method", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        rows_dim, thr, t2k = bc.value
+        cache: dict[tuple[str, str], tuple] = {}
+        for pdf in batches:
+            need = {
+                (w, t)
+                for w, t in zip(pdf["word"], pdf["type"])
+                if (w, t) not in cache
+            }
+            if need:
+                for rec in resolve_surfaces_driver(sorted(need), rows_dim, thr, t2k):
+                    cache[(rec[0], rec[1])] = rec[2:]
+            res = [cache[(w, t)] for w, t in zip(pdf["word"], pdf["type"])]
+            out = pdf.copy()
+            out["canonical"] = [r[0] for r in res]
+            out["entity_id"] = [r[1] for r in res]
+            out["code"] = [r[2] for r in res]
+            out["score"] = [r[3] for r in res]
+            out["method"] = [r[4] for r in res]
+            yield out
+
+    return mentions.mapInPandas(run, schema=schema)
+
+
 def normalize_surfaces_lev(
     surfaces: DataFrame,
     dim: DataFrame,
@@ -192,14 +243,90 @@ def normalize_surfaces_lev(
     )
 
 
+def resolve_surfaces_driver(
+    surface_rows: list[tuple[str, str]],
+    dim_rows: list[dict],
+    threshold: float = 70.0,
+    type_to_kind: dict[str, str] | None = None,
+) -> list[tuple]:
+    """Driver-side twin of ``normalize_surfaces`` over collected surfaces.
+
+    Bit-identical semantics (same han_to_zen, same banded prune, same indel
+    scorer, same tie-break) via the oracle kernels. Used by the hybrid path
+    when the distinct-surface set fits on the driver — the evaluation order
+    the reference itself uses (in-memory normalizer dict), and at high core
+    counts it avoids ~6 tiny python-UDF stages whose fixed cost dominates.
+    """
+    by_kind: dict[str, list[dict]] = {}
+    exact_index: dict[tuple[str, str], dict] = {}
+    for r in dim_rows:
+        sn = han_to_zen(r["surface"])
+        rr = {**r, "surface_norm": sn}
+        by_kind.setdefault(r["kind"], []).append(rr)
+        exact_index[(sn, r["kind"])] = rr
+    out = []
+    for word, mtype in surface_rows:
+        kind = (type_to_kind or {}).get(mtype, mtype)
+        wn = han_to_zen(word)
+        hit = exact_index.get((wn, kind))
+        if hit is not None:
+            out.append(
+                (word, mtype, hit["canonical"], hit["entity_id"], hit.get("code"), 100.0, "exact")
+            )
+            continue
+        lw = len(wn)
+        best: tuple[float, str, dict] | None = None
+        for rr in by_kind.get(kind, []):
+            ls = len(rr["surface_norm"])
+            if 200.0 * min(lw, ls) / (lw + ls) <= threshold:
+                continue  # banded prune, same bound as the distributed path
+            s = ratio(wn, rr["surface_norm"])
+            if best is None or s > best[0] or (s == best[0] and rr["surface_norm"] < best[1]):
+                best = (s, rr["surface_norm"], rr)
+        if best is None:
+            out.append((word, mtype, SENTINEL, None, None, 0.0, "fuzzy"))
+        elif best[0] > threshold:
+            rr = best[2]
+            out.append(
+                (word, mtype, rr["canonical"], rr["entity_id"], rr.get("code"), best[0], "fuzzy")
+            )
+        else:
+            out.append((word, mtype, SENTINEL, None, None, best[0], "fuzzy"))
+    return out
+
+
+_RESOLVED_SCHEMA = (
+    "word string, type string, canonical string, entity_id string, "
+    "code string, score double, method string"
+)
+
+
 def normalize_mentions(
     mentions: DataFrame,
     dim: DataFrame,
     threshold: float = 70.0,
     type_to_kind: dict[str, str] | None = None,
+    max_driver_surfaces: int = 100_000,
 ) -> DataFrame:
     """mentions + canonical columns. Distinct-surface dedup then broadcast
-    join back — the mention stream itself is never shuffled."""
+    join back — the mention stream itself is never shuffled.
+
+    Hybrid resolution: if the distinct (word, type) set fits under
+    ``max_driver_surfaces`` it is collected and scored driver-side with the
+    identical oracle kernels (cheap, zero extra python stages); larger sets
+    go through the distributed exact→fuzzy broadcast-join path. Set
+    ``max_driver_surfaces=0`` to force the distributed path.
+    """
+    spark = mentions.sparkSession
     surfaces = mentions.select("word", "type").distinct()
+    if max_driver_surfaces > 0:
+        sample = surfaces.limit(max_driver_surfaces + 1).collect()
+        if len(sample) <= max_driver_surfaces:
+            dim_rows = [r.asDict() for r in dim.collect()]
+            rows = resolve_surfaces_driver(
+                [(r.word, r.type) for r in sample], dim_rows, threshold, type_to_kind
+            )
+            resolved = spark.createDataFrame(rows, _RESOLVED_SCHEMA)
+            return mentions.join(F.broadcast(resolved), ["word", "type"], "left")
     resolved = normalize_surfaces(surfaces, dim, threshold, type_to_kind)
     return mentions.join(F.broadcast(resolved), ["word", "type"], "left")

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..oracle.iob import iob_to_spans
@@ -112,3 +113,71 @@ def tag_sentences(
             )
 
     return sentences.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def extract_mentions(
+    pages: DataFrame,
+    term_types: dict[str, str],
+    max_length: int = 512,
+    lang_filter: str | None = "ja",
+    normalize: bool = True,
+    text_col: str = "text",
+    key_col: str = "url",
+) -> DataFrame:
+    """Fused pages → mentions: preprocess + sentence-split + 512-filter +
+    han_to_zen + tag + BIO decode in ONE Arrow stage.
+
+    Semantically identical to ``pages_to_sentences`` → ``tag_sentences``
+    (sent_ids are assigned before the length filter, matching the oracle),
+    but with a single Python runner section per Spark stage. Chaining two
+    Python sections inside one stage serializes them through paired workers
+    with blocking JVM handoffs — measured 10-15× slower at 32 local cores —
+    so the fused form is the production path; the two-step form remains for
+    when a sentences table is itself a wanted output.
+    """
+    from ..oracle.textproc import preprocess_text, split_sentences
+
+    normalized_types = {
+        (han_to_zen(k) if normalize else k): v for k, v in term_types.items()
+    }
+    sc = pages.sparkSession.sparkContext
+    bc = sc.broadcast((list(normalized_types), normalized_types, normalize, max_length))
+
+    df = pages.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    if lang_filter is not None and "lang" in pages.columns:
+        df = df.filter(F.col("lang") == lang_filter)
+    src = df.select(F.col(key_col).alias("url"), F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        term_list, types, do_norm, maxlen = bc.value
+        automaton = build_automaton(term_list)
+        for pdf in batches:
+            urls, sids, starts, ends, tps, words = [], [], [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for sid, sent in enumerate(split_sentences(preprocess_text(text))):
+                    if len(sent) > maxlen:
+                        continue
+                    norm = han_to_zen(sent) if do_norm else sent
+                    matches = automaton_match(norm, automaton)
+                    if not matches:
+                        continue
+                    tags = matches_to_iob(norm, matches, types)
+                    for span in iob_to_spans(list(norm), tags):
+                        urls.append(url)
+                        sids.append(sid)
+                        starts.append(span["start"])
+                        ends.append(span["end"])
+                        tps.append(span["type"])
+                        words.append(span["word"])
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_id": pd.Series(sids, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "type": pd.Series(tps, dtype="object"),
+                    "word": pd.Series(words, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=MENTION_SCHEMA)

@@ -59,51 +59,47 @@ def build_triples(
     """
     keys = ["url"] if scope == "document" else ["url", "sent_id"]
     name = F.col("canonical") if use_canonical and "canonical" in mentions.columns else F.col("word")
-
     base = mentions.withColumn("_name", F.trim(name))
 
-    syms_raw = base.filter(F.col("type") == obj_type)
+    # ONE shuffle: per-scope-key mention lists (the reference's own shape —
+    # from_lists consumes per-document lists). All pairing/dedup/No-Symptoms
+    # logic then runs as JVM array expressions inside the row.
+    perdoc = base.groupBy(*keys).agg(
+        F.collect_list(
+            F.when(F.col("type") == subj_type, F.trim(F.col("word")))
+        ).alias("_drugs_raw"),
+        F.collect_list(
+            F.when(
+                F.col("type") == obj_type,
+                F.struct(F.col("word").alias("w"), F.col("_name").alias("n")),
+            )
+        ).alias("_syms_raw"),
+    )
 
-    # the reference pairs raw drug surfaces (normalization applies to the
-    # entity/symptom side in from_lists); drugs use the raw word
-    drugs = (
-        base.filter(F.col("type") == subj_type)
-        .withColumn("_subj", F.trim(F.col("word")))
-        .filter(F.length("_subj") >= 2)
-        .select(*keys, "_subj")
-    )
-    # dedup happens on RAW surfaces before normalization (reference :25-27
-    # dedups the raw list, THEN normalizes each member — two raw variants
-    # that normalize to the same canonical still count twice)
-    syms_src = syms_raw.dropDuplicates(keys + ["word"]) if remove_duplicates else syms_raw
-    syms = (
-        syms_src.withColumn("_obj", F.col("_name"))
-        .filter((F.col("_obj") != "") & (F.length("_obj") >= 2))
-        .select(*keys, "_obj")
-    )
+    drugs = F.filter(F.col("_drugs_raw"), lambda d: F.length(d) >= 2)
     if remove_duplicates:
-        drugs = drugs.dropDuplicates(keys + ["_subj"])
+        # reference :25-27 dedups the RAW lists, THEN normalizes each member
+        # (two raw variants normalizing to one canonical still count twice)
+        drugs = F.array_distinct(drugs)
+        syms_src = F.array_distinct(F.col("_syms_raw"))
+    else:
+        syms_src = F.col("_syms_raw")
+    objs = F.transform(
+        F.filter(syms_src, lambda s: (s["n"] != "") & (F.length(s["n"]) >= 2)),
+        lambda s: s["n"],
+    )
+    if emit_no_symptoms:
+        # No-Symptoms when the RAW symptom list is empty (pre-normalization
+        # presence test, reference :41)
+        objs = F.when(F.size("_syms_raw") == 0, F.array(F.lit(NO_SYMPTOMS))).otherwise(objs)
 
-    pairs = drugs.join(syms, keys, "inner").select(
-        F.col("_subj").alias("subj"), F.col("_obj").alias("obj")
+    pairs = (
+        perdoc.select(drugs.alias("_drugs"), objs.alias("_objs"))
+        .select(F.explode("_drugs").alias("subj"), "_objs")
+        .select("subj", F.explode("_objs").alias("obj"))
     )
     counted = salted_count(pairs, ["subj", "obj"], salt_buckets)
-
-    if emit_no_symptoms:
-        # pre-normalization presence test (reference :41 checks the raw list)
-        sym_docs = syms_raw.select(*keys).distinct()
-        lonely = (
-            drugs.join(sym_docs, keys, "left_anti")
-            .select(F.col("_subj").alias("subj"))
-        )
-        no_sym = salted_count(
-            lonely.withColumn("obj", F.lit(NO_SYMPTOMS)), ["subj", "obj"], salt_buckets
-        )
-        counted = counted.unionByName(no_sym)
-
-    return counted.select(
-        "subj", F.lit(pred).alias("pred"), "obj", F.col("count")
-    )
+    return counted.select("subj", F.lit(pred).alias("pred"), "obj", F.col("count"))
 
 
 def pivot_table(

@@ -21,10 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from ..operators.canonicalize import apply_alias_map, canonical_alias_map
 from ..operators.normalize import normalize_mentions
 from ..operators.sentences import pages_to_sentences
-from ..operators.tagger import tag_sentences
+from ..operators.tagger import extract_mentions
 from ..operators.triples import build_triples
 
 
@@ -38,14 +40,35 @@ def run_kg_pipeline(
     remove_duplicates: bool = True,
     lang_filter: str | None = "ja",
     salt_buckets: int = 0,
+    persist: bool = True,
+    model=None,
+    label_vocab=None,
 ) -> dict[str, DataFrame]:
-    """Returns the full lineage: sentences, mentions, normalized, triples, nodes."""
+    """Returns the full lineage: sentences, mentions, normalized, triples, nodes.
+
+    ``mentions``/``normalized`` are persisted by default: they feed multiple
+    consumers (distinct-surface map, drug/symptom branches, No-Symptoms
+    anti-join, nodes agg), and recomputing the NER Arrow stage per consumer
+    is the single biggest avoidable cost. In the cluster deployment the same
+    role is played by writing mentions to storage between stages; persist is
+    the in-session equivalent.
+    """
     sentences = pages_to_sentences(pages, lang_filter=lang_filter)
-    mentions = tag_sentences(sentences, term_types)
+    if model is not None:
+        from ..operators.ner import ner_pages
+
+        mentions = ner_pages(pages, model, label_vocab, lang_filter=lang_filter)
+    else:
+        mentions = extract_mentions(pages, term_types, lang_filter=lang_filter)
+    if persist:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     normalized = normalize_mentions(mentions, dim, threshold=threshold)
     if alias_edges is not None:
         alias_map = canonical_alias_map(alias_edges, dim)
         normalized = apply_alias_map(normalized, alias_map)
+    # normalized is NOT persisted: it is a cheap broadcast-join view over the
+    # persisted mentions; consumers (triples, nodes) recompute that join
+    # rather than paying a second materialization of the mention stream
     triples = build_triples(
         normalized,
         scope=scope,

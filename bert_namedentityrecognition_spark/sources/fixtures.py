@@ -89,7 +89,12 @@ _FILLER = [
 ]
 
 
-def generate_pages(n_docs: int = 200, seed: int = 42) -> list[dict]:
+def generate_pages(
+    n_docs: int = 200,
+    seed: int = 42,
+    min_sents: int = 1,
+    max_sents: int = 5,
+) -> list[dict]:
     """Synthetic pages rows: url, warc_ts, html, text, lang."""
     rng = random.Random(seed)
     rows: list[dict] = []
@@ -107,7 +112,7 @@ def generate_pages(n_docs: int = 200, seed: int = 42) -> list[dict]:
             # >512-char single sentence (drop path)
             text = "こ" * 600 + "。"
         else:
-            n_sent = rng.randint(1, 5)
+            n_sent = rng.randint(min_sents, max_sents)
             sents = []
             hot = rng.random() < 0.30
             for _ in range(n_sent):

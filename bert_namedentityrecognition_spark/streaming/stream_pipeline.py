@@ -20,9 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.normalize import normalize_mentions
-from ..operators.sentences import pages_to_sentences
-from ..operators.tagger import tag_sentences
+from ..operators.normalize import normalize_mentions_udf
+from ..operators.tagger import extract_mentions
 
 
 def stream_pages(spark: SparkSession, pages_dir: str, schema) -> DataFrame:
@@ -35,8 +34,7 @@ def stream_pages(spark: SparkSession, pages_dir: str, schema) -> DataFrame:
 
 def streaming_mentions(pages_stream: DataFrame, term_types: dict[str, str]) -> DataFrame:
     """Stateless stages compose identically on a streaming DataFrame."""
-    sentences = pages_to_sentences(pages_stream)
-    return tag_sentences(sentences, term_types)
+    return extract_mentions(pages_stream, term_types)
 
 
 def streaming_triples(
@@ -55,7 +53,7 @@ def streaming_triples(
     """
     ts = pages_stream.select("url", "warc_ts").withWatermark("warc_ts", watermark)
     mentions = streaming_mentions(pages_stream, term_types)
-    normalized = normalize_mentions(mentions, dim)
+    normalized = normalize_mentions_udf(mentions, [r.asDict() for r in dim.collect()])
     drugs = (
         normalized.filter(F.col("type") == "drug")
         .select("url", F.trim("word").alias("subj"))
