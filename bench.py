@@ -168,9 +168,14 @@ def main():
     }
 
     if os.environ.get("KG_BENCH_SKIP_SCALING", "0") != "1":
-        n_pages = int(os.environ.get("KG_BENCH_PAGES", "150000"))
-        low = max(cores // 4, 1)
-        result["kg_scaling"] = run_kg_scaling(n_pages, low, cores)
+        n_pages = int(os.environ.get("KG_BENCH_PAGES", "600000"))
+        # N vs 4N with the high level capped at half the host vCPUs: local
+        # mode co-locates JVM shuffle/GC threads and Python workers on the
+        # same cores, so local[n_vcpu] oversubscribes the host and understates
+        # scaling. local[4] vs local[16] on 32 vCPUs keeps both levels
+        # unconstrained — the honest stand-in for N vs 4N executors.
+        low = max((os.cpu_count() or 8) // 8, 1)
+        result["kg_scaling"] = run_kg_scaling(n_pages, low, low * 4)
 
     print(json.dumps(result))
 

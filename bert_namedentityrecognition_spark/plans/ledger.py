@@ -1,0 +1,129 @@
+"""Per-partition lineage ledger + idempotent resume.
+
+The reference's resume story is a chunked XML append
+(``scripts/predict/predict_for_jst_data_parallel.py:66-79``) — not
+idempotent: a rerun re-appends processed chunks. Here every stage commits
+per-partition lineage + counters to a ``metrics`` table and output buckets
+are written atomically, so a killed job resumes from the last committed
+bucket with byte-identical final results:
+
+- pages are assigned to ``n_buckets`` deterministic buckets by
+  ``pmod(xxhash64(url), n)`` — the same bucketing an Iceberg
+  ``bucket(n, url)`` partition spec would give, so bucket → partition
+  pruning is free on a real deployment;
+- each bucket's mentions are written to ``mentions/bucket=K`` with an
+  atomic rename (parquet overwrite of a bucket directory == an Iceberg
+  snapshot commit of that partition);
+- a ledger row (bucket, rows, n_pages, status=committed, wall_sec) is
+  appended ONLY after the bucket's data commit — write-ahead-of-nothing:
+  a crash between data and ledger just reprocesses one bucket into the
+  same deterministic content;
+- ``resume_run`` skips buckets whose ledger row exists, then derives
+  triples from the union of committed buckets.
+
+Driver code here is pure orchestration (which bucket next); all data
+processing stays in Spark plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.normalize import normalize_mentions
+from ..operators.tagger import extract_mentions
+from ..operators.triples import build_triples
+
+LEDGER_FILE = "ledger.jsonl"
+
+
+class MetricsLedger:
+    """Append-only per-partition lineage + counters.
+
+    JSONL here (atomic line appends on a local FS); on a cluster this is an
+    Iceberg ``metrics`` table appended with one snapshot per bucket commit.
+    """
+
+    def __init__(self, base_dir: str):
+        self.path = os.path.join(base_dir, LEDGER_FILE)
+        os.makedirs(base_dir, exist_ok=True)
+
+    def committed_buckets(self, stage: str) -> set[int]:
+        out: set[int] = set()
+        if not os.path.exists(self.path):
+            return out
+        with open(self.path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["stage"] == stage and rec["status"] == "committed":
+                    out.add(rec["bucket"])
+        return out
+
+    def commit(self, stage: str, bucket: int, counters: dict) -> None:
+        rec = {"stage": stage, "bucket": bucket, "status": "committed", **counters}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def rows(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(l) for l in f]
+
+
+def bucket_of(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def resume_run(
+    spark: SparkSession,
+    pages: DataFrame,
+    dim: DataFrame,
+    term_types: dict[str, str],
+    base_dir: str,
+    n_buckets: int = 8,
+    threshold: float = 70.0,
+    fail_after_bucket: int | None = None,
+) -> DataFrame:
+    """Bucket-at-a-time mention extraction with ledger-gated commits, then
+    triples over all committed buckets. Rerunning after any crash yields
+    identical triples with no duplicates.
+
+    ``fail_after_bucket`` injects a crash (for the kill/rerun test).
+    """
+    ledger = MetricsLedger(base_dir)
+    done = ledger.committed_buckets("mentions")
+    mentions_dir = os.path.join(base_dir, "mentions")
+
+    bucketed = pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.perf_counter()
+        chunk = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        m = extract_mentions(chunk, term_types)
+        out_path = os.path.join(mentions_dir, f"bucket={b}")
+        m.write.mode("overwrite").parquet(out_path)  # atomic dir replace
+        n_rows = spark.read.parquet(out_path).count()
+        n_pages = chunk.count()
+        ledger.commit(
+            "mentions",
+            b,
+            {
+                "rows": n_rows,
+                "n_pages": n_pages,
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            },
+        )
+        if fail_after_bucket is not None and b >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+
+    mentions = spark.read.parquet(mentions_dir)
+    normalized = normalize_mentions(mentions, dim, threshold=threshold)
+    return build_triples(normalized)
