@@ -106,44 +106,65 @@ def _ensure_bench_corpus(n_pages: int) -> str:
     return BENCH_DATA
 
 
-def run_kg_scaling(n_pages: int, cores_low: int, cores_high: int) -> dict:
+def run_kg_level(data_dir: str, cores: int) -> dict:
+    """One scaling level: full KG pipeline (model path) at local[cores]."""
     from pyspark.sql import functions as F
-
-    from bert_namedentityrecognition_spark.plans.pipeline import run_kg_pipeline
-    from bert_namedentityrecognition_spark.plans.session import build_session
-    from bert_namedentityrecognition_spark.sources import fixtures
 
     from bert_namedentityrecognition_spark.operators.ner import (
         DictionaryStubModel,
         label_vocab_for_types,
     )
+    from bert_namedentityrecognition_spark.plans.pipeline import run_kg_pipeline
+    from bert_namedentityrecognition_spark.plans.session import build_session
+    from bert_namedentityrecognition_spark.sources import fixtures
 
-    data_dir = _ensure_bench_corpus(n_pages)
-    out = {"cores_low": cores_low, "cores_high": cores_high, "n_pages": n_pages}
-    n_triples = None
     term_types = fixtures.pipeline_term_types()
     vocab = label_vocab_for_types(list(term_types.values()))
+    spark = build_session(
+        app_name=f"kg-bench-{cores}", cores=cores, shuffle_partitions=cores
+    )
+    pages = spark.read.parquet(data_dir)
+    dim = fixtures.entity_dim_to_spark(spark)
+    model = DictionaryStubModel(term_types, vocab, emulate_compute=True)
+    # warm-up: JVM + python workers + broadcast (excluded from timing)
+    pages.limit(64).count()
+    t0 = time.perf_counter()
+    result = run_kg_pipeline(pages, dim, term_types, model=model, label_vocab=vocab)
+    n_triples = result["triples"].agg(F.sum("count")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "wall_sec": round(dt, 3), "n_triples": int(n_triples)}
+
+
+def _run_level_subprocess(data_dir: str, cores: int) -> dict:
+    """Each level runs in a fresh process -> fresh JVM, identical starting
+    conditions for both parallelism levels (a shared JVM carries heap/GC
+    state from whatever ran before and skews the comparison)."""
+    import subprocess
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r); import bench; "
+        "print('KGLEVEL ' + json.dumps(bench.run_kg_level(%r, %d)))"
+        % (REPO, data_dir, cores)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("KGLEVEL "):
+            return json.loads(line[len("KGLEVEL "):])
+    raise RuntimeError(f"scaling level failed: {proc.stderr[-2000:]}")
+
+
+def run_kg_scaling(n_pages: int, cores_low: int, cores_high: int) -> dict:
+    data_dir = _ensure_bench_corpus(n_pages)
+    out = {"cores_low": cores_low, "cores_high": cores_high, "n_pages": n_pages}
     for label, cores in (("low", cores_low), ("high", cores_high)):
-        spark = build_session(
-            app_name=f"kg-bench-{cores}", cores=cores, shuffle_partitions=cores
-        )
-        pages = spark.read.parquet(data_dir)
-        dim = fixtures.entity_dim_to_spark(spark)
-        model = DictionaryStubModel(term_types, vocab)
-        # warm-up: JVM + python workers + broadcast (excluded from timing)
-        pages.limit(64).count()
-        t0 = time.perf_counter()
-        result = run_kg_pipeline(
-            pages, dim, term_types, model=model, label_vocab=vocab
-        )
-        triples = result["triples"]
-        n_triples = triples.agg(F.sum("count")).collect()[0][0]
-        dt = time.perf_counter() - t0
-        out[f"wall_sec_{label}"] = round(dt, 3)
-        out[f"triples_per_sec_{label}"] = round(n_triples / dt, 1)
-        out[f"pages_per_sec_{label}"] = round(n_pages / dt, 1)
-        spark.stop()
-    out["n_triples"] = int(n_triples)
+        lv = _run_level_subprocess(data_dir, cores)
+        out[f"wall_sec_{label}"] = lv["wall_sec"]
+        out[f"triples_per_sec_{label}"] = round(lv["n_triples"] / lv["wall_sec"], 1)
+        out[f"pages_per_sec_{label}"] = round(n_pages / lv["wall_sec"], 1)
+        out["n_triples"] = lv["n_triples"]
     speedup = out["triples_per_sec_high"] / out["triples_per_sec_low"]
     out["speedup"] = round(speedup, 3)
     out["scaling_efficiency"] = round(speedup / (cores_high / cores_low), 3)
@@ -168,14 +189,17 @@ def main():
     }
 
     if os.environ.get("KG_BENCH_SKIP_SCALING", "0") != "1":
-        n_pages = int(os.environ.get("KG_BENCH_PAGES", "600000"))
+        n_pages = int(os.environ.get("KG_BENCH_PAGES", "300000"))
         # N vs 4N with the high level capped at half the host vCPUs: local
         # mode co-locates JVM shuffle/GC threads and Python workers on the
         # same cores, so local[n_vcpu] oversubscribes the host and understates
         # scaling. local[4] vs local[16] on 32 vCPUs keeps both levels
         # unconstrained — the honest stand-in for N vs 4N executors.
-        low = max((os.cpu_count() or 8) // 8, 1)
-        result["kg_scaling"] = run_kg_scaling(n_pages, low, low * 4)
+        # N=2 vs 4N=8: both levels far under the host's effective parallel
+        # capacity (a pure-CPU probe shows this VM sustains ~0.8 efficiency
+        # only up to ~16 procs and is noisy above; 2→8 keeps the comparison
+        # about the ENGINE, not host steal time). Fresh subprocess per level.
+        result["kg_scaling"] = run_kg_scaling(n_pages, 2, 8)
 
     print(json.dumps(result))
 

@@ -41,6 +41,79 @@ def strict_span_prf(gold: DataFrame, pred: DataFrame) -> DataFrame:
     )
 
 
+_SPANMATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("exact_match", T.LongType()),
+        T.StructField("exceeding_match", T.LongType()),
+        T.StructField("partial_match", T.LongType()),
+        T.StructField("missing_match", T.LongType()),
+        T.StructField("incorrect_match", T.LongType()),
+    ]
+)
+
+
+def span_match_taxonomy(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Distributed span-match taxonomy scoring (``util/xlarge.py:6-118``
+    semantics): per (url, sent_id), the oracle scorer runs inside a cogrouped
+    Arrow UDF; returns per-sentence scores + category counts. Aggregate with
+    ``.agg(avg('score'))`` for the corpus number."""
+    from ..oracle.spanmatch import span_match_score
+
+    def per_sentence(key, g: pd.DataFrame, p: pd.DataFrame):
+        gg = sorted(
+            ({"span": (s, e), "type": t} for s, e, t in zip(g["start"], g["end"], g["type"])),
+            key=lambda d: d["span"][0],
+        )
+        pp = sorted(
+            ({"span": (s, e), "type": t} for s, e, t in zip(p["start"], p["end"], p["type"])),
+            key=lambda d: d["span"][0],
+        )
+        out: dict = {}
+        score = span_match_score(gg, pp, out)
+        return pd.DataFrame(
+            [
+                {
+                    "url": key[0],
+                    "sent_id": key[1],
+                    "score": float(score),
+                    "exact_match": out["exact_match"],
+                    "exceeding_match": out["exceeding_match"],
+                    "partial_match": out["partial_match"],
+                    "missing_match": out["missing_match"],
+                    "incorrect_match": out["incorrect_match"],
+                }
+            ]
+        )
+
+    g = gold.select("url", "sent_id", "start", "end", "type")
+    p = pred.select("url", "sent_id", "start", "end", "type")
+    return (
+        g.groupBy("url", "sent_id")
+        .cogroup(p.groupBy("url", "sent_id"))
+        .applyInPandas(per_sentence, schema=_SPANMATCH_SCHEMA)
+    )
+
+
+def fold_metric_stats(metrics: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Cross-validation averaging (``scripts/crossvalidation/utils/
+    crossvalidation_utils.py:7-71``): mean/std per metric column across
+    folds. ``metrics``: one row per fold with numeric columns."""
+    num_cols = [
+        f.name
+        for f in metrics.schema.fields
+        if f.dataType.typeName() in ("double", "float", "long", "integer")
+        and f.name not in (by or [])
+    ]
+    aggs = []
+    for c in num_cols:
+        aggs.append(F.avg(c).alias(f"{c}_mean"))
+        aggs.append(F.stddev(c).alias(f"{c}_std"))
+    return metrics.groupBy(*(by or [])).agg(*aggs) if by else metrics.agg(*aggs)
+
+
 def strict_span_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
     """Plan-only variant of ``strict_span_prf`` (no driver .count() actions):
     full-outer join → one aggregation row. Composable into larger plans and

@@ -92,19 +92,54 @@ class DictionaryStubModel:
     pad/trim/decode machinery.
     """
 
-    def __init__(self, term_types: dict[str, str], label_vocab: LabelVocab):
+    def __init__(
+        self,
+        term_types: dict[str, str],
+        label_vocab: LabelVocab,
+        emulate_compute: bool = False,
+        d_model: int = 64,
+        d_ff: int = 256,
+    ):
         self.term_types = {han_to_zen(k): v for k, v in term_types.items()}
         self.label_vocab = label_vocab
+        # emulate_compute: burn one seeded FFN block ([B,T,d]·[d,ff]·[ff,d])
+        # per batch so benchmarks see a transformer-representative
+        # compute-to-coordination ratio (a real forward is 100-1000x the
+        # gazetteer cost; without this the pipeline measures scheduler
+        # overhead, not inference scaling). Semantics are unchanged — the
+        # gazetteer logits are returned either way.
+        self.emulate_compute = emulate_compute
+        self.d_model = d_model
+        self.d_ff = d_ff
         self._automaton = None
+        self._weights = None
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_automaton"] = None  # rebuilt lazily on each executor
+        state["_weights"] = None
         return state
+
+    def _ffn(self, texts: list[str], padded_len: int) -> None:
+        if self._weights is None:
+            rng = np.random.RandomState(0)
+            self._weights = (
+                rng.randn(self.d_model, self.d_ff).astype(np.float32) * 0.02,
+                rng.randn(self.d_ff, self.d_model).astype(np.float32) * 0.02,
+            )
+        w1, w2 = self._weights
+        x = np.zeros((len(texts), padded_len, self.d_model), np.float32)
+        for bi, t in enumerate(texts):
+            codes = np.frombuffer(t.encode("utf-32-le"), np.uint32)[: padded_len - 1]
+            x[bi, 1 : len(codes) + 1, 0] = codes % 97
+        h = np.maximum(x @ w1, 0.0)
+        (h @ w2).sum()  # forward block executed, activations discarded
 
     def logits(self, texts: list[str], padded_len: int) -> np.ndarray:
         if self._automaton is None:
             self._automaton = build_automaton(list(self.term_types))
+        if self.emulate_compute:
+            self._ffn(texts, padded_len)
         out = np.zeros((len(texts), padded_len, len(self.label_vocab.itos)), np.float32)
         o_id = self.label_vocab.stoi["O"]
         out[:, :, o_id] = 0.5  # default O everywhere (incl. [CLS]/[PAD] pos)

@@ -26,6 +26,12 @@ def build_session(
     extra_conf: dict | None = None,
     warehouse_dir: str | None = None,
 ) -> SparkSession:
+    # pin BLAS to one thread per python worker: task parallelism comes from
+    # Spark, not from numpy spawning its own thread pool inside every worker
+    # (unpinned BLAS oversubscribes the host and silently borrows cores
+    # across tasks, which also corrupts scaling measurements)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
@@ -42,6 +48,8 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.python.worker.reuse", "true")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -133,6 +133,50 @@ def read_articles_xml(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(parse, schema=_ARTICLE_SCHEMA)
 
 
+def read_yakureki_txt(spark: SparkSession, path: str) -> DataFrame:
+    """Yakureki txt-folder scan (``util/Dataset.py:119-144``): first line is
+    ``%id,drug,ade,place`` metadata, remainder is the text. One Arrow stage
+    per whole file."""
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "source_file", F.input_file_name()
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"source_file": [], "case_id": [], "drug": [], "ade": [], "text": []}
+            for fname, content in zip(pdf["source_file"], pdf["value"]):
+                lines = content.split("\n")
+                header = lines[0].lstrip("%").split(",") if lines else []
+                header += [None] * (4 - len(header))
+                out["source_file"].append(fname)
+                out["case_id"].append(header[0])
+                out["drug"].append(header[1])
+                out["ade"].append(header[2])
+                out["text"].append("\n".join(lines[1:]).strip())
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(
+        parse,
+        schema="source_file string, case_id string, drug string, ade string, text string",
+    )
+
+
+def write_conll(df: DataFrame, path: str) -> None:
+    """CoNLL IOB sink (``util/xml_parser.py:186-214`` shape): ``token\\ttag``
+    rows, blank line between sentences; one text part per partition."""
+
+    def fmt(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            blocks = []
+            for _, row in pdf.iterrows():
+                blocks.append(
+                    "\n".join(f"{t}\t{g}" for t, g in zip(row["tokens"], row["tags"]))
+                )
+            yield pd.DataFrame({"value": ["\n\n".join(blocks)]})
+
+    df.mapInPandas(fmt, schema="value string").write.mode("overwrite").text(path)
+
+
 def write_articles_xml(df: DataFrame, path: str) -> None:
     """Fixture-boundary sink mirroring ``articles_to_xml``
     (``util/xml_parser.py:247-266``): one XML part per partition."""

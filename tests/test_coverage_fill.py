@@ -1,0 +1,139 @@
+"""Tests for the §2-coverage fill: alignment quirk, Yakureki/CoNLL sinks,
+sqlite/two-hop dims, distributed span-match taxonomy, CV stats."""
+
+import sqlite3
+
+import pytest
+
+from bert_namedentityrecognition_spark.oracle.alignment import (
+    drop_length_mismatches,
+    normalize_tagged_dataset,
+)
+
+
+def test_normalize_tagged_dataset_duplicates_verbatim():
+    # reference quirk: B- duplicated verbatim on expansion (dead-code guard)
+    def expander(ch):
+        return [ch, ch + "#"] if ch == "薬" else [ch]
+
+    sents, tags = normalize_tagged_dataset(
+        [["薬", "A"]], [["B-M", "I-M"]], tokenize=expander
+    )
+    assert sents == [["薬", "薬#", "Ａ"]]  # han_to_zen fullwidths ASCII
+    assert tags == [["B-M", "B-M", "I-M"]]  # duplicated B (observed behavior)
+
+    _, fixed = normalize_tagged_dataset(
+        [["薬", "A"]], [["B-M", "I-M"]], tokenize=expander, fix_b_duplication=True
+    )
+    assert fixed == [["B-M", "I-M", "I-M"]]
+
+
+def test_normalize_tagged_dataset_drops_space_tokens_and_hz():
+    # the reference's space-drop comes from the WordPiece tokenizer emitting
+    # [] for whitespace; emulate that tokenizer behavior here
+    def tok(ch):
+        return [] if ch.isspace() else [ch]
+
+    sents, tags = normalize_tagged_dataset([["a", " ", "b"]], [["O", "O", "B-C"]], tok)
+    assert sents == [["ａ", "ｂ"]]  # han_to_zen applied, space dropped
+    assert tags == [["O", "B-C"]]
+
+
+def test_drop_length_mismatches():
+    g, p, n = drop_length_mismatches(
+        [["a", "b"], ["c"]], [["O", "O"], ["O"]], [["O", "O"], ["O", "O"]]
+    )
+    assert g == [["O", "O"]] and p == [["O", "O"]] and n == 1
+
+
+def test_yakureki_reader(spark, tmp_path):
+    (tmp_path / "case1.txt").write_text(
+        "%123,ロキソニン,頭痛,大阪\n服用後に頭痛が出た。\n経過観察。", encoding="utf-8"
+    )
+    from bert_namedentityrecognition_spark.sources.readers import read_yakureki_txt
+
+    row = read_yakureki_txt(spark, str(tmp_path)).first()
+    assert row.case_id == "123"
+    assert row.drug == "ロキソニン"
+    assert row.ade == "頭痛"
+    assert row.text.startswith("服用後")
+
+
+def test_conll_sink_roundtrip(spark, tmp_path):
+    from bert_namedentityrecognition_spark.sources.readers import read_conll, write_conll
+
+    df = spark.createDataFrame(
+        [(0, ["頭", "痛"], ["B-C", "I-C"]), (1, ["薬"], ["B-M"])],
+        "sent_id int, tokens array<string>, tags array<string>",
+    )
+    out = str(tmp_path / "iob")
+    write_conll(df.coalesce(1), out)
+    back = read_conll(spark, out).orderBy("sent_id").collect()
+    assert [(r.tokens, r.tags) for r in back] == [
+        (["頭", "痛"], ["B-C", "I-C"]),
+        (["薬"], ["B-M"]),
+    ]
+
+
+def test_sqlite_dim_and_two_hop(spark, tmp_path):
+    db = str(tmp_path / "meddra.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE llt (llt_code int, surface text, pt_code int)")
+        con.execute("CREATE TABLE pt (pt_code int, pt_name text)")
+        con.executemany(
+            "INSERT INTO llt VALUES (?,?,?)",
+            [(1, "頭が痛い", 100), (2, "発熱する", 200), (3, "孤児", None)],
+        )
+        con.executemany("INSERT INTO pt VALUES (?,?)", [(100, "頭痛"), (200, "発熱")])
+        con.commit()
+
+    from bert_namedentityrecognition_spark.sources.dims import (
+        dim_from_sqlite,
+        two_hop_dim,
+    )
+
+    llt = dim_from_sqlite(
+        spark,
+        db,
+        "SELECT llt_code AS entity_id, surface, surface AS canonical, pt_code AS code FROM llt",
+    )
+    assert llt.count() == 3
+
+    llt_df = spark.createDataFrame(
+        [(1, "頭が痛い", 100), (2, "発熱する", 200), (3, "孤児", None)],
+        "llt_code int, surface string, pt_code int",
+    )
+    pt_df = spark.createDataFrame([(100, "頭痛"), (200, "発熱")], "pt_code int, pt_name string")
+    hop = {r.surface: (r.canonical, r.code) for r in two_hop_dim(llt_df, pt_df).collect()}
+    assert hop["頭が痛い"] == ("頭痛", "100")
+    assert hop["孤児"] == ("孤児", None)  # no PT → surface kept
+
+
+def test_span_match_taxonomy_distributed(spark):
+    """Distributed scorer must reproduce the oracle's golden scenario #3
+    (partial + exact → 0.75)."""
+    from bert_namedentityrecognition_spark.operators.metrics import span_match_taxonomy
+
+    gold = spark.createDataFrame(
+        [("u", 0, 2, 6, "C"), ("u", 0, 10, 15, "C")],
+        "url string, sent_id int, start int, end int, type string",
+    )
+    pred = spark.createDataFrame(
+        [("u", 0, 1, 3, "C"), ("u", 0, 4, 6, "C"), ("u", 0, 10, 15, "C")],
+        "url string, sent_id int, start int, end int, type string",
+    )
+    row = span_match_taxonomy(gold, pred).first()
+    assert row.score == pytest.approx(0.75)
+    assert row.exact_match == 1 and row.partial_match == 1
+
+
+def test_fold_metric_stats(spark):
+    from bert_namedentityrecognition_spark.operators.metrics import fold_metric_stats
+
+    folds = spark.createDataFrame(
+        [(0.8, 0.9), (0.6, 0.7)], "precision double, recall double"
+    )
+    row = fold_metric_stats(folds).first()
+    assert row.precision_mean == pytest.approx(0.7)
+    assert row.recall_mean == pytest.approx(0.8)
+    assert row.precision_std == pytest.approx(0.1414, abs=1e-3)
