@@ -373,6 +373,53 @@ ORDER BY total DESC, subj ASC LIMIT 3
 """
 
 
+def _ade_pivot(spark, sf):  # pivot matrix export (§2.9: ade_table.py:67-97)
+    t = _kg_triples(spark, sf)
+    objs = DOC_SYM_TERMS + ["No Symptoms"]
+    pivoted = (
+        t.groupBy("subj")
+        .pivot("obj", objs)
+        .sum("count")
+        .na.fill(0)
+    )
+    for o in objs:
+        pivoted = pivoted.withColumnRenamed(o, o.replace(" ", "_").lower())
+    total = None
+    for o in objs:
+        c = F.col(o.replace(" ", "_").lower())
+        total = c if total is None else total + c
+    return pivoted.withColumn("total", total.cast("long"))
+
+
+_ADE_PIVOT_SQL = f"""
+WITH t AS ({_KG_TRIPLES_SQL})
+SELECT subj,
+  CAST(coalesce(sum(CASE WHEN obj = 'slow' THEN count END), 0) AS BIGINT) AS slow,
+  CAST(coalesce(sum(CASE WHEN obj = 'dup' THEN count END), 0) AS BIGINT) AS dup,
+  CAST(coalesce(sum(CASE WHEN obj = 'big' THEN count END), 0) AS BIGINT) AS big,
+  CAST(coalesce(sum(CASE WHEN obj = 'small' THEN count END), 0) AS BIGINT) AS small,
+  CAST(coalesce(sum(CASE WHEN obj = 'fast' THEN count END), 0) AS BIGINT) AS fast,
+  CAST(coalesce(sum(CASE WHEN obj = 'No Symptoms' THEN count END), 0) AS BIGINT) AS no_symptoms,
+  CAST(coalesce(sum(CASE WHEN obj IN ('slow','dup','big','small','fast','No Symptoms') THEN count END), 0) AS BIGINT) AS total
+FROM t GROUP BY subj
+"""
+
+
+def _mention_type_distribution(spark, sf):  # tag distribution (§2.9)
+    m = _doc_mentions(spark, sf)
+    return m.groupBy(F.col("type").alias("kind")).agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("word").alias("n_distinct_surfaces"),
+    )
+
+
+_MENTION_TYPE_DIST_SQL = f"""
+SELECT kind, CAST(sum(n) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_surfaces
+FROM ({_OCC_SQL}) GROUP BY kind
+"""
+
+
 def _kg_normalize_lev(spark, sf):  # fuzzy top-1 normalization, JVM scorer
     from bert_namedentityrecognition_spark.operators.normalize import (
         normalize_surfaces_lev,
@@ -714,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _kg_mentions,
         "kg_triples_codoc": _kg_triples,
         "kg_top_subjects": _kg_top_subjects,
+        "ade_pivot": _ade_pivot,
+        "mention_type_distribution": _mention_type_distribution,
         "kg_normalize_lev": _kg_normalize_lev,
         "kg_normalize_fuzzy_indel": _kg_fuzzy_indel,
         "kg_e2e_triples": _kg_e2e_triples,
@@ -746,6 +795,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_triples_codoc": _KG_TRIPLES_SQL,
         "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,
+        "ade_pivot": _ADE_PIVOT_SQL,
+        "mention_type_distribution": _MENTION_TYPE_DIST_SQL,
         "kg_normalize_lev": _KG_NORMALIZE_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,
