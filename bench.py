@@ -57,6 +57,11 @@ def run_headline(sf_dir: str, cores: int) -> dict:
 
     spark = build_session(app_name="bench", cores=cores, shuffle_partitions=cores)
     qs = entrymod.queries()
+    # warm-up: JVM classloading + codegen + python workers once, so the
+    # first query's number measures the query, not session bring-up
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).groupBy(
+        "l_returnflag"
+    ).count().collect()
     timings = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -76,16 +76,18 @@ def minhash_signatures(
     params = params or MINHASH_PARAMS
     sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = sh.withColumn("h", poly_hash(F.col("shingle")))
-    seeds = F.array(
-        *[
-            F.struct(F.lit(i).alias("seed"), ((F.col("h") * a + b) % POLY_MOD).alias("hv"))
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    exploded = sh.select("doc_id", F.explode(seeds).alias("s")).select(
-        "doc_id", F.col("s.seed").alias("seed"), F.col("s.hv").alias("hv")
-    )
-    return exploded.groupBy("doc_id", "seed").agg(F.min("hv").alias("minhash"))
+    # one min-aggregate per hash-family member, then unpivot with stack():
+    # the shuffle carries |docs|×k scalars instead of |shingles|×k rows
+    aggs = [
+        F.min((F.col("h") * a + b) % POLY_MOD).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    g = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(len(params)))
+    return g.select(
+        "doc_id",
+        F.expr(f"stack({len(params)}, {stack_args}) as (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def minhash_lsh_pairs(
