@@ -260,6 +260,25 @@ FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority
 """
 
 
+def _part_brand_stats(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum(F.col("p_retailprice").cast(_DEC)).cast("double"), 2).alias(
+            "total_retail"
+        ),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+_PART_BRAND_SQL = f"""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+  round(CAST(sum(CAST(p_retailprice AS {_DEC})) AS DOUBLE), 2) AS total_retail,
+  CAST(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
 def _events_hourly(spark, sf):
     e = _t(spark, sf, "events")
     return e.groupBy(
@@ -754,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q5,
         "top_customers": _top_customers,
         "order_priority_count": _order_priority,
+        "part_brand_stats": _part_brand_stats,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_json_extract": _events_json,
@@ -789,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_revenue": _Q5_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
         "order_priority_count": _ORDER_PRIORITY_SQL,
+        "part_brand_stats": _PART_BRAND_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
