@@ -37,6 +37,94 @@ def streaming_mentions(pages_stream: DataFrame, term_types: dict[str, str]) -> D
     return extract_mentions(pages_stream, term_types)
 
 
+def streaming_pairs(
+    pages_stream: DataFrame,
+    dim_rows: list[dict],
+    term_types: dict[str, str],
+    threshold: float = 70.0,
+    remove_duplicates: bool = True,
+    lang_filter: str | None = "ja",
+) -> DataFrame:
+    """pages stream → (warc_ts, subj, obj) pair rows, ONE Arrow stage.
+
+    Streaming needs no pairing join at all: a page is a single row, so
+    extract → normalize (broadcast dim, oracle kernels) → per-doc dedup →
+    all-pairs (+No Symptoms) are row-local. The only stateful operator left
+    downstream is the windowed count — exactly the shape Structured
+    Streaming supports without stream-stream joins.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.normalize import resolve_surfaces_driver
+    from ..oracle.ade import NO_SYMPTOMS
+    from ..oracle.matcher import automaton_match, build_automaton
+    from ..oracle.textproc import han_to_zen, preprocess_text, split_sentences
+
+    normalized_types = {han_to_zen(k): v for k, v in term_types.items()}
+    sc = pages_stream.sparkSession.sparkContext
+    bc = sc.broadcast((list(normalized_types), normalized_types, dim_rows, threshold))
+
+    df = pages_stream.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    if lang_filter is not None and "lang" in pages_stream.columns:
+        df = df.filter(F.col("lang") == lang_filter)
+    src = df.select("url", "warc_ts", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        terms, types, dims, thr = bc.value
+        automaton = build_automaton(terms)
+        cache: dict[tuple[str, str], tuple] = {}
+
+        def canon(word: str, mtype: str) -> str:
+            key = (word, mtype)
+            if key not in cache:
+                rec = resolve_surfaces_driver([key], dims, thr)[0]
+                cache[key] = rec
+            return cache[key][2] or ""
+
+        for pdf in batches:
+            ts_out, subj_out, obj_out = [], [], []
+            for ts, text in zip(pdf["warc_ts"], pdf["text"]):
+                drugs: list[str] = []
+                syms_raw: list[str] = []
+                for sent in split_sentences(preprocess_text(text)):
+                    if len(sent) > 512:
+                        continue
+                    norm = han_to_zen(sent)
+                    for s, e, term in automaton_match(norm, automaton):
+                        if types[term] == "drug":
+                            drugs.append(norm[s:e])
+                        else:
+                            syms_raw.append(norm[s:e])
+                if remove_duplicates:
+                    drug_list = sorted(set(drugs))
+                    sym_list = sorted(set(syms_raw))
+                else:
+                    drug_list, sym_list = drugs, syms_raw
+                objs = [
+                    c
+                    for c in (canon(w, "symptom").strip() for w in sym_list)
+                    if c != "" and len(c) >= 2
+                ]
+                for d in drug_list:
+                    d = d.strip()
+                    if len(d) < 2:
+                        continue
+                    if not syms_raw:
+                        ts_out.append(ts)
+                        subj_out.append(d)
+                        obj_out.append(NO_SYMPTOMS)
+                    else:
+                        for o in objs:
+                            ts_out.append(ts)
+                            subj_out.append(d)
+                            obj_out.append(o)
+            yield pd.DataFrame({"warc_ts": ts_out, "subj": subj_out, "obj": obj_out})
+
+    return src.mapInPandas(run, schema="warc_ts timestamp, subj string, obj string")
+
+
 def streaming_triples(
     pages_stream: DataFrame,
     dim: DataFrame,
@@ -44,32 +132,16 @@ def streaming_triples(
     watermark: str = "1 hour",
     window: str = "1 hour",
 ) -> DataFrame:
-    """Windowed (subj, obj) counts with late-data handling.
-
-    Join-dedup ordering differs from batch (per-doc dedup needs the whole
-    doc in one trigger — guaranteed because a page is one row), so the
-    per-window counts match the batch pipeline run over the same window of
-    pages.
-    """
-    ts = pages_stream.select("url", "warc_ts").withWatermark("warc_ts", watermark)
-    mentions = streaming_mentions(pages_stream, term_types)
-    normalized = normalize_mentions_udf(mentions, [r.asDict() for r in dim.collect()])
-    drugs = (
-        normalized.filter(F.col("type") == "drug")
-        .select("url", F.trim("word").alias("subj"))
-        .filter(F.length("subj") >= 2)
-        .dropDuplicates(["url", "subj"])
+    """Windowed (subj, obj) counts with late-data handling: the row-local
+    pair extraction above + exactly one watermarked streaming aggregation."""
+    pairs = streaming_pairs(
+        pages_stream, [r.asDict() for r in dim.collect()], term_types
     )
-    syms = (
-        normalized.filter(F.col("type") == "symptom")
-        .dropDuplicates(["url", "word"])
-        .select("url", F.trim("canonical").alias("obj"))
-        .filter((F.col("obj") != "") & (F.length("obj") >= 2))
+    return (
+        pairs.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "subj", "obj")
+        .agg(F.count("*").alias("count"))
     )
-    pairs = drugs.join(syms, "url").join(ts, "url")
-    return pairs.groupBy(
-        F.window("warc_ts", window).alias("w"), "subj", "obj"
-    ).agg(F.count("*").alias("count"))
 
 
 def start_mentions_sink(

@@ -39,9 +39,6 @@ def test_streaming_triples_windowed_counts(spark, tmp_path):
     from bert_namedentityrecognition_spark.plans.pipeline import run_kg_pipeline
 
     batch = run_kg_pipeline(pages, dim, tt)["triples"]
-    want = {
-        (r.subj, r.obj): r["count"]
-        for r in batch.filter(F.col("obj") != "No Symptoms").collect()
-    }
+    want = {(r.subj, r.obj): r["count"] for r in batch.collect()}
     # summed across time windows, streaming counts must equal batch counts
     assert got_map == want
