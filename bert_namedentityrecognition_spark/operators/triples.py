@@ -102,6 +102,64 @@ def build_triples(
     return counted.select("subj", F.lit(pred).alias("pred"), "obj", F.col("count"))
 
 
+def build_graph(
+    normalized: DataFrame,
+    dim: DataFrame,
+    triples: DataFrame,
+    pred: str = DEFAULT_PRED,
+) -> dict[str, DataFrame]:
+    """Materialize the KG as id-keyed ``nodes`` / ``edges`` tables.
+
+    nodes(entity_id, canonical, kind, mention_count, doc_count) — aggregated
+    from normalized mentions (''-sentinel rows excluded).
+    edges(src_id, pred, dst_id, subj, obj, count) — triples with both
+    endpoints resolved to dimension entity ids via broadcast lookups
+    (subjects are raw drug surfaces per reference semantics, so they resolve
+    through the surface column; unresolvable endpoints keep a
+    ``SURF:<surface>`` synthetic id so no edge is silently dropped).
+
+    At scale these are the Iceberg tables bucketed by entity_id (nodes) /
+    src_id (edges); here plain DataFrames the caller writes.
+    """
+    nodes = (
+        normalized.filter(F.col("canonical").isNotNull() & (F.col("canonical") != ""))
+        .groupBy("entity_id", F.col("canonical"), F.col("type").alias("kind"))
+        .agg(
+            F.count("*").alias("mention_count"),
+            F.countDistinct("url").alias("doc_count"),
+        )
+    )
+    surf_map = dim.select(
+        F.col("surface").alias("_k"), F.col("entity_id").alias("_id")
+    ).dropDuplicates(["_k"])
+    canon_map = dim.select(
+        F.col("canonical").alias("_k"), F.col("entity_id").alias("_id")
+    ).dropDuplicates(["_k"])
+    edges = (
+        triples.join(
+            F.broadcast(surf_map.withColumnRenamed("_id", "_src")),
+            triples.subj == surf_map._k,
+            "left",
+        )
+        .drop("_k")
+        .join(
+            F.broadcast(canon_map.withColumnRenamed("_id", "_dst")),
+            triples.obj == canon_map._k,
+            "left",
+        )
+        .drop("_k")
+        .select(
+            F.coalesce(F.col("_src"), F.concat(F.lit("SURF:"), F.col("subj"))).alias("src_id"),
+            "pred",
+            F.coalesce(F.col("_dst"), F.concat(F.lit("SURF:"), F.col("obj"))).alias("dst_id"),
+            "subj",
+            "obj",
+            "count",
+        )
+    )
+    return {"nodes": nodes, "edges": edges}
+
+
 def pivot_table(
     triples: DataFrame, top_subj: int | None = None, top_obj: int | None = None
 ) -> DataFrame:

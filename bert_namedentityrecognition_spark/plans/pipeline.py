@@ -19,7 +19,6 @@ by url (avoidable with bucketed storage) and the triple count aggregation
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from pyspark import StorageLevel
 
@@ -75,20 +74,16 @@ def run_kg_pipeline(
         remove_duplicates=remove_duplicates,
         salt_buckets=salt_buckets,
     )
-    nodes = (
-        normalized.filter(F.col("canonical").isNotNull() & (F.col("canonical") != ""))
-        .groupBy(F.col("canonical").alias("node"), F.col("type").alias("kind"))
-        .agg(
-            F.count("*").alias("mention_count"),
-            F.countDistinct("url").alias("doc_count"),
-        )
-    )
+    from ..operators.triples import build_graph
+
+    graph = build_graph(normalized, dim, triples)
     return {
         "sentences": sentences,
         "mentions": mentions,
         "normalized": normalized,
         "triples": triples,
-        "nodes": nodes,
+        "nodes": graph["nodes"],
+        "edges": graph["edges"],
     }
 
 
@@ -105,3 +100,7 @@ def write_outputs(outputs: dict[str, DataFrame], base_dir: str, url_buckets: int
     ).parquet(f"{base_dir}/mentions")
     outputs["triples"].write.mode("overwrite").parquet(f"{base_dir}/triples")
     outputs["nodes"].write.mode("overwrite").parquet(f"{base_dir}/nodes")
+    if "edges" in outputs:
+        outputs["edges"].repartition("src_id").write.mode("overwrite").parquet(
+            f"{base_dir}/edges"
+        )

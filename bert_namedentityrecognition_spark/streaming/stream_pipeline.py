@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.normalize import normalize_mentions_udf
 from ..operators.tagger import extract_mentions
 
 

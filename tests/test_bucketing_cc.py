@@ -4,7 +4,6 @@ import io
 import random
 from contextlib import redirect_stdout
 
-import pytest
 from pyspark.sql import functions as F
 
 from bert_namedentityrecognition_spark.sources import fixtures

@@ -2,7 +2,6 @@
 single-shuffle triples, streaming."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from bert_namedentityrecognition_spark.sources import fixtures
 

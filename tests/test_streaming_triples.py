@@ -1,6 +1,5 @@
 """Streaming windowed triple counts: watermark + window aggregation."""
 
-from pyspark.sql import functions as F
 
 from bert_namedentityrecognition_spark.sources import fixtures
 
