@@ -733,6 +733,18 @@ def _minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
 
 
+def _ivf_ann(spark, sf):
+    from bert_namedentityrecognition_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
 def _lsh_ann(spark, sf):
     from bert_namedentityrecognition_spark.operators.similarity import lsh_cosine_topk
 
@@ -798,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
+        "ann_ivf_topk": _ivf_ann,
         "multimodal_features": _multimodal_features,
     }
 

@@ -126,6 +126,150 @@ def lsh_cosine_topk(
     )
 
 
+def _seeded_centroids(vectors: DataFrame, n_centroids: int, vec_col: str, seed: int):
+    """Deterministic centroid init: the k vectors with the smallest
+    xxhash64(id) — a seeded uniform sample that is stable across cluster
+    sizes (no Date/random at plan time)."""
+    import numpy as np
+
+    rows = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.concat_ws(",", F.lit(seed), F.col(vec_col).cast("string"))))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(map(float, r[0])) for r in rows]
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index: k seeded centroids refined by a few Lloyd iterations (all
+    DataFrame ops: broadcast centroids → argmin assign → groupBy mean), then
+    every vector assigned to its nearest centroid's inverted list.
+
+    Returns (assigned_vectors_with_list_id, centroids). At scale the
+    assigned table is written bucketed by ``list_id`` so probes read only
+    their lists' buckets.
+    """
+    import numpy as np
+
+    cents = _seeded_centroids(vectors, n_centroids, vec_col, seed)
+
+    for _ in range(lloyd_iterations):
+        # argmax cosine over broadcast centroid literals, JVM-side
+        scored = vectors.select(
+            id_col,
+            vec_col,
+            F.array(
+                *[
+                    (
+                        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                        / (_norm(F.col(vec_col)) * float(np.linalg.norm(c)))
+                    ).alias(f"s{i}")
+                    for i, c in enumerate(cents)
+                ]
+            ).alias("scores"),
+        )
+        assigned = scored.withColumn(
+            "list_id",
+            (F.array_position(F.col("scores"), F.array_max("scores")) - 1).cast("int"),
+        ).drop("scores")
+        means = (
+            assigned.groupBy("list_id")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col).getItem(j)).alias(f"d{j}")
+                    for j in range(len(cents[0]))
+                ]
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r["list_id"]] = [float(r[f"d{j}"]) for j in range(len(cents[0]))]
+        cents = new_cents
+
+    scored = vectors.select(
+        id_col,
+        vec_col,
+        F.array(
+            *[
+                (
+                    _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    / (_norm(F.col(vec_col)) * float(np.linalg.norm(c)))
+                ).alias(f"s{i}")
+                for i, c in enumerate(cents)
+            ]
+        ).alias("scores"),
+    )
+    assigned = scored.withColumn(
+        "list_id",
+        (F.array_position(F.col("scores"), F.array_max("scores")) - 1).cast("int"),
+    ).drop("scores")
+    return assigned, cents
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    inverted lists only (scan cost n·n_probe/n_centroids instead of n)."""
+    import numpy as np
+
+    assigned, cents = ivf_build(
+        vectors, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.array(
+            *[
+                (
+                    _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    / (_norm(F.col(vec_col)) * float(np.linalg.norm(c)))
+                ).alias(f"s{i}")
+                for i, c in enumerate(cents)
+            ]
+        ).alias("scores"),
+    )
+    # n_probe nearest lists per query: sort (score, idx) structs descending
+    idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    pairs = F.arrays_zip(F.col("scores"), idxs.alias("idx"))
+    top_lists = F.slice(
+        F.reverse(F.array_sort(pairs)), 1, n_probe
+    )
+    q = q.select(
+        "query_id",
+        "qvec",
+        F.explode(F.transform(top_lists, lambda s: s["idx"])).alias("list_id"),
+    )
+    scored = assigned.join(F.broadcast(q), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

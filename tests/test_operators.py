@@ -287,3 +287,35 @@ def test_articles_xml_reader(spark, tmp_path):
     assert rows[0].headers["patient_id"] == "p9"
     assert rows[0].text == "頭痛がする。"
     assert rows[1].text == "発熱あり。"
+
+
+def test_ivf_topk_structure_and_recall(spark, embeddings):
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_cosine_topk(embeddings, queries, k=3, n_centroids=8, n_probe=3)
+    rows = approx.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+    # probing 3/8 lists on random vectors should still recover a decent
+    # fraction of the exact top-3 (deterministic: seeded centroids)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(embeddings, queries, k=3).collect()}
+    got = {(r.query_id, r.vec_id) for r in rows}
+    assert len(exact & got) >= len(exact) // 3
+
+
+def test_quality_score_range(spark, docs):
+    from bert_namedentityrecognition_spark.functions.textstats import quality_score
+
+    rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
