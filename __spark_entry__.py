@@ -768,6 +768,23 @@ def _multimodal_features(spark, sf):
     return extract_features(pages_html_as_media(pages), decoder="fake")
 
 
+def _span_match_scores(spark, sf):
+    """Span-match taxonomy (util/xlarge.py semantics) distributed: gold =
+    full dictionary, pred = dictionary minus one term → per-sentence scores."""
+    from bert_namedentityrecognition_spark.operators.metrics import span_match_taxonomy
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+
+    gold = _doc_mentions(spark, sf)
+    pred = tag_sentences(_doc_sentences(spark, sf), PRED_TERM_TYPES, normalize=False)
+    per_sent = span_match_taxonomy(gold, pred)
+    return per_sent.agg(
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum("exact_match").alias("exact"),
+        F.sum("missing_match").alias("missing"),
+        F.sum("incorrect_match").alias("incorrect"),
+    )
+
+
 def _relaxed_metrics(spark, sf):
     from bert_namedentityrecognition_spark.operators.metrics import relaxed_span_metrics
     from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
@@ -800,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_e2e_triples": _kg_e2e_triples,
         "strict_mention_prf": _strict_mention_prf,
         "relaxed_metrics": _relaxed_metrics,
+        "span_match_scores": _span_match_scores,
         # training-data pipeline family
         "text_stats": _text_stats,
         "doc_fingerprint": _doc_fingerprint,

@@ -90,6 +90,7 @@ def resume_run(
     n_buckets: int = 8,
     threshold: float = 70.0,
     fail_after_bucket: int | None = None,
+    write_triples: bool = False,
 ) -> DataFrame:
     """Bucket-at-a-time mention extraction with ledger-gated commits, then
     triples over all committed buckets. Rerunning after any crash yields
@@ -126,4 +127,22 @@ def resume_run(
 
     mentions = spark.read.parquet(mentions_dir)
     normalized = normalize_mentions(mentions, dim, threshold=threshold)
-    return build_triples(normalized)
+    triples = build_triples(normalized)
+    if write_triples:
+        t0 = time.perf_counter()
+        out_path = os.path.join(base_dir, "triples")
+        triples.write.mode("overwrite").parquet(out_path)
+        triples = spark.read.parquet(out_path)
+        agg = triples.agg(
+            F.count("*").alias("rows"), F.sum("count").alias("total")
+        ).collect()[0]
+        ledger.commit(
+            "triples",
+            0,
+            {
+                "rows": int(agg["rows"]),
+                "total_count": int(agg["total"]),
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            },
+        )
+    return triples

@@ -137,3 +137,40 @@ def test_fold_metric_stats(spark):
     assert row.precision_mean == pytest.approx(0.7)
     assert row.recall_mean == pytest.approx(0.8)
     assert row.precision_std == pytest.approx(0.1414, abs=1e-3)
+
+
+def test_wordpiece_greedy_longest_match():
+    from bert_namedentityrecognition_spark.oracle.wordpiece import (
+        WordPieceTokenizer,
+        char_vocab_with_pieces,
+    )
+
+    vocab = char_vocab_with_pieces(["頭痛がする"], extra_pieces=["頭痛", "##する"])
+    tok = WordPieceTokenizer(vocab)
+    assert tok.tokenize("頭痛がする") == ["頭痛", "##が", "##する"]
+    assert tok.tokenize("頭が") == ["頭", "##が"]
+    assert tok.tokenize("xyz") == ["[UNK]"]
+    assert tok.tokenize("a b") == ["[UNK]", "[UNK]"]
+    ids = tok.encode(tok.tokenize("頭痛がする"))
+    assert ids[0] == tok.stoi["[CLS]"]
+    assert len(ids) == 4
+
+
+def test_alignment_through_wordpiece_expansion():
+    """Char-level gold tags re-aligned through a tokenizer that EXPANDS a
+    char into multiple pieces — the exact scenario of BERT/Model.py:377-381;
+    observed reference behavior duplicates the B- tag verbatim."""
+    from bert_namedentityrecognition_spark.oracle.alignment import (
+        normalize_tagged_dataset,
+    )
+    from bert_namedentityrecognition_spark.oracle.wordpiece import WordPieceTokenizer
+
+    # fullwidth pieces: normalize_tagged_dataset han_to_zens each character
+    # cluster before tokenizing, exactly like the reference (Model.py:369-370)
+    tok = WordPieceTokenizer(["薬", "##Ａ", "Ａ", "痛"])
+
+    sents, tags = normalize_tagged_dataset(
+        [["薬A", "痛"]], [["B-M", "O"]], tokenize=tok.tokenize
+    )
+    assert sents == [["薬", "##Ａ", "痛"]]
+    assert tags == [["B-M", "B-M", "O"]]  # verbatim duplication (reference)
