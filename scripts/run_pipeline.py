@@ -1,0 +1,87 @@
+"""spark-submit entry point for the KG construction pipeline.
+
+    spark-submit --master local[8] --py-files kgspark.zip \
+        scripts/run_pipeline.py --pages-dir /data/pages --out /data/kg \
+        [--resume --buckets 64] [--dim-csv dim.csv] [--lang ja]
+
+With ``--resume`` the job processes url-hash buckets through the metrics
+ledger (idempotent restart from the last committed bucket); without it, one
+batch pass. Outputs: mentions/ triples/ nodes/ edges/ (+ ledger.jsonl).
+The package ships via --py-files (zip) or an installed wheel — no driver-
+local imports assumed beyond this file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--dim-csv", default=None)
+    p.add_argument("--lang", default="ja")
+    p.add_argument("--threshold", type=float, default=70.0)
+    p.add_argument("--scope", default="document", choices=["document", "sentence"])
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--salt-buckets", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("kg-pipeline").getOrCreate()
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.dims import dim_from_csv
+
+    pages = spark.read.parquet(args.pages_dir)
+    if args.dim_csv:
+        dim = dim_from_csv(
+            spark, args.dim_csv, surface_col="surface", canonical_col="canonical"
+        )
+    else:
+        dim = fixtures.entity_dim_to_spark(spark)
+    term_types = fixtures.pipeline_term_types()
+
+    if args.resume:
+        from bert_namedentityrecognition_spark.plans.ledger import resume_run
+
+        triples = resume_run(
+            spark,
+            pages,
+            dim,
+            term_types,
+            args.out,
+            n_buckets=args.buckets,
+            threshold=args.threshold,
+            write_triples=True,
+        )
+        n = triples.count()
+    else:
+        from bert_namedentityrecognition_spark.plans.pipeline import (
+            run_kg_pipeline,
+            write_outputs,
+        )
+
+        out = run_kg_pipeline(
+            pages,
+            dim,
+            term_types,
+            threshold=args.threshold,
+            scope=args.scope,
+            lang_filter=args.lang,
+            salt_buckets=args.salt_buckets,
+        )
+        write_outputs(out, args.out)
+        n = spark.read.parquet(f"{args.out}/triples").count()
+
+    print(json.dumps({"status": "ok", "triple_rows": n, "out": args.out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
