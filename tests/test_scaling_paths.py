@@ -158,3 +158,27 @@ def test_streaming_triples_available_now(spark, tmp_path, corpus, term_types):
     q2.awaitTermination(120)
     again = {tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert again == want
+
+
+def test_streaming_udf_normalizer_matches_other_paths(spark, corpus, term_types):
+    """Third normalization path (streaming-safe in-UDF) must agree with the
+    hybrid driver path on every mention."""
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        normalize_mentions,
+        normalize_mentions_udf,
+    )
+    from bert_namedentityrecognition_spark.operators.tagger import extract_mentions
+
+    pages = fixtures.pages_to_spark(spark, corpus)
+    dim = fixtures.entity_dim_to_spark(spark)
+    mentions = extract_mentions(pages, term_types)
+    cols = ["url", "sent_id", "start", "end", "word", "type",
+            "canonical", "entity_id", "code", "score", "method"]
+    a = {tuple(r) for r in normalize_mentions(mentions, dim, 70.0).select(*cols).collect()}
+    b = {
+        tuple(r)
+        for r in normalize_mentions_udf(
+            mentions, [r.asDict() for r in dim.collect()], 70.0
+        ).select(*cols).collect()
+    }
+    assert a == b
