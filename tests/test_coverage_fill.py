@@ -174,3 +174,40 @@ def test_alignment_through_wordpiece_expansion():
     )
     assert sents == [["薬", "##Ａ", "痛"]]
     assert tags == [["B-M", "B-M", "O"]]  # verbatim duplication (reference)
+
+
+def test_simple_readers(spark, tmp_path):
+    from bert_namedentityrecognition_spark.sources.readers import (
+        read_csv_dir,
+        read_jsonl,
+        read_text_corpus,
+        read_tsv,
+    )
+
+    # text corpus with blank lines (NaN-skip path)
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "a.txt").write_text("頭痛がする\n\n   \n発熱あり\n", encoding="utf-8")
+    rows = read_text_corpus(spark, str(tmp_path / "t")).collect()
+    assert sorted(r.text for r in rows) == ["発熱あり", "頭痛がする"]
+
+    # Twitter-style CSV: column 1 is the text
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "x.csv").write_text("id1,hello world\nid2,\n", encoding="utf-8")
+    rows = read_csv_dir(spark, str(tmp_path / "c"), text_column=1).collect()
+    assert [r.text for r in rows] == ["hello world"]
+
+    # JSONL with field projection; missing-key rows dropped
+    (tmp_path / "j").mkdir()
+    (tmp_path / "j" / "x.jsonl").write_text(
+        '{"abstract": "text1"}\n{"other": 1}\n{"abstract": "text2"}\n'
+    )
+    rows = read_jsonl(spark, str(tmp_path / "j"), "abstract").collect()
+    assert sorted(r.text for r in rows) == ["text1", "text2"]
+    empty = read_jsonl(spark, str(tmp_path / "j"), "missing_everywhere")
+    assert empty.count() == 0
+
+    # TSV with header
+    (tmp_path / "v").mkdir()
+    (tmp_path / "v" / "x.tsv").write_text("text_tagged\ttext_raw\n<C>a</C>\ta\n")
+    rows = read_tsv(spark, str(tmp_path / "v")).collect()
+    assert rows[0].text_tagged == "<C>a</C>"
