@@ -161,15 +161,34 @@ def _run_level_subprocess(data_dir: str, cores: int) -> dict:
     raise RuntimeError(f"scaling level failed: {proc.stderr[-2000:]}")
 
 
-def run_kg_scaling(n_pages: int, cores_low: int, cores_high: int) -> dict:
+def run_kg_scaling(
+    n_pages: int, cores_low: int, cores_high: int, trials: int | None = None
+) -> dict:
+    """Min-of-N wall per level: the host VM shows ±15% steal-time noise, and
+    the minimum is the best estimate of the engine's steady-state throughput
+    at each level (identical code, identical input, fresh JVM per trial)."""
+    if trials is None:
+        trials = int(os.environ.get("KG_BENCH_TRIALS", "2"))
     data_dir = _ensure_bench_corpus(n_pages)
-    out = {"cores_low": cores_low, "cores_high": cores_high, "n_pages": n_pages}
+    out = {
+        "cores_low": cores_low,
+        "cores_high": cores_high,
+        "n_pages": n_pages,
+        "trials": trials,
+    }
     for label, cores in (("low", cores_low), ("high", cores_high)):
-        lv = _run_level_subprocess(data_dir, cores)
-        out[f"wall_sec_{label}"] = lv["wall_sec"]
-        out[f"triples_per_sec_{label}"] = round(lv["n_triples"] / lv["wall_sec"], 1)
-        out[f"pages_per_sec_{label}"] = round(n_pages / lv["wall_sec"], 1)
-        out["n_triples"] = lv["n_triples"]
+        walls = []
+        n_triples = None
+        for _ in range(trials):
+            lv = _run_level_subprocess(data_dir, cores)
+            walls.append(lv["wall_sec"])
+            n_triples = lv["n_triples"]
+        wall = min(walls)
+        out[f"wall_sec_{label}"] = wall
+        out[f"wall_sec_{label}_trials"] = walls
+        out[f"triples_per_sec_{label}"] = round(n_triples / wall, 1)
+        out[f"pages_per_sec_{label}"] = round(n_pages / wall, 1)
+        out["n_triples"] = n_triples
     speedup = out["triples_per_sec_high"] / out["triples_per_sec_low"]
     out["speedup"] = round(speedup, 3)
     out["scaling_efficiency"] = round(speedup / (cores_high / cores_low), 3)
@@ -194,7 +213,7 @@ def main():
     }
 
     if os.environ.get("KG_BENCH_SKIP_SCALING", "0") != "1":
-        n_pages = int(os.environ.get("KG_BENCH_PAGES", "300000"))
+        n_pages = int(os.environ.get("KG_BENCH_PAGES", "200000"))
         # N vs 4N with the high level capped at half the host vCPUs: local
         # mode co-locates JVM shuffle/GC threads and Python workers on the
         # same cores, so local[n_vcpu] oversubscribes the host and understates
