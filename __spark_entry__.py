@@ -4,10 +4,11 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
 DuckDB-executable twin for every SQL-expressible query (the rest get the
-weaker rows-only check: fuzzy-UDF normalization parity, simhash/LSH pair
-generation, the cogrouped relaxed metric, multimodal plumbing, and the
+weaker rows-only check: fuzzy-UDF normalization parity, simhash/LSH/IVF
+approximate pair generation, the cogrouped relaxed metric, and the
 synthetic-corpus e2e pipeline — each of those is additionally pinned by
-pytest against the pure-Python oracle in tests/).
+pytest against the pure-Python oracle in tests/; the lev-scored e2e twin
+``kg_e2e_triples_lev`` runs the same dataflow under an exact SQL oracle).
 
 Numeric-compare policy: money sums go through decimal(18,4) (exact) before a
 final double cast + round, counts are BIGINT both sides, ratios are
@@ -40,6 +41,16 @@ LEV_DIM = [
     ("merg", "MERGE_OP"),
 ]
 LEV_THRESHOLD = 60.0
+
+# near-miss dim for the SQL-verifiable e2e: four symptom surfaces normalize
+# (scores 75-80 > 60), 'fast' has no close surface → '' sentinel → dropped
+E2E_DIM = [
+    ("sloww", "LATENCY"),
+    ("dupp", "DUPLICATE"),
+    ("bigg", "BIG_DATA"),
+    ("smal", "SMALL_FILES"),
+    ("quer", "QUERY_LANG"),
+]
 
 _DEC = "decimal(18,4)"
 
@@ -672,6 +683,101 @@ WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 6
 """
 
 
+def _kg_e2e_triples_lev(spark, sf):
+    """SQL-verifiable end-to-end KG build: gazetteer mentions → fuzzy top-1
+    normalization (JVM levenshtein scorer, ''-sentinel) → per-doc dedup →
+    drug⋈symptom pairing with No-Symptoms anti-join → counted triples.
+    Same dataflow as the flagship ``entry()`` pipeline but with the
+    all-builtin scorer, so DuckDB can replay every stage exactly."""
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        normalize_surfaces_lev,
+    )
+    from bert_namedentityrecognition_spark.operators.triples import build_triples
+
+    m = _doc_mentions(spark, sf)
+    sym_words = m.filter(F.col("type") == "symptom").select("word").distinct()
+    dim = spark.createDataFrame(E2E_DIM, ["surface", "canonical"])
+    norm = normalize_surfaces_lev(sym_words, dim, threshold=LEV_THRESHOLD)
+    m2 = m.join(F.broadcast(norm.select("word", "canonical")), "word", "left")
+    t = build_triples(m2, scope="document", remove_duplicates=True, use_canonical=True)
+    return t.select("subj", "pred", "obj", F.col("count").cast("long").alias("count"))
+
+
+_E2E_DIM_SQL = "(VALUES " + ", ".join(
+    f"('{s}', '{c}')" for s, c in E2E_DIM
+) + ") AS dim(surface, canonical)"
+
+_LEV_SCORE_SQL = (
+    "round(100.0 * (1.0 - CAST(levenshtein(w.word, dim.surface) AS DOUBLE)"
+    " / greatest(length(w.word), length(dim.surface))), 6)"
+)
+
+_KG_E2E_LEV_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+drugs AS (SELECT DISTINCT doc_id, term AS subj FROM occ
+          WHERE kind = 'drug' AND length(trim(term)) >= 2),
+symsraw AS (SELECT DISTINCT doc_id, term FROM occ WHERE kind = 'symptom'),
+words AS (SELECT DISTINCT term AS word FROM symsraw),
+scored AS (
+  SELECT w.word, dim.canonical, {_LEV_SCORE_SQL} AS score,
+    row_number() OVER (PARTITION BY w.word
+                       ORDER BY {_LEV_SCORE_SQL} DESC, dim.surface ASC) AS rn
+  FROM words w CROSS JOIN {_E2E_DIM_SQL}
+),
+norm AS (SELECT word, CASE WHEN score > {LEV_THRESHOLD} THEN canonical ELSE '' END AS canonical
+         FROM scored WHERE rn = 1),
+syms AS (
+  SELECT s.doc_id, trim(n.canonical) AS obj
+  FROM symsraw s JOIN norm n ON s.term = n.word
+  WHERE trim(n.canonical) <> '' AND length(trim(n.canonical)) >= 2
+),
+pairs AS (SELECT subj, obj FROM drugs JOIN syms USING (doc_id)
+          UNION ALL
+          SELECT subj, 'No Symptoms' AS obj FROM drugs
+          WHERE doc_id NOT IN (SELECT doc_id FROM symsraw))
+SELECT subj, 'HAS_ADVERSE_EVENT' AS pred, obj, CAST(count(*) AS BIGINT) AS count
+FROM pairs GROUP BY subj, obj
+"""
+
+
+def _embedding_cosine_dups(spark, sf):  # hashed-shingle cosine near-dup, integer-exact
+    from bert_namedentityrecognition_spark.operators.dedup import embedding_cosine_dups
+
+    return embedding_cosine_dups(_t(spark, sf, "documents"), n=3, dim=64)
+
+
+_EMB_COSINE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+vec AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(shingle, '.'), x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) % 64 AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM sh GROUP BY doc_id, bucket
+),
+norms AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM vec GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.cnt * b.cnt) AS dot
+  FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+  CAST(na.n2 AS BIGINT) AS na, CAST(nb.n2 AS BIGINT) AS nb
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE dot * dot * 400 >= na.n2 * nb.n2 * 289
+"""
+
+
 def _ann_topk(spark, sf):  # brute-force cosine top-k (ids/ranks only)
     from bert_namedentityrecognition_spark.operators.similarity import cosine_topk
 
@@ -758,14 +864,45 @@ def _lsh_ann(spark, sf):
 
 
 def _multimodal_features(spark, sf):
+    """Binary-column plumbing over real bytes: documents.text → UTF-8 binary
+    media → one Arrow decode stage. The compared projection is integer/hex
+    only (f0_byte = first byte of the sha256-derived fake feature, scaled
+    back to its exact byte value) so the DuckDB oracle matches exactly."""
     from bert_namedentityrecognition_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
         extract_features,
-        pages_html_as_media,
     )
-    from bert_namedentityrecognition_spark.sources import fixtures
 
-    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(100, seed=42))
-    return extract_features(pages_html_as_media(pages), decoder="fake")
+    media = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("text/plain").alias("media_type"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+            F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+        )
+    )
+    feats = extract_features(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_hash",
+        "status",
+        F.size("feature").cast("long").alias("feat_dim"),
+        F.round(F.element_at("feature", 1) * 255).cast("long").alias("f0_byte"),
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_hash,
+  'ok' AS status,
+  CAST(16 AS BIGINT) AS feat_dim,
+  CAST(('0x' || substring(sha256(text), 1, 2)) AS INT)::BIGINT AS f0_byte
+FROM documents WHERE text IS NOT NULL
+"""
 
 
 def _span_match_scores(spark, sf):
@@ -815,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_normalize_lev": _kg_normalize_lev,
         "kg_normalize_fuzzy_indel": _kg_fuzzy_indel,
         "kg_e2e_triples": _kg_e2e_triples,
+        "kg_e2e_triples_lev": _kg_e2e_triples_lev,
         "strict_mention_prf": _strict_mention_prf,
         "relaxed_metrics": _relaxed_metrics,
         "span_match_scores": _span_match_scores,
@@ -824,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _minhash_sigs,
         "dedup_ngram_jaccard": _ngram_dups,
+        "dedup_embedding_cosine": _embedding_cosine_dups,
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -850,11 +989,14 @@ def oracle_sql() -> dict[str, str]:
         "ade_pivot": _ADE_PIVOT_SQL,
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,
         "kg_normalize_lev": _KG_NORMALIZE_LEV_SQL,
+        "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_signatures": _MINHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_DUPS_SQL,
+        "dedup_embedding_cosine": _EMB_COSINE_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
     }

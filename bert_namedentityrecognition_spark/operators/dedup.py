@@ -202,6 +202,76 @@ def ngram_jaccard_pairs(
     return joined
 
 
+def shingle_count_vectors(
+    docs: DataFrame,
+    n: int = 3,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed-feature embedding of each document —
+    distinct n-token shingles hashed into ``dim`` buckets (portable
+    polynomial hash, same arithmetic as the DuckDB oracle), stored sparse.
+
+    This is the classic hashing-trick bag-of-shingles vector; at 100 TB use
+    dim = 2**16..2**20 so bucket collisions stay rare and the inner-product
+    join below stays selective."""
+    sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    return (
+        sh.withColumn("bucket", poly_hash(F.col("shingle")) % dim)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def embedding_cosine_dups(
+    docs: DataFrame,
+    n: int = 3,
+    dim: int = 64,
+    threshold_num: int = 289,
+    threshold_den: int = 400,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, integer-exact.
+
+    cosine(a,b) ≥ t  ⇔  den·dot(a,b)² ≥ num·‖a‖²·‖b‖² (dot > 0), with
+    t² = num/den (default 289/400 = 0.85²) — no floats anywhere, so the
+    DuckDB oracle matches bit-for-bit.
+
+    Execution is the sparse inner-product join: explode vectors to
+    (doc, bucket, cnt), equi-join on bucket, one groupBy(pair) sum — pairs
+    sharing no bucket are never materialized. Shuffle is keyed by bucket
+    then by (doc_a, doc_b); with web-scale dim (2**16+) bucket keys are
+    plentiful so no single reducer is hot. For quadratic-heavy corpora, run
+    :func:`~..operators.similarity.embedding_near_dup_pairs` (LSH) as a
+    candidate prefilter and this join only on candidates.
+
+    Returns (doc_a, doc_b, dot, na, nb) — all BIGINT.
+    Reference analogue: near-dup detection is beyond the reference (per the
+    training-data-pipeline brief); semantics mirror ``ngram_jaccard_pairs``.
+    """
+    vec = shingle_count_vectors(docs, n=n, dim=dim, id_col=id_col, text_col=text_col)
+    norms = vec.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
+    a = vec.select(F.col("doc_id").alias("doc_a"), "bucket", F.col("cnt").alias("cnt_a"))
+    b = vec.select(F.col("doc_id").alias("doc_b"), "bucket", F.col("cnt").alias("cnt_b"))
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb")), "doc_b")
+        .filter(
+            F.col("dot") * F.col("dot") * threshold_den
+            >= F.col("na") * F.col("nb") * threshold_num
+        )
+        .select("doc_a", "doc_b", "dot", "na", "nb")
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -4,6 +4,7 @@ sqlite/two-hop dims, distributed span-match taxonomy, CV stats."""
 import sqlite3
 
 import pytest
+from pyspark.sql import functions as F
 
 from bert_namedentityrecognition_spark.oracle.alignment import (
     drop_length_mismatches,
@@ -211,3 +212,79 @@ def test_simple_readers(spark, tmp_path):
     (tmp_path / "v" / "x.tsv").write_text("text_tagged\ttext_raw\n<C>a</C>\ta\n")
     rows = read_tsv(spark, str(tmp_path / "v")).collect()
     assert rows[0].text_tagged == "<C>a</C>"
+
+
+def test_embedding_cosine_dups_finds_planted_pair(spark):
+    """Near-identical docs share most shingle buckets (cosine ≈ 1); unrelated
+    docs with disjoint vocabulary share none. Integer predicate: 0.85²."""
+    from bert_namedentityrecognition_spark.operators.dedup import embedding_cosine_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # one extra token: high cosine overlap
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in embedding_cosine_dups(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_cosine_integer_predicate_matches_float(spark):
+    """den·dot² ≥ num·na·nb must agree with cosine ≥ sqrt(num/den) on the
+    sf documents corpus (no boundary pairs by construction)."""
+    import math
+
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        embedding_cosine_dups,
+        shingle_count_vectors,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = embedding_cosine_dups(docs).collect()
+    for r in got:
+        cos = r.dot / math.sqrt(r.na * r.nb)
+        assert cos >= 0.85 - 1e-12
+    # every kept pair shares buckets; norms are true squared norms
+    vecs = shingle_count_vectors(docs)
+    norms = {
+        r.doc_id: r.n2
+        for r in vecs.groupBy("doc_id").agg(
+            F.sum(F.col("cnt") * F.col("cnt")).alias("n2")
+        ).collect()
+    }
+    for r in got:
+        assert norms[r.doc_a] == r.na and norms[r.doc_b] == r.nb
+
+
+def test_multimodal_f0_byte_roundtrip():
+    """fake feature[0]·255 rounds back to the exact first sha256 byte for
+    every possible byte value (float32 /255 is lossless under round-to-int)."""
+    import hashlib
+
+    import numpy as np
+
+    from bert_namedentityrecognition_spark.multimodal.binary import fake_decoder
+
+    for payload in (b"", b"abc", b"\x00\xff" * 10):
+        feat = fake_decoder(payload, "application/octet-stream")
+        first = hashlib.sha256(payload).digest()[0]
+        assert int(round(float(feat[0]) * 255)) == first
+    # exhaustive: k/255 as float32 always rounds back to k
+    ks = np.arange(256, dtype=np.uint8).astype(np.float32) / 255.0
+    assert (np.rint(ks * 255).astype(int) == np.arange(256)).all()
+
+
+def test_kg_e2e_triples_lev_semantics(spark, sf_dir):
+    """Composed e2e (mentions → lev-normalize → pair → count): objects are
+    canonical ids or 'No Symptoms'; 'fast' (below threshold) never appears."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["kg_e2e_triples_lev"](spark, sf_dir).collect()
+    assert rows, "e2e produced no triples"
+    objs = {r.obj for r in rows}
+    canonicals = {c for _, c in entrymod.E2E_DIM} | {"No Symptoms"}
+    assert objs <= canonicals
+    assert all(r.pred == "HAS_ADVERSE_EVENT" and r["count"] >= 1 for r in rows)
+    subjs = {r.subj for r in rows}
+    assert subjs <= set(entrymod.DOC_DRUG_TERMS)
