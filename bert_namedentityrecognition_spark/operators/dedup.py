@@ -53,8 +53,15 @@ def token_shingles(
     """(doc_id, shingle): distinct n-token shingles, built JVM-side via
     split + transform + slice + array_join (no UDF)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # guard: sequence(1, 0) is DESCENDING [1, 0] and slice(_, 0, n) throws —
+    # docs with < n tokens (common in web text) must yield zero shingles,
+    # matching the oracle's range(0, greatest(len - (n-1), 0))
+    n_shingles = F.size(toks) - (n - 1)
+    idxs = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
+    sh = F.when(
+        n_shingles > 0,
+        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -288,3 +288,20 @@ def test_kg_e2e_triples_lev_semantics(spark, sf_dir):
     assert all(r.pred == "HAS_ADVERSE_EVENT" and r["count"] >= 1 for r in rows)
     subjs = {r.subj for r in rows}
     assert subjs <= set(entrymod.DOC_DRUG_TERMS)
+
+
+def test_token_shingles_short_docs_yield_empty(spark):
+    """Docs with < n tokens (ubiquitous in web text) must produce zero
+    shingles, not crash: sequence(1, 0) is descending and slice(_, 0, n)
+    throws. Regression for the guard in token_shingles."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        embedding_cosine_dups,
+        token_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "a b c")], ["doc_id", "text"]
+    )
+    got = token_shingles(docs).collect()
+    assert {r.doc_id for r in got} == {4}
+    assert embedding_cosine_dups(docs).collect() == []
