@@ -4,7 +4,7 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
 DuckDB-executable twin for every SQL-expressible query (the rest get the
-weaker rows-only check: fuzzy-UDF normalization parity, simhash/LSH/IVF
+weaker rows-only check: fuzzy-UDF normalization parity, LSH/IVF
 approximate pair generation, the cogrouped relaxed metric, and the
 synthetic-corpus e2e pipeline — each of those is additionally pinned by
 pytest against the pure-Python oracle in tests/; the lev-scored e2e twin
@@ -828,9 +828,43 @@ def _kg_fuzzy_indel(spark, sf):
 
 
 def _simhash_sigs(spark, sf):
-    from bert_namedentityrecognition_spark.operators.dedup import simhash_signatures
+    """Portable 60-bit simhash (4 seeded poly-hash chunks × 15 bits) so the
+    exact signature values are DuckDB-verifiable; the xxhash64 variant
+    (`simhash_signatures`) is the cheaper scale path, pinned by pytest."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        simhash_signatures_portable,
+    )
 
-    return simhash_signatures(_t(spark, sf, "documents"))
+    return simhash_signatures_portable(_t(spark, sf, "documents"))
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+counted AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w FROM toks GROUP BY doc_id, tok),
+hashed AS (
+  SELECT doc_id, w,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(tok, '.'), x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) AS h
+  FROM counted
+),
+chunks AS (
+  SELECT doc_id, w, c.c AS chunk,
+    ((h * (2 * c.c + 3) + (7 * c.c + 10)) % 1000000007) % 32768 AS ck
+  FROM hashed, unnest(range(0, 4)) AS c(c)
+),
+bits AS (
+  SELECT doc_id, chunk * 15 + b.b AS bit,
+    sum(CASE WHEN ((ck >> b.b) & 1) = 1 THEN w ELSE -w END) AS v
+  FROM chunks, unnest(range(0, 15)) AS b(b)
+  GROUP BY doc_id, chunk * 15 + b.b
+)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
 
 
 def _minhash_lsh(spark, sf):
@@ -998,5 +1032,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_DUPS_SQL,
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "dedup_simhash_signatures": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
     }

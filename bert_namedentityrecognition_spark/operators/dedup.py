@@ -314,6 +314,49 @@ def simhash_signatures(
     )
 
 
+def simhash_signatures_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): 60-bit simhash from the *portable* polynomial hash
+    family — 4 seeded universal hashes contribute 15 bits each, so the exact
+    signature is reproducible in any ANSI engine (DuckDB oracle verifies
+    values, not just row counts). 60 bits keeps every ``1 << bit`` inside a
+    signed BIGINT. Same sign-aggregation dataflow as
+    :func:`simhash_signatures` (which stays the scale path: ``xxhash64`` is
+    one JVM call vs this family's per-character fold)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    counted = counted.withColumn("h", poly_hash(F.col("tok")))
+    bit_rows = (
+        counted.select(
+            "doc_id",
+            "w",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        )
+        .withColumn("chunk", (F.col("bit") / 15).cast("long"))
+        .withColumn("b", F.col("bit") % 15)
+        .withColumn(
+            "ck",
+            ((F.col("h") * (2 * F.col("chunk") + 3) + (7 * F.col("chunk") + 10))
+             % POLY_MOD) % 32768,
+        )
+        .withColumn(
+            "delta",
+            F.expr("case when (shiftright(ck, CAST(b AS INT)) & 1L) = 1 then w else -w end"),
+        )
+    )
+    bit_sums = bit_rows.groupBy("doc_id", "bit").agg(F.sum("delta").alias("v"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("case when v > 0 then shiftleft(1L, CAST(bit AS INT)) else 0L end")
+        ).alias("simhash")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

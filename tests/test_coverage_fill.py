@@ -305,3 +305,21 @@ def test_token_shingles_short_docs_yield_empty(spark):
     got = token_shingles(docs).collect()
     assert {r.doc_id for r in got} == {4}
     assert embedding_cosine_dups(docs).collect() == []
+
+
+def test_simhash_portable_properties(spark):
+    """Portable 60-bit simhash: identical docs → identical signature;
+    disjoint-vocabulary docs differ; signature fits in a signed BIGINT."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        simhash_signatures_portable,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha beta beta gamma"),
+         (3, "one two three four")],
+        ["doc_id", "text"],
+    )
+    sig = {r.doc_id: r.simhash for r in simhash_signatures_portable(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    assert all(0 <= s < (1 << 60) for s in sig.values())
