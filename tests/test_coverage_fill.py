@@ -323,3 +323,20 @@ def test_simhash_portable_properties(spark):
     assert sig[1] == sig[2]
     assert sig[1] != sig[3]
     assert all(0 <= s < (1 << 60) for s in sig.values())
+
+
+def test_ngram_prefix_filter_exact_equivalence(spark):
+    """PPJoin prefix filtering must return IDENTICAL pairs to the naive
+    set-similarity join (it is a pruning, not an approximation)."""
+    from bert_namedentityrecognition_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    naive = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=False).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=True).collect()
+    }
+    assert naive == pruned and naive
