@@ -162,6 +162,63 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _q6(spark, sf):  # single-scan filter + agg: pushdown showcase (SURVEY §2.3/2.9)
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").cast(_DEC) >= F.lit(0.05).cast(_DEC))
+            & (F.col("l_discount").cast(_DEC) <= F.lit(0.07).cast(_DEC))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_money("l_extendedprice") * _money("l_discount")).cast("double"), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q6_SQL = f"""
+SELECT
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC})) AS DOUBLE), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(l_discount AS {_DEC}) BETWEEN CAST(0.05 AS {_DEC}) AND CAST(0.07 AS {_DEC})
+  AND l_quantity < 24
+"""
+
+
+def _q12(spark, sf):  # join + conditional aggregation (TPC-H Q12 shape)
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )
+    o = _t(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
 def _q3(spark, sf):  # 3-way join + agg + top-k (SURVEY §2.8/2.10)
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").filter(
@@ -969,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
         "q1_pricing_summary": _q1,
+        "q6_forecast_revenue": _q6,
+        "q12_priority_class": _q12,
         "q3_shipping_priority": _q3,
         "q5_nation_revenue": _q5,
         "top_customers": _top_customers,
@@ -1009,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "q12_priority_class": _Q12_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,

@@ -104,3 +104,39 @@ def write_outputs(outputs: dict[str, DataFrame], base_dir: str, url_buckets: int
         outputs["edges"].repartition("src_id").write.mode("overwrite").parquet(
             f"{base_dir}/edges"
         )
+
+
+def write_outputs_iceberg(
+    outputs: dict[str, DataFrame],
+    table_prefix: str,
+    url_buckets: int = 64,
+    id_buckets: int = 128,
+):
+    """Production sink: the same KG tables as V2 ``writeTo`` calls against an
+    Iceberg catalog (``table_prefix`` like ``catalog.db.kg``).
+
+    - mentions bucketed by url → the drug⋈symptom pairing join is
+      storage-co-located (both sides read pre-bucketed, no exchange);
+    - nodes bucketed by entity_id, edges by src_id → point lookups and
+      src-grouped scans prune to one bucket;
+    - ``createOrReplace`` is a single atomic snapshot commit per table —
+      the idempotent-resume unit the ledger tracks.
+
+    Requires an Iceberg catalog on the session (``spark.sql.catalog.*``
+    confs + runtime jar); this sandbox has neither, so the call is exercised
+    only up to Spark's catalog-resolution error in tests, and the parquet
+    twin above is the measured path.
+    """
+    from pyspark.sql import functions as F
+
+    outputs["mentions"].writeTo(f"{table_prefix}_mentions").partitionedBy(
+        F.bucket(url_buckets, F.col("url"))
+    ).createOrReplace()
+    outputs["triples"].writeTo(f"{table_prefix}_triples").createOrReplace()
+    outputs["nodes"].writeTo(f"{table_prefix}_nodes").partitionedBy(
+        F.bucket(id_buckets, F.col("entity_id"))
+    ).createOrReplace()
+    if "edges" in outputs:
+        outputs["edges"].writeTo(f"{table_prefix}_edges").partitionedBy(
+            F.bucket(id_buckets, F.col("src_id"))
+        ).createOrReplace()

@@ -43,3 +43,20 @@ def test_nodes_and_edges_resolve_entity_ids(spark, tmp_path):
     assert spark.read.parquet(f"{base}/edges").count() == len(edges)
     assert spark.read.parquet(f"{base}/nodes").count() == len(nodes)
     assert spark.read.parquet(f"{base}/mentions").count() > 0
+
+
+def test_write_outputs_iceberg_requires_catalog(spark):
+    """The V2 writeTo path is real code that fails only at catalog
+    resolution in this jar-less sandbox (no silent parquet fallback)."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from bert_namedentityrecognition_spark.plans.pipeline import (
+        write_outputs_iceberg,
+    )
+
+    mentions = spark.createDataFrame([("u1", 0, "w", "drug")],
+                                     ["url", "sent_id", "word", "type"])
+    with pytest.raises(AnalysisException):
+        write_outputs_iceberg({"mentions": mentions, "triples": mentions,
+                               "nodes": mentions}, "nocatalog.db.kg")
