@@ -248,28 +248,33 @@ def ner_pages(
     lang_filter: str | None = "ja",
     text_col: str = "text",
     key_col: str = "url",
+    html_col: str | None = "html",
 ) -> DataFrame:
     """Fused pages → mentions via the model path: preprocess + sentence
     split + batched inference + BIO decode in ONE Arrow stage (one Python
     runner section per Spark stage — see operators/tagger.extract_mentions
-    for why fusion matters at high parallelism)."""
-    from ..oracle.textproc import preprocess_text, split_sentences
-    from pyspark.sql import functions as F
+    for why fusion matters at high parallelism). html→text fallback for
+    null-text rows happens inside the same section (null-gated JVM-side, so
+    text rows never ship html bytes through Arrow)."""
+    from ..oracle.textproc import html_to_text, preprocess_text, split_sentences
+
+    from ..operators.tagger import _pages_text_source
 
     sc = pages.sparkSession.sparkContext
     bc = sc.broadcast((model, label_vocab))
 
-    df = pages.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
-    if lang_filter is not None and "lang" in pages.columns:
-        df = df.filter(F.col("lang") == lang_filter)
-    src = df.select(F.col(key_col).alias("url"), F.col(text_col).alias("text"))
+    src = _pages_text_source(pages, text_col, key_col, html_col, lang_filter)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mdl, vocab = bc.value
         for pdf in batches:
             out = _empty_out()
             rows = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            for url, text, hb in zip(pdf["url"], pdf["text"], pdf["_html"]):
+                if text is None or text == "":
+                    text = html_to_text(hb) if hb is not None else ""
+                    if not text:
+                        continue
                 for sid, sent in enumerate(split_sentences(preprocess_text(text))):
                     if len(sent) <= max_len:
                         rows.append((url, sid, sent))

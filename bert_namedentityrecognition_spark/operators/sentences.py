@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..oracle.textproc import preprocess_text, split_sentences
+from ..oracle.textproc import html_to_text, preprocess_text, split_sentences
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
@@ -31,15 +31,41 @@ def split_sentences_udf(texts: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.StringType())
+def html_to_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda h: html_to_text(h) if h is not None else None)
+
+
 def pages_to_sentences(
     pages: DataFrame,
     max_length: int = 512,
     lang_filter: str | None = "ja",
     text_col: str = "text",
     key_col: str = "url",
+    html_col: str | None = "html",
 ) -> DataFrame:
-    """Returns (url, sent_id, sent). Deterministic per row; no shuffle."""
-    df = pages.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    """Returns (url, sent_id, sent). Deterministic per row; no shuffle.
+
+    input_hint fallback: rows with null/empty ``text`` but non-null ``html``
+    get text extracted from the html bytes (deterministic, so the
+    byte-identical-text-per-url invariant holds for them too). The coalesce
+    is conditional JVM-side, so the Python extractor only ever sees the
+    html-only rows' bytes — pages with text never pay the UDF."""
+    has_text = F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    if html_col is not None and html_col in pages.columns:
+        # pushable disjunction FIRST (parquet row-group stats still prune),
+        # THEN the coalesce — a computed text column would otherwise block
+        # predicate pushdown for the all-text common case
+        df = pages.filter(has_text | F.col(html_col).isNotNull())
+        df = df.withColumn(
+            text_col,
+            F.when(has_text, F.col(text_col)).otherwise(
+                html_to_text_udf(F.when(~has_text, F.col(html_col)))
+            ),
+        )
+        df = df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    else:
+        df = pages.filter(has_text)
     if lang_filter is not None and "lang" in pages.columns:
         df = df.filter(F.col("lang") == lang_filter)
     out = df.select(

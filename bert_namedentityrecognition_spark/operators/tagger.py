@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from ..oracle.iob import iob_to_spans
 from ..oracle.matcher import automaton_match, build_automaton
-from ..oracle.textproc import han_to_zen
+from ..oracle.textproc import han_to_zen, html_to_text
 
 MENTION_SCHEMA = T.StructType(
     [
@@ -115,6 +115,34 @@ def tag_sentences(
     return sentences.mapInPandas(run, schema=MENTION_SCHEMA)
 
 
+def _pages_text_source(
+    pages: DataFrame,
+    text_col: str,
+    key_col: str,
+    html_col: str | None,
+    lang_filter: str | None,
+) -> DataFrame:
+    """(url, text, _html) source for the fused Arrow stages.
+
+    _html is null unless the row needs the html→text fallback (text null or
+    empty): the pushable filter keeps text-or-html rows, and the JVM-side
+    ``when`` gate keeps html bytes out of the Arrow transfer for text rows."""
+    has_text = F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    if html_col is not None and html_col in pages.columns:
+        df = pages.filter(has_text | F.col(html_col).isNotNull())
+        html_arg = F.when(~has_text, F.col(html_col))
+    else:
+        df = pages.filter(has_text)
+        html_arg = F.lit(None).cast("binary")
+    if lang_filter is not None and "lang" in pages.columns:
+        df = df.filter(F.col("lang") == lang_filter)
+    return df.select(
+        F.col(key_col).alias("url"),
+        F.col(text_col).alias("text"),
+        html_arg.alias("_html"),
+    )
+
+
 def extract_mentions(
     pages: DataFrame,
     term_types: dict[str, str],
@@ -123,6 +151,7 @@ def extract_mentions(
     normalize: bool = True,
     text_col: str = "text",
     key_col: str = "url",
+    html_col: str | None = "html",
 ) -> DataFrame:
     """Fused pages → mentions: preprocess + sentence-split + 512-filter +
     han_to_zen + tag + BIO decode in ONE Arrow stage.
@@ -134,6 +163,11 @@ def extract_mentions(
     with blocking JVM handoffs — measured 10-15× slower at 32 local cores —
     so the fused form is the production path; the two-step form remains for
     when a sentences table is itself a wanted output.
+
+    html→text fallback (input_hint): null/empty-text rows with html bytes
+    are decoded inside the SAME Python section. The html argument is
+    null-gated JVM-side (``when(NOT has_text, html)``) so Arrow never ships
+    html bytes for pages that already carry text.
     """
     from ..oracle.textproc import preprocess_text, split_sentences
 
@@ -143,17 +177,18 @@ def extract_mentions(
     sc = pages.sparkSession.sparkContext
     bc = sc.broadcast((list(normalized_types), normalized_types, normalize, max_length))
 
-    df = pages.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
-    if lang_filter is not None and "lang" in pages.columns:
-        df = df.filter(F.col("lang") == lang_filter)
-    src = df.select(F.col(key_col).alias("url"), F.col(text_col).alias("text"))
+    src = _pages_text_source(pages, text_col, key_col, html_col, lang_filter)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         term_list, types, do_norm, maxlen = bc.value
         automaton = build_automaton(term_list)
         for pdf in batches:
             urls, sids, starts, ends, tps, words = [], [], [], [], [], []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            for url, text, hb in zip(pdf["url"], pdf["text"], pdf["_html"]):
+                if text is None or text == "":
+                    text = html_to_text(hb) if hb is not None else ""
+                    if not text:
+                        continue
                 for sid, sent in enumerate(split_sentences(preprocess_text(text))):
                     if len(sent) > maxlen:
                         continue

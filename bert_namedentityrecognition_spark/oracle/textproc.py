@@ -88,6 +88,38 @@ def remove_tags(text: str, tag_list: list[str] | None = None) -> str:
     return re.sub("<[^<>]*>", "", text)
 
 
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_BLOCK_TAG_RE = re.compile(
+    r"</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer)\b[^>]*>",
+    re.IGNORECASE,
+)
+
+
+def html_to_text(html: bytes | str) -> str:
+    """Deterministic html → text for pages where ``text`` is null
+    (input_hint: "html binary, text string" — text wins when present).
+
+    Order: utf-8 decode (errors replaced) → drop script/style subtrees →
+    block-level tags become newlines (so sentence structure survives) →
+    remaining tags stripped → entities unescaped → per-line whitespace
+    collapse. Pure function of the bytes: the byte-identical-text-per-url
+    invariant extends to html-only rows."""
+    import html as _htmllib
+
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    s = _SCRIPT_STYLE_RE.sub(" ", html)
+    s = _BLOCK_TAG_RE.sub("\n", s)
+    s = re.sub("<[^<>]*>", "", s)
+    s = _htmllib.unescape(s)
+    lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip() for ln in s.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
 def exclude_long_sentences(max_length: int, sentences: list[str], tags: list) -> tuple[list, list]:
     """Drop (not truncate) sentences longer than ``max_length`` chars
     (``util/text_utils.py:50-61``)."""

@@ -319,3 +319,39 @@ def test_quality_score_range(spark, docs):
 
     rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_html_to_text_fallback(spark):
+    """input_hint path: null-text pages fall back to deterministic html→text;
+    pages WITH text keep it byte-identical (the invariant)."""
+    from bert_namedentityrecognition_spark.operators.sentences import (
+        pages_to_sentences,
+    )
+    from bert_namedentityrecognition_spark.oracle.textproc import html_to_text
+
+    html = ("<html><head><script>var x=1;</script><style>p{}</style></head>"
+            "<body><p>頭痛がする。</p><p>発熱あり&amp;咳。</p></body></html>").encode("utf-8")
+    pages = spark.createDataFrame(
+        [
+            ("u1", None, html, None, "ja"),          # html-only → fallback
+            ("u2", None, html, "薬を飲む。", "ja"),   # text wins over html
+            ("u3", None, None, None, "ja"),           # nothing → dropped
+            ("u4", None, html, "", "ja"),             # empty text → fallback
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    sents = pages_to_sentences(pages).collect()
+    by_url = {}
+    for r in sents:
+        by_url.setdefault(r.url, []).append((r.sent_id, r.sent))
+    assert "u3" not in by_url
+    assert [s for _, s in sorted(by_url["u2"])] == ["薬を飲む。"]
+    # fallback text is the pure function of the bytes (invariant extended)
+    expected = html_to_text(html)
+    assert "script" not in expected and "style" not in expected
+    assert "発熱あり&咳。" in expected  # entity unescaped
+    for u in ("u1", "u4"):
+        assert [s for _, s in sorted(by_url[u])] == [
+            s for s in __import__("bert_namedentityrecognition_spark.oracle.textproc",
+                                  fromlist=["split_sentences"]).split_sentences(expected)
+        ]
