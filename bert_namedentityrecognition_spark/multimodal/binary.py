@@ -120,6 +120,107 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, decoder: str = "fake"
+) -> DataFrame:
+    """media → RESIZED_SCHEMA, one Arrow stage per batch of blobs.
+
+    The 'fake' resizer is a deterministic byte-fold standing in for
+    PIL.Image.resize (not installed here): output = content folded to
+    width·height bytes. The Spark contract (schema, batch-bounded memory,
+    per-row status) is the real, tested part."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, blobs, status = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                if content is None:
+                    ws.append(None); hs.append(None); blobs.append(None)
+                    status.append("null_content")
+                    continue
+                if decoder == "real":
+                    raise NotImplementedError("PIL/ffmpeg not in this container")
+                buf = bytes(content)
+                n = width * height
+                folded = bytearray(n)
+                for i, b in enumerate(buf):
+                    folded[i % n] ^= b
+                ws.append(width); hs.append(height)
+                blobs.append(bytes(folded)); status.append("ok")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "content": blobs,
+                    "status": status,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    frame_bytes: int = 256,
+) -> DataFrame:
+    """video media → one row per sampled frame (FRAME_SCHEMA).
+
+    Deterministic fake framing: the blob is treated as a contiguous byte
+    stream, frame k = bytes [k·frame_bytes, (k+1)·frame_bytes). A real
+    ffmpeg seek-decode drops in at the marked line. Emitting rows (not an
+    array column) keeps frames independently partitionable downstream —
+    the point of the plumbing at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                buf = bytes(content)
+                n_frames = min(max_frames, max(len(buf) // frame_bytes, 0))
+                for k in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    # real decoder drops in here (ffmpeg seek + decode)
+                    frames.append(buf[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "ts_ms": pd.array(tss, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def pages_html_as_media(pages: DataFrame) -> DataFrame:
     """Adapter: the pages table's html binary column as a media table."""
     return pages.select(

@@ -355,3 +355,39 @@ def test_html_to_text_fallback(spark):
             s for s in __import__("bert_namedentityrecognition_spark.oracle.textproc",
                                   fromlist=["split_sentences"]).split_sentences(expected)
         ]
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize + frame-sample plumbing: schema, determinism, null handling,
+    frame independence (row-per-frame, partitionable)."""
+    from bert_namedentityrecognition_spark.multimodal.binary import (
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [("m1", "video/fake", bytes(range(256)) * 5, None),
+         ("m2", "video/fake", None, None),
+         ("m3", "image/fake", b"xy", None)],
+        "media_id string, media_type string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    r = {x.media_id: x for x in resize_media(media, width=8, height=8).collect()}
+    assert r["m2"].status == "null_content" and r["m2"].content is None
+    assert r["m1"].status == "ok" and len(r["m1"].content) == 64
+    assert r["m3"].status == "ok" and len(r["m3"].content) == 64
+    # deterministic: same input, same bytes
+    r2 = {x.media_id: x for x in resize_media(media, width=8, height=8).collect()}
+    assert bytes(r["m1"].content) == bytes(r2["m1"].content)
+
+    f = sample_frames(media, every_ms=500, max_frames=3, frame_bytes=256).collect()
+    by_id = {}
+    for row in f:
+        by_id.setdefault(row.media_id, []).append(row)
+    assert "m2" not in by_id          # null content → no frames
+    assert "m3" not in by_id          # shorter than one frame → no frames
+    m1 = sorted(by_id["m1"], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in m1] == [0, 1, 2]
+    assert [r.ts_ms for r in m1] == [0, 500, 1000]
+    assert all(len(r.frame) == 256 for r in m1)
+    assert bytes(m1[1].frame) == bytes(range(256))
