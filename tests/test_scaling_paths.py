@@ -182,3 +182,41 @@ def test_streaming_udf_normalizer_matches_other_paths(spark, corpus, term_types)
         ).select(*cols).collect()
     }
     assert a == b
+
+
+def test_html_fallback_parity_across_paths(spark):
+    """The three pages→mentions paths (two-step sentences→tagger, fused
+    gazetteer, fused model) must agree on html-only pages too."""
+    from bert_namedentityrecognition_spark.operators.ner import (
+        DictionaryStubModel,
+        label_vocab_for_types,
+        ner_pages,
+    )
+    from bert_namedentityrecognition_spark.operators.sentences import (
+        pages_to_sentences,
+    )
+    from bert_namedentityrecognition_spark.operators.tagger import (
+        extract_mentions,
+        tag_sentences,
+    )
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    tt = fixtures.pipeline_term_types()
+    terms = list(tt.items())
+    d = terms[0][0]
+    s = [t for t, k in terms if k != terms[0][1]][0]
+    html = f"<html><body><p>{d}を飲んだ。</p><p>{s}が出た。</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [("h1", None, html, None, "ja"), ("t1", None, None, f"{d}と{s}。", "ja")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    key = lambda r: (r.url, r.sent_id, r.start, r.end, r.type, r.word)
+    two_step = sorted(
+        map(key, tag_sentences(pages_to_sentences(pages), tt).collect())
+    )
+    fused = sorted(map(key, extract_mentions(pages, tt).collect()))
+    vocab = label_vocab_for_types(list(tt.values()))
+    model = DictionaryStubModel(tt, vocab)
+    model_path = sorted(map(key, ner_pages(pages, model, vocab).collect()))
+    assert two_step == fused == model_path
+    assert any(r[0] == "h1" for r in fused), "html-only page missing"
