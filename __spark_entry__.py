@@ -56,7 +56,18 @@ _DEC = "decimal(18,4)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # the testdata files are single-row-group parquet → one scan task,
+        # which serializes the per-row-heavy derivations (shingling, tagger,
+        # Arrow stages) no matter how many cores exist. One tiny shuffle
+        # restores full parallelism (measured 3-4× on the dedup/mention
+        # queries at local[32]). At production scale the input has many
+        # splits (spark.sql.files.maxPartitionBytes) and this is a no-op
+        # cost-wise. JVM-only tables (lineitem/events) stay on natural
+        # splits: their scans are cheap and the extra exchange nets ~zero.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _money(col):

@@ -63,11 +63,16 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         "l_returnflag"
     ).count().collect()
     timings = {}
+    # min-of-2 per query: the host shows burst slowdowns of 1.5-2x lasting
+    # minutes; a single-shot timing judges the host's mood, not the plan
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        _noop_write(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _noop_write(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     spark.stop()
     return timings
 
