@@ -107,6 +107,12 @@ _LEV_DIM_SQL = "(VALUES " + ", ".join(
     f"('{s}', '{c}')" for s, c in LEV_DIM
 ) + ") AS dim(surface, canonical)"
 
+_LEV_SCORE_SQL = (
+    "round(100.0 * (1.0 - CAST(levenshtein(w.word, dim.surface) AS DOUBLE)"
+    " / greatest(length(w.word), length(dim.surface))), 6)"
+)
+
+
 
 # =============================================================================
 # entry
@@ -751,6 +757,38 @@ WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 6
 """
 
 
+def _kg_candidates_topk(spark, sf):  # searchTerm top-k candidate retrieval (§2.10)
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        search_candidates_topk,
+    )
+
+    words = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .distinct()
+    )
+    dim = spark.createDataFrame(LEV_DIM, ["surface", "canonical"])
+    return search_candidates_topk(words, dim, k=3)
+
+
+_KG_CANDIDATES_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT w AS word FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+  ) WHERE length(w) >= 2
+),
+scored AS (
+  SELECT w.word, dim.surface, dim.canonical, {_LEV_SCORE_SQL} AS score,
+    row_number() OVER (PARTITION BY w.word
+                       ORDER BY {_LEV_SCORE_SQL} DESC, dim.surface ASC) AS rank
+  FROM words w CROSS JOIN {_LEV_DIM_SQL}
+)
+SELECT word, CAST(rank AS BIGINT) AS rank, surface, canonical, score
+FROM scored WHERE rank <= 3
+"""
+
+
 def _kg_e2e_triples_lev(spark, sf):
     """SQL-verifiable end-to-end KG build: gazetteer mentions → fuzzy top-1
     normalization (JVM levenshtein scorer, ''-sentinel) → per-doc dedup →
@@ -774,11 +812,6 @@ def _kg_e2e_triples_lev(spark, sf):
 _E2E_DIM_SQL = "(VALUES " + ", ".join(
     f"('{s}', '{c}')" for s, c in E2E_DIM
 ) + ") AS dim(surface, canonical)"
-
-_LEV_SCORE_SQL = (
-    "round(100.0 * (1.0 - CAST(levenshtein(w.word, dim.surface) AS DOUBLE)"
-    " / greatest(length(w.word), length(dim.surface))), 6)"
-)
 
 _KG_E2E_LEV_SQL = f"""
 WITH occ AS ({_OCC_SQL}),
@@ -1054,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ade_pivot": _ade_pivot,
         "mention_type_distribution": _mention_type_distribution,
         "kg_normalize_lev": _kg_normalize_lev,
+        "kg_candidates_topk": _kg_candidates_topk,
         "kg_normalize_fuzzy_indel": _kg_fuzzy_indel,
         "kg_e2e_triples": _kg_e2e_triples,
         "kg_e2e_triples_lev": _kg_e2e_triples_lev,
@@ -1095,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "ade_pivot": _ADE_PIVOT_SQL,
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,
         "kg_normalize_lev": _KG_NORMALIZE_LEV_SQL,
+        "kg_candidates_topk": _KG_CANDIDATES_SQL,
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,

@@ -243,6 +243,45 @@ def normalize_surfaces_lev(
     )
 
 
+def search_candidates_topk(
+    surfaces: DataFrame,
+    dim: DataFrame,
+    k: int = 3,
+    surface_col: str = "surface",
+) -> DataFrame:
+    """Top-k candidate retrieval per surface — the reference's ``searchTerm``
+    (``knowledge_bases/manbyo.py:44-49``: score every dictionary row, sort
+    desc, slice ``[:num_candidates]``) as a broadcast cross-score + ranked
+    window. All-JVM (builtin ``levenshtein``), so the driver's DuckDB oracle
+    verifies exact (word, rank, surface, canonical, score) rows.
+
+    surfaces(word) × dim(surface, canonical) →
+    (word, rank 1..k, surface, canonical, score). Deterministic order:
+    score desc, surface asc (same total order as the top-1 normalizers)."""
+    d = dim.select(
+        F.col(surface_col).alias("surface"), F.col("canonical").alias("canonical")
+    )
+    scored = surfaces.join(F.broadcast(d)).withColumn(
+        "score",
+        F.round(
+            100.0
+            * (
+                1.0
+                - F.levenshtein(F.col("word"), F.col("surface"))
+                / F.greatest(F.length("word"), F.length("surface")).cast("double")
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("word").orderBy(F.col("score").desc(), F.col("surface").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("word", F.col("rank").cast("long").alias("rank"),
+                "surface", "canonical", "score")
+    )
+
+
 def resolve_surfaces_driver(
     surface_rows: list[tuple[str, str]],
     dim_rows: list[dict],
