@@ -4,11 +4,12 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
 DuckDB-executable twin for every SQL-expressible query (the rest get the
-weaker rows-only check: fuzzy-UDF normalization parity, LSH/IVF
-approximate pair generation, the cogrouped relaxed metric, and the
-synthetic-corpus e2e pipeline — each of those is additionally pinned by
-pytest against the pure-Python oracle in tests/; the lev-scored e2e twin
-``kg_e2e_triples_lev`` runs the same dataflow under an exact SQL oracle).
+weaker rows-only check: LSH/IVF approximate retrieval, the greedy
+relaxed/span matchers, and the synthetic-corpus e2e pipeline — each pinned
+by pytest goldens instead; the lev-scored e2e twin ``kg_e2e_triples_lev``
+runs the same dataflow under an exact SQL oracle, and even the
+rapidfuzz-indel fuzzy normalizer is exact-verified via a pure-SQL LCS
+computed by bitmask-subsequence enumeration).
 
 Numeric-compare policy: money sums go through decimal(18,4) (exact) before a
 final double cast + round, counts are BIGINT both sides, ratios are
@@ -918,14 +919,96 @@ def _kg_fuzzy_indel(spark, sf):
     from bert_namedentityrecognition_spark.operators.normalize import normalize_surfaces
     from bert_namedentityrecognition_spark.sources import fixtures
 
-    surfaces = spark.createDataFrame(
-        [("頭痛い", "symptom"), ("発熱感", "symptom"), ("ロキソニソ", "drug"), ("頭痛", "symptom")],
-        ["word", "type"],
-    )
+    surfaces = spark.createDataFrame(list(_FUZZY_WORDS), ["word", "type"])
     dim = fixtures.entity_dim_to_spark(spark)
     return normalize_surfaces(surfaces, dim, threshold=70.0).select(
         "word", "type", "canonical", "score", "method"
     )
+
+
+# --- exact SQL oracle for the indel-ratio fuzzy normalizer ------------------
+# rapidfuzz ratio = 200*LCS/(la+lb). LCS is computed in pure SQL by
+# enumerating each string's subsequences via bitmask (surfaces are <= 7
+# chars -> <= 128 masks) and joining on equal subsequence; max shared
+# length = LCS. The dim/words literals below are generated through the SAME
+# han_to_zen kernel the Spark side applies, so the join keys match exactly.
+_FUZZY_WORDS = [("頭痛い", "symptom"), ("発熱感", "symptom"), ("ロキソニソ", "drug"), ("頭痛", "symptom")]
+
+
+def _fuzzy_indel_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.textproc import han_to_zen
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    words_sql = ", ".join(
+        f"('{w}', '{han_to_zen(w)}', '{t}')" for w, t in _FUZZY_WORDS
+    )
+    dim_sql = ", ".join(
+        f"('{han_to_zen(r['surface'])}', '{r['canonical']}', '{r['kind']}')"
+        for r in fixtures.generate_entity_dim()
+    )
+    return f"""
+WITH words(word, word_norm, type) AS (VALUES {words_sql}),
+dim(surface, canonical, kind) AS (VALUES {dim_sql}),
+hits AS (
+  SELECT w.word, w.type, d.canonical, CAST(100.0 AS DOUBLE) AS score,
+         'exact' AS method
+  FROM words w JOIN dim d ON w.word_norm = d.surface AND w.type = d.kind
+),
+misses AS (
+  SELECT w.word, w.word_norm, w.type FROM words w
+  WHERE NOT EXISTS (SELECT 1 FROM dim d
+                    WHERE d.surface = w.word_norm AND d.kind = w.type)
+),
+cand AS (
+  SELECT m.word, m.word_norm, m.type, d.surface, d.canonical
+  FROM misses m LEFT JOIN dim d
+    ON m.type = d.kind
+   AND (200.0 * least(length(m.word_norm), length(d.surface))
+        / (length(m.word_norm) + length(d.surface))) > 70.0
+),
+subs_w AS (
+  SELECT DISTINCT m.word_norm,
+    array_to_string(list_transform(
+      list_filter(range(0, length(m.word_norm)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(m.word_norm, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM misses m,
+       unnest(range(0, CAST(pow(2, length(m.word_norm)) AS BIGINT))) AS u(mask)
+),
+subs_d AS (
+  SELECT DISTINCT d.surface,
+    array_to_string(list_transform(
+      list_filter(range(0, length(d.surface)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(d.surface, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM dim d,
+       unnest(range(0, CAST(pow(2, length(d.surface)) AS BIGINT))) AS u(mask)
+),
+lcs AS (
+  SELECT sw.word_norm, sd.surface, CAST(max(length(sw.sub)) AS BIGINT) AS lcs
+  FROM subs_w sw JOIN subs_d sd ON sd.sub = sw.sub
+  GROUP BY sw.word_norm, sd.surface
+),
+scored AS (
+  SELECT c.word, c.type, c.surface, c.canonical,
+    CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
+         ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
+    END AS score,
+    row_number() OVER (PARTITION BY c.word, c.type ORDER BY
+      CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
+      END DESC, c.surface ASC NULLS LAST) AS rn
+  FROM cand c LEFT JOIN lcs l
+    ON l.word_norm = c.word_norm AND l.surface = c.surface
+),
+fuzzy AS (
+  SELECT word, type,
+    CASE WHEN score > 70.0 THEN canonical ELSE '' END AS canonical,
+    score, 'fuzzy' AS method
+  FROM scored WHERE rn = 1
+)
+SELECT word, type, canonical, score, method FROM hits
+UNION ALL
+SELECT word, type, canonical, score, method FROM fuzzy
+"""
 
 
 def _simhash_sigs(spark, sf):
@@ -1130,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,
         "kg_normalize_lev": _KG_NORMALIZE_LEV_SQL,
         "kg_candidates_topk": _KG_CANDIDATES_SQL,
+        "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,
