@@ -1057,6 +1057,55 @@ def _minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
 
 
+_MINHASH_LSH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(shingle, '.'), x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, s.seed,
+    min((h * (2 * s.seed + 3) + (7 * s.seed + 10)) % 1000000007) AS minhash
+  FROM hashed, unnest(range(0, 16)) AS s(seed)
+  GROUP BY doc_id, s.seed
+),
+banded AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+    string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT it.doc_a, it.doc_b, it.i / (sa.sz + sb.sz - it.i) AS jaccard
+FROM inter it
+JOIN sizes sa ON sa.doc_id = it.doc_a
+JOIN sizes sb ON sb.doc_id = it.doc_b
+WHERE it.i / (sa.sz + sb.sz - it.i) >= 0.5
+"""
+
+
 def _ivf_ann(spark, sf):
     from bert_namedentityrecognition_spark.operators.similarity import ivf_cosine_topk
 
@@ -1214,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_normalize_lev": _KG_NORMALIZE_LEV_SQL,
         "kg_candidates_topk": _KG_CANDIDATES_SQL,
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
+        "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,
