@@ -4,12 +4,13 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
 DuckDB-executable twin for every SQL-expressible query (the rest get the
-weaker rows-only check: LSH/IVF approximate retrieval, the greedy
-relaxed/span matchers, and the synthetic-corpus e2e pipeline — each pinned
-by pytest goldens instead; the lev-scored e2e twin ``kg_e2e_triples_lev``
-runs the same dataflow under an exact SQL oracle, and even the
-rapidfuzz-indel fuzzy normalizer is exact-verified via a pure-SQL LCS
-computed by bitmask-subsequence enumeration).
+weaker rows-only check — only four remain, each for a crisp reason:
+ann_ivf_topk (centroid seeding uses Spark xxhash64, absent in DuckDB),
+kg_e2e_triples (fixture corpus sentence-split needs Python-regex
+lookbehinds RE2 lacks), relaxed_metrics / span_match_scores (greedy
+sequential matching) — each pinned by pytest goldens instead. Everything
+else is value-verified, including the rapidfuzz-indel normalizer via a
+pure-SQL bitmask-LCS and LSH ANN via bit-identical inlined hyperplanes).
 
 Numeric-compare policy: money sums go through decimal(18,4) (exact) before a
 final double cast + round, counts are BIGINT both sides, ratios are
@@ -1130,6 +1131,41 @@ def _lsh_ann(spark, sf):
     )
 
 
+def _lsh_ann_sql() -> str:
+    """LSH-bucketed ANN replayed exactly: the 4 seeded hyperplanes are
+    inlined as literals and each sign bit's dot product uses the SAME
+    arithmetic as the Spark side (elements promoted to DOUBLE, sequential
+    left fold) — so bucket assignments are bit-identical, and the in-bucket
+    cosine ranking reuses the proven list_cosine_similarity ordering."""
+    from bert_namedentityrecognition_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 42)
+
+    def dot_expr(col, plane):
+        prods = ", ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * ({v!r})" for i, v in enumerate(plane)
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{prods}]), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_expr('embedding', p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM v WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      list_cosine_similarity(q.qvec, v.embedding) DESC, v.vec_id ASC) AS rank
+  FROM v JOIN q ON v.bucket = q.bucket AND v.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= 5
+"""
+
+
 def _multimodal_features(spark, sf):
     """Binary-column plumbing over real bytes: documents.text → UTF-8 binary
     media → one Arrow decode stage. The compared projection is integer/hex
@@ -1264,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_candidates_topk": _KG_CANDIDATES_SQL,
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "ann_lsh_topk": _lsh_ann_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,
