@@ -340,3 +340,24 @@ def test_ngram_prefix_filter_exact_equivalence(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=True).collect()
     }
     assert naive == pruned and naive
+
+
+def test_all_oracle_sql_parse_in_duckdb():
+    """Every oracle string must at least EXPLAIN cleanly in DuckDB against
+    empty tables of the driver schema — catches SQL syntax/codegen
+    regressions in seconds, without Spark."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(
+            f"CREATE TABLE {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet' LIMIT 0"
+        )
+    oracles = entrymod.oracle_sql()
+    assert len(oracles) >= 32
+    for name, sql in oracles.items():
+        con.sql(f"EXPLAIN {sql}")  # raises on any syntax/binder error
