@@ -312,23 +312,38 @@ def embedding_cosine_dups(
     :func:`~..operators.similarity.embedding_near_dup_pairs` (LSH) as a
     candidate prefilter and this join only on candidates.
 
+    Density warning (measured): on the closed-vocabulary bench corpus every
+    doc pair shares buckets, so the inner-product join is effectively
+    all-pairs — ~80 s for 5000 docs at local[16]. That is the corpus, not
+    the plan: exact all-pairs cosine is Ω(pairs-with-shared-features). On
+    open-vocabulary web text the same join is sparse; below ~millions of
+    candidate pairs use this exact form, above it the LSH prefilter.
+
     Returns (doc_a, doc_b, dot, na, nb) — all BIGINT.
     Reference analogue: near-dup detection is beyond the reference (per the
     training-data-pipeline brief); semantics mirror ``ngram_jaccard_pairs``.
     """
     vec = shingle_count_vectors(docs, n=n, dim=dim, id_col=id_col, text_col=text_col)
-    norms = vec.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
-    a = vec.select(F.col("doc_id").alias("doc_a"), "bucket", F.col("cnt").alias("cnt_a"))
-    b = vec.select(F.col("doc_id").alias("doc_b"), "bucket", F.col("cnt").alias("cnt_b"))
-    dots = (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    # squared norm rides along each vector row via a window over the same
+    # doc_id partitioning the groupBy just produced (no re-shuffle) — no
+    # separate norms table, no post-join lookups, and the shingle
+    # derivation is computed twice (the self-join sides), not four times
+    vec = vec.withColumn(
+        "n2", F.sum(F.col("cnt") * F.col("cnt")).over(Window.partitionBy("doc_id"))
+    )
+    a = vec.select(
+        F.col("doc_id").alias("doc_a"), "bucket",
+        F.col("cnt").alias("cnt_a"), F.col("n2").alias("na"),
+    )
+    b = vec.select(
+        F.col("doc_id").alias("doc_b"), "bucket",
+        F.col("cnt").alias("cnt_b"), F.col("n2").alias("nb"),
     )
     return (
-        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na")), "doc_a")
-        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb")), "doc_b")
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
         .filter(
             F.col("dot") * F.col("dot") * threshold_den
             >= F.col("na") * F.col("nb") * threshold_num
