@@ -533,8 +533,17 @@ def _kg_normalize_lev(spark, sf):  # fuzzy top-1 normalization, JVM scorer
 
     words = (
         _t(spark, sf, "documents")
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
-        .filter(F.length("word") >= 2)
+        .select(
+            # per-doc dedup + length floor BEFORE the explode: the global
+            # distinct then shuffles ~|vocab| rows per doc, not every token
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) >= 2
+                    )
+                )
+            ).alias("word")
+        )
         .distinct()
     )
     dim = spark.createDataFrame(LEV_DIM, ["surface", "canonical"])
@@ -766,8 +775,17 @@ def _kg_candidates_topk(spark, sf):  # searchTerm top-k candidate retrieval (§2
 
     words = (
         _t(spark, sf, "documents")
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
-        .filter(F.length("word") >= 2)
+        .select(
+            # per-doc dedup + length floor BEFORE the explode: the global
+            # distinct then shuffles ~|vocab| rows per doc, not every token
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) >= 2
+                    )
+                )
+            ).alias("word")
+        )
         .distinct()
     )
     dim = spark.createDataFrame(LEV_DIM, ["surface", "canonical"])
