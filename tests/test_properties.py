@@ -92,3 +92,43 @@ def test_xml_roundtrip_spans(raw):
     assert sorted(got) == sorted((d["start"], d["end"], d["type"]) for d in spans)
     for s, e, _, w in labels:
         assert clean[s:e] == w
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc日本語 ", min_size=0, max_size=12), min_size=0, max_size=6
+    ),
+    st.text(alphabet="var x=1;<>&", min_size=0, max_size=20),
+)
+def test_html_to_text_properties(paragraphs, script_body):
+    """html_to_text: deterministic; script/style subtrees never leak; block
+    structure becomes newlines; re-applying to the (tag-free) output only
+    ever re-collapses whitespace."""
+    from bert_namedentityrecognition_spark.oracle.textproc import html_to_text
+
+    html = (
+        "<html><head><script>" + script_body + "</script>"
+        "<style>p { color: red }</style></head><body>"
+        + "".join(f"<p>{p}</p>" for p in paragraphs)
+        + "</body></html>"
+    ).encode("utf-8")
+    out = html_to_text(html)
+    assert out == html_to_text(html)  # deterministic
+    assert "color: red" not in out
+    # every non-whitespace paragraph survives (whitespace-collapsed)
+    import re
+    for p in paragraphs:
+        collapsed = re.sub(r"[ \t]+", " ", p).strip()
+        if collapsed:
+            assert collapsed in out
+    # no angle brackets survive from well-formed tags
+    assert "<p>" not in out and "</p>" not in out
+
+
+@given(st.binary(min_size=0, max_size=64))
+def test_html_to_text_arbitrary_bytes_never_crash(blob):
+    from bert_namedentityrecognition_spark.oracle.textproc import html_to_text
+
+    out = html_to_text(blob)
+    assert isinstance(out, str)
+    assert out == html_to_text(blob)
