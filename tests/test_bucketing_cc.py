@@ -128,3 +128,67 @@ def test_salted_count_matches_plain(spark):
         for r in salted_count(df, ["subj", "obj"], salt_buckets=8).collect()
     }
     assert plain == salted == {("a", "x"): 500, ("b", "y"): 3}
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+def test_star_cc_equals_union_find(spark):
+    """large-star/small-star vs a pure-Python union-find ground truth on
+    adversarial shapes: long path (diameter >> rounds), star, clique,
+    disjoint pairs, random."""
+    import random
+
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    shapes = {
+        "path": [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(120)],
+        "star": [("hub", f"s{i}") for i in range(40)],
+        "clique": [(f"c{i}", f"c{j}") for i in range(8) for j in range(i + 1, 8)],
+        "pairs": [(f"p{i}a", f"p{i}b") for i in range(20)],
+        "random": [
+            (f"r{rng.randrange(60):03d}", f"r{rng.randrange(60):03d}")
+            for _ in range(80)
+        ],
+    }
+    for name, edges in shapes.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find_components(edges)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.node: r.component
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"shape {name} mismatch"
+
+
+def test_propagation_cc_raises_on_diameter_above_cap(spark):
+    """The plain propagation variant must fail LOUDLY (not silently return
+    wrong labels) when a component's diameter exceeds the iteration cap."""
+    import pytest
+
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    path = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(80)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=10)
