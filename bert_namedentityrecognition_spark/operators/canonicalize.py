@@ -157,15 +157,22 @@ def connected_components_star(
     ).select("node", F.coalesce("_root", "node").alias("component"))
 
 
-def canonical_alias_map(alias_edges: DataFrame, dim: DataFrame) -> DataFrame:
+def canonical_alias_map(
+    alias_edges: DataFrame, dim: DataFrame, algorithm: str = "star"
+) -> DataFrame:
     """Collapse alias chains onto dimension canonicals.
 
     alias_edges(src, dst): surface alias pairs. Returns
     (surface, canonical_surface): every member of a component maps to the
     component's representative — preferring a surface present in ``dim``
     (so chains terminate at a real canonical entity), else the min id.
+
+    Default algorithm is the diameter-independent star variant (alias
+    graph shapes are adversary-controlled web data); "propagation" is
+    available when the diameter is known small.
     """
-    comp = connected_components(alias_edges)
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(alias_edges)
     dim_surfaces = dim.select(F.col("surface").alias("node")).distinct()
     rep = (
         comp.join(dim_surfaces.withColumn("_in_dim", F.lit(1)), "node", "left")
