@@ -228,6 +228,11 @@ def run_kg_scaling(
             lv = _run_level_subprocess(data_dir, cores)
             walls.append(lv["wall_sec"])
             n_triples = lv["n_triples"]
+        # adaptive extra trial: if the trials disagree by >15% the host was
+        # in different windows — one more sample sharpens the min estimate
+        if len(walls) >= 2 and (max(walls) - min(walls)) / min(walls) > 0.15:
+            lv = _run_level_subprocess(data_dir, cores)
+            walls.append(lv["wall_sec"])
         wall = min(walls)
         out[f"wall_sec_{label}"] = wall
         out[f"wall_sec_{label}_trials"] = walls
