@@ -199,3 +199,108 @@ def write_articles_xml(df: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+# --- WARC (Common Crawl container format) -----------------------------------
+
+_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def parse_warc_bytes(blob: bytes) -> list[dict]:
+    """Parse WARC/1.0 bytes → pages rows (response records only).
+
+    Proper record framing: read the WARC header block (terminated by
+    CRLFCRLF), take exactly Content-Length payload bytes, skip the record
+    separator. For ``response`` records the payload is an HTTP message —
+    the body after its own header block becomes the ``html`` bytes; ``text``
+    stays null so the pipeline's html→text fallback produces it.
+    Multi-member gzip (the per-record compression Common Crawl uses) is
+    handled upstream by ``gzip`` transparently.
+    """
+    import datetime as _dt
+
+    rows = []
+    i = 0
+    n = len(blob)
+    while i < n:
+        head_end = blob.find(b"\r\n\r\n", i)
+        if head_end < 0:
+            break
+        header_block = blob[i:head_end].decode("utf-8", errors="replace")
+        if not header_block.lstrip().startswith("WARC/"):
+            i = head_end + 4
+            continue
+        headers = {}
+        for line in header_block.split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        payload = blob[head_end + 4 : head_end + 4 + length]
+        i = head_end + 4 + length
+        # consume the record separator (CRLFCRLF), tolerant of variants
+        while i < n and blob[i : i + 2] == b"\r\n":
+            i += 2
+        if headers.get("warc-type") != "response":
+            continue
+        http_end = payload.find(b"\r\n\r\n")
+        body = payload[http_end + 4 :] if http_end >= 0 else payload
+        ts = None
+        if "warc-date" in headers:
+            try:
+                ts = _dt.datetime.fromisoformat(
+                    headers["warc-date"].replace("Z", "+00:00")
+                ).replace(tzinfo=None)
+            except ValueError:
+                ts = None
+        rows.append(
+            {
+                "url": headers.get("warc-target-uri"),
+                "warc_ts": ts,
+                "html": body,
+                "text": None,
+                "lang": None,
+            }
+        )
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → the pages(url, warc_ts, html, text, lang) input table.
+
+    Spark-first shape: ``binaryFile`` scan (one task per file — Common Crawl
+    ships ~1 GB segment files, so file-level parallelism is the natural
+    split; WARC gzip members are not block-splittable) → one ``mapInPandas``
+    stage running the framing parser per file. ``.gz`` members decompress
+    transparently (Python gzip reads concatenated members). ``text`` is null
+    by design: the pipeline's html→text fallback derives it, keeping the
+    byte-identical-text invariant rooted in the archived bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                if p.endswith(".gz") or blob[:2] == b"\x1f\x8b":
+                    blob = gzip.decompress(blob)
+                out.extend(parse_warc_bytes(blob))
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(run, schema=_PAGES_SCHEMA)
