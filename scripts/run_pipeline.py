@@ -2,7 +2,8 @@
 
     spark-submit --master local[8] --py-files kgspark.zip \
         scripts/run_pipeline.py --pages-dir /data/pages --out /data/kg \
-        [--resume --buckets 64] [--dim-csv dim.csv] [--lang ja]
+        [--input-format parquet|warc] [--resume --buckets 64]
+        [--dim-csv dim.csv] [--lang ja]
 
 With ``--resume`` the job processes url-hash buckets through the metrics
 ledger (idempotent restart from the last committed bucket); without it, one
@@ -21,9 +22,21 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--pages-dir", required=True)
+    p.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "warc"],
+        help="parquet: a pages table; warc: raw Common Crawl segments "
+        "(text derived via the html fallback)",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--dim-csv", default=None)
-    p.add_argument("--lang", default="ja")
+    p.add_argument(
+        "--lang",
+        default="ja",
+        help="language filter; pass an empty string to disable (WARC input "
+        "has no lang column values until a lang-ID stage fills them)",
+    )
     p.add_argument("--threshold", type=float, default=70.0)
     p.add_argument("--scope", default="document", choices=["document", "sentence"])
     p.add_argument("--resume", action="store_true")
@@ -38,7 +51,12 @@ def main(argv=None):
     from bert_namedentityrecognition_spark.sources import fixtures
     from bert_namedentityrecognition_spark.sources.dims import dim_from_csv
 
-    pages = spark.read.parquet(args.pages_dir)
+    if args.input_format == "warc":
+        from bert_namedentityrecognition_spark.sources.readers import read_warc
+
+        pages = read_warc(spark, args.pages_dir)
+    else:
+        pages = spark.read.parquet(args.pages_dir)
     if args.dim_csv:
         dim = dim_from_csv(
             spark, args.dim_csv, surface_col="surface", canonical_col="canonical"
@@ -73,7 +91,7 @@ def main(argv=None):
             term_types,
             threshold=args.threshold,
             scope=args.scope,
-            lang_filter=args.lang,
+            lang_filter=args.lang or None,
             salt_buckets=args.salt_buckets,
         )
         write_outputs(out, args.out)
