@@ -36,6 +36,42 @@ def html_to_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: html_to_text(h) if h is not None else None)
 
 
+def prepare_pages(
+    pages: DataFrame,
+    text_col: str = "text",
+    html_col: str = "html",
+    lang_col: str = "lang",
+    overwrite_lang: bool = False,
+) -> DataFrame:
+    """One-off crawl prep: fill null ``text`` from html bytes and null
+    ``lang`` via the n-gram heuristic (JVM expression) — the step that turns
+    raw WARC ingest into a proper pages table, typically written back to
+    storage once so the KG pipeline reads cleaned input thereafter.
+
+    text: html→text fallback only where text is null/empty (html bytes
+    null-gated JVM-side, one Arrow stage). lang: filled where null (or
+    everywhere with ``overwrite_lang``); rows with neither text nor html
+    pass through unchanged (null text)."""
+    from ..functions.textstats import lang_guess
+
+    has_text = F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    if html_col in pages.columns:
+        pages = pages.withColumn(
+            text_col,
+            F.when(has_text, F.col(text_col)).otherwise(
+                html_to_text_udf(F.when(~has_text, F.col(html_col)))
+            ),
+        )
+    guessed = lang_guess(F.col(text_col))
+    if lang_col in pages.columns and not overwrite_lang:
+        lang_val = F.coalesce(F.col(lang_col), guessed)
+    else:
+        lang_val = guessed
+    return pages.withColumn(
+        lang_col, F.when(F.col(text_col).isNotNull(), lang_val)
+    )
+
+
 def pages_to_sentences(
     pages: DataFrame,
     max_length: int = 512,

@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--dim-csv", default=None)
     p.add_argument(
+        "--prepare",
+        action="store_true",
+        help="run the crawl-prep stage first: fill text from html and "
+        "lang via the n-gram heuristic (use with raw WARC input)",
+    )
+    p.add_argument(
         "--lang",
         default="ja",
         help="language filter; pass an empty string to disable (WARC input "
@@ -57,6 +63,12 @@ def main(argv=None):
         pages = read_warc(spark, args.pages_dir)
     else:
         pages = spark.read.parquet(args.pages_dir)
+    if args.prepare:
+        from bert_namedentityrecognition_spark.operators.sentences import (
+            prepare_pages,
+        )
+
+        pages = prepare_pages(pages)
     if args.dim_csv:
         dim = dim_from_csv(
             spark, args.dim_csv, surface_col="surface", canonical_col="canonical"

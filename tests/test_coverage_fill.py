@@ -421,3 +421,24 @@ def test_warc_reader_end_to_end(spark, tmp_path):
     # collapses to one document (dedup inside build_triples), so 2 distinct
     # urls → count 2, not 4 — re-crawled pages never double-count
     assert triples.get((d, s)) == 2
+
+
+def test_prepare_pages_fills_text_and_lang(spark):
+    from bert_namedentityrecognition_spark.operators.sentences import prepare_pages
+
+    html_ja = "<html><body>頭痛がする。</body></html>".encode()
+    html_en = b"<html><body>the cat is on the mat and it is not small</body></html>"
+    pages = spark.createDataFrame(
+        [
+            ("u1", None, html_ja, None, None),       # html-only ja → cjk
+            ("u2", None, html_en, None, None),       # html-only en → en
+            ("u3", None, None, "explicit text", "ja"),  # keeps given lang
+            ("u4", None, None, None, None),          # nothing → stays null
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r.url: (r.text, r.lang) for r in prepare_pages(pages).collect()}
+    assert got["u1"] == ("頭痛がする。", "cjk")
+    assert got["u2"][1] == "en" and "cat" in got["u2"][0]
+    assert got["u3"] == ("explicit text", "ja")
+    assert got["u4"] == (None, None)
