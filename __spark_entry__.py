@@ -655,6 +655,81 @@ FROM toks
 """
 
 
+def _doc_quality_filter(spark, sf):  # composite quality scoring → corpus filter
+    """Training-data corpus filtering: the composite quality heuristic
+    (length / punctuation / stopword / word-length terms) with the keep
+    decision made on the ROUNDED score so the float boundary is
+    engine-stable."""
+    from bert_namedentityrecognition_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    return d.select(
+        "doc_id",
+        q.alias("quality"),
+        (q >= 0.5).alias("keep"),
+    )
+
+
+_QUALITY_SQL = """
+WITH s AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    least(length(text) / 200.0, 1.0) AS length_ok,
+    1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0) AS punct_pen,
+    least((len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is')))
+           / CAST(greatest(len(t), 1) AS DOUBLE)) * 4.0, 1.0) AS stop_ok,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+      / CAST(greatest(len(t), 1) AS DOUBLE) AS wl
+  FROM s
+)
+SELECT doc_id,
+  round((length_ok + punct_pen + stop_ok +
+         CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6) AS quality,
+  round((length_ok + punct_pen + stop_ok +
+         CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6) >= 0.5 AS keep
+FROM parts
+"""
+
+
+def _doc_length_percentiles(spark, sf):  # exact discrete percentiles, rank-based
+    """Integer-exact percentiles of document length: value at sorted rank
+    ceil(p·n) — no interpolation, so Spark and DuckDB agree bit-for-bit.
+
+    The global-order window is a single-partition sort — fine at report
+    sizes; at 100 TB exact order statistics use the two-pass counting
+    approach (histogram of n_chars, cumulative sum to locate ranks) or
+    approx_percentile when tolerance allows."""
+    d = _t(spark, sf, "documents").select("n_chars")
+    n = d.count()
+    w = Window.orderBy("n_chars")
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    import math
+
+    targets = [(p, max(1, math.ceil(p * n))) for p in (0.25, 0.5, 0.9, 0.99)]
+    sel = ranked.filter(
+        F.col("rk").isin([r for _, r in targets])
+    )
+    rows = {r.rk: r.n_chars for r in sel.collect()}
+    out = [(float(p), int(rows[r])) for p, r in targets]
+    return spark.createDataFrame(out, "p double, n_chars long")
+
+
+_PCTL_SQL = """
+WITH ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rk,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT CAST(p.p AS DOUBLE) AS p, CAST(r.n_chars AS BIGINT) AS n_chars
+FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS p(p)
+JOIN ranked r ON r.rk = greatest(1, CAST(ceil(p.p * r.n) AS BIGINT))
+"""
+
+
 def _doc_fingerprint(spark, sf):  # exact-dup fingerprints (md5 + poly hash)
     from bert_namedentityrecognition_spark.functions.textstats import (
         md5_fingerprint,
@@ -1282,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_match_scores": _span_match_scores,
         # training-data pipeline family
         "text_stats": _text_stats,
+        "doc_quality_filter": _doc_quality_filter,
+        "doc_length_percentiles": _doc_length_percentiles,
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _minhash_sigs,
@@ -1322,6 +1399,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,
+        "doc_quality_filter": _QUALITY_SQL,
+        "doc_length_percentiles": _PCTL_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_signatures": _MINHASH_SQL,
