@@ -91,6 +91,7 @@ def resume_run(
     threshold: float = 70.0,
     fail_after_bucket: int | None = None,
     write_triples: bool = False,
+    lang_filter: str | None = "ja",
 ) -> DataFrame:
     """Bucket-at-a-time mention extraction with ledger-gated commits, then
     triples over all committed buckets. Rerunning after any crash yields
@@ -108,7 +109,7 @@ def resume_run(
             continue
         t0 = time.perf_counter()
         chunk = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        m = extract_mentions(chunk, term_types)
+        m = extract_mentions(chunk, term_types, lang_filter=lang_filter)
         out_path = os.path.join(mentions_dir, f"bucket={b}")
         m.write.mode("overwrite").parquet(out_path)  # atomic dir replace
         n_rows = spark.read.parquet(out_path).count()
@@ -141,7 +142,7 @@ def resume_run(
             0,
             {
                 "rows": int(agg["rows"]),
-                "total_count": int(agg["total"]),
+                "total_count": int(agg["total"] or 0),
                 "wall_sec": round(time.perf_counter() - t0, 3),
             },
         )

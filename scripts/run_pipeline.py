@@ -89,6 +89,7 @@ def main(argv=None):
             n_buckets=args.buckets,
             threshold=args.threshold,
             write_triples=True,
+            lang_filter=args.lang or None,
         )
         n = triples.count()
     else:
