@@ -4,13 +4,14 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
 DuckDB-executable twin for every SQL-expressible query (the rest get the
-weaker rows-only check — only four remain, each for a crisp reason:
-ann_ivf_topk (centroid seeding uses Spark xxhash64, absent in DuckDB),
-kg_e2e_triples (fixture corpus sentence-split needs Python-regex
-lookbehinds RE2 lacks), relaxed_metrics / span_match_scores (greedy
-sequential matching) — each pinned by pytest goldens instead. Everything
-else is value-verified, including the rapidfuzz-indel normalizer via a
-pure-SQL bitmask-LCS and LSH ANN via bit-identical inlined hyperplanes).
+weaker rows-only check — only two remain, each with a hard structural
+blocker: ann_ivf_topk (centroid seeding uses Spark xxhash64, absent in
+DuckDB) and kg_e2e_triples (fixture corpus sentence-split needs
+Python-regex lookbehinds RE2 lacks) — both pinned by pytest goldens.
+Everything else is value-verified, including the rapidfuzz-indel
+normalizer via a pure-SQL bitmask-LCS, LSH ANN via bit-identical inlined
+hyperplanes, the relaxed greedy metric via a per-group recursive-CTE
+replay, and the span-match taxonomy via pure joins).
 
 Numeric-compare policy: money sums go through decimal(18,4) (exact) before a
 final double cast + round, counts are BIGINT both sides, ratios are
@@ -1324,7 +1325,168 @@ def _relaxed_metrics(spark, sf):
 
     gold = _doc_mentions(spark, sf)
     pred = tag_sentences(_doc_sentences(spark, sf), PRED_TERM_TYPES, normalize=False)
-    return relaxed_span_metrics(gold, pred)
+    m = relaxed_span_metrics(gold, pred)
+    return m.select(
+        "type",
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+_RELAXED_SQL = f"""
+WITH RECURSIVE
+gold_occ AS (
+  SELECT d.doc_id, t.kind AS type, g.p - 1 AS s, g.p - 1 + length(t.term) AS e
+  FROM documents d CROSS JOIN {_TERMS_SQL},
+       unnest(range(1, greatest(length(d.text) - length(t.term) + 2, 1))) AS g(p)
+  WHERE substring(d.text, CAST(g.p AS INT), length(t.term)) = t.term
+),
+pred_occ AS (
+  SELECT d.doc_id, t.kind AS type, g.p - 1 AS s, g.p - 1 + length(t.term) AS e
+  FROM documents d CROSS JOIN {_PRED_TERMS_SQL},
+       unnest(range(1, greatest(length(d.text) - length(t.term) + 2, 1))) AS g(p)
+  WHERE substring(d.text, CAST(g.p AS INT), length(t.term)) = t.term
+),
+gg AS (SELECT doc_id, type, s, e,
+         row_number() OVER (PARTITION BY doc_id, type ORDER BY s, e) AS ti
+       FROM gold_occ),
+pp AS (SELECT doc_id, type, s, e,
+         row_number() OVER (PARTITION BY doc_id, type ORDER BY s, e) AS pi
+       FROM pred_occ),
+cells AS (
+  SELECT gg.doc_id, gg.type, gg.ti, pp.pi,
+    CAST(greatest(0, least(gg.e, pp.e) - greatest(gg.s, pp.s)) AS DOUBLE)
+      / ((gg.e - gg.s) + (pp.e - pp.s)
+         - greatest(0, least(gg.e, pp.e) - greatest(gg.s, pp.s))) AS score
+  FROM gg JOIN pp ON pp.doc_id = gg.doc_id AND pp.type = gg.type
+  WHERE greatest(0, least(gg.e, pp.e) - greatest(gg.s, pp.s)) > 0
+),
+greedy AS (
+  SELECT 'cand' AS kind, doc_id, type, ti, pi, score FROM cells
+  UNION ALL
+  SELECT * FROM (
+    WITH prev AS (SELECT * FROM greedy),
+    best AS (
+      SELECT doc_id, type, ti, pi, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, type
+                                     ORDER BY score DESC, ti ASC, pi ASC) AS rn
+        FROM prev WHERE kind = 'cand') WHERE rn = 1
+    ),
+    nxt AS (
+      SELECT 'match' AS kind, doc_id, type, ti, pi, score FROM best
+      UNION ALL
+      SELECT 'match', doc_id, type, ti, pi, score FROM prev WHERE kind = 'match'
+      UNION ALL
+      SELECT 'cand', c.doc_id, c.type, c.ti, c.pi, c.score
+      FROM prev c
+      WHERE c.kind = 'cand' AND NOT EXISTS (
+        SELECT 1 FROM best b
+        WHERE b.doc_id = c.doc_id AND b.type = c.type
+          AND (b.ti = c.ti OR b.pi = c.pi))
+    )
+    SELECT kind, doc_id, type, ti, pi, score FROM nxt
+    WHERE EXISTS (SELECT 1 FROM prev WHERE kind = 'cand')
+  )
+),
+matches AS (SELECT DISTINCT doc_id, type, ti, pi FROM greedy WHERE kind = 'match'),
+tp_t AS (SELECT type, CAST(count(*) AS BIGINT) AS tp FROM matches GROUP BY type),
+tot_g AS (SELECT type, CAST(count(*) AS BIGINT) AS ng FROM gold_occ GROUP BY type),
+tot_p AS (SELECT type, CAST(count(*) AS BIGINT) AS np FROM pred_occ GROUP BY type),
+base AS (
+  SELECT coalesce(a.type, b.type) AS type,
+         coalesce(a.ng, 0) AS ng, coalesce(b.np, 0) AS np
+  FROM tot_g a FULL OUTER JOIN tot_p b ON a.type = b.type
+)
+SELECT b.type,
+  coalesce(t.tp, 0) AS tp,
+  b.np - coalesce(t.tp, 0) AS fp,
+  b.ng - coalesce(t.tp, 0) AS fn,
+  round(CASE WHEN b.np > 0 THEN coalesce(t.tp, 0) / CAST(b.np AS DOUBLE) END, 6) AS precision,
+  round(CASE WHEN b.ng > 0 THEN coalesce(t.tp, 0) / CAST(b.ng AS DOUBLE) END, 6) AS recall,
+  round(CASE WHEN coalesce(t.tp, 0) + 0.5 * ((b.np - coalesce(t.tp, 0)) + (b.ng - coalesce(t.tp, 0))) > 0
+        THEN coalesce(t.tp, 0)
+             / (coalesce(t.tp, 0) + 0.5 * ((b.np - coalesce(t.tp, 0)) + (b.ng - coalesce(t.tp, 0)))) END, 6) AS f1
+FROM base b LEFT JOIN tp_t t ON t.type = b.type
+"""
+
+
+_SPANMATCH_SQL = f"""
+WITH occ_g AS (
+  SELECT d.doc_id, t.kind AS type, g.p - 1 AS s, g.p - 1 + length(t.term) AS e
+  FROM documents d CROSS JOIN {_TERMS_SQL},
+       unnest(range(1, greatest(length(d.text) - length(t.term) + 2, 1))) AS g(p)
+  WHERE substring(d.text, CAST(g.p AS INT), length(t.term)) = t.term
+),
+occ_p AS (
+  SELECT d.doc_id, t.kind AS type, g.p - 1 AS s, g.p - 1 + length(t.term) AS e
+  FROM documents d CROSS JOIN {_PRED_TERMS_SQL},
+       unnest(range(1, greatest(length(d.text) - length(t.term) + 2, 1))) AS g(p)
+  WHERE substring(d.text, CAST(g.p AS INT), length(t.term)) = t.term
+),
+gi AS (SELECT doc_id, type, s, e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS g_rank
+       FROM occ_g),
+pri AS (SELECT doc_id, type, s, e,
+          row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS pi0
+        FROM occ_p),
+choice AS (
+  SELECT g.doc_id, g.s AS gs, g.e AS ge, g.g_rank, p.s AS ps, p.e AS pe, p.pi0
+  FROM gi g LEFT JOIN pri p
+    ON p.doc_id = g.doc_id AND p.type = g.type AND p.e > g.s
+  QUALIFY row_number() OVER (PARTITION BY g.doc_id, g.g_rank
+                             ORDER BY p.pi0 ASC NULLS LAST) = 1
+),
+classified AS (
+  SELECT c.doc_id, c.gs, c.ge, c.ps, c.pe,
+    CASE
+      WHEN c.ps IS NULL OR c.ps >= c.ge THEN 'missing'
+      WHEN c.ps = c.gs AND c.pe = c.ge THEN 'exact'
+      WHEN c.ps <= c.gs AND c.pe >= c.ge THEN
+        CASE WHEN gn.s IS NOT NULL AND NOT (c.pe < gn.s)
+             THEN 'exceeding_overlap' ELSE 'exceeding' END
+      WHEN c.ps >= c.gs AND c.pe <= c.ge THEN 'partial'
+      ELSE CASE WHEN gn.s IS NOT NULL AND NOT (c.pe < gn.s)
+                THEN 'partial_overlap' ELSE 'partial_plain' END
+    END AS cls
+  FROM choice c LEFT JOIN gi gn
+    ON gn.doc_id = c.doc_id AND gn.g_rank = c.pi0 + 2
+),
+perdoc_g AS (
+  SELECT doc_id,
+    sum(CASE cls WHEN 'exact' THEN 1.0 WHEN 'exceeding' THEN 0.5
+        WHEN 'partial' THEN 0.5 WHEN 'partial_plain' THEN 0.5
+        ELSE 0.0 END) AS total,
+    count(*) AS n_gold,
+    sum(CASE WHEN cls = 'exact' THEN 1 ELSE 0 END) AS exact,
+    sum(CASE WHEN cls = 'missing' THEN 1 ELSE 0 END) AS missing
+  FROM classified GROUP BY doc_id
+),
+matched AS (SELECT DISTINCT doc_id, ps, pe FROM classified WHERE cls <> 'missing'),
+m_cnt AS (SELECT doc_id, count(*) AS n_matched FROM matched GROUP BY doc_id),
+perdoc_p AS (SELECT doc_id, count(*) AS n_pred FROM occ_p GROUP BY doc_id),
+docs AS (SELECT DISTINCT doc_id FROM
+         (SELECT doc_id FROM occ_g UNION ALL SELECT doc_id FROM occ_p)),
+per_sent AS (
+  SELECT d.doc_id,
+    CASE WHEN coalesce(g.n_gold, 0) > 0 THEN g.total / g.n_gold ELSE 0.0 END AS score,
+    coalesce(g.exact, 0) AS exact,
+    coalesce(g.missing, 0) AS missing,
+    coalesce(p.n_pred, 0) - coalesce(m.n_matched, 0) AS incorrect
+  FROM docs d
+  LEFT JOIN perdoc_g g USING (doc_id)
+  LEFT JOIN perdoc_p p USING (doc_id)
+  LEFT JOIN m_cnt m USING (doc_id)
+)
+SELECT round(avg(score), 6) AS avg_score,
+  CAST(sum(exact) AS BIGINT) AS exact,
+  CAST(sum(missing) AS BIGINT) AS missing,
+  CAST(sum(incorrect) AS BIGINT) AS incorrect
+FROM per_sent
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1401,6 +1563,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "doc_quality_filter": _QUALITY_SQL,
         "doc_length_percentiles": _PCTL_SQL,
+        "relaxed_metrics": _RELAXED_SQL,
+        "span_match_scores": _SPANMATCH_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_signatures": _MINHASH_SQL,

@@ -155,6 +155,10 @@ def relaxed_span_metrics(gold: DataFrame, pred: DataFrame) -> DataFrame:
         # identical algorithm to oracle.relaxed but on span rows directly
         import numpy as np
 
+        # deterministic entity order: ties in the greedy matching resolve
+        # by (ti, pi), so the index order must not depend on shuffle order
+        gold_pdf = gold_pdf.sort_values(["type", "start", "end"], kind="mergesort")
+        pred_pdf = pred_pdf.sort_values(["type", "start", "end"], kind="mergesort")
         types = set(gold_pdf["type"]) | set(pred_pdf["type"])
         rows = []
         for ent_type in types:
