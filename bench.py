@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "q3_shipping_priority",
     "q5_nation_revenue",
     "events_hourly",
@@ -35,6 +36,8 @@ HEADLINE = [
     "kg_mentions",
     "kg_triples_codoc",
     "kg_normalize_lev",
+    "kg_e2e_triples_lev",
+    "doc_quality_filter",
     "text_stats",
     "doc_fingerprint",
     "dedup_exact",
