@@ -706,6 +706,10 @@ def _doc_length_percentiles(spark, sf):  # exact discrete percentiles, rank-base
     approx_percentile when tolerance allows."""
     d = _t(spark, sf, "documents").select("n_chars")
     n = d.count()
+    if n == 0:
+        # degenerate input: zero rows → zero percentile rows, matching the
+        # DuckDB twin (its rank join finds nothing) instead of a KeyError
+        return spark.createDataFrame([], "p double, n_chars long")
     w = Window.orderBy("n_chars")
     ranked = d.withColumn("rk", F.row_number().over(w))
     import math
@@ -1220,7 +1224,7 @@ def _lsh_ann(spark, sf):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_cosine_topk(emb, queries, k=5, m_bits=4).select(
+    return lsh_cosine_topk(emb, queries, k=5, m_bits=4, dim=64).select(
         "query_id", "rank", "vec_id"
     )
 

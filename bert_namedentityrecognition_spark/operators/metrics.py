@@ -25,19 +25,23 @@ SPAN_KEY = ["url", "sent_id", "start", "end", "type"]
 
 
 def strict_span_prf(gold: DataFrame, pred: DataFrame) -> DataFrame:
-    """One-row DataFrame: tp, fp, fn, precision, recall, f1."""
-    g = gold.select(*SPAN_KEY).distinct()
-    p = pred.select(*SPAN_KEY).distinct()
-    tp = g.join(p, SPAN_KEY, "inner").count()
-    fn = g.join(p, SPAN_KEY, "left_anti").count()
-    fp = p.join(g, SPAN_KEY, "left_anti").count()
-    precision = tp / (tp + fp) if tp + fp else 0.0
-    recall = tp / (tp + fn) if tp + fn else 0.0
-    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    spark = gold.sparkSession
-    return spark.createDataFrame(
-        [(tp, fp, fn, precision, recall, f1)],
-        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    """One-row DataFrame: tp, fp, fn, precision, recall, f1.
+
+    Plan-only (single job): expressed on top of the same full-outer join as
+    :func:`strict_span_counts` — the old 3-``count()`` form ran three driver
+    actions over the same joins and is gone."""
+    counts = _strict_counts_plan(gold, pred)
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return counts.select(
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
     )
 
 
@@ -114,18 +118,26 @@ def fold_metric_stats(metrics: DataFrame, by: list[str] | None = None) -> DataFr
     return metrics.groupBy(*(by or [])).agg(*aggs) if by else metrics.agg(*aggs)
 
 
-def strict_span_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
-    """Plan-only variant of ``strict_span_prf`` (no driver .count() actions):
-    full-outer join → one aggregation row. Composable into larger plans and
-    usable as a driver-checkable query."""
+def _strict_counts_plan(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Shared tp/fp/fn aggregation: full-outer span join → one agg row."""
     g = gold.select(*SPAN_KEY).distinct().withColumn("_g", F.lit(1))
     p = pred.select(*SPAN_KEY).distinct().withColumn("_p", F.lit(1))
     joined = g.join(p, SPAN_KEY, "full_outer")
-    agg = joined.agg(
-        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    return joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)), F.lit(0)).alias("fn"),
     )
+
+
+def strict_span_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Plan-only strict P/R (no driver .count() actions): full-outer join →
+    one aggregation row. Composable into larger plans and usable as a
+    driver-checkable query (rounded for oracle parity)."""
+    agg = _strict_counts_plan(gold, pred)
     return agg.select(
         "tp",
         "fp",

@@ -248,12 +248,25 @@ def search_candidates_topk(
     dim: DataFrame,
     k: int = 3,
     surface_col: str = "surface",
+    scorer: str = "levenshtein",
 ) -> DataFrame:
     """Top-k candidate retrieval per surface — the reference's ``searchTerm``
     (``knowledge_bases/manbyo.py:44-49``: score every dictionary row, sort
     desc, slice ``[:num_candidates]``) as a broadcast cross-score + ranked
-    window. All-JVM (builtin ``levenshtein``), so the driver's DuckDB oracle
-    verifies exact (word, rank, surface, canonical, score) rows.
+    window.
+
+    ``scorer`` picks the ranking function:
+
+    - ``"levenshtein"`` (default) — normalized Levenshtein, all-JVM
+      (builtin ``levenshtein``), so the driver's DuckDB oracle verifies
+      exact (word, rank, surface, canonical, score) rows. **Deliberate
+      substitution** vs the reference, which scores ``searchTerm`` with
+      ``fuzz.token_set_ratio`` — candidate sets/ranks can differ for
+      multi-token or reordered surfaces.
+    - ``"token_set_ratio"`` — reference-parity scorer via the pure-Python
+      oracle kernel (``oracle/fuzzy.py:token_set_ratio``) in a vectorized
+      pandas UDF over the broadcast-joined pairs. For single-token
+      (whitespace-free, e.g. Japanese) surfaces it equals ``fuzz.ratio``.
 
     surfaces(word) × dim(surface, canonical) →
     (word, rank 1..k, surface, canonical, score). Deterministic order:
@@ -261,9 +274,25 @@ def search_candidates_topk(
     d = dim.select(
         F.col(surface_col).alias("surface"), F.col("canonical").alias("canonical")
     )
-    scored = surfaces.join(F.broadcast(d)).withColumn(
-        "score",
-        F.round(
+    if scorer == "token_set_ratio":
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _tsr(word: pd.Series, surface: pd.Series) -> pd.Series:
+            from ..oracle.fuzzy import token_set_ratio
+
+            return pd.Series(
+                [
+                    round(token_set_ratio(w, s), 6)
+                    for w, s in zip(word, surface)
+                ],
+                dtype="float64",
+            )
+
+        score_col = _tsr(F.col("word"), F.col("surface"))
+    elif scorer == "levenshtein":
+        score_col = F.round(
             100.0
             * (
                 1.0
@@ -271,8 +300,10 @@ def search_candidates_topk(
                 / F.greatest(F.length("word"), F.length("surface")).cast("double")
             ),
             6,
-        ),
-    )
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+    scored = surfaces.join(F.broadcast(d)).withColumn("score", score_col)
     w = Window.partitionBy("word").orderBy(F.col("score").desc(), F.col("surface").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

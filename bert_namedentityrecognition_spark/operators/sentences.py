@@ -67,8 +67,15 @@ def prepare_pages(
         lang_val = F.coalesce(F.col(lang_col), guessed)
     else:
         lang_val = guessed
+    # rows the text fill could not populate keep their pre-existing lang
+    # (pass-through, per docstring) instead of being silently nulled
+    keep = (
+        F.col(lang_col)
+        if lang_col in pages.columns
+        else F.lit(None).cast("string")
+    )
     return pages.withColumn(
-        lang_col, F.when(F.col(text_col).isNotNull(), lang_val)
+        lang_col, F.when(F.col(text_col).isNotNull(), lang_val).otherwise(keep)
     )
 
 

@@ -71,6 +71,18 @@ def cosine_topk(
     )
 
 
+def _require_dim(dim: int | None, vec_col: str) -> int:
+    """ArrayType carries no static length, so the vector dimension cannot be
+    read from the schema; probing it with ``.first()`` would run a driver
+    action inside plan construction. Callers must pass it explicitly."""
+    if dim is None:
+        raise ValueError(
+            f"pass dim= explicitly: the {vec_col!r} ArrayType schema has no "
+            "static length and plan construction must not trigger a job"
+        )
+    return dim
+
+
 def _hyperplanes(dim: int, m: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(m, dim).tolist()
@@ -100,8 +112,7 @@ def lsh_cosine_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's m-bit LSH bucket."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    dim = _require_dim(dim, vec_col)
     planes = _hyperplanes(dim, m_bits, seed)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -281,8 +292,7 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: only pairs in
     the same bucket are scored; cosine ≥ threshold kept."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    dim = _require_dim(dim, vec_col)
     planes = _hyperplanes(dim, m_bits, seed)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),

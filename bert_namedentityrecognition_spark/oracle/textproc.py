@@ -120,6 +120,27 @@ def html_to_text(html: bytes | str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+# Charset verbatim from the reference (``scripts/utils/excelToTxt.py:9-11``),
+# including the ``A-z`` quirk (covers ``[\]^_`` ` between Z and a).
+NORMALIZE_PREFIX_REGEX = r"[一-龯ぁ-ゔゞァ-・ヽヾ゛゜ーA-z -]*"
+_NORMALIZE_PREFIX_RE = re.compile(NORMALIZE_PREFIX_REGEX)
+
+NEWLINE_AFTER_PERIOD_REGEX = r"。(?=[^\n])"
+_NEWLINE_AFTER_PERIOD_RE = re.compile(NEWLINE_AFTER_PERIOD_REGEX)
+
+
+def newline_after_period(text: str) -> str:
+    """Insert ``\\n`` after each ``。`` not already followed by one
+    (``scripts/predict/predict_for_xls_folder.py:61``)."""
+    return _NEWLINE_AFTER_PERIOD_RE.sub("。\n", text)
+
+
+def normalize_text_prefix(text: str) -> str:
+    """``normalizeText`` (``scripts/utils/excelToTxt.py:9-11``): the leading
+    run of JP/ASCII charset characters (may be empty)."""
+    return _NORMALIZE_PREFIX_RE.search(text).group()
+
+
 def exclude_long_sentences(max_length: int, sentences: list[str], tags: list) -> tuple[list, list]:
     """Drop (not truncate) sentences longer than ``max_length`` chars
     (``util/text_utils.py:50-61``)."""

@@ -92,6 +92,76 @@ def two_hop_dim(llt: DataFrame, pt: DataFrame) -> DataFrame:
     )
 
 
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'AB3' → 27 (column letters of an xlsx cell reference)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def read_xlsx_rows(path: str, sheet_index: int = 0) -> list[dict]:
+    """Minimal self-contained .xlsx scan (stdlib zipfile + ElementTree) —
+    xlsx is a zip of XML, so no Excel engine is needed. Reads one sheet:
+    first row = header, remaining rows → dicts (missing cells → None).
+
+    Handles shared strings (``t="s"``), inline strings (``t="inlineStr"``),
+    and raw values. Driver-side by design: OICI-style dictionaries are
+    dimension tables (``knowledge_bases/OICI_database.py:8-20``), small
+    enough to parse once and broadcast."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                )))
+        sheets = sorted(
+            n for n in zf.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )
+        if sheet_index >= len(sheets):
+            raise ValueError(f"{path}: no sheet index {sheet_index}")
+        root = ET.fromstring(zf.read(sheets[sheet_index]))
+        grid: list[dict[int, str]] = []
+        for row in root.iter(
+            "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"
+        ):
+            cells: dict[int, str] = {}
+            for c in row.findall("m:c", ns):
+                ref = c.get("r", "")
+                ci = _xlsx_col_index(ref) if ref else len(cells)
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find("m:is", ns)
+                    val = "".join(t.text or "" for t in is_el.iter(
+                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                    )) if is_el is not None else None
+                else:
+                    v = c.find("m:v", ns)
+                    val = v.text if v is not None else None
+                    if val is not None and ctype == "s":
+                        val = shared[int(val)]
+                if val is not None:
+                    cells[ci] = val
+            grid.append(cells)
+    if not grid:
+        return []
+    header = grid[0]
+    cols = {ci: name for ci, name in header.items()}
+    return [
+        {name: r.get(ci) for ci, name in cols.items()}
+        for r in grid[1:]
+    ]
+
+
 def dim_from_excel(
     spark: SparkSession,
     path: str,
@@ -99,26 +169,31 @@ def dim_from_excel(
     human_check_col: str = "human_check",
     kind: str = "symptom",
 ) -> DataFrame:
-    """OICI-style Excel scan; requires a pandas Excel engine (openpyxl),
-    absent in this container → clear ImportError at call time."""
+    """OICI-style Excel scan (``knowledge_bases/OICI_database.py:8-20``).
+
+    Uses a pandas Excel engine when one is installed; otherwise falls back
+    to the stdlib zip+XML reader (:func:`read_xlsx_rows`), so the path is
+    executable with no extra dependency."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
-    except ImportError as e:
-        raise ImportError(
-            "no Excel engine installed; export the sheet to CSV and use "
-            "dim_from_csv, or install openpyxl in production"
-        ) from e
+        records = pdf.to_dict("records")
+        records = [
+            {k: (None if v != v else v) for k, v in r.items()} for r in records
+        ]  # NaN → None (the reference's NaN-skip idiom)
+    except ImportError:
+        records = read_xlsx_rows(path)
     rows = [
         {
             "entity_id": f"OICI{i}",
             "surface": str(r[surface_col]),
-            "canonical": None if pd.isna(r[human_check_col]) else str(r[human_check_col]),
+            "canonical": None if r.get(human_check_col) is None else str(r[human_check_col]),
             "code": None,
             "kind": kind,
-            "human_check": None if pd.isna(r[human_check_col]) else str(r[human_check_col]),
+            "human_check": None if r.get(human_check_col) is None else str(r[human_check_col]),
         }
-        for i, r in pdf.iterrows()
+        for i, r in enumerate(records)
+        if r.get(surface_col) is not None
     ]
     return spark.createDataFrame(rows, DIM_SCHEMA)

@@ -244,9 +244,14 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
         try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            length = 0
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            # malformed framing: a CRLFCRLF scan could land inside an HTTP
+            # payload and emit garbage records — resync at the next WARC
+            # record magic instead, dropping this record cleanly
+            nxt = blob.find(b"\r\n\r\nWARC/", head_end)
+            i = n if nxt < 0 else nxt + 4
+            continue
         payload = blob[head_end + 4 : head_end + 4 + length]
         i = head_end + 4 + length
         # consume the record separator (CRLFCRLF), tolerant of variants

@@ -176,7 +176,7 @@ def test_lsh_topk_structure(spark, embeddings):
     queries = embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    got = lsh_cosine_topk(vecs, queries, k=3, m_bits=4).collect()
+    got = lsh_cosine_topk(vecs, queries, k=3, m_bits=4, dim=64).collect()
     assert got
     by_q = {}
     for r in got:
