@@ -4,14 +4,14 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
 DuckDB-executable twin for every SQL-expressible query (the rest get the
-weaker rows-only check — only two remain, each with a hard structural
-blocker: ann_ivf_topk (centroid seeding uses Spark xxhash64, absent in
-DuckDB) and kg_e2e_triples (fixture corpus sentence-split needs
-Python-regex lookbehinds RE2 lacks) — both pinned by pytest goldens.
-Everything else is value-verified, including the rapidfuzz-indel
+weaker rows-only check — only kg_e2e_triples remains: the fixture corpus
+sentence-split needs Python-regex lookbehinds RE2 lacks; pinned by pytest
+goldens. Everything else is value-verified, including the rapidfuzz-indel
 normalizer via a pure-SQL bitmask-LCS, LSH ANN via bit-identical inlined
-hyperplanes, the relaxed greedy metric via a per-group recursive-CTE
-replay, and the span-match taxonomy via pure joins).
+hyperplanes, IVF ANN via a full SQL replay of the driver-side k-means
+training (portable-hash sample, sequential double folds), the relaxed
+greedy metric via a per-group recursive-CTE replay, and the span-match
+taxonomy via pure joins).
 
 Numeric-compare policy: money sums go through decimal(18,4) (exact) before a
 final double cast + round, counts are BIGINT both sides, ratios are
@@ -1229,6 +1229,118 @@ def _lsh_ann(spark, sf):
     )
 
 
+def _ivf_ann_sql(
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    seed: int = 42,
+    train_mod: int = 2,
+    lloyd_iterations: int = 2,
+) -> str:
+    """IVF ANN replayed exactly in SQL: the driver-side k-means training
+    (portable-hash sample → (hash, vec_id)-ordered seeding → Lloyd rounds
+    with vec_id-ordered sequential-mean folds) is unrolled as CTEs using the
+    SAME arithmetic as the Python/Spark side — every dot/norm/mean is a
+    sequential left fold in DOUBLE, so centroids, list assignments, and
+    probe sets are bit-identical. Final in-list ranking reuses the proven
+    ``list_cosine_similarity`` ordering (only ids/ranks are projected)."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        ivf_train_hash_params,
+    )
+
+    a, b, mod = ivf_train_hash_params(seed)
+    rng = f"range(1, {dim + 1})"
+    fold = "(a, b) -> a + b"
+
+    def dot(e, c):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({rng}, j -> CAST({e}[j] AS DOUBLE) * {c}[j])), {fold})"
+        )
+
+    def vnorm(e):
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({rng}, j -> CAST({e}[j] AS DOUBLE) * CAST({e}[j] AS DOUBLE))), {fold}))"
+        )
+
+    def cnorm(c):
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({rng}, j -> {c}[j] * {c}[j])), {fold}))"
+        )
+
+    def score(e, c):
+        return f"({dot(e, c)} / ({vnorm(e)} * {cnorm(c)}))"
+
+    h = f"(vec_id * {a} + {b}) % {mod}"
+    ctes = [
+        f"sample AS (SELECT vec_id, embedding FROM embeddings WHERE ({h}) % {train_mod} = 0)",
+        f"""seedord AS (
+  SELECT vec_id, embedding, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+  FROM sample
+)""",
+        f"""cents0 AS (
+  SELECT CAST(rn - 1 AS INT) AS list_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM seedord WHERE rn <= {n_centroids}
+)""",
+    ]
+    prev = "cents0"
+    for it in range(1, lloyd_iterations + 1):
+        ctes.append(f"""assign{it} AS (
+  SELECT s.vec_id, s.embedding, c.list_id,
+    row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY {score('s.embedding', 'c.c')} DESC, c.list_id ASC) AS rn
+  FROM sample s CROSS JOIN {prev} c
+)""")
+        ctes.append(f"""means{it} AS (
+  SELECT list_id,
+         list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vs
+  FROM assign{it} WHERE rn = 1 GROUP BY list_id
+)""")
+        ctes.append(f"""cents{it} AS (
+  SELECT p.list_id,
+    CASE WHEN m.list_id IS NULL THEN p.c
+         ELSE list_transform({rng}, j ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_transform(m.vs, v -> v[j])), {fold})
+           / len(m.vs))
+    END AS c
+  FROM {prev} p LEFT JOIN means{it} m USING (list_id)
+)""")
+        prev = f"cents{it}"
+    ctes.append(f"""vassign AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {score('e.embedding', 'c.c')} DESC, c.list_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {prev} c
+)""")
+    ctes.append("v AS (SELECT vec_id, embedding, list_id FROM vassign WHERE rn = 1)")
+    # probe-set tie order (score DESC, list_id DESC) mirrors the Spark side's
+    # reverse(array_sort(struct(score, idx))) exactly
+    ctes.append(f"""qs AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec, c.list_id,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {score('e.embedding', 'c.c')} DESC, c.list_id DESC) AS prn
+  FROM embeddings e CROSS JOIN {prev} c WHERE e.vec_id < 3
+)""")
+    ctes.append(f"probes AS (SELECT query_id, qvec, list_id FROM qs WHERE prn <= {n_probe})")
+    ctes.append("""scored AS (
+  SELECT p.query_id, v.vec_id,
+    row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.qvec, v.embedding) DESC,
+                                v.vec_id ASC) AS rank
+  FROM v JOIN probes p ON v.list_id = p.list_id AND v.vec_id <> p.query_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= {k}"
+    )
+
+
 def _lsh_ann_sql() -> str:
     """LSH-bucketed ANN replayed exactly: the 4 seeded hyperplanes are
     inlined as literals and each sign bit's dot product uses the SAME
@@ -1562,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
+        "ann_ivf_topk": _ivf_ann_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,

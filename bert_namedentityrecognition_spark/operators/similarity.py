@@ -137,19 +137,131 @@ def lsh_cosine_topk(
     )
 
 
-def _seeded_centroids(vectors: DataFrame, n_centroids: int, vec_col: str, seed: int):
-    """Deterministic centroid init: the k vectors with the smallest
-    xxhash64(id) — a seeded uniform sample that is stable across cluster
-    sizes (no Date/random at plan time)."""
-    import numpy as np
+def _dot64(a, b):
+    """Sequential left-fold dot product with every element promoted to
+    DOUBLE first — the arithmetic a SQL oracle can replay bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
 
+
+def _norm64(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v * v,
+        )
+    )
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _seq_norm(a: list[float]) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+_IVF_MOD = 1_000_000_007
+
+
+def ivf_train_hash_params(seed: int) -> tuple[int, int, int]:
+    """(a, b, mod) of the portable seeded hash ``(a*vec_id + b) % mod`` —
+    the same universal family the dedup oracles replay in DuckDB
+    (``functions/textstats.py:poly_hash_seeded``)."""
+    return 2 * seed + 3, 7 * seed + 10, _IVF_MOD
+
+
+def ivf_train(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    seed: int = 42,
+    train_mod: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Driver-side IVF training (k-means) over a portable-hash sample.
+
+    Standard IVF practice at scale: train on a bounded sample (~n/train_mod
+    rows — size train_mod so the sample is a few hundred per centroid), then
+    assign ALL vectors JVM-side against literal centroids. The sample filter
+    ``((a·vec_id + b) % p) % train_mod == 0`` is integer arithmetic, so the
+    exact same training replays in the driver's DuckDB oracle; every float
+    op here is a sequential double fold (plain Python loops, NOT numpy's
+    pairwise sums) for the same reason.
+
+    Deterministic: seeding = first ``n_centroids`` sample vectors ordered by
+    (hash, vec_id); Lloyd assignment = first-argmax cosine; means accumulate
+    in vec_id order; empty lists keep their previous centroid.
+    """
+    a, b, mod = ivf_train_hash_params(seed)
     rows = (
-        vectors.select(vec_col)
-        .orderBy(F.xxhash64(F.concat_ws(",", F.lit(seed), F.col(vec_col).cast("string"))))
-        .limit(n_centroids)
+        vectors.filter(
+            ((F.col(id_col).cast("long") * a + b) % mod) % train_mod == 0
+        )
+        .select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec"))
         .collect()
     )
-    return [list(map(float, r[0])) for r in rows]
+    sample = sorted((int(r.vid), [float(x) for x in r.vec]) for r in rows)
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"training sample ({len(sample)}) smaller than n_centroids "
+            f"({n_centroids}); lower train_mod"
+        )
+    order = sorted(sample, key=lambda t: ((t[0] * a + b) % mod, t[0]))
+    cents = [list(v) for _, v in order[:n_centroids]]
+    dim = len(cents[0])
+    for _ in range(lloyd_iterations):
+        sums = [[0.0] * dim for _ in cents]
+        counts = [0] * len(cents)
+        for _vid, v in sample:  # vec_id ascending → replayable fold order
+            nv = _seq_norm(v)
+            best, best_s = 0, float("-inf")
+            for i, c in enumerate(cents):
+                denom = nv * _seq_norm(c)
+                s = _seq_dot(v, c) / denom if denom else -1.0
+                if s > best_s:
+                    best_s, best = s, i
+            acc = sums[best]
+            for j in range(dim):
+                acc[j] += v[j]
+            counts[best] += 1
+        cents = [
+            [sums[i][j] / counts[i] for j in range(dim)] if counts[i] else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
+def _centroid_scores(vec_col_name: str, cents: list[list[float]]):
+    """Array of cosine scores vs literal centroids, all-double arithmetic
+    (norm of each centroid precomputed driver-side with the same sequential
+    fold the SQL oracle uses)."""
+    return F.array(
+        *[
+            (
+                _dot64(F.col(vec_col_name), F.array(*[F.lit(float(x)) for x in c]))
+                / (_norm64(F.col(vec_col_name)) * F.lit(_seq_norm(c)))
+            ).alias(f"s{i}")
+            for i, c in enumerate(cents)
+        ]
+    )
 
 
 def ivf_build(
@@ -157,67 +269,31 @@ def ivf_build(
     n_centroids: int = 16,
     lloyd_iterations: int = 2,
     seed: int = 42,
+    train_mod: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF index: k seeded centroids refined by a few Lloyd iterations (all
-    DataFrame ops: broadcast centroids → argmin assign → groupBy mean), then
-    every vector assigned to its nearest centroid's inverted list.
+    """IVF index: driver-trained centroids (see :func:`ivf_train`), then
+    every vector assigned JVM-side to its nearest centroid's inverted list
+    (argmax = first index of the max score, ties to the smallest list).
 
     Returns (assigned_vectors_with_list_id, centroids). At scale the
     assigned table is written bucketed by ``list_id`` so probes read only
-    their lists' buckets.
+    their lists' buckets; training cost is one bounded sample collect.
     """
-    import numpy as np
-
-    cents = _seeded_centroids(vectors, n_centroids, vec_col, seed)
-
-    for _ in range(lloyd_iterations):
-        # argmax cosine over broadcast centroid literals, JVM-side
-        scored = vectors.select(
-            id_col,
-            vec_col,
-            F.array(
-                *[
-                    (
-                        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                        / (_norm(F.col(vec_col)) * float(np.linalg.norm(c)))
-                    ).alias(f"s{i}")
-                    for i, c in enumerate(cents)
-                ]
-            ).alias("scores"),
+    if cents is None:
+        cents = ivf_train(
+            vectors,
+            n_centroids=n_centroids,
+            lloyd_iterations=lloyd_iterations,
+            seed=seed,
+            train_mod=train_mod,
+            id_col=id_col,
+            vec_col=vec_col,
         )
-        assigned = scored.withColumn(
-            "list_id",
-            (F.array_position(F.col("scores"), F.array_max("scores")) - 1).cast("int"),
-        ).drop("scores")
-        means = (
-            assigned.groupBy("list_id")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col).getItem(j)).alias(f"d{j}")
-                    for j in range(len(cents[0]))
-                ]
-            )
-            .collect()
-        )
-        new_cents = list(cents)
-        for r in means:
-            new_cents[r["list_id"]] = [float(r[f"d{j}"]) for j in range(len(cents[0]))]
-        cents = new_cents
-
     scored = vectors.select(
-        id_col,
-        vec_col,
-        F.array(
-            *[
-                (
-                    _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                    / (_norm(F.col(vec_col)) * float(np.linalg.norm(c)))
-                ).alias(f"s{i}")
-                for i, c in enumerate(cents)
-            ]
-        ).alias("scores"),
+        id_col, vec_col, _centroid_scores(vec_col, cents).alias("scores")
     )
     assigned = scored.withColumn(
         "list_id",
@@ -233,29 +309,25 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_mod: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe`` nearest
     inverted lists only (scan cost n·n_probe/n_centroids instead of n)."""
-    import numpy as np
-
     assigned, cents = ivf_build(
-        vectors, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        vectors,
+        n_centroids=n_centroids,
+        seed=seed,
+        train_mod=train_mod,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.array(
-            *[
-                (
-                    _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                    / (_norm(F.col(vec_col)) * float(np.linalg.norm(c)))
-                ).alias(f"s{i}")
-                for i, c in enumerate(cents)
-            ]
-        ).alias("scores"),
+        _centroid_scores(vec_col, cents).alias("scores"),
     )
     # n_probe nearest lists per query: sort (score, idx) structs descending
     idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
