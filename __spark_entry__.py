@@ -1005,11 +1005,305 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= 
 """
 
 
-# --- rows-only queries (non-SQL-expressible; pinned by pytest instead) -------
-
-
 def _kg_e2e_triples(spark, sf):
     return entry(spark)
+
+
+def _kg_e2e_sql() -> str:
+    """Exact DuckDB replay of the flagship ``entry()`` pipeline over the
+    inlined fixture corpus: lookbehind-free sentence split (delimiter
+    positions enumerated per character and tested with plain char classes —
+    RE2-safe), han_to_zen as a replace-chain + translate, greedy-masking
+    gazetteer matching (contains + longest-term mask exclusion), the
+    exact→fuzzy indel normalizer (bitmask-LCS), alias connected components
+    as a recursive CTE, and the pairing/No-Symptoms/count stages.
+
+    Three generation-time assertions pin the reformulation to the reference
+    kernels on this corpus (loud failure instead of silent drift):
+    1. positional split == ``oracle/textproc.py:split_sentences`` per text
+       (valid because the corpus has no ``\\s``, so only the zero-width
+       Japanese branch of the regex fires — asserted via equality);
+    2. replace+translate == ``han_to_zen`` per sentence;
+    3. contains+mask term presence == the Aho-Corasick greedy matcher per
+       sentence (the corpus's only overlaps are prefix pairs 頭痛⊂頭痛い,
+       発熱⊂発熱感, handled by the mask-pair exclusion).
+    """
+    from bert_namedentityrecognition_spark.oracle import textproc
+    from bert_namedentityrecognition_spark.oracle.matcher import (
+        automaton_match,
+        build_automaton,
+    )
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # --- fixture inputs ------------------------------------------------------
+    pages = fixtures.generate_pages(200, seed=42)
+    tt = fixtures.pipeline_term_types()
+    norm_tt = {textproc.han_to_zen(k): v for k, v in tt.items()}
+    terms = sorted(norm_tt)
+    dim = fixtures.generate_entity_dim()
+    edges = [(e["src"], e["dst"]) for e in fixtures.generate_alias_edges()]
+    for r in dim:
+        assert textproc.han_to_zen(r["surface"]) == r["surface"], r
+
+    # --- h2z as replace-chain + translate (assert == kernel below) -----------
+    h2z_table = {i: i + 0xFEE0 for i in range(0x21, 0x7F)}
+    h2z_table[ord(" ")] = ord("　")
+    for b, f in zip(textproc._HW_KANA, textproc._FW_KANA):
+        h2z_table[ord(b)] = ord(f)
+    for b, f in textproc._HW_PUNCT.items():
+        h2z_table[ord(b)] = ord(f)
+    combos = [
+        (b + "ﾞ", f)
+        for b, f in zip(textproc._DAKUTEN_BASE, textproc._DAKUTEN_FULL)
+    ] + [
+        (b + "ﾟ", f)
+        for b, f in zip(textproc._HANDAKUTEN_BASE, textproc._HANDAKUTEN_FULL)
+    ]
+
+    def h2z_sim(s: str) -> str:
+        for a, b in combos:
+            s = s.replace(a, b)
+        return s.translate(h2z_table)
+
+    # --- positional split (zero-width Japanese branch of the regex) ----------
+    delims = set("。．.?？!！")
+
+    def in_excl(ch: str) -> bool:  # [A-zＡ-ｚ0-9０-９ ]
+        o = ord(ch)
+        return (
+            0x41 <= o <= 0x7A
+            or 0xFF21 <= o <= 0xFF5A
+            or 0x30 <= o <= 0x39
+            or 0xFF10 <= o <= 0xFF19
+            or ch == " "
+        )
+
+    def pos_split(text: str) -> list[str]:
+        n = len(text)
+        ps = [
+            p
+            for p in range(2, n + 2)
+            if text[p - 2] in delims
+            and p >= 3
+            and not in_excl(text[p - 3])
+            and not (p <= n and text[p - 1] in (".", "」"))
+        ]
+        bounds = [1] + ps + [n + 1]
+        parts = [
+            text[bounds[i] - 1 : bounds[i + 1] - 1] for i in range(len(bounds) - 1)
+        ]
+        return [s.strip() for s in parts if s.strip()]
+
+    # --- mask pairs: term contained in a longer term at a fixed offset -------
+    mask_pairs = {
+        t: [(l, l.find(t)) for l in terms if len(l) > len(t) and t in l]
+        for t in terms
+    }
+    masked_terms = [t for t, ms in mask_pairs.items() if ms]
+
+    def presence(s: str, t: str) -> bool:
+        p = s.find(t)
+        while p >= 0:
+            if all(
+                not (p - o >= 0 and s[p - o : p - o + len(l)] == l)
+                for l, o in mask_pairs[t]
+            ):
+                return True
+            p = s.find(t, p + 1)
+        return False
+
+    # --- generation-time fidelity assertions ---------------------------------
+    auto = build_automaton(terms)
+    for row in pages:
+        if row["lang"] != "ja" or not row["text"]:
+            continue
+        text = textproc.preprocess_text(row["text"])
+        assert pos_split(text) == textproc.split_sentences(text), row["url"]
+        for sent in pos_split(text):
+            if len(sent) > 512:
+                continue
+            ns = textproc.han_to_zen(sent)
+            assert h2z_sim(sent) == ns, sent
+            matched = {t for (_a, _b, t) in automaton_match(ns, auto)}
+            assert {t for t in terms if presence(ns, t)} == matched, sent
+
+    # --- SQL assembly --------------------------------------------------------
+    pages_sql = ", ".join(
+        f"({q(r['url'])}, {q(r['text']) if r['text'] is not None else 'NULL'}, {q(r['lang'])})"
+        for r in pages
+    )
+    terms_sql = ", ".join(f"({q(t)}, {q(norm_tt[t])})" for t in terms)
+    dim_sql = ", ".join(
+        f"({q(r['surface'])}, {q(r['canonical'])}, {q(r['kind'])})" for r in dim
+    )
+    aedges_sql = ", ".join(
+        f"({q(a)}, {q(b)})" for a, b in edges
+    ) + ", " + ", ".join(f"({q(b)}, {q(a)})" for a, b in edges)
+
+    h2z_from = "".join(chr(k) for k in h2z_table)
+    h2z_to = "".join(chr(v) for v in h2z_table.values())
+    h2z_expr = "sent"
+    for a, b in combos:
+        h2z_expr = f"replace({h2z_expr}, {q(a)}, {q(b)})"
+    h2z_expr = f"translate({h2z_expr}, {q(h2z_from)}, {q(h2z_to)})"
+
+    delim_list = "[" + ", ".join(q(c) for c in sorted(delims)) + "]"
+
+    occm = []
+    for i, t in enumerate(masked_terms):
+        conds = " AND ".join(
+            f"(u.p - {o} < 1 OR substring(n.s, CAST(u.p - {o} AS INT), {len(l)}) <> {q(l)})"
+            for l, o in mask_pairs[t]
+        )
+        occm.append(f"""occm{i} AS (
+  SELECT DISTINCT n.url, {q(t)} AS term, {q(norm_tt[t])} AS kind
+  FROM norms n, unnest(range(1, length(n.s) - {len(t)} + 2)) AS u(p)
+  WHERE substring(n.s, CAST(u.p AS INT), {len(t)}) = {q(t)} AND {conds}
+)""")
+    occ_union = "SELECT * FROM occ0" + "".join(
+        f" UNION ALL SELECT * FROM occm{i}" for i in range(len(occm))
+    )
+    masked_not_in = (
+        "AND t.term NOT IN (" + ", ".join(q(t) for t in masked_terms) + ")"
+        if masked_terms
+        else ""
+    )
+
+    return f"""
+WITH RECURSIVE
+pages(url, text, lang) AS (VALUES {pages_sql}),
+cs AS (
+  SELECT url, text, length(text) AS n, string_split(text, '') AS ch
+  FROM pages WHERE lang = 'ja' AND text IS NOT NULL AND text <> ''
+),
+sp AS (
+  SELECT c.url, u.p
+  FROM cs c, unnest(range(2, c.n + 2)) AS u(p)
+  WHERE list_contains({delim_list}, c.ch[CAST(u.p - 1 AS INT)])
+    AND u.p >= 3
+    AND NOT regexp_matches(c.ch[CAST(u.p - 2 AS INT)], '^[A-zＡ-ｚ0-9０-９ ]$')
+    AND (u.p > c.n OR NOT list_contains(['.', '」'], c.ch[CAST(u.p AS INT)]))
+),
+bounds AS (
+  SELECT c.url, c.text,
+    list_prepend(CAST(1 AS BIGINT),
+                 list_sort(list_filter(list(s.p), x -> x IS NOT NULL)))
+      || [CAST(c.n + 1 AS BIGINT)] AS bs
+  FROM cs c LEFT JOIN sp s USING (url)
+  GROUP BY c.url, c.text, c.n
+),
+sentsraw AS (
+  SELECT url,
+    trim(substring(text, CAST(bs[CAST(i + 1 AS INT)] AS INT),
+                   CAST(bs[CAST(i + 2 AS INT)] - bs[CAST(i + 1 AS INT)] AS INT))) AS sent
+  FROM bounds, unnest(range(0, len(bs) - 1)) AS u(i)
+),
+sents AS (SELECT url, sent FROM sentsraw WHERE sent <> '' AND length(sent) <= 512),
+norms AS (SELECT url, {h2z_expr} AS s FROM sents),
+terms(term, kind) AS (VALUES {terms_sql}),
+occ0 AS (
+  SELECT DISTINCT n.url, t.term, t.kind
+  FROM norms n JOIN terms t ON position(t.term IN n.s) > 0
+  WHERE 1 = 1 {masked_not_in}
+),
+{", ".join(occm) + "," if occm else ""}
+occ AS ({occ_union}),
+drugs AS (SELECT DISTINCT url, trim(term) AS subj FROM occ
+          WHERE kind = 'drug' AND length(trim(term)) >= 2),
+symsraw AS (SELECT DISTINCT url, term FROM occ WHERE kind = 'symptom'),
+words(word, word_norm, type) AS (
+  SELECT DISTINCT term, term, 'symptom' FROM symsraw
+),
+dim(surface, canonical, kind) AS (VALUES {dim_sql}),
+hits AS (
+  SELECT w.word, d.canonical FROM words w
+  JOIN dim d ON w.word_norm = d.surface AND w.type = d.kind
+),
+misses AS (
+  SELECT w.word, w.word_norm, w.type FROM words w
+  WHERE NOT EXISTS (SELECT 1 FROM dim d
+                    WHERE d.surface = w.word_norm AND d.kind = w.type)
+),
+cand AS (
+  SELECT m.word, m.word_norm, m.type, d.surface, d.canonical
+  FROM misses m LEFT JOIN dim d
+    ON m.type = d.kind
+   AND (200.0 * least(length(m.word_norm), length(d.surface))
+        / (length(m.word_norm) + length(d.surface))) > 70.0
+),
+subs_w AS (
+  SELECT DISTINCT m.word_norm,
+    array_to_string(list_transform(
+      list_filter(range(0, length(m.word_norm)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(m.word_norm, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM misses m,
+       unnest(range(0, CAST(pow(2, length(m.word_norm)) AS BIGINT))) AS u(mask)
+),
+subs_d AS (
+  SELECT DISTINCT d.surface,
+    array_to_string(list_transform(
+      list_filter(range(0, length(d.surface)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(d.surface, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM dim d,
+       unnest(range(0, CAST(pow(2, length(d.surface)) AS BIGINT))) AS u(mask)
+),
+lcs AS (
+  SELECT sw.word_norm, sd.surface, CAST(max(length(sw.sub)) AS BIGINT) AS lcs
+  FROM subs_w sw JOIN subs_d sd ON sd.sub = sw.sub
+  GROUP BY sw.word_norm, sd.surface
+),
+scored AS (
+  SELECT c.word, c.type, c.surface, c.canonical,
+    CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
+         ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
+    END AS score,
+    row_number() OVER (PARTITION BY c.word, c.type ORDER BY
+      CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
+      END DESC, c.surface ASC NULLS LAST) AS rn
+  FROM cand c LEFT JOIN lcs l
+    ON l.word_norm = c.word_norm AND l.surface = c.surface
+),
+fuzzy AS (
+  SELECT word, CASE WHEN score > 70.0 THEN canonical ELSE '' END AS canonical
+  FROM scored WHERE rn = 1
+),
+norm AS (SELECT word, canonical FROM hits UNION ALL SELECT word, canonical FROM fuzzy),
+aedges(a, b) AS (VALUES {aedges_sql}),
+anodes AS (SELECT DISTINCT a AS node FROM aedges),
+reach(node, r) AS (
+  SELECT node, node FROM anodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN aedges e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+rep AS (
+  SELECT component,
+    coalesce(min(CASE WHEN node IN (SELECT surface FROM dim) THEN node END),
+             min(node)) AS canon
+  FROM comp GROUP BY component
+),
+amap AS (SELECT c.node AS surface, r.canon FROM comp c JOIN rep r USING (component)),
+normed AS (
+  SELECT n.word, trim(coalesce(a.canon, n.canonical)) AS obj
+  FROM norm n LEFT JOIN amap a ON a.surface = n.canonical
+),
+syms AS (
+  SELECT s.url, nm.obj FROM symsraw s JOIN normed nm ON nm.word = s.term
+  WHERE nm.obj <> '' AND length(nm.obj) >= 2
+),
+pairs AS (
+  SELECT d.subj, s.obj FROM drugs d JOIN syms s USING (url)
+  UNION ALL
+  SELECT d.subj, 'No Symptoms' AS obj FROM drugs d
+  WHERE d.url NOT IN (SELECT url FROM symsraw)
+)
+SELECT subj, 'HAS_ADVERSE_EVENT' AS pred, obj, CAST(count(*) AS BIGINT) AS count
+FROM pairs GROUP BY subj, obj
+"""
 
 
 def _kg_fuzzy_indel(spark, sf):
@@ -1675,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_ivf_topk": _ivf_ann_sql(),
+        "kg_e2e_triples": _kg_e2e_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
         "text_stats": _TEXT_STATS_SQL,
