@@ -139,14 +139,195 @@ def run_kg_level(data_dir: str, cores: int) -> dict:
     pages = spark.read.parquet(data_dir)
     dim = fixtures.entity_dim_to_spark(spark)
     model = DictionaryStubModel(term_types, vocab, emulate_compute=True)
-    # warm-up: JVM + python workers + broadcast (excluded from timing)
+    # warm-up (excluded from timing): JVM + codegen via a small scan, plus
+    # ALL python workers — limit(64).count() alone runs one task and spins
+    # one worker, so at local[8] seven workers would cold-start inside the
+    # timed region (fixed cost that depresses the high level's efficiency)
     pages.limit(64).count()
+    _warm_python_workers(spark, cores)
     t0 = time.perf_counter()
     result = run_kg_pipeline(pages, dim, term_types, model=model, label_vocab=vocab)
     n_triples = result["triples"].agg(F.sum("count")).collect()[0][0]
     dt = time.perf_counter() - t0
     spark.stop()
     return {"cores": cores, "wall_sec": round(dt, 3), "n_triples": int(n_triples)}
+
+
+def _warm_python_workers(spark, cores: int) -> None:
+    """Start one Arrow python worker per core before the timed region
+    (workers are reused afterwards: spark.python.worker.reuse)."""
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, cores * 2, 1, cores * 2).mapInPandas(
+        _noop, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+
+def run_ner_numpy_bench(cores: int, n_pages: int = 2000) -> dict:
+    """Real-model inference data point: ner_pages with the numpy
+    BertForTokenClassification forward (random-init weights, char
+    tokenizer) — measures the §2.6 model path's distributed throughput,
+    complementing the gazetteer-stub scaling bench."""
+    import time as _t
+
+    from bert_namedentityrecognition_spark.operators.bert_numpy import (
+        init_token_classifier_state,
+    )
+    from bert_namedentityrecognition_spark.operators.ner import (
+        CharTokenizer,
+        NumpyTokenClassifier,
+        label_vocab_for_types,
+        ner_pages,
+    )
+    from bert_namedentityrecognition_spark.oracle.textproc import han_to_zen
+    from bert_namedentityrecognition_spark.plans.session import build_session
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    rows = fixtures.generate_pages(n_pages, seed=7, min_sents=4, max_sents=12)
+    alphabet = sorted(
+        {c for r in rows[:200] if r["text"] for c in han_to_zen(r["text"])}
+    )
+    tok = CharTokenizer(alphabet)
+    vocab = label_vocab_for_types(["drug", "symptom"])
+    sd = init_token_classifier_state(
+        vocab_size=len(tok.itos), num_labels=len(vocab.itos),
+        hidden=64, layers=2, heads=4, intermediate=256, seed=0,
+    )
+    spark = build_session(
+        app_name="ner-numpy-bench", cores=cores, shuffle_partitions=cores
+    )
+    pages = fixtures.pages_to_spark(spark, rows).repartition(cores * 4)
+    model = NumpyTokenClassifier(sd, tok)
+    _warm_python_workers(spark, cores)
+    t0 = _t.perf_counter()
+    n_mentions = ner_pages(pages, model, vocab, batch_size=16).count()
+    dt = _t.perf_counter() - t0
+    spark.stop()
+    return {
+        "n_pages": n_pages,
+        "wall_sec": round(dt, 3),
+        "pages_per_sec": round(n_pages / dt, 1),
+        "n_mentions": int(n_mentions),
+        "model": "numpy-bert 2L/64H/4h random-init",
+    }
+
+
+def _ensure_skew_corpus(n_pages: int) -> str:
+    """Skewed pages corpus: hot drug in ~30% of pages, ONE hot
+    (drug, symptom) cell — the SURVEY §4 skew shape."""
+    import random
+
+    out_dir = os.path.join(REPO, "var", "skew_pages")
+    marker = os.path.join(out_dir, f".n{n_pages}")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(n_pages):
+        if i % 10 < 3:
+            text = f"{fixtures.HOT_DRUG}を服用後、頭痛が出現した。"
+        else:
+            d = rng.choice(fixtures.DRUGS[1:])
+            s = rng.choice(fixtures.SYMPTOMS[1:])
+            text = f"{d}の投与により{s}を認めた。経過は良好である。"
+        rows.append({"url": f"https://s/{i}", "warc_ts": None, "html": None,
+                     "text": text, "lang": "ja"})
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    per = (len(rows) + 31) // 32
+    for i in range(32):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            pq.write_table(pa.Table.from_pylist(chunk, schema=schema),
+                           os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    open(marker, "w").close()
+    return out_dir
+
+
+def run_skew_bench(cores: int, n_pages: int = 40000) -> dict:
+    """Skewed-corpus pipeline wall, plain vs salted count (identical output
+    asserted in tests/test_skew_evidence.py; here the timing evidence).
+
+    Honest note recorded with the numbers: for groupBy().count() map-side
+    partial aggregation already collapses the hot cell to one row per map
+    partition, so salting is ~free insurance here; its real target is
+    aggregations whose partial state doesn't collapse (collect_list etc.).
+    AQE skew-join splitting (enabled in build_session) covers the join side.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from bert_namedentityrecognition_spark.plans.pipeline import run_kg_pipeline
+    from bert_namedentityrecognition_spark.plans.session import build_session
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    data_dir = _ensure_skew_corpus(n_pages)
+    tt = fixtures.pipeline_term_types()
+    out = {"n_pages": n_pages, "hot_cell_share": 0.3}
+    for label, salt in (("plain", 0), ("salted", 32)):
+        spark = build_session(app_name=f"skew-{label}", cores=cores,
+                              shuffle_partitions=cores)
+        pages = spark.read.parquet(data_dir)
+        dim = fixtures.entity_dim_to_spark(spark)
+        pages.limit(64).count()
+        _warm_python_workers(spark, cores)
+        t0 = _t.perf_counter()
+        res = run_kg_pipeline(pages, dim, tt, salt_buckets=salt, persist=False)
+        n = res["triples"].agg(F.sum("count")).collect()[0][0]
+        out[f"wall_sec_{label}"] = round(_t.perf_counter() - t0, 3)
+        out["n_triples"] = int(n)
+        spark.stop()
+    return out
+
+
+def run_ppjoin_bench(cores: int, n_docs: int = 15000) -> dict:
+    """Open-vocabulary regime: naive vs PPJoin set-similarity join on a
+    boilerplate-bearing web-like corpus (identical output asserted in
+    tests/test_ppjoin_openvocab.py; here the wall-time evidence that the
+    auto default picks the winning plan in each regime)."""
+    import time as _t
+
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        naive_join_blowup,
+        ngram_jaccard_pairs,
+        token_shingles,
+    )
+    from bert_namedentityrecognition_spark.plans.session import build_session
+    from tests.test_ppjoin_openvocab import _web_docs
+
+    spark = build_session(app_name="ppjoin-bench", cores=cores,
+                          shuffle_partitions=max(cores, 32))
+    docs = spark.createDataFrame(
+        _web_docs(n_docs, boiler_share=0.3, seed=5), "doc_id long, text string"
+    ).repartition(32).cache()
+    docs.count()
+    _warm_python_workers(spark, cores)
+    out = {
+        "n_docs": n_docs,
+        "blowup_probe": round(naive_join_blowup(token_shingles(docs), sample_mod=8), 1),
+    }
+    for label, pf in (("naive", False), ("ppjoin", True)):
+        t0 = _t.perf_counter()
+        n = ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=pf).count()
+        out[f"wall_sec_{label}"] = round(_t.perf_counter() - t0, 3)
+        out[f"rows_{label}"] = int(n)
+    spark.stop()
+    out["ppjoin_speedup"] = round(out["wall_sec_naive"] / out["wall_sec_ppjoin"], 2)
+    return out
 
 
 def _run_level_subprocess(data_dir: str, cores: int) -> dict:
@@ -231,9 +412,13 @@ def run_kg_scaling(
             lv = _run_level_subprocess(data_dir, cores)
             walls.append(lv["wall_sec"])
             n_triples = lv["n_triples"]
-        # adaptive extra trial: if the trials disagree by >15% the host was
-        # in different windows — one more sample sharpens the min estimate
-        if len(walls) >= 2 and (max(walls) - min(walls)) / min(walls) > 0.15:
+        # adaptive extra trials: keep sampling (bounded) until the best two
+        # agree within 8% — a single good window is not a steady-state
+        # estimate, two agreeing ones are
+        while len(walls) < trials + 3:
+            best2 = sorted(walls)[:2]
+            if len(walls) >= 2 and (best2[1] - best2[0]) / best2[0] <= 0.08:
+                break
             lv = _run_level_subprocess(data_dir, cores)
             walls.append(lv["wall_sec"])
         wall = min(walls)
@@ -292,6 +477,15 @@ def main():
         # only up to ~16 procs and is noisy above; 2→8 keeps the comparison
         # about the ENGINE, not host steal time). Fresh subprocess per level.
         result["kg_scaling"] = run_kg_scaling(n_pages, 2, 8)
+
+    if os.environ.get("KG_BENCH_SKIP_NER_NUMPY", "0") != "1":
+        result["ner_numpy"] = run_ner_numpy_bench(cores)
+
+    if os.environ.get("KG_BENCH_SKIP_SKEW", "0") != "1":
+        result["skew"] = run_skew_bench(cores)
+
+    if os.environ.get("KG_BENCH_SKIP_PPJOIN", "0") != "1":
+        result["ppjoin_openvocab"] = run_ppjoin_bench(cores)
 
     print(json.dumps(result))
 

@@ -164,13 +164,55 @@ def verify_jaccard(
     )
 
 
+def naive_join_blowup(
+    sh: DataFrame, sample_mod: int = 64, id_col: str = "doc_id"
+) -> float:
+    """Corpus probe: estimated rows-per-occurrence blowup of the naive
+    shingle self-join, ``Σ df·(df−1) / Σ df + 1``, from a deterministic
+    ~1/``sample_mod`` hash-sample of documents.
+
+    Corpus-pair counts scale as df², so the sample's pair sum is scaled by
+    ``sample_mod²`` and its occurrence sum by ``sample_mod`` (unbiased for
+    corpus-shared shingles; rare shingles contribute ~0 to both). The
+    statistic grows LINEARLY with corpus size for a fixed shingle
+    distribution — which is exactly why the naive join that wins at bench
+    scale loses at 100 TB, and why this must be probed, not hardcoded.
+
+    This is one bounded aggregate over a sample, run deliberately at
+    plan-construction time (same policy as IVF's training collect): the
+    result decides plan SHAPE, which cannot be deferred to execution."""
+    s = sh.filter((F.abs(F.hash(F.col(id_col))) % sample_mod) == 0)
+    row = (
+        s.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum(F.col("df") * (F.col("df") - 1)).alias("s2"),
+            F.sum("df").alias("s1"),
+        )
+        .first()
+    )
+    if not row or not row.s1:
+        return 0.0  # empty sample: no blowup, naive join is free anyway
+    return sample_mod * row.s2 / row.s1 + 1.0
+
+
+# Calibration (local[8], measured): blowup 5.4 (documents sf0.1) → naive 2×
+# faster (5.8 s vs 11.7 s); blowup 81 (6k-doc boilerplate web corpus) →
+# naive still 1.4× faster (7.7 s vs 10.6 s); blowup 207 (15k-doc same
+# distribution) → PPJoin 2× faster (21 s vs 42 s). Wall-time breakeven ≈
+# 110; 100 keeps a small margin toward the scalable plan. The statistic
+# grows linearly with corpus size, so any web-scale corpus probes in the
+# thousands and flips the filter ON.
+BLOWUP_CUTOFF = 100.0
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via the relational
     set-similarity join (shingle equi-join prunes non-overlapping pairs; a
@@ -184,16 +226,24 @@ def ngram_jaccard_pairs(
     prefixes, and verification recomputes the true intersection on full
     shingle sets, so results are identical to the naive join.
 
-    When to enable — measured tradeoff: on an open-vocabulary (Zipfian) web
-    corpus, hot shingles sort to the END of the rarity order and drop out of
-    every prefix, collapsing the quadratic blowup; that is the 100 TB
-    setting and ``prefix_filter=True`` is the right call. On this repo's
-    closed-31-word bench corpus every shingle is hot, prefixes still collide,
-    and the extra df-count + window + verify stages make it 2× SLOWER
-    (5.8 s → 11.7 s at sf0.1, local[8]) — hence default False; the driver
-    query keeps the naive join, which equals it row-for-row."""
+    Measured tradeoff: on an open-vocabulary (Zipfian) web corpus, hot
+    shingles sort to the END of the rarity order and drop out of every
+    prefix, collapsing the quadratic blowup — that is the 100 TB setting
+    and prefix filtering is the right call. On this repo's closed-31-word
+    bench corpus every shingle is hot, prefixes still collide, and the
+    extra df-count + window + verify stages make it 2× SLOWER (5.8 s →
+    11.7 s at sf0.1, local[8]).
+
+    Default ``"auto"``: decide from the :func:`naive_join_blowup` probe
+    (blowup ≥ BLOWUP_CUTOFF → prefix filter; else naive), so the 100 TB-
+    relevant regime gets the scalable plan without hand-tuning. Pass
+    True/False to pin the plan (no probe job runs)."""
     sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if prefix_filter == "auto":
+        prefix_filter = naive_join_blowup(sh, id_col="doc_id") >= BLOWUP_CUTOFF
+    elif not isinstance(prefix_filter, bool):
+        raise ValueError(f"prefix_filter must be True/False/'auto', got {prefix_filter!r}")
     if prefix_filter:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         ranked = (

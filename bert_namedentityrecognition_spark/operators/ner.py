@@ -153,8 +153,35 @@ class DictionaryStubModel:
         return out
 
 
+class NumpyTokenClassifier:
+    """Executable real-model path: the BertForTokenClassification forward in
+    numpy over a broadcast state dict (``operators/bert_numpy.py``), driven
+    through the same tokenize → [CLS] → pad → forward → argmax machinery as
+    the reference (``BERT/Model.py:295-327``). HF key names/shapes, so a
+    trained checkpoint's tensors drop in unchanged; random-init works for
+    structure/parity testing in this torch-less sandbox."""
+
+    def __init__(self, state_dict: dict, tokenizer: "CharTokenizer"):
+        self.state_dict = state_dict
+        self.tokenizer = tokenizer
+
+    def logits(self, texts: list[str], padded_len: int) -> np.ndarray:
+        from .bert_numpy import bert_token_logits
+
+        B = len(texts)
+        ids = np.zeros((B, padded_len), np.int64)  # [PAD]=0 right-padding
+        mask = np.zeros((B, padded_len), np.float32)
+        for bi, t in enumerate(texts):
+            enc = self.tokenizer.encode(self.tokenizer.tokenize(t))[:padded_len]
+            ids[bi, : len(enc)] = enc
+            mask[bi, : len(enc)] = 1.0
+        return bert_token_logits(self.state_dict, ids, mask)
+
+
 class TorchTokenClassifier:
-    """Real-model adapter (requires torch; absent in this sandbox).
+    """torch adapter (torch absent in this sandbox — see
+    :class:`NumpyTokenClassifier` for the executable twin with identical
+    state-dict layout).
 
     Holds a broadcastable state_dict + config; loads the module once per
     executor python worker (module-level cache), runs ``no_grad`` forward.
@@ -167,9 +194,11 @@ class TorchTokenClassifier:
 
     def logits(self, texts: list[str], padded_len: int) -> np.ndarray:
         raise NotImplementedError(
-            "torch is not available in this environment; use DictionaryStubModel. "
-            "The adapter exists so a trained BertForTokenClassification can be "
-            "dropped in without touching the pipeline."
+            "torch is not available in this environment; use "
+            "NumpyTokenClassifier (same BertForTokenClassification state-dict "
+            "layout, numpy forward) or DictionaryStubModel. This adapter "
+            "exists so a trained torch checkpoint can be dropped in without "
+            "touching the pipeline."
         )
 
 
