@@ -106,6 +106,53 @@ def write_outputs(outputs: dict[str, DataFrame], base_dir: str, url_buckets: int
         )
 
 
+def write_outputs_bucketed(
+    outputs: dict[str, DataFrame],
+    table_prefix: str,
+    url_buckets: int = 64,
+    id_buckets: int = 128,
+) -> None:
+    """Catalog-table sink with REAL storage bucketing, runnable against the
+    built-in session catalog (no extra jars): ``bucketBy(url).sortBy(url)``
+    for mentions, id-bucketed nodes/edges.
+
+    This is the executable twin of :func:`write_outputs_iceberg` (whose
+    ``bucket()`` partition transform needs an Iceberg catalog): a join of
+    two url-bucketed tables plans with ZERO shuffle exchanges (asserted in
+    tests/test_graph_outputs.py), which is exactly the co-located pairing
+    join the 100 TB design claims. ``mode("overwrite")`` makes a rerun
+    replace the table wholesale — the idempotent-resume unit, like an
+    Iceberg ``createOrReplace`` snapshot commit but without its atomicity
+    guarantee (the session catalog swaps files non-atomically; production
+    uses the Iceberg path for that)."""
+    (
+        outputs["mentions"]
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(url_buckets, "url")
+        .sortBy("url")
+        .saveAsTable(f"{table_prefix}_mentions")
+    )
+    outputs["triples"].write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_prefix}_triples"
+    )
+    (
+        outputs["nodes"]
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(id_buckets, "entity_id")
+        .saveAsTable(f"{table_prefix}_nodes")
+    )
+    if "edges" in outputs:
+        (
+            outputs["edges"]
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(id_buckets, "src_id")
+            .saveAsTable(f"{table_prefix}_edges")
+        )
+
+
 def write_outputs_iceberg(
     outputs: dict[str, DataFrame],
     table_prefix: str,

@@ -60,3 +60,50 @@ def test_write_outputs_iceberg_requires_catalog(spark):
     with pytest.raises(AnalysisException):
         write_outputs_iceberg({"mentions": mentions, "triples": mentions,
                                "nodes": mentions}, "nocatalog.db.kg")
+
+
+def test_write_outputs_bucketed_colocated_join_and_rerun(spark, tmp_path):
+    """The executable production-sink twin: bucketed catalog tables where
+    (a) a url-bucketed mentions self-join plans with ZERO shuffle exchanges
+    (the co-located pairing join of the 100 TB design), and (b) a rerun
+    overwrites the tables wholesale — the idempotent-resume unit."""
+    from bert_namedentityrecognition_spark.plans.pipeline import (
+        write_outputs_bucketed,
+    )
+
+    corpus = fixtures.generate_pages(60, seed=33)
+    pages = fixtures.pages_to_spark(spark, corpus)
+    dim = fixtures.entity_dim_to_spark(spark)
+    out = run_kg_pipeline(pages, dim, fixtures.pipeline_term_types(), persist=False)
+
+    write_outputs_bucketed(out, "kg_b", url_buckets=8, id_buckets=8)
+    mentions = spark.table("kg_b_mentions")
+    n1 = mentions.count()
+    assert n1 == out["mentions"].count()
+
+    # co-located join: bucketed x bucketed on the bucket key -> no shuffle
+    # (disable broadcast so the planner can't sidestep the question)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = mentions.alias("a").join(spark.table("kg_b_mentions").alias("b"), "url")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        # control: the same join on unbucketed parquet shuffles both sides
+        out["mentions"].write.mode("overwrite").parquet(str(tmp_path / "plain"))
+        p = spark.read.parquet(str(tmp_path / "plain"))
+        j2 = p.alias("a").join(p.alias("b"), "url")
+        j2.count()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange hashpartitioning") >= 2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+    # kill/rerun: a second write replaces the tables, same contents
+    write_outputs_bucketed(out, "kg_b", url_buckets=8, id_buckets=8)
+    assert spark.table("kg_b_mentions").count() == n1
+    t1 = {(r.subj, r.obj): r["count"] for r in out["triples"].collect()}
+    t2 = {(r.subj, r.obj): r["count"] for r in spark.table("kg_b_triples").collect()}
+    assert t1 == t2
+    for t in ("kg_b_mentions", "kg_b_triples", "kg_b_nodes", "kg_b_edges"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
