@@ -872,6 +872,95 @@ def _kg_candidates_topk(spark, sf):  # searchTerm top-k candidate retrieval (§2
     return search_candidates_topk(words, dim, k=3)
 
 
+# --- reference-parity token_set_ratio searchTerm (manbyo.py:44-49) ----------
+# Multi-token reordered/subset surfaces — the regime where the default
+# normalized-Levenshtein scorer deliberately deviates from the reference.
+_TSR_WORDS = ["pain head", "rash skin itch", "mild ache", "gut ache"]
+_TSR_DIM = [
+    ("head pain", "HP"),
+    ("itch skin rash", "SR"),
+    ("ache", "AC"),
+    ("gut pain", "GP"),
+    ("skin", "SK"),
+]
+
+
+def _kg_candidates_token_set(spark, sf):
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        search_candidates_topk,
+    )
+
+    words = spark.createDataFrame([(w,) for w in _TSR_WORDS], ["word"])
+    dim = spark.createDataFrame(_TSR_DIM, ["surface", "canonical"])
+    return search_candidates_topk(words, dim, k=3, scorer="token_set_ratio")
+
+
+def _kg_candidates_token_set_sql() -> str:
+    """token_set_ratio replayed exactly: sorted-set recombination in list
+    SQL; ratio(inter, sa/sb) collapses to a closed form (inter is a PREFIX
+    of both recombinations, so LCS == len(inter)); only ratio(sa, sb) needs
+    the bitmask-subsequence LCS (strings ≤ 14 chars → ≤ 16384 masks)."""
+    words_sql = ", ".join(f"('{w}')" for w in _TSR_WORDS)
+    dim_sql = ", ".join(f"('{s}', '{c}')" for s, c in _TSR_DIM)
+    return f"""
+WITH words(word) AS (VALUES {words_sql}),
+dim(surface, canonical) AS (VALUES {dim_sql}),
+px AS (
+  SELECT w.word, d.surface, d.canonical,
+    list_sort(list_distinct(string_split(w.word, ' '))) AS ta,
+    list_sort(list_distinct(string_split(d.surface, ' '))) AS tb
+  FROM words w CROSS JOIN dim d
+),
+pr AS (
+  SELECT word, surface, canonical,
+    array_to_string(list_sort(list_intersect(ta, tb)), ' ') AS inter_s,
+    trim(concat(
+      array_to_string(list_sort(list_intersect(ta, tb)), ' '), ' ',
+      array_to_string(list_sort(list_filter(ta, x -> NOT list_contains(tb, x))), ' ')
+    )) AS sa,
+    trim(concat(
+      array_to_string(list_sort(list_intersect(ta, tb)), ' '), ' ',
+      array_to_string(list_sort(list_filter(tb, x -> NOT list_contains(ta, x))), ' ')
+    )) AS sb
+  FROM px
+),
+strs AS (SELECT DISTINCT sa AS s FROM pr UNION SELECT DISTINCT sb FROM pr),
+subs AS (
+  SELECT DISTINCT s,
+    array_to_string(list_transform(
+      list_filter(range(0, length(s)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(s, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM strs, unnest(range(0, CAST(pow(2, length(s)) AS BIGINT))) AS u(mask)
+),
+lcs AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(max(length(a.sub)) AS BIGINT) AS l
+  FROM subs a JOIN subs b ON a.sub = b.sub
+  GROUP BY a.s, b.s
+),
+scored AS (
+  SELECT p.word, p.surface, p.canonical,
+    round(CASE
+      WHEN p.inter_s <> '' AND (p.inter_s = p.sa OR p.inter_s = p.sb) THEN 100.0
+      ELSE greatest(
+        CASE WHEN length(p.inter_s) + length(p.sa) = 0 THEN 100.0
+             ELSE 200.0 * length(p.inter_s) / (length(p.inter_s) + length(p.sa)) END,
+        CASE WHEN length(p.inter_s) + length(p.sb) = 0 THEN 100.0
+             ELSE 200.0 * length(p.inter_s) / (length(p.inter_s) + length(p.sb)) END,
+        CASE WHEN length(p.sa) + length(p.sb) = 0 THEN 100.0
+             ELSE 200.0 * l.l / (length(p.sa) + length(p.sb)) END)
+    END, 6) AS score
+  FROM pr p JOIN lcs l ON l.sa = p.sa AND l.sb = p.sb
+),
+ranked AS (
+  SELECT word, surface, canonical, score,
+    row_number() OVER (PARTITION BY word ORDER BY score DESC, surface ASC) AS rank
+  FROM scored
+)
+SELECT word, CAST(rank AS BIGINT) AS rank, surface, canonical, score
+FROM ranked WHERE rank <= 3
+"""
+
+
 _KG_CANDIDATES_SQL = f"""
 WITH words AS (
   SELECT DISTINCT w AS word FROM (
@@ -1921,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_type_distribution": _mention_type_distribution,
         "kg_normalize_lev": _kg_normalize_lev,
         "kg_candidates_topk": _kg_candidates_topk,
+        "kg_candidates_token_set": _kg_candidates_token_set,
         "kg_normalize_fuzzy_indel": _kg_fuzzy_indel,
         "kg_e2e_triples": _kg_e2e_triples,
         "kg_e2e_triples_lev": _kg_e2e_triples_lev,
@@ -1965,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,
         "kg_normalize_lev": _KG_NORMALIZE_LEV_SQL,
         "kg_candidates_topk": _KG_CANDIDATES_SQL,
+        "kg_candidates_token_set": _kg_candidates_token_set_sql(),
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),

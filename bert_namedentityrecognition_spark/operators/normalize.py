@@ -283,14 +283,13 @@ def search_candidates_topk(
             from ..oracle.fuzzy import token_set_ratio
 
             return pd.Series(
-                [
-                    round(token_set_ratio(w, s), 6)
-                    for w, s in zip(word, surface)
-                ],
+                [token_set_ratio(w, s) for w, s in zip(word, surface)],
                 dtype="float64",
             )
 
-        score_col = _tsr(F.col("word"), F.col("surface"))
+        # round JVM-side (HALF_UP), matching the DuckDB oracle's round();
+        # Python's round() is banker's and can differ on exact 1e-6 ties
+        score_col = F.round(_tsr(F.col("word"), F.col("surface")), 6)
     elif scorer == "levenshtein":
         score_col = F.round(
             100.0
