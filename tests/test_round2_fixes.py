@@ -249,3 +249,50 @@ def test_doc_length_percentiles_empty_documents(spark, tmp_path):
     out = entrymod.queries()["doc_length_percentiles"](spark, str(tmp_path))
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["p", "n_chars"]
+
+
+# --- pattern-based predicates -------------------------------------------------
+
+
+def test_build_triples_patterned_precedence_dedup_floors(spark):
+    """First matching pattern wins; per-sentence dedup; ≥2-char floor on
+    both sides; default predicate when nothing matches."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        build_triples_patterned,
+    )
+
+    sents = spark.createDataFrame(
+        [
+            ("u1", 0, "aspirin stopped then rash improved"),   # both patterns → first wins
+            ("u1", 1, "aspirin caused rash"),                  # second pattern
+            ("u2", 0, "tylenol with itch and itch again"),     # no pattern → default
+            ("u3", 0, "x y"),                                  # short mentions drop
+        ],
+        "url string, sent_id int, sent string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("u1", 0, "drug", "aspirin"),
+            ("u1", 0, "symptom", "rash"),
+            ("u1", 1, "drug", "aspirin"),
+            ("u1", 1, "symptom", "rash"),
+            ("u2", 0, "drug", "tylenol"),
+            ("u2", 0, "symptom", "itch"),
+            ("u2", 0, "symptom", "itch"),  # duplicate mention → dedup
+            ("u3", 0, "drug", "x"),        # < 2 chars → floor
+            ("u3", 0, "symptom", "y"),
+        ],
+        "url string, sent_id int, type string, word string",
+    )
+    patterns = [("improved", "IMPROVED_ON_WITHDRAWAL"), ("caused", "CAUSES")]
+    got = {
+        (r.subj, r.pred, r.obj): r["count"]
+        for r in build_triples_patterned(
+            mentions, sents, patterns, default_pred="CO_OCCURS_WITH"
+        ).collect()
+    }
+    assert got == {
+        ("aspirin", "IMPROVED_ON_WITHDRAWAL", "rash"): 1,
+        ("aspirin", "CAUSES", "rash"): 1,
+        ("tylenol", "CO_OCCURS_WITH", "itch"): 1,
+    }
