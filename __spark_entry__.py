@@ -463,6 +463,49 @@ FROM pairs GROUP BY subj, obj
 """
 
 
+# --- pattern-based predicates (north star: "pairing co-sentence entities
+# with pattern-based predicates") — ordered, first match wins, RE2-safe
+DOC_PRED_PATTERNS = [
+    (r"(^| )slow( |$)", "DEGRADES"),
+    (r"(^| )fast( |$)", "SPEEDS_UP"),
+]
+
+
+def _kg_triples_patterned(spark, sf):
+    """Co-sentence pairing where the predicate comes from sentence-level
+    regex patterns instead of the single fixed ADE relation."""
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+    from bert_namedentityrecognition_spark.operators.triples import (
+        build_triples_patterned,
+    )
+
+    sents = _doc_sentences(spark, sf)
+    mentions = tag_sentences(sents, DOC_TERM_TYPES, normalize=False)
+    return build_triples_patterned(
+        mentions, sents, DOC_PRED_PATTERNS, default_pred="CO_OCCURS_WITH"
+    ).select("subj", "pred", "obj", F.col("count").cast("long").alias("count"))
+
+
+_KG_TRIPLES_PATTERNED_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+preds AS (
+  SELECT doc_id, CASE
+    WHEN regexp_matches(text, '(^| )slow( |$)') THEN 'DEGRADES'
+    WHEN regexp_matches(text, '(^| )fast( |$)') THEN 'SPEEDS_UP'
+    ELSE 'CO_OCCURS_WITH' END AS pred
+  FROM documents
+),
+drugs AS (SELECT DISTINCT doc_id, trim(term) AS subj FROM occ
+          WHERE kind = 'drug' AND length(trim(term)) >= 2),
+syms AS (SELECT DISTINCT doc_id, trim(term) AS obj FROM occ
+         WHERE kind = 'symptom' AND length(trim(term)) >= 2),
+pairs AS (SELECT d.subj, p.pred, s.obj
+          FROM drugs d JOIN syms s USING (doc_id) JOIN preds p USING (doc_id))
+SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS count
+FROM pairs GROUP BY subj, pred, obj
+"""
+
+
 def _kg_top_subjects(spark, sf):  # row-sum ordering + top-k (§2.9/2.10)
     t = _kg_triples(spark, sf)
     return (
@@ -2005,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG construction family (SURVEY §2 core)
         "kg_mentions": _kg_mentions,
         "kg_triples_codoc": _kg_triples,
+        "kg_triples_patterned": _kg_triples_patterned,
         "kg_top_subjects": _kg_top_subjects,
         "ade_pivot": _ade_pivot,
         "mention_type_distribution": _mention_type_distribution,
@@ -2050,6 +2094,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": _EVENTS_JSON_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_triples_codoc": _KG_TRIPLES_SQL,
+        "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
         "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,
         "ade_pivot": _ADE_PIVOT_SQL,
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,

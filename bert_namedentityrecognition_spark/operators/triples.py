@@ -102,6 +102,70 @@ def build_triples(
     return counted.select("subj", F.lit(pred).alias("pred"), "obj", F.col("count"))
 
 
+def pattern_predicate(
+    sent_col, patterns: list[tuple[str, str]], default: str = DEFAULT_PRED
+):
+    """Predicate name from ordered sentence-level regex patterns (first
+    match wins), JVM-side (``rlike`` — keep patterns RE2-safe so the DuckDB
+    oracle can replay them with ``regexp_matches``)."""
+    expr = F.lit(default)
+    for pat, name in reversed(patterns):
+        expr = F.when(sent_col.rlike(pat), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def build_triples_patterned(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    patterns: list[tuple[str, str]],
+    default_pred: str = DEFAULT_PRED,
+    subj_type: str = "drug",
+    obj_type: str = "symptom",
+) -> DataFrame:
+    """Co-sentence pairing with **pattern-based predicates** (north star:
+    "pairing co-sentence entities with pattern-based predicates"): the
+    predicate of each (subj, obj) pair comes from ordered regex patterns
+    over the sentence text instead of a single fixed relation — the
+    reference's ADE table is the degenerate one-pattern case.
+
+    mentions(url, sent_id, type, word) × sentences(url, sent_id, sent) →
+    (subj, pred, obj, count). Shuffle budget: one exchange for the per-
+    sentence mention grouping plus one for the (url, sent_id) equi-join
+    with the (tiny, projected) predicate table — the pairing itself stays
+    JVM array expressions inside the row, as in :func:`build_triples`.
+    Per-sentence dedup and the ≥2-char surface floor apply to both sides.
+    """
+    preds = sentences.select(
+        "url",
+        "sent_id",
+        pattern_predicate(F.col("sent"), patterns, default_pred).alias("pred"),
+    )
+    perkey = mentions.groupBy("url", "sent_id").agg(
+        F.array_distinct(
+            F.filter(
+                F.collect_list(
+                    F.when(F.col("type") == subj_type, F.trim(F.col("word")))
+                ),
+                lambda d: F.length(d) >= 2,
+            )
+        ).alias("_subjs"),
+        F.array_distinct(
+            F.filter(
+                F.collect_list(
+                    F.when(F.col("type") == obj_type, F.trim(F.col("word")))
+                ),
+                lambda s: F.length(s) >= 2,
+            )
+        ).alias("_objs"),
+    )
+    pairs = (
+        perkey.join(preds, ["url", "sent_id"])
+        .select(F.explode("_subjs").alias("subj"), "pred", "_objs")
+        .select("subj", "pred", F.explode("_objs").alias("obj"))
+    )
+    return pairs.groupBy("subj", "pred", "obj").agg(F.count("*").alias("count"))
+
+
 def build_graph(
     normalized: DataFrame,
     dim: DataFrame,
