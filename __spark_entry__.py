@@ -1200,34 +1200,10 @@ def _kg_e2e_sql() -> str:
             s = s.replace(a, b)
         return s.translate(h2z_table)
 
-    # --- positional split (zero-width Japanese branch of the regex) ----------
-    delims = set("。．.?？!！")
-
-    def in_excl(ch: str) -> bool:  # [A-zＡ-ｚ0-9０-９ ]
-        o = ord(ch)
-        return (
-            0x41 <= o <= 0x7A
-            or 0xFF21 <= o <= 0xFF5A
-            or 0x30 <= o <= 0x39
-            or 0xFF10 <= o <= 0xFF19
-            or ch == " "
-        )
-
-    def pos_split(text: str) -> list[str]:
-        n = len(text)
-        ps = [
-            p
-            for p in range(2, n + 2)
-            if text[p - 2] in delims
-            and p >= 3
-            and not in_excl(text[p - 3])
-            and not (p <= n and text[p - 1] in (".", "」"))
-        ]
-        bounds = [1] + ps + [n + 1]
-        parts = [
-            text[bounds[i] - 1 : bounds[i + 1] - 1] for i in range(len(bounds) - 1)
-        ]
-        return [s.strip() for s in parts if s.strip()]
+    # --- positional split (zero-width Japanese branch of the regex; shared
+    # kernel, property-tested against the regex split) ------------------------
+    delims = textproc._SPLIT_DELIMS
+    pos_split = textproc.positional_split_no_ws
 
     # --- mask pairs: term contained in a longer term at a fixed offset -------
     mask_pairs = {

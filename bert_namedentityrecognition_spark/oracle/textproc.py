@@ -120,6 +120,44 @@ def html_to_text(html: bytes | str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+def _split_excl_class(ch: str) -> bool:
+    """Membership in the split regex's ``[A-zＡ-ｚ0-9０-９ ]`` class."""
+    o = ord(ch)
+    return (
+        0x41 <= o <= 0x7A
+        or 0xFF21 <= o <= 0xFF5A
+        or 0x30 <= o <= 0x39
+        or 0xFF10 <= o <= 0xFF19
+        or ch == " "
+    )
+
+
+_SPLIT_DELIMS = set("。．.?？!！")
+
+
+def positional_split_no_ws(text: str) -> list[str]:
+    """Lookbehind-free reformulation of :func:`split_sentences`, valid for
+    texts containing NO regex-``\\s`` characters (then only the zero-width
+    Japanese branch of the split regex can fire). Split points are
+    enumerated per character position and tested with plain char classes —
+    exactly the construction the DuckDB e2e oracle uses
+    (``__spark_entry__._kg_e2e_sql``), so RE2 can replay it. Equality with
+    the regex split is property-tested (``tests/test_round2_fixes.py``) and
+    asserted per-text at oracle-generation time."""
+    n = len(text)
+    ps = [
+        p
+        for p in range(2, n + 2)  # split BEFORE 1-based char p; p=n+1 => end
+        if text[p - 2] in _SPLIT_DELIMS
+        and p >= 3
+        and not _split_excl_class(text[p - 3])
+        and not (p <= n and text[p - 1] in (".", "」"))
+    ]
+    bounds = [1] + ps + [n + 1]
+    parts = [text[bounds[i] - 1 : bounds[i + 1] - 1] for i in range(len(bounds) - 1)]
+    return [s.strip() for s in parts if s.strip()]
+
+
 # Charset verbatim from the reference (``scripts/utils/excelToTxt.py:9-11``),
 # including the ``A-z`` quirk (covers ``[\]^_`` ` between Z and a).
 NORMALIZE_PREFIX_REGEX = r"[一-龯ぁ-ゔゞァ-・ヽヾ゛゜ーA-z -]*"

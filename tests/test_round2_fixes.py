@@ -296,3 +296,29 @@ def test_build_triples_patterned_precedence_dedup_floors(spark):
         ("aspirin", "CAUSES", "rash"): 1,
         ("tylenol", "CO_OCCURS_WITH", "itch"): 1,
     }
+
+
+# --- lookbehind-free split reformulation (property) ---------------------------
+
+
+def test_positional_split_equals_regex_split_property():
+    """The e2e oracle's per-character split reformulation must equal the
+    reference regex split on ALL whitespace-free texts, not just the fixture
+    corpus — property-tested over a mixed JA/ASCII/delimiter alphabet."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bert_namedentityrecognition_spark.oracle.textproc import (
+        positional_split_no_ws,
+        split_sentences,
+    )
+
+    alphabet = list("頭痛発熱。．.?？!！」あいabAB0９ー・") 
+    alphabet = [c for c in alphabet if c != " "]
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=24))
+    def check(s):
+        assert positional_split_no_ws(s) == split_sentences(s), repr(s)
+
+    check()
