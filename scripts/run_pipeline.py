@@ -7,7 +7,12 @@
 
 With ``--resume`` the job processes url-hash buckets through the metrics
 ledger (idempotent restart from the last committed bucket); without it, one
-batch pass. Outputs: mentions/ triples/ nodes/ edges/ (+ ledger.jsonl).
+batch pass. Outputs: mentions/ triples/ nodes/ edges/ (+ ledger.jsonl;
+``--pred-patterns`` adds triples_patterned/).
+
+Non-ASCII ``--pred-patterns`` values require a UTF-8 locale (``LANG=C.UTF-8``)
+— the spark-submit JVM decodes argv with the platform charset and silently
+mangles Japanese regexes to ``?`` under a POSIX locale.
 The package ships via --py-files (zip) or an installed wheel — no driver-
 local imports assumed beyond this file.
 """
@@ -48,6 +53,14 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument(
+        "--pred-patterns",
+        default=None,
+        help="pattern-based predicates: 'REGEX=NAME;REGEX=NAME' (ordered, "
+        "first match wins, RE2-safe regexes over the sentence text); "
+        "writes an additional triples_patterned/ output",
+    )
+    p.add_argument("--default-pred", default="HAS_ADVERSE_EVENT")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -109,6 +122,26 @@ def main(argv=None):
         )
         write_outputs(out, args.out)
         n = spark.read.parquet(f"{args.out}/triples").count()
+
+        if args.pred_patterns:
+            from bert_namedentityrecognition_spark.operators.triples import (
+                build_triples_patterned,
+            )
+
+            patterns = [
+                tuple(spec.split("=", 1))
+                for spec in args.pred_patterns.split(";")
+                if spec
+            ]
+            patterned = build_triples_patterned(
+                out["mentions"],
+                out["sentences"],
+                patterns,
+                default_pred=args.default_pred,
+            )
+            patterned.write.mode("overwrite").parquet(
+                f"{args.out}/triples_patterned"
+            )
 
     print(json.dumps({"status": "ok", "triple_rows": n, "out": args.out}))
     spark.stop()

@@ -53,6 +53,8 @@ def test_spark_submit_py_files(spark, tmp_path):
             pages_dir,
             "--out",
             out_dir,
+            "--pred-patterns",
+            "中止したところ=IMPROVED_ON_WITHDRAWAL;処方した=PRESCRIBED_FOR",
         ],
         capture_output=True,
         text=True,
@@ -67,3 +69,9 @@ def test_spark_submit_py_files(spark, tmp_path):
     assert payload["triple_rows"] > 0
     assert os.path.isdir(f"{out_dir}/triples")
     assert os.path.isdir(f"{out_dir}/edges")
+    # pattern-based predicates flow through the CLI: non-default relations
+    # appear alongside the default for unmatched sentences
+    patterned = spark.read.parquet(f"{out_dir}/triples_patterned")
+    preds = {r.pred for r in patterned.select("pred").distinct().collect()}
+    assert "HAS_ADVERSE_EVENT" in preds
+    assert preds & {"IMPROVED_ON_WITHDRAWAL", "PRESCRIBED_FOR"}, preds
