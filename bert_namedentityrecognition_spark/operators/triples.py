@@ -245,3 +245,73 @@ def pivot_table(
         triples.groupBy("subj").pivot("obj").sum("count").na.fill(0)
     )
     return pivoted.join(totals, "subj").orderBy(F.desc("_total"), "subj").drop("_total")
+
+
+# --- heatmap sink (dependency-free SVG twin of ade_table.py:114-124) ---------
+
+_HEAT_STOPS = [(68, 1, 84), (33, 145, 140), (253, 231, 37)]  # viridis-ish
+
+
+def _heat_color(v: float) -> str:
+    """0..1 → #rrggbb along a 3-stop perceptual ramp."""
+    v = min(max(v, 0.0), 1.0)
+    seg, t = (0, v * 2) if v <= 0.5 else (1, (v - 0.5) * 2)
+    a, b = _HEAT_STOPS[seg], _HEAT_STOPS[seg + 1]
+    rgb = [round(a[i] + (b[i] - a[i]) * t) for i in range(3)]
+    return "#{:02x}{:02x}{:02x}".format(*rgb)
+
+
+def heatmap_svg(
+    pivot_rows: list[dict], cell: int = 28, label_w: int = 120, label_h: int = 90
+) -> str:
+    """Pivot rows (first field = subj, remaining numeric fields = obj counts)
+    → an SVG heatmap string. Pure stdlib — the reference renders the same
+    matrix with seaborn (``ade_table/ade_table.py:114-124``); this twin
+    keeps the §2.2 sink executable without plotting libraries."""
+    if not pivot_rows:
+        return '<svg xmlns="http://www.w3.org/2000/svg" width="1" height="1"/>'
+    subj_field = next(iter(pivot_rows[0]))
+    cols = [k for k in pivot_rows[0] if k != subj_field]
+    vmax = max(
+        (float(r[k] or 0) for r in pivot_rows for k in cols), default=0.0
+    ) or 1.0
+    w = label_w + cell * len(cols)
+    h = label_h + cell * len(pivot_rows)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}" '
+        f'font-family="sans-serif" font-size="10">'
+    ]
+    for j, c in enumerate(cols):
+        x = label_w + j * cell + cell // 2
+        parts.append(
+            f'<text x="{x}" y="{label_h - 6}" '
+            f'transform="rotate(-60 {x} {label_h - 6})">{c}</text>'
+        )
+    for i, r in enumerate(pivot_rows):
+        y = label_h + i * cell
+        parts.append(f'<text x="2" y="{y + cell * 2 // 3}">{r[subj_field]}</text>')
+        for j, c in enumerate(cols):
+            v = float(r[c] or 0)
+            parts.append(
+                f'<rect x="{label_w + j * cell}" y="{y}" width="{cell}" '
+                f'height="{cell}" fill="{_heat_color(v / vmax)}">'
+                f"<title>{r[subj_field]} × {c}: {int(v)}</title></rect>"
+            )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def write_heatmap_svg(
+    triples: DataFrame,
+    path: str,
+    top_subj: int | None = 20,
+    top_obj: int | None = 20,
+) -> str:
+    """Heatmap sink: counted (subj, obj) matrix → SVG file. Driver-side over
+    the (small, top-k-bounded) pivot — the reference's own shape; the big
+    table never leaves Spark unaggregated."""
+    rows = [r.asDict() for r in pivot_table(triples, top_subj, top_obj).collect()]
+    svg = heatmap_svg(rows)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(svg)
+    return path

@@ -322,3 +322,39 @@ def test_positional_split_equals_regex_split_property():
         assert positional_split_no_ws(s) == split_sentences(s), repr(s)
 
     check()
+
+
+# --- heatmap sink -------------------------------------------------------------
+
+
+def test_heatmap_svg_sink(spark, tmp_path):
+    """The §2.2 heatmap sink, dependency-free: top cell darkest-to-brightest
+    ordering, one rect per matrix cell, labels present, file written."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    from bert_namedentityrecognition_spark.operators.triples import (
+        _heat_color,
+        write_heatmap_svg,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("aspirin", "HAS_ADVERSE_EVENT", "rash", 9),
+            ("aspirin", "HAS_ADVERSE_EVENT", "itch", 1),
+            ("tylenol", "HAS_ADVERSE_EVENT", "rash", 3),
+        ],
+        "subj string, pred string, obj string, count long",
+    )
+    p = str(tmp_path / "ade.svg")
+    write_heatmap_svg(triples, p)
+    root = ET.parse(p).getroot()
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = root.findall(f"{ns}rect")
+    assert len(rects) == 4  # 2 subj × 2 obj
+    labels = {t.text for t in root.findall(f"{ns}text")}
+    assert {"aspirin", "tylenol", "rash", "itch"} <= labels
+    # color ramp is monotone: the vmax cell gets the ramp's bright end
+    fills = {r.find(f"{ns}title").text: r.get("fill") for r in rects}
+    assert fills["aspirin × rash: 9"] == _heat_color(1.0)
+    assert fills["aspirin × itch: 1"] != fills["aspirin × rash: 9"]
