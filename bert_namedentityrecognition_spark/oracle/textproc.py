@@ -179,6 +179,30 @@ def normalize_text_prefix(text: str) -> str:
     return _NORMALIZE_PREFIX_RE.search(text).group()
 
 
+def findstem(words: list[str]) -> str:
+    """Longest "common" substring finder (``util/text_utils.py:99-134``),
+    reference quirks preserved faithfully: candidates are substrings of the
+    SHORTEST word, and the reference's ``k + 1 == n`` acceptance test cannot
+    distinguish a containment failure at the LAST (longest) word from a
+    completed check — so the longest word is effectively never checked, a
+    single word yields ``''``, and a two-word list yields the shorter word
+    unconditionally. No reference pipeline calls it (presumably for these
+    reasons); shipped for §2.4 inventory completeness, pinned to goldens
+    captured from the reference function executed in isolation."""
+    if len(words) < 2:
+        return ""
+    ordered = sorted(words, key=len)
+    s = ordered[0]
+    checked = ordered[1:-1]  # the last word escapes the reference's check
+    best = ""
+    for i in range(len(s)):
+        for j in range(i + 1, len(s) + 1):
+            stem = s[i:j]
+            if len(stem) > len(best) and all(stem in w for w in checked):
+                best = stem
+    return best
+
+
 def exclude_long_sentences(max_length: int, sentences: list[str], tags: list) -> tuple[list, list]:
     """Drop (not truncate) sentences longer than ``max_length`` chars
     (``util/text_utils.py:50-61``)."""

@@ -358,3 +358,20 @@ def test_heatmap_svg_sink(spark, tmp_path):
     fills = {r.find(f"{ns}title").text: r.get("fill") for r in rects}
     assert fills["aspirin × rash: 9"] == _heat_color(1.0)
     assert fills["aspirin × itch: 1"] != fills["aspirin × rash: 9"]
+
+
+# --- findstem (reference quirks pinned) ---------------------------------------
+
+
+def test_findstem_matches_reference_goldens():
+    """Goldens captured by executing the reference function in isolation —
+    including its quirks (last word unchecked; n<2 degenerate cases)."""
+    from bert_namedentityrecognition_spark.oracle.textproc import findstem
+
+    assert findstem(["flower", "flow", "flight"]) == "flow"  # flight unchecked
+    assert findstem(["abc"]) == ""
+    assert findstem([]) == ""
+    assert findstem(["abcd", "zzz"]) == "zzz"  # 2-word quirk
+    assert findstem(["grace", "graceful", "disgraceful"]) == "grace"
+    assert findstem(["xy", "ab", "cd"]) == ""
+    assert findstem(["頭痛", "頭痛薬", "偏頭痛"]) == "頭痛"
