@@ -670,6 +670,71 @@ FROM j
 """
 
 
+def _strict_prf_by_type(spark, sf):
+    """Per-type strict P/R — the seqeval ``classification_report`` analogue
+    (reference prints it at ``util/iob_util.py:354-364`` /
+    ``BERT/evaluate.py:46-58``): the same count-keyed full-outer evaluation
+    join as strict_mention_prf, grouped by entity type. Zero denominators
+    guarded with greatest(·,1) so an all-miss type reads 0.0 (seqeval
+    zero_division=0)."""
+    gold = _kg_mentions(spark, sf)
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+
+    pred_m = tag_sentences(_doc_sentences(spark, sf), PRED_TERM_TYPES, normalize=False)
+    pred = pred_m.groupBy(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("word").alias("term"),
+        F.col("type").alias("kind"),
+    ).agg(F.count("*").alias("n"))
+    key = ["doc_id", "term", "kind", "n"]
+    g = gold.withColumn("_g", F.lit(1))
+    p = pred.withColumn("_p", F.lit(1))
+    j = g.join(p, key, "full_outer")
+    agg = j.groupBy("kind").agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "kind",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+    )
+
+
+_STRICT_PRF_BY_TYPE_SQL = f"""
+WITH gold AS ({_OCC_SQL}),
+pred AS (
+  SELECT d.doc_id, t.term, t.kind,
+         CAST((length(d.text) - length(replace(d.text, t.term, ''))) / length(t.term) AS BIGINT) AS n
+  FROM documents d CROSS JOIN {_PRED_TERMS_SQL}
+  WHERE length(d.text) - length(replace(d.text, t.term, '')) > 0
+),
+j AS (
+  SELECT kind, coalesce(g.ok, 0) AS g_ok, coalesce(p.ok, 0) AS p_ok
+  FROM (SELECT doc_id, term, kind, n, 1 AS ok FROM gold) g
+  FULL OUTER JOIN (SELECT doc_id, term, kind, n, 1 AS ok FROM pred) p
+  USING (doc_id, term, kind, n)
+),
+agg AS (
+  SELECT kind,
+    CAST(sum(CASE WHEN g_ok = 1 AND p_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN g_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN p_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j GROUP BY kind
+)
+SELECT kind, tp, fp, fn,
+  round(tp / CAST(greatest(tp + fp, 1) AS DOUBLE), 6) AS precision,
+  round(tp / CAST(greatest(tp + fn, 1) AS DOUBLE), 6) AS recall
+FROM agg
+"""
+
+
 def _text_stats(spark, sf):  # quality scoring / token counting / lang-ID
     from bert_namedentityrecognition_spark.functions import textstats as ts
 
@@ -1637,7 +1702,7 @@ def _ivf_ann_sql(
     n_probe: int = 4,
     k: int = 5,
     seed: int = 42,
-    train_mod: int = 2,
+    max_train_sample: int | None = None,
     lloyd_iterations: int = 2,
 ) -> str:
     """IVF ANN replayed exactly in SQL: the driver-side k-means training
@@ -1645,13 +1710,19 @@ def _ivf_ann_sql(
     with vec_id-ordered sequential-mean folds) is unrolled as CTEs using the
     SAME arithmetic as the Python/Spark side — every dot/norm/mean is a
     sequential left fold in DOUBLE, so centroids, list assignments, and
-    probe sets are bit-identical. Final in-list ranking reuses the proven
-    ``list_cosine_similarity`` ordering (only ids/ranks are projected)."""
+    probe sets are bit-identical. The sampling modulus is no longer a fixed
+    literal: both sides derive ``train_mod = ceil(n / (256·n_centroids))``
+    with integer arithmetic (Spark via one count(), here via a params CTE
+    over count(*)), so the driver collect stays bounded at any corpus size
+    and the twins still agree exactly. Final in-list ranking reuses the
+    proven ``list_cosine_similarity`` ordering (only ids/ranks are
+    projected)."""
     from bert_namedentityrecognition_spark.operators.similarity import (
         ivf_train_hash_params,
     )
 
     a, b, mod = ivf_train_hash_params(seed)
+    target = max_train_sample if max_train_sample is not None else 256 * n_centroids
     rng = f"range(1, {dim + 1})"
     fold = "(a, b) -> a + b"
 
@@ -1678,7 +1749,9 @@ def _ivf_ann_sql(
 
     h = f"(vec_id * {a} + {b}) % {mod}"
     ctes = [
-        f"sample AS (SELECT vec_id, embedding FROM embeddings WHERE ({h}) % {train_mod} = 0)",
+        # same integer ceil as ivf_resolve_train_mod: max(1, (n+target-1)//target)
+        f"params AS (SELECT greatest(1, (count(*) + {target - 1}) // {target}) AS tm FROM embeddings)",
+        f"sample AS (SELECT vec_id, embedding FROM embeddings, params WHERE ({h}) % params.tm = 0)",
         f"""seedord AS (
   SELECT vec_id, embedding, row_number() OVER (ORDER BY {h}, vec_id) AS rn
   FROM sample
@@ -1775,6 +1848,75 @@ scored AS (
   FROM v JOIN q ON v.bucket = q.bucket AND v.vec_id <> q.query_id
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= 5
+"""
+
+
+def _embedding_neardup_lsh(spark, sf):
+    """Embedding-cosine near-dup pairs through the guarded LSH self-join
+    (operators/similarity.embedding_near_dup_pairs): m_bits=2 / t=0.4 chosen
+    so the synthetic embeddings table yields a non-trivial pair set; the
+    hot-bucket guard (cap 1024) cannot trigger at sf≤0.1 bucket sizes, so
+    the DuckDB twin replays the plain banding — the guard's splitting and
+    neighbor-window paths are covered by tests/test_similarity hot-bucket
+    cases. ``portable=True``: threshold evaluated as dot ≥ 0 AND
+    dot² ≥ t²·Σa²·Σb² with sequential double folds (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, m_bits=2, dim=64, portable=True
+    ).select("vec_a", "vec_b")
+
+
+def _embedding_neardup_sql(
+    threshold: float = 0.4, m_bits: int = 2, seed: int = 42, dim: int = 64
+) -> str:
+    """Guarded LSH near-dup replayed exactly: hyperplanes inlined with the
+    same DOUBLE-promoted sequential-fold sign bits as the Spark side, and
+    the threshold as the same integer-style predicate (dot ≥ 0 AND
+    dot² ≥ t²·Σa²·Σb², identical operand order)."""
+    from bert_namedentityrecognition_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, m_bits, seed)
+
+    def dot_planes(col, plane):
+        prods = ", ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * ({v!r})" for i, v in enumerate(plane)
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{prods}]), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_planes('embedding', p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    rng = f"range(1, {dim + 1})"
+    fold = "(a, b) -> a + b"
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({rng}, j -> CAST(va[j] AS DOUBLE) * CAST(vb[j] AS DOUBLE))), {fold})"
+    )
+
+    def sq(col):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({rng}, j -> CAST({col}[j] AS DOUBLE) * CAST({col}[j] AS DOUBLE))), {fold})"
+        )
+
+    t2 = float(threshold) * float(threshold)
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b FROM cand
+WHERE {sq('va')} > 0 AND {sq('vb')} > 0
+  AND {dot} >= 0 AND {dot} * {dot} >= {t2!r} * {sq('va')} * {sq('vb')}
 """
 
 
@@ -2035,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_e2e_triples": _kg_e2e_triples,
         "kg_e2e_triples_lev": _kg_e2e_triples_lev,
         "strict_mention_prf": _strict_mention_prf,
+        "strict_prf_by_type": _strict_prf_by_type,
         "relaxed_metrics": _relaxed_metrics,
         "span_match_scores": _span_match_scores,
         # training-data pipeline family
@@ -2046,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _minhash_sigs,
         "dedup_ngram_jaccard": _ngram_dups,
         "dedup_embedding_cosine": _embedding_cosine_dups,
+        "dedup_embedding_neardup": _embedding_neardup_lsh,
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -2084,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_e2e_triples": _kg_e2e_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
+        "strict_prf_by_type": _STRICT_PRF_BY_TYPE_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "doc_quality_filter": _QUALITY_SQL,
         "doc_length_percentiles": _PCTL_SQL,
@@ -2094,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _MINHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_DUPS_SQL,
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
+        "dedup_embedding_neardup": _embedding_neardup_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "dedup_simhash_signatures": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,

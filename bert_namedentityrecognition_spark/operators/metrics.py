@@ -147,6 +147,42 @@ def strict_span_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
     )
 
 
+def strict_span_counts_by_type(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Per-type strict P/R/F1 — the seqeval ``classification_report``
+    analogue (``util/iob_util.py:354-364``, printed by ``BERT/evaluate.py:
+    46-58``): one row per entity type with tp/fp/fn/precision/recall/f1.
+
+    Same full-outer span join as :func:`strict_span_counts`, grouped by the
+    ``type`` key column (coalesced across the join, so types present on only
+    one side still report). Ratios rounded to 6 for oracle parity; zero
+    denominators guarded with ``greatest(·, 1)`` so an all-miss type reads
+    0.0, matching seqeval's zero_division=0 default."""
+    g = gold.select(*SPAN_KEY).distinct().withColumn("_g", F.lit(1))
+    p = pred.select(*SPAN_KEY).distinct().withColumn("_p", F.lit(1))
+    joined = g.join(p, SPAN_KEY, "full_outer")
+    agg = joined.groupBy("type").agg(
+        F.sum(
+            F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "type",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )
+
+
 _RELAXED_SCHEMA = T.StructType(
     [
         T.StructField("type", T.StringType()),

@@ -36,7 +36,12 @@ def _norm(a):
 
 
 def cosine_expr(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL for zero-norm inputs (ANSI mode would otherwise throw
+    DIVIDE_BY_ZERO); NULL scores sort last under desc ordering and fail
+    threshold filters, which is the wanted semantics for degenerate
+    vectors."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 def cosine_topk(
@@ -51,8 +56,13 @@ def cosine_topk(
 
     ``queries``: (query_id, embedding). Broadcast-cross-join — correct shape
     when |queries| is small; the big side is scanned once, never shuffled
-    (the window partitions by query_id over q·n rows; with AQE the
-    rank-filter is a partial top-k per partition).
+    before the window. The window partitions by query_id, which would put
+    all n scored rows for a query on one reducer — the mitigation is
+    Spark's WindowGroupLimit (visible in the physical plan): the
+    ``rank <= k`` filter is pushed into a partial per-map-partition top-k,
+    so only ~k rows per input partition reach the single reducer. This is
+    the documented brute-force baseline; the scale paths are
+    :func:`lsh_cosine_topk` / :func:`ivf_cosine_topk`.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -187,28 +197,35 @@ def ivf_train_hash_params(seed: int) -> tuple[int, int, int]:
     return 2 * seed + 3, 7 * seed + 10, _IVF_MOD
 
 
-def ivf_train(
+def ivf_resolve_train_mod(
+    n_vectors: int, n_centroids: int, max_train_sample: int | None = None
+) -> int:
+    """Derive the sampling modulus from a target training-sample size.
+
+    ``max_train_sample`` defaults to ``256 * n_centroids`` (standard IVF
+    practice: a few hundred training points per centroid). Pure integer
+    arithmetic — ``ceil(n / target)`` — so a SQL oracle can compute the
+    identical value from ``count(*)`` and the two sides stay bit-identical.
+    """
+    target = max_train_sample if max_train_sample is not None else 256 * n_centroids
+    if target < 1:
+        raise ValueError(f"max_train_sample must be >= 1, got {target}")
+    return max(1, (n_vectors + target - 1) // target)
+
+
+def ivf_training_sample(
     vectors: DataFrame,
-    n_centroids: int = 16,
-    lloyd_iterations: int = 2,
+    train_mod: int,
     seed: int = 42,
-    train_mod: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list[list[float]]:
-    """Driver-side IVF training (k-means) over a portable-hash sample.
+) -> list[tuple[int, list[float]]]:
+    """Collect the portable-hash training sample, sorted by vec_id.
 
-    Standard IVF practice at scale: train on a bounded sample (~n/train_mod
-    rows — size train_mod so the sample is a few hundred per centroid), then
-    assign ALL vectors JVM-side against literal centroids. The sample filter
-    ``((a·vec_id + b) % p) % train_mod == 0`` is integer arithmetic, so the
-    exact same training replays in the driver's DuckDB oracle; every float
-    op here is a sequential double fold (plain Python loops, NOT numpy's
-    pairwise sums) for the same reason.
-
-    Deterministic: seeding = first ``n_centroids`` sample vectors ordered by
-    (hash, vec_id); Lloyd assignment = first-argmax cosine; means accumulate
-    in vec_id order; empty lists keep their previous centroid.
+    The filter ``((a·vec_id + b) % p) % train_mod == 0`` keeps ~n/train_mod
+    rows (universal hash family → near-uniform over residues), so the
+    driver-side collect is bounded by the caller's sample target, not by n.
+    Exposed separately so tests can assert the bound directly.
     """
     a, b, mod = ivf_train_hash_params(seed)
     rows = (
@@ -218,7 +235,46 @@ def ivf_train(
         .select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec"))
         .collect()
     )
-    sample = sorted((int(r.vid), [float(x) for x in r.vec]) for r in rows)
+    return sorted((int(r.vid), [float(x) for x in r.vec]) for r in rows)
+
+
+def ivf_train(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    seed: int = 42,
+    train_mod: int | None = None,
+    max_train_sample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Driver-side IVF training (k-means) over a portable-hash sample.
+
+    Standard IVF practice at scale: train on a bounded sample, then assign
+    ALL vectors JVM-side against literal centroids. By default the sampling
+    modulus is DERIVED from a sample-size target (``max_train_sample``,
+    default ``256 * n_centroids``) via one ``count()``:
+    ``train_mod = ceil(n / target)`` — so the driver collect stays
+    ~``max_train_sample`` rows at ANY corpus size (10^9 vectors with 16
+    centroids still collects ~4096 rows, not n/2). Passing ``train_mod``
+    explicitly skips the count. The sample filter
+    ``((a·vec_id + b) % p) % train_mod == 0`` is integer arithmetic, so the
+    exact same training replays in the driver's DuckDB oracle (which derives
+    the same train_mod from ``count(*)`` with the same integer ceil); every
+    float op here is a sequential double fold (plain Python loops, NOT
+    numpy's pairwise sums) for the same reason.
+
+    Deterministic: seeding = first ``n_centroids`` sample vectors ordered by
+    (hash, vec_id); Lloyd assignment = first-argmax cosine; means accumulate
+    in vec_id order; empty lists keep their previous centroid.
+    """
+    a, b, mod = ivf_train_hash_params(seed)
+    if train_mod is None:
+        n = vectors.count()
+        train_mod = ivf_resolve_train_mod(n, n_centroids, max_train_sample)
+    sample = ivf_training_sample(
+        vectors, train_mod, seed=seed, id_col=id_col, vec_col=vec_col
+    )
     if len(sample) < n_centroids:
         raise ValueError(
             f"training sample ({len(sample)}) smaller than n_centroids "
@@ -269,7 +325,8 @@ def ivf_build(
     n_centroids: int = 16,
     lloyd_iterations: int = 2,
     seed: int = 42,
-    train_mod: int = 2,
+    train_mod: int | None = None,
+    max_train_sample: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: list[list[float]] | None = None,
@@ -289,6 +346,7 @@ def ivf_build(
             lloyd_iterations=lloyd_iterations,
             seed=seed,
             train_mod=train_mod,
+            max_train_sample=max_train_sample,
             id_col=id_col,
             vec_col=vec_col,
         )
@@ -309,7 +367,8 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    train_mod: int = 2,
+    train_mod: int | None = None,
+    max_train_sample: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -321,6 +380,7 @@ def ivf_cosine_topk(
         n_centroids=n_centroids,
         seed=seed,
         train_mod=train_mod,
+        max_train_sample=max_train_sample,
         id_col=id_col,
         vec_col=vec_col,
     )
@@ -353,6 +413,61 @@ def ivf_cosine_topk(
     )
 
 
+def _sq64(a):
+    """Σx² as a sequential double fold (no sqrt) — oracle-replayable."""
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v * v,
+    )
+
+
+def _near_dup_keyed(
+    vectors: DataFrame,
+    m_bits: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bucket_cap: int,
+    rehash_levels: int,
+    rehash_bits: int,
+) -> DataFrame:
+    """(vec_id, vec, key, _sz): LSH bucket keys with oversized buckets split
+    by recursive re-hash. Level ℓ appends an independent ``rehash_bits``-bit
+    signature (seed+1+ℓ) to the keys of buckets larger than ``bucket_cap``;
+    keys are '/'-joined strings so split children can never collide with an
+    unsplit bucket. Each level costs one count-aggregation + one broadcast-
+    free equi-join — a bounded price for removing the k²/2 worst case.
+    """
+    planes = _hyperplanes(dim, m_bits, seed)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature_expr(F.col(vec_col), planes).cast("string").alias("key"),
+    )
+    for lvl in range(rehash_levels):
+        sizes = v.groupBy("key").agg(F.count("*").alias("_sz"))
+        extra = _hyperplanes(dim, rehash_bits, seed + 1 + lvl)
+        v = (
+            v.join(sizes, "key")
+            .withColumn(
+                "key",
+                F.when(
+                    F.col("_sz") > bucket_cap,
+                    F.concat_ws(
+                        "/",
+                        F.col("key"),
+                        lsh_signature_expr(F.col("vec"), extra).cast("string"),
+                    ),
+                ).otherwise(F.col("key")),
+            )
+            .drop("_sz")
+        )
+    sizes = v.groupBy("key").agg(F.count("*").alias("_sz"))
+    return v.join(sizes, "key")
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -361,25 +476,132 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bucket_cap: int = 1024,
+    rehash_levels: int = 2,
+    rehash_bits: int = 8,
+    neighbor_window: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join: only pairs in
-    the same bucket are scored; cosine ≥ threshold kept."""
+    """Embedding-cosine near-duplicate pairs via LSH self-join with a
+    hot-bucket guard: only pairs in the same bucket are scored; cosine ≥
+    threshold kept.
+
+    Without a guard, one bucket holding k vectors costs k²/2 comparisons —
+    and a near-duplicate-heavy corpus (exactly where this operator is
+    pointed) concentrates mass in few buckets. Guard, all JVM-side:
+
+    1. buckets larger than ``bucket_cap`` are recursively split by appending
+       ``rehash_bits`` fresh hyperplane bits (up to ``rehash_levels`` times)
+       — separates *distinct* vectors that happened to collide;
+    2. buckets STILL oversized after splitting (≈ all-near-identical mass,
+       which no re-hash can separate) switch from all-pairs to sorted
+       neighbor-window candidates: each vector pairs with the next
+       ``neighbor_window`` vec_ids in its bucket via an explode+equi-join
+       (k·W rows, never k²). For exact/near-exact duplicate groups the
+       adjacent pairs all pass the threshold, so transitive connectivity is
+       preserved — feed the pairs to
+       :func:`~.canonicalize.connected_components` as usual. Use
+       :func:`embedding_near_dup_bucket_stats` to see which buckets were
+       truncated and how many candidate pairs were skipped.
+
+    ``portable=True`` evaluates the threshold with oracle-replayable
+    arithmetic instead of a float cosine compare: keep ⇔ ``dot ≥ 0 AND
+    dot² ≥ t²·Σa²·Σb²`` with every sum a sequential double fold — the exact
+    boundary a DuckDB twin reproduces bit-for-bit (CLAUDE.md rule 11).
+    """
     dim = _require_dim(dim, vec_col)
-    planes = _hyperplanes(dim, m_bits, seed)
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        lsh_signature_expr(F.col(vec_col), planes).alias("bucket"),
+    v = _near_dup_keyed(
+        vectors, m_bits, seed, id_col, vec_col, dim,
+        bucket_cap, rehash_levels, rehash_bits,
     )
-    pairs = (
-        v.alias("x")
-        .join(v.alias("y"), "bucket")
+    small = v.filter(F.col("_sz") <= bucket_cap)
+    cand_small = (
+        small.alias("x")
+        .join(small.alias("y"), "key")
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            cosine_expr(F.col("x.vec"), F.col("y.vec")).alias("cosine"),
+            F.col("x.vec").alias("va"),
+            F.col("y.vec").alias("vb"),
         )
-        .filter(F.col("cosine") >= threshold)
     )
-    return pairs
+    big = v.filter(F.col("_sz") > bucket_cap)
+    w = Window.partitionBy("key").orderBy("vec_id")
+    big_rn = big.withColumn("rn", F.row_number().over(w))
+    probes = big_rn.select(
+        "key",
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + neighbor_window)
+        ).alias("rn"),
+    )
+    cand_big = probes.join(
+        big_rn.select(
+            "key", "rn", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+        ),
+        ["key", "rn"],
+    ).select("vec_a", "vec_b", "va", "vb")
+    cand = cand_small.unionByName(cand_big)
+    if portable:
+        t2 = float(threshold) * float(threshold)
+        dot = _dot64(F.col("va"), F.col("vb"))
+        sa, sb = _sq64(F.col("va")), _sq64(F.col("vb"))
+        # norm-positivity guards: a zero vector has undefined cosine and must
+        # not match (without them 0 ≥ t²·0·sb would pass vacuously)
+        keep = (
+            (sa > 0) & (sb > 0) & (dot >= 0) & (dot * dot >= F.lit(t2) * sa * sb)
+        )
+    else:
+        keep = cosine_expr(F.col("va"), F.col("vb")) >= threshold
+    return (
+        cand.filter(keep)
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+    )
+
+
+def embedding_near_dup_bucket_stats(
+    vectors: DataFrame,
+    m_bits: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bucket_cap: int = 1024,
+    rehash_levels: int = 2,
+    rehash_bits: int = 8,
+    neighbor_window: int = 64,
+) -> DataFrame:
+    """(key, size, truncated, pairs_skipped): per final bucket, whether the
+    neighbor-window fallback fired and how many candidate pairs it skipped
+    (``C(size,2) − (size·W − W·(W+1)/2)``). The drop count the guard owes
+    its users — aggregate and log it next to the pairs job."""
+    dim = _require_dim(dim, vec_col)
+    v = _near_dup_keyed(
+        vectors, m_bits, seed, id_col, vec_col, dim,
+        bucket_cap, rehash_levels, rehash_bits,
+    )
+    sz = F.col("size").cast("long")
+    wlit = F.lit(neighbor_window).cast("long")
+    all_pairs = sz * (sz - 1) / 2
+    kept = sz * wlit - wlit * (wlit + 1) / 2
+    return (
+        v.groupBy("key")
+        .agg(F.count("*").alias("size"))
+        .select(
+            "key",
+            "size",
+            (sz > bucket_cap).alias("truncated"),
+            F.when(
+                sz > bucket_cap,
+                F.greatest(F.lit(0.0), all_pairs - kept).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("pairs_skipped"),
+        )
+    )
