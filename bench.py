@@ -12,8 +12,14 @@ two parallelism levels (local[N] vs local[4N] — the sandbox stand-in for N vs
                     "pages_per_sec_low": ..., "pages_per_sec_high": ...,
                     "scaling_efficiency": ...}}
 
-Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, KG_BENCH_PAGES (corpus size,
-default 60000), KG_BENCH_SKIP_SCALING=1 to skip the two-session scaling run.
+Also recorded: per-query trial lists ("query_trials" — sub-2s queries run
+min-of-3, the rest min-of-2) and a second scaling pair "kg_scaling_cross"
+(local[2] vs local[8]) with its own host probe, so the artifact of record
+carries both the gate pair and the cross-check.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, KG_BENCH_PAGES (corpus
+size, default 250000), KG_BENCH_SKIP_SCALING=1 to skip the two-session
+scaling run, KG_BENCH_SKIP_CROSS=1 to skip the 2→8 cross pair.
 """
 
 from __future__ import annotations
@@ -49,12 +55,24 @@ HEADLINE = [
 REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DATA = os.path.join(REPO, "var", "bench_pages")
 
+# min-of-3 set (VERDICT r2 item 5): these sub-2s queries regressed 40-60%
+# between r1 and r2 with UNCHANGED physical plans — burst host noise is a
+# larger fraction of a short wall, so they get an extra trial and the trial
+# lists land in the JSON so a regression can be adjudicated from the
+# artifact itself
+SUB2S_MIN3 = {
+    "dedup_minhash_signatures",
+    "text_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+}
+
 
 def _noop_write(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_headline(sf_dir: str, cores: int) -> dict:
+def run_headline(sf_dir: str, cores: int) -> tuple[dict, dict]:
     import __spark_entry__ as entrymod
     from bert_namedentityrecognition_spark.plans.session import build_session
 
@@ -66,18 +84,20 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         "l_returnflag"
     ).count().collect()
     timings = {}
-    # min-of-2 per query: the host shows burst slowdowns of 1.5-2x lasting
+    trials_out = {}
+    # min-of-N per query: the host shows burst slowdowns of 1.5-2x lasting
     # minutes; a single-shot timing judges the host's mood, not the plan
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
+        trials = []
+        for _ in range(3 if name in SUB2S_MIN3 else 2):
             t0 = time.perf_counter()
             _noop_write(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            trials.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(trials)
+        trials_out[name] = trials
     spark.stop()
-    return timings
+    return timings, trials_out
 
 
 def _ensure_bench_corpus(n_pages: int) -> str:
@@ -453,7 +473,7 @@ def main():
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    timings = run_headline(sf_dir, cores)
+    timings, query_trials = run_headline(sf_dir, cores)
     total = round(sum(timings.values()), 3)
 
     result = {
@@ -461,6 +481,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_trials": query_trials,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
     }
@@ -481,6 +502,14 @@ def main():
         c_lo = int(os.environ.get("KG_BENCH_CORES_LOW", "1"))
         c_hi = int(os.environ.get("KG_BENCH_CORES_HIGH", str(4 * c_lo)))
         result["kg_scaling"] = run_kg_scaling(n_pages, c_lo, c_hi)
+        if os.environ.get("KG_BENCH_SKIP_CROSS", "0") != "1":
+            # cross-check pair (VERDICT r2 item 6): the 2→8 numbers used to
+            # live only in BASELINE.md prose; record them in the artifact so
+            # both pairs + both host probes travel together. Raw 2→8 reads
+            # 0.67-0.87 purely with host windows (the probe quantifies the
+            # per-proc CPU the host withdraws at 8 busy procs); the
+            # host-normalized figure is the cluster-relevant one.
+            result["kg_scaling_cross"] = run_kg_scaling(n_pages, 2, 8)
 
     if os.environ.get("KG_BENCH_SKIP_NER_NUMPY", "0") != "1":
         result["ner_numpy"] = run_ner_numpy_bench(cores)

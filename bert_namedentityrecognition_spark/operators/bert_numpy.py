@@ -16,16 +16,25 @@ Design for Spark:
 - eval-mode semantics only (no dropout), matching ``model.eval()`` at
   ``BERT/Model.py:308``.
 
-GELU uses the tanh approximation (HF ``gelu_new``); swap ``_gelu`` for an
-erf-based one when scipy is available — the choice is config, not
-architecture.
+The activation follows the checkpoint's config: ``_meta.hidden_act`` in the
+state dict (default ``"gelu"`` — the exact erf GELU stock
+``BertForTokenClassification`` configs use; ``"gelu_new"`` selects the tanh
+approximation some configs request). The erf is evaluated in float64 with
+the Abramowitz–Stegun 7.1.26 polynomial (max abs error 1.5e-7 ≈ float32
+eps — within one float32 ulp of stdlib ``math.erf``) — no scipy needed.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["init_token_classifier_state", "bert_token_logits", "bert_config_of"]
+__all__ = [
+    "init_token_classifier_state",
+    "bert_token_logits",
+    "bert_config_of",
+    "save_checkpoint",
+    "load_checkpoint",
+]
 
 
 def init_token_classifier_state(
@@ -37,9 +46,13 @@ def init_token_classifier_state(
     intermediate: int = 256,
     max_position: int = 512,
     seed: int = 0,
+    hidden_act: str = "gelu",
 ) -> dict[str, np.ndarray]:
     """Random-init state dict with ``BertForTokenClassification`` key names
-    and shapes (HF convention: Linear weights are [out, in])."""
+    and shapes (HF convention: Linear weights are [out, in]).
+    ``hidden_act`` mirrors ``config.hidden_act`` and is carried in the state
+    dict (``_meta.hidden_act``) so the forward replays the checkpoint's own
+    activation."""
     rng = np.random.RandomState(seed)
 
     def w(*shape):
@@ -76,22 +89,43 @@ def init_token_classifier_state(
         sd[p + "output.LayerNorm.weight"] = ones(hidden)
         sd[p + "output.LayerNorm.bias"] = zeros(hidden)
     sd["_meta.heads"] = np.array([heads], np.int64)
+    sd["_meta.hidden_act"] = np.array([hidden_act])
     return sd
 
 
-def bert_config_of(sd: dict[str, np.ndarray]) -> dict[str, int]:
-    """Infer (layers, heads, hidden, num_labels) from a state dict."""
+def bert_config_of(sd: dict[str, np.ndarray]) -> dict:
+    """Infer (layers, heads, hidden, num_labels, hidden_act) from a state
+    dict. ``hidden_act`` defaults to ``"gelu"`` (exact erf — the stock
+    ``BertConfig`` default) when the checkpoint carries no meta entry, as a
+    real HF state dict won't."""
     layers = 0
     while f"bert.encoder.layer.{layers}.attention.self.query.weight" in sd:
         layers += 1
     hidden = sd["bert.embeddings.word_embeddings.weight"].shape[1]
     heads = int(sd["_meta.heads"][0]) if "_meta.heads" in sd else max(1, hidden // 64)
+    act = str(sd["_meta.hidden_act"][0]) if "_meta.hidden_act" in sd else "gelu"
     return {
         "layers": layers,
         "heads": heads,
         "hidden": hidden,
         "num_labels": sd["classifier.weight"].shape[0],
+        "hidden_act": act,
     }
+
+
+def save_checkpoint(sd: dict[str, np.ndarray], path: str) -> None:
+    """Persist a state dict to ``.npz`` with key names preserved verbatim —
+    the file-interchange twin of ``torch.save(model.state_dict())``. A torch
+    checkpoint converted tensor-by-tensor to ndarrays round-trips through
+    this format unchanged."""
+    np.savez_compressed(path, **sd)
+
+
+def load_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Load a ``.npz`` checkpoint back into a plain state dict; the arrays
+    are materialized (no lazy file handle) so the dict is broadcast-safe."""
+    with np.load(path, allow_pickle=False) as z:
+        return {k: np.array(z[k]) for k in z.files}
 
 
 def _layer_norm(x: np.ndarray, weight: np.ndarray, bias: np.ndarray, eps: float = 1e-12):
@@ -100,8 +134,39 @@ def _layer_norm(x: np.ndarray, weight: np.ndarray, bias: np.ndarray, eps: float 
     return (x - mu) / np.sqrt(var + eps) * weight + bias
 
 
-def _gelu(x: np.ndarray) -> np.ndarray:
+def _erf(x: np.ndarray) -> np.ndarray:
+    """Vectorized erf, Abramowitz–Stegun 7.1.26 in float64: max abs error
+    1.5e-7 ≈ float32 eps, so the float32 GELU agrees with stdlib
+    ``math.erf`` to within one ulp (asserted in tests); stdlib math.erf via
+    np.vectorize would be exact but ~50× slower on the [B,T,ff] tensor."""
+    sign = np.sign(x)
+    ax = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * np.exp(-ax * ax))
+
+
+def _gelu_erf(x: np.ndarray) -> np.ndarray:
+    """Exact GELU (HF ``"gelu"`` — the stock BertConfig default)."""
+    return 0.5 * x * (1.0 + _erf(x.astype(np.float64) / np.sqrt(2.0))).astype(
+        np.float32
+    )
+
+
+def _gelu_tanh(x: np.ndarray) -> np.ndarray:
+    """Tanh approximation (HF ``"gelu_new"`` / ``"gelu_pytorch_tanh"``)."""
     return 0.5 * x * (1.0 + np.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
+
+
+_ACTIVATIONS = {
+    "gelu": _gelu_erf,
+    "gelu_new": _gelu_tanh,
+    "gelu_pytorch_tanh": _gelu_tanh,
+    "relu": lambda x: np.maximum(x, 0.0),
+}
 
 
 def _linear(x: np.ndarray, sd: dict, prefix: str) -> np.ndarray:
@@ -127,6 +192,13 @@ def bert_token_logits(
     the ``BertForTokenClassification`` dataflow of ``BERT/Model.py:311-318``.
     """
     cfg = bert_config_of(sd)
+    try:
+        act = _ACTIVATIONS[cfg["hidden_act"]]
+    except KeyError:
+        raise ValueError(
+            f"unsupported hidden_act {cfg['hidden_act']!r}; "
+            f"known: {sorted(_ACTIVATIONS)}"
+        ) from None
     B, T = ids.shape
     H, heads = cfg["hidden"], cfg["heads"]
     dh = H // heads
@@ -161,7 +233,7 @@ def bert_token_logits(
             sd[p + "attention.output.LayerNorm.weight"],
             sd[p + "attention.output.LayerNorm.bias"],
         )
-        inter = _gelu(_linear(attn, sd, p + "intermediate.dense"))
+        inter = act(_linear(attn, sd, p + "intermediate.dense"))
         x = _layer_norm(
             _linear(inter, sd, p + "output.dense") + attn,
             sd[p + "output.LayerNorm.weight"],

@@ -208,19 +208,48 @@ def _infer_rows(rows, mdl, vocab, batch_size: int, max_len: int, out: dict):
     Applies han_to_zen, length-sorted sub-batching (padding-efficiency trick
     of ``BERT/data_utils.py:66-97``), forward, argmax, [CLS] drop, trim,
     BIO decode; appends mention fields into ``out`` column lists.
+
+    Sub-token alignment: when the model's tokenizer exposes
+    ``tokenize_with_spans`` (the WordPiece path — a char can expand to 2+
+    pieces, ``BERT/Model.py:377-381``), labels come back per PIECE; the
+    decode runs at piece granularity and the spans are lifted to character
+    offsets through the tokenizer's alignment table, so the emitted mention
+    schema is identical to the char path (char start/end into the processed
+    sentence, word = the covered text).
     """
     texts = [han_to_zen(r[2]) for r in rows]
+    spanner = getattr(getattr(mdl, "tokenizer", None), "tokenize_with_spans", None)
     order = sorted(range(len(texts)), key=lambda i: -len(texts[i]))
     for ofs in range(0, len(order), batch_size):
         idxs = order[ofs : ofs + batch_size]
         chunk = [texts[i][: max_len - 1] for i in idxs]
-        padded = max((len(c) for c in chunk), default=0) + 1  # +[CLS]
+        if spanner is not None:
+            # cap at max_len-1 PIECES (position table is max_len long incl.
+            # [CLS]); the same truncated id sequence is what mdl.logits
+            # builds from chunk, so labels and alignment stay in lockstep
+            chunk_spans = [spanner(c)[: max_len - 1] for c in chunk]
+            padded = max((len(s) for s in chunk_spans), default=0) + 1  # +[CLS]
+        else:
+            chunk_spans = None
+            padded = max((len(c) for c in chunk), default=0) + 1  # +[CLS]
         logits = mdl.logits(chunk, padded)
         pred_ids = logits.argmax(axis=2)[:, 1:]  # drop [CLS] position
         for row, i in enumerate(idxs):
-            n = len(chunk[row])
-            labels = vocab.to_labels(pred_ids[row, :n])
-            for span in iob_to_spans(list(chunk[row]), labels):
+            if chunk_spans is not None:
+                tbl = chunk_spans[row]
+                labels = vocab.to_labels(pred_ids[row, : len(tbl)])
+                spans = []
+                for s in iob_to_spans([p for p, _, _ in tbl], labels):
+                    cs, ce = tbl[s["start"]][1], tbl[s["end"] - 1][2]
+                    spans.append(
+                        {"start": cs, "end": ce, "type": s["type"],
+                         "word": chunk[row][cs:ce]}
+                    )
+            else:
+                n = len(chunk[row])
+                labels = vocab.to_labels(pred_ids[row, :n])
+                spans = iob_to_spans(list(chunk[row]), labels)
+            for span in spans:
                 out["url"].append(rows[i][0])
                 out["sent_id"].append(int(rows[i][1]))
                 out["start"].append(span["start"])

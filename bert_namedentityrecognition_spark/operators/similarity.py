@@ -432,13 +432,29 @@ def _near_dup_keyed(
     bucket_cap: int,
     rehash_levels: int,
     rehash_bits: int,
+    materialize: bool = True,
 ) -> DataFrame:
-    """(vec_id, vec, key, _sz): LSH bucket keys with oversized buckets split
-    by recursive re-hash. Level ℓ appends an independent ``rehash_bits``-bit
-    signature (seed+1+ℓ) to the keys of buckets larger than ``bucket_cap``;
-    keys are '/'-joined strings so split children can never collide with an
-    unsplit bucket. Each level costs one count-aggregation + one broadcast-
-    free equi-join — a bounded price for removing the k²/2 worst case.
+    """(vec_id, vec, key, _hot): LSH bucket keys with oversized buckets
+    split by recursive re-hash. Level ℓ appends an independent
+    ``rehash_bits``-bit signature (seed+1+ℓ) to the keys of buckets larger
+    than ``bucket_cap``; keys are '/'-joined strings so split children can
+    never collide with an unsplit bucket. ``_hot`` marks rows whose FINAL
+    key is still oversized (the neighbor-window fallback set).
+
+    Shuffle/scan budget: the vector table itself is NEVER shuffled by the
+    guard. Each level aggregates per-key counts (map-side partial combine —
+    only compact (key, count) pairs cross the wire), filters to the
+    oversized keys, and broadcast-joins that set back — the oversized-key
+    set is small by construction (≤ n/bucket_cap keys), which is what makes
+    the broadcast safe where broadcasting the full size table would not be.
+    Because the levels are inherently iterative (level ℓ+1's counts depend
+    on level ℓ's keys), the keyed table is ``localCheckpoint``-materialized
+    per level (the repo's iterative-operator pattern, see
+    ``canonicalize.py``) — without it each level's count pass AND both
+    sides of the downstream self-join re-derive the whole lineage, which
+    measured 32 parquet scans for one query; with it the source is scanned
+    once and signatures are computed once. ``materialize=False`` keeps the
+    pure-plan form for callers that must not run jobs at build time.
     """
     planes = _hyperplanes(dim, m_bits, seed)
     v = vectors.select(
@@ -446,15 +462,25 @@ def _near_dup_keyed(
         F.col(vec_col).alias("vec"),
         lsh_signature_expr(F.col(vec_col), planes).cast("string").alias("key"),
     )
+    if materialize:
+        v = v.localCheckpoint(eager=True)
+
+    def hot_keys(df):
+        return F.broadcast(
+            df.groupBy("key")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > bucket_cap)
+            .select("key", F.lit(1).alias("_hot"))
+        )
+
     for lvl in range(rehash_levels):
-        sizes = v.groupBy("key").agg(F.count("*").alias("_sz"))
         extra = _hyperplanes(dim, rehash_bits, seed + 1 + lvl)
         v = (
-            v.join(sizes, "key")
+            v.join(hot_keys(v), "key", "left")
             .withColumn(
                 "key",
                 F.when(
-                    F.col("_sz") > bucket_cap,
+                    F.col("_hot").isNotNull(),
                     F.concat_ws(
                         "/",
                         F.col("key"),
@@ -462,10 +488,11 @@ def _near_dup_keyed(
                     ),
                 ).otherwise(F.col("key")),
             )
-            .drop("_sz")
+            .drop("_hot")
         )
-    sizes = v.groupBy("key").agg(F.count("*").alias("_sz"))
-    return v.join(sizes, "key")
+        if materialize:
+            v = v.localCheckpoint(eager=True)
+    return v.join(hot_keys(v), "key", "left")
 
 
 def embedding_near_dup_pairs(
@@ -481,6 +508,7 @@ def embedding_near_dup_pairs(
     rehash_bits: int = 8,
     neighbor_window: int = 64,
     portable: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join with a
     hot-bucket guard: only pairs in the same bucket are scored; cosine ≥
@@ -512,9 +540,9 @@ def embedding_near_dup_pairs(
     dim = _require_dim(dim, vec_col)
     v = _near_dup_keyed(
         vectors, m_bits, seed, id_col, vec_col, dim,
-        bucket_cap, rehash_levels, rehash_bits,
+        bucket_cap, rehash_levels, rehash_bits, materialize=materialize,
     )
-    small = v.filter(F.col("_sz") <= bucket_cap)
+    small = v.filter(F.col("_hot").isNull()).drop("_hot")
     cand_small = (
         small.alias("x")
         .join(small.alias("y"), "key")
@@ -526,7 +554,7 @@ def embedding_near_dup_pairs(
             F.col("y.vec").alias("vb"),
         )
     )
-    big = v.filter(F.col("_sz") > bucket_cap)
+    big = v.filter(F.col("_hot").isNotNull()).drop("_hot")
     w = Window.partitionBy("key").orderBy("vec_id")
     big_rn = big.withColumn("rn", F.row_number().over(w))
     probes = big_rn.select(
@@ -576,6 +604,7 @@ def embedding_near_dup_bucket_stats(
     rehash_levels: int = 2,
     rehash_bits: int = 8,
     neighbor_window: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """(key, size, truncated, pairs_skipped): per final bucket, whether the
     neighbor-window fallback fired and how many candidate pairs it skipped
@@ -584,7 +613,7 @@ def embedding_near_dup_bucket_stats(
     dim = _require_dim(dim, vec_col)
     v = _near_dup_keyed(
         vectors, m_bits, seed, id_col, vec_col, dim,
-        bucket_cap, rehash_levels, rehash_bits,
+        bucket_cap, rehash_levels, rehash_bits, materialize=materialize,
     )
     sz = F.col("size").cast("long")
     wlit = F.lit(neighbor_window).cast("long")
@@ -592,13 +621,13 @@ def embedding_near_dup_bucket_stats(
     kept = sz * wlit - wlit * (wlit + 1) / 2
     return (
         v.groupBy("key")
-        .agg(F.count("*").alias("size"))
+        .agg(F.count("*").alias("size"), F.max("_hot").alias("_h"))
         .select(
             "key",
             "size",
-            (sz > bucket_cap).alias("truncated"),
+            F.col("_h").isNotNull().alias("truncated"),
             F.when(
-                sz > bucket_cap,
+                F.col("_h").isNotNull(),
                 F.greatest(F.lit(0.0), all_pairs - kept).cast("long"),
             )
             .otherwise(F.lit(0))

@@ -268,6 +268,8 @@ def heatmap_svg(
     → an SVG heatmap string. Pure stdlib — the reference renders the same
     matrix with seaborn (``ade_table/ade_table.py:114-124``); this twin
     keeps the §2.2 sink executable without plotting libraries."""
+    from xml.sax.saxutils import escape
+
     if not pivot_rows:
         return '<svg xmlns="http://www.w3.org/2000/svg" width="1" height="1"/>'
     subj_field = next(iter(pivot_rows[0]))
@@ -285,17 +287,19 @@ def heatmap_svg(
         x = label_w + j * cell + cell // 2
         parts.append(
             f'<text x="{x}" y="{label_h - 6}" '
-            f'transform="rotate(-60 {x} {label_h - 6})">{c}</text>'
+            f'transform="rotate(-60 {x} {label_h - 6})">{escape(c)}</text>'
         )
     for i, r in enumerate(pivot_rows):
         y = label_h + i * cell
-        parts.append(f'<text x="2" y="{y + cell * 2 // 3}">{r[subj_field]}</text>')
+        parts.append(
+            f'<text x="2" y="{y + cell * 2 // 3}">{escape(str(r[subj_field]))}</text>'
+        )
         for j, c in enumerate(cols):
             v = float(r[c] or 0)
             parts.append(
                 f'<rect x="{label_w + j * cell}" y="{y}" width="{cell}" '
                 f'height="{cell}" fill="{_heat_color(v / vmax)}">'
-                f"<title>{r[subj_field]} × {c}: {int(v)}</title></rect>"
+                f"<title>{escape(str(r[subj_field]))} × {escape(c)}: {int(v)}</title></rect>"
             )
     parts.append("</svg>")
     return "".join(parts)

@@ -23,13 +23,32 @@ class WordPieceTokenizer:
         self.max_chars = max_chars_per_word
 
     def tokenize(self, text: str) -> list[str]:
-        out: list[str] = []
-        for word in text.split():
+        return [p for p, _, _ in self.tokenize_with_spans(text)]
+
+    def tokenize_with_spans(self, text: str) -> list[tuple[str, int, int]]:
+        """(piece, char_start, char_end) per piece, end-exclusive offsets
+        into ``text`` — the alignment table the NER decode needs to lift
+        piece-index BIO spans back to character spans. Same greedy matching
+        as :meth:`tokenize` (which delegates here); a word that fails to
+        tokenize or exceeds ``max_chars`` becomes one ``[UNK]`` spanning the
+        whole word."""
+        out: list[tuple[str, int, int]] = []
+        pos = 0
+        n = len(text)
+        while pos < n:
+            if text[pos].isspace():
+                pos += 1
+                continue
+            wend = pos
+            while wend < n and not text[wend].isspace():
+                wend += 1
+            word = text[pos:wend]
             if len(word) > self.max_chars:
-                out.append(UNK)
+                out.append((UNK, pos, wend))
+                pos = wend
                 continue
             start = 0
-            pieces: list[str] = []
+            pieces: list[tuple[str, int, int]] = []
             bad = False
             while start < len(word):
                 end = len(word)
@@ -45,9 +64,10 @@ class WordPieceTokenizer:
                 if cur is None:
                     bad = True
                     break
-                pieces.append(cur)
+                pieces.append((cur, pos + start, pos + end))
                 start = end
-            out.extend([UNK] if bad else pieces)
+            out.extend([(UNK, pos, wend)] if bad else pieces)
+            pos = wend
         return out
 
     def encode(self, tokens: list[str]) -> list[int]:

@@ -102,6 +102,51 @@ def _xlsx_col_index(cell_ref: str) -> int:
     return idx - 1
 
 
+def _xlsx_sheet_order(zf) -> list[str]:
+    """Worksheet part names in the workbook's DECLARED order: resolve
+    ``xl/workbook.xml``'s <sheet r:id=…> sequence through the workbook
+    rels. Fallback for files missing either part: sort by the numeric
+    suffix of the filename — plain ``sorted()`` would put sheet10.xml
+    before sheet2.xml and select the wrong sheet past 9 sheets."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    names = set(zf.namelist())
+    try:
+        rels_root = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        targets = {
+            r.get("Id"): r.get("Target") for r in rels_root.iter(f"{rel_ns}Relationship")
+        }
+        wb_root = ET.fromstring(zf.read("xl/workbook.xml"))
+        main_ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+        rid_attr = (
+            "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        )
+        ordered = []
+        for sheet in wb_root.iter(f"{main_ns}sheet"):
+            target = targets.get(sheet.get(rid_attr), "")
+            part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+            if part in names:
+                ordered.append(part)
+        if ordered:
+            return ordered
+    except KeyError:
+        pass
+
+    def numkey(n: str):
+        m = re.search(r"(\d+)\.xml$", n)
+        return (int(m.group(1)) if m else 0, n)
+
+    return sorted(
+        (
+            n for n in names
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        ),
+        key=numkey,
+    )
+
+
 def read_xlsx_rows(path: str, sheet_index: int = 0) -> list[dict]:
     """Minimal self-contained .xlsx scan (stdlib zipfile + ElementTree) —
     xlsx is a zip of XML, so no Excel engine is needed. Reads one sheet:
@@ -123,10 +168,7 @@ def read_xlsx_rows(path: str, sheet_index: int = 0) -> list[dict]:
                 shared.append("".join(t.text or "" for t in si.iter(
                     "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
                 )))
-        sheets = sorted(
-            n for n in zf.namelist()
-            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
-        )
+        sheets = _xlsx_sheet_order(zf)
         if sheet_index >= len(sheets):
             raise ValueError(f"{path}: no sheet index {sheet_index}")
         root = ET.fromstring(zf.read(sheets[sheet_index]))

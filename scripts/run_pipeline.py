@@ -8,7 +8,8 @@
 With ``--resume`` the job processes url-hash buckets through the metrics
 ledger (idempotent restart from the last committed bucket); without it, one
 batch pass. Outputs: mentions/ triples/ nodes/ edges/ (+ ledger.jsonl;
-``--pred-patterns`` adds triples_patterned/).
+``--pred-patterns`` adds triples_patterned/ — batch mode only, rejected
+with ``--resume``).
 
 Non-ASCII ``--pred-patterns`` values require a UTF-8 locale (``LANG=C.UTF-8``)
 — the spark-submit JVM decodes argv with the platform charset and silently
@@ -62,6 +63,26 @@ def main(argv=None):
     )
     p.add_argument("--default-pred", default="HAS_ADVERSE_EVENT")
     args = p.parse_args(argv)
+
+    # validate up front: a spec without '=' would otherwise surface as an
+    # opaque unpack ValueError deep inside pattern_predicate
+    patterns: list[tuple[str, str]] = []
+    if args.pred_patterns:
+        if args.resume:
+            p.error(
+                "--pred-patterns is not supported with --resume: the bucketed "
+                "resume path writes triples/ only (run a batch pass for "
+                "triples_patterned/)"
+            )
+        for spec in args.pred_patterns.split(";"):
+            if not spec:
+                continue
+            if "=" not in spec:
+                p.error(
+                    f"--pred-patterns spec {spec!r} has no '='; expected "
+                    "'REGEX=NAME;REGEX=NAME'"
+                )
+            patterns.append(tuple(spec.split("=", 1)))
 
     from pyspark.sql import SparkSession
 
@@ -123,16 +144,11 @@ def main(argv=None):
         write_outputs(out, args.out)
         n = spark.read.parquet(f"{args.out}/triples").count()
 
-        if args.pred_patterns:
+        if patterns:
             from bert_namedentityrecognition_spark.operators.triples import (
                 build_triples_patterned,
             )
 
-            patterns = [
-                tuple(spec.split("=", 1))
-                for spec in args.pred_patterns.split(";")
-                if spec
-            ]
             patterned = build_triples_patterned(
                 out["mentions"],
                 out["sentences"],
