@@ -113,12 +113,31 @@ def bert_config_of(sd: dict[str, np.ndarray]) -> dict:
     }
 
 
-def save_checkpoint(sd: dict[str, np.ndarray], path: str) -> None:
+def save_checkpoint(
+    sd: dict[str, np.ndarray],
+    path: str,
+    tokenizer_itos: list[str] | None = None,
+    label_itos: list[str] | None = None,
+    tokenizer_kind: str | None = None,
+) -> None:
     """Persist a state dict to ``.npz`` with key names preserved verbatim —
     the file-interchange twin of ``torch.save(model.state_dict())``. A torch
     checkpoint converted tensor-by-tensor to ndarrays round-trips through
-    this format unchanged."""
-    np.savez_compressed(path, **sd)
+    this format unchanged.
+
+    Optionally bundles the tokenizer/label vocabularies
+    (``_meta.tokenizer_itos`` / ``_meta.label_itos`` /
+    ``_meta.tokenizer_kind`` ∈ {'char','wordpiece'}) so a single file is a
+    complete, self-describing inference artifact — what
+    ``classifier_from_checkpoint`` (operators/ner.py) and the
+    ``run_pipeline.py --checkpoint`` launch mode consume."""
+    extra: dict[str, np.ndarray] = {}
+    if tokenizer_itos is not None:
+        extra["_meta.tokenizer_itos"] = np.array(tokenizer_itos)
+        extra["_meta.tokenizer_kind"] = np.array([tokenizer_kind or "char"])
+    if label_itos is not None:
+        extra["_meta.label_itos"] = np.array(label_itos)
+    np.savez_compressed(path, **sd, **extra)
 
 
 def load_checkpoint(path: str) -> dict[str, np.ndarray]:

@@ -51,6 +51,15 @@ class CharTokenizer:
         self.itos = [PAD, CLS, UNK] + sorted(set(alphabet or []))
         self.stoi = {t: i for i, t in enumerate(self.itos)}
 
+    @classmethod
+    def from_itos(cls, itos: list[str]) -> "CharTokenizer":
+        """Restore from a saved id→token table verbatim (checkpoint load
+        path — ids must match the embedding rows they were trained with)."""
+        tok = cls.__new__(cls)
+        tok.itos = list(itos)
+        tok.stoi = {t: i for i, t in enumerate(tok.itos)}
+        return tok
+
     def tokenize(self, text: str) -> list[str]:
         return list(text)
 
@@ -71,6 +80,14 @@ class LabelVocab:
             if l not in self.itos:
                 self.itos.append(l)
         self.stoi = {l: i for i, l in enumerate(self.itos)}
+
+    @classmethod
+    def from_itos(cls, itos: list[str]) -> "LabelVocab":
+        """Restore from a saved id→label table verbatim."""
+        v = cls.__new__(cls)
+        v.itos = list(itos)
+        v.stoi = {l: i for i, l in enumerate(v.itos)}
+        return v
 
     def to_labels(self, ids: np.ndarray) -> list[str]:
         return [self.itos[i] if self.itos[i] != PAD else "O" for i in ids]
@@ -176,6 +193,41 @@ class NumpyTokenClassifier:
             ids[bi, : len(enc)] = enc
             mask[bi, : len(enc)] = 1.0
         return bert_token_logits(self.state_dict, ids, mask)
+
+
+def classifier_from_checkpoint(path: str):
+    """(NumpyTokenClassifier, LabelVocab) from a self-describing ``.npz``
+    checkpoint (``bert_numpy.save_checkpoint`` with bundled vocabularies) —
+    the file a training run exports and ``run_pipeline.py --checkpoint``
+    loads at spark-submit time. The tensors are used exactly as stored;
+    tokenizer/label id tables restore verbatim so ids line up with the
+    trained embedding/classifier rows."""
+    from .bert_numpy import load_checkpoint
+
+    sd = load_checkpoint(path)
+    try:
+        tok_itos = [str(t) for t in sd.pop("_meta.tokenizer_itos")]
+        label_itos = [str(t) for t in sd.pop("_meta.label_itos")]
+    except KeyError as e:
+        raise ValueError(
+            f"{path}: checkpoint has no bundled vocabularies ({e}); save it "
+            "with save_checkpoint(sd, path, tokenizer_itos=..., "
+            "label_itos=...) or construct NumpyTokenClassifier directly"
+        ) from None
+    kind = (
+        str(sd.pop("_meta.tokenizer_kind")[0])
+        if "_meta.tokenizer_kind" in sd
+        else "char"
+    )
+    if kind == "wordpiece":
+        from ..oracle.wordpiece import WordPieceTokenizer
+
+        tokenizer = WordPieceTokenizer.from_itos(tok_itos)
+    elif kind == "char":
+        tokenizer = CharTokenizer.from_itos(tok_itos)
+    else:
+        raise ValueError(f"{path}: unknown tokenizer_kind {kind!r}")
+    return NumpyTokenClassifier(sd, tokenizer), LabelVocab.from_itos(label_itos)
 
 
 class TorchTokenClassifier:

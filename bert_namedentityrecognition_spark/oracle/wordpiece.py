@@ -22,6 +22,18 @@ class WordPieceTokenizer:
         self.stoi = {t: i for i, t in enumerate(self.itos)}
         self.max_chars = max_chars_per_word
 
+    @classmethod
+    def from_itos(
+        cls, itos: list[str], max_chars_per_word: int = 100
+    ) -> "WordPieceTokenizer":
+        """Restore from a saved id→piece table verbatim (checkpoint load
+        path — piece ids must match the trained embedding rows)."""
+        tok = cls.__new__(cls)
+        tok.itos = list(itos)
+        tok.stoi = {t: i for i, t in enumerate(tok.itos)}
+        tok.max_chars = max_chars_per_word
+        return tok
+
     def tokenize(self, text: str) -> list[str]:
         return [p for p, _, _ in self.tokenize_with_spans(text)]
 

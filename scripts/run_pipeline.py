@@ -3,7 +3,7 @@
     spark-submit --master local[8] --py-files kgspark.zip \
         scripts/run_pipeline.py --pages-dir /data/pages --out /data/kg \
         [--input-format parquet|warc] [--resume --buckets 64]
-        [--dim-csv dim.csv] [--lang ja]
+        [--dim-csv dim.csv] [--lang ja] [--checkpoint model.npz]
 
 With ``--resume`` the job processes url-hash buckets through the metrics
 ledger (idempotent restart from the last committed bucket); without it, one
@@ -62,7 +62,21 @@ def main(argv=None):
         "writes an additional triples_patterned/ output",
     )
     p.add_argument("--default-pred", default="HAS_ADVERSE_EVENT")
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="npz checkpoint with bundled vocabularies "
+        "(bert_numpy.save_checkpoint): runs the NER stage with the real "
+        "numpy BertForTokenClassification forward (broadcast weights) "
+        "instead of the gazetteer matcher; batch mode only",
+    )
     args = p.parse_args(argv)
+
+    if args.checkpoint and args.resume:
+        p.error(
+            "--checkpoint is not supported with --resume yet: the bucketed "
+            "resume path drives the gazetteer matcher (run a batch pass)"
+        )
 
     # validate up front: a spec without '=' would otherwise surface as an
     # opaque unpack ValueError deep inside pattern_predicate
@@ -132,6 +146,14 @@ def main(argv=None):
             write_outputs,
         )
 
+        model = label_vocab = None
+        if args.checkpoint:
+            from bert_namedentityrecognition_spark.operators.ner import (
+                classifier_from_checkpoint,
+            )
+
+            model, label_vocab = classifier_from_checkpoint(args.checkpoint)
+
         out = run_kg_pipeline(
             pages,
             dim,
@@ -140,6 +162,8 @@ def main(argv=None):
             scope=args.scope,
             lang_filter=args.lang or None,
             salt_buckets=args.salt_buckets,
+            model=model,
+            label_vocab=label_vocab,
         )
         write_outputs(out, args.out)
         n = spark.read.parquet(f"{args.out}/triples").count()

@@ -226,6 +226,74 @@ def test_checkpoint_file_round_trip(spark, tmp_path):
     assert mentions(sd2) == mentions(sd)
 
 
+def test_classifier_from_checkpoint_self_describing(spark, tmp_path):
+    """A single npz with bundled vocabularies is a complete inference
+    artifact: classifier_from_checkpoint reproduces the in-process model's
+    mentions exactly, for both tokenizer kinds; a tensor-only checkpoint
+    fails with a clear error."""
+    from bert_namedentityrecognition_spark.operators.bert_numpy import (
+        init_token_classifier_state,
+        save_checkpoint,
+    )
+    from bert_namedentityrecognition_spark.operators.ner import (
+        CharTokenizer,
+        NumpyTokenClassifier,
+        classifier_from_checkpoint,
+        label_vocab_for_types,
+        ner_pages,
+    )
+    from bert_namedentityrecognition_spark.oracle.textproc import han_to_zen
+    from bert_namedentityrecognition_spark.oracle.wordpiece import (
+        WordPieceTokenizer,
+        char_vocab_with_pieces,
+    )
+
+    texts = ["ロキソニンを服用後、頭痛が出現した。", "発熱に対してカロナールを処方した。"]
+    zen = [han_to_zen(t) for t in texts]
+    pages = spark.createDataFrame(
+        [(f"u{i}", None, None, t, "ja") for i, t in enumerate(texts)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    vocab = label_vocab_for_types(["drug", "symptom"])
+
+    def mentions(model, lv):
+        return {
+            (r.url, r.sent_id, r.start, r.end, r.type, r.word)
+            for r in ner_pages(pages, model, lv, batch_size=4).collect()
+        }
+
+    for kind, tok in (
+        ("char", CharTokenizer(sorted({c for t in zen for c in t}))),
+        ("wordpiece", WordPieceTokenizer(char_vocab_with_pieces(zen, ["ロキソ", "##ニン"]))),
+    ):
+        sd = init_token_classifier_state(
+            vocab_size=len(tok.itos), num_labels=len(vocab.itos), hidden=32,
+            layers=1, heads=2, intermediate=64, seed=5,
+        )
+        path = str(tmp_path / f"{kind}.npz")
+        save_checkpoint(
+            sd, path, tokenizer_itos=tok.itos, label_itos=vocab.itos,
+            tokenizer_kind=kind,
+        )
+        model2, vocab2 = classifier_from_checkpoint(path)
+        assert type(model2.tokenizer).__name__ == (
+            "CharTokenizer" if kind == "char" else "WordPieceTokenizer"
+        )
+        assert model2.tokenizer.itos == tok.itos and vocab2.itos == vocab.itos
+        assert mentions(model2, vocab2) == mentions(
+            NumpyTokenClassifier(sd, tok), vocab
+        )
+
+    bare = str(tmp_path / "bare.npz")
+    save_checkpoint(
+        init_token_classifier_state(10, 3, hidden=16, layers=1, heads=2,
+                                    intermediate=32),
+        bare,
+    )
+    with pytest.raises(ValueError, match="no bundled vocabularies"):
+        classifier_from_checkpoint(bare)
+
+
 def test_gelu_erf_matches_math_erf_and_config_switch():
     from bert_namedentityrecognition_spark.operators.bert_numpy import (
         _gelu_erf,
