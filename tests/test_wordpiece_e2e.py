@@ -329,3 +329,47 @@ def test_gelu_erf_matches_math_erf_and_config_switch():
     bare = {k: v for k, v in sd_erf.items() if k != "_meta.hidden_act"}
     assert bert_config_of(bare)["hidden_act"] == "gelu"
     assert np.array_equal(bert_token_logits(bare, ids), a)
+
+
+def test_tokenize_with_spans_properties():
+    """Property sweep (pure Python): for random vocab/text combinations the
+    span table is consistent — same pieces as tokenize(), offsets ascending
+    and non-overlapping, each span's surface matches its piece (modulo the
+    ## marker), UNK spans cover whole words."""
+    import random
+
+    from bert_namedentityrecognition_spark.oracle.wordpiece import (
+        WordPieceTokenizer,
+        char_vocab_with_pieces,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcdeあいうえ"
+    for _ in range(200):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 5))
+        ]
+        text = " ".join(words)
+        # random piece vocab: a random subset of chars + some 2-grams
+        chars = [c for c in alphabet if rng.random() < 0.7]
+        pieces2 = [
+            "".join(rng.choice(alphabet) for _ in range(2)) for _ in range(3)
+        ]
+        tok = WordPieceTokenizer(
+            char_vocab_with_pieces(["".join(chars)], extra_pieces=pieces2)
+        )
+        spans = tok.tokenize_with_spans(text)
+        assert [p for p, _, _ in spans] == tok.tokenize(text)
+        prev_end = 0
+        for p, s, e in spans:
+            assert 0 <= s < e <= len(text)
+            assert s >= prev_end or p.startswith("##")  # contiguous inside word
+            prev_end = e
+            if p == "[UNK]":
+                # covers a whole whitespace-delimited word
+                assert (s == 0 or text[s - 1].isspace()) and (
+                    e == len(text) or text[e].isspace()
+                )
+            else:
+                assert text[s:e] == (p[2:] if p.startswith("##") else p)
