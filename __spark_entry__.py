@@ -1747,7 +1747,7 @@ def _ivf_ann_sql(
     def score(e, c):
         return f"({dot(e, c)} / ({vnorm(e)} * {cnorm(c)}))"
 
-    h = f"(vec_id * {a} + {b}) % {mod}"
+    h = f"((vec_id % {mod}) * {a} + {b}) % {mod}"
     ctes = [
         # same integer ceil as ivf_resolve_train_mod: max(1, (n+target-1)//target)
         f"params AS (SELECT greatest(1, (count(*) + {target - 1}) // {target}) AS tm FROM embeddings)",

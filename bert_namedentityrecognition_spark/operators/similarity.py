@@ -191,10 +191,20 @@ _IVF_MOD = 1_000_000_007
 
 
 def ivf_train_hash_params(seed: int) -> tuple[int, int, int]:
-    """(a, b, mod) of the portable seeded hash ``(a*vec_id + b) % mod`` —
-    the same universal family the dedup oracles replay in DuckDB
-    (``functions/textstats.py:poly_hash_seeded``)."""
-    return 2 * seed + 3, 7 * seed + 10, _IVF_MOD
+    """(a, b, mod) of the portable seeded hash
+    ``(((vec_id % p) * a + b) % p)`` used for training-sample selection.
+
+    The multipliers are scaled by large odd constants so the mod-p
+    wraparound engages even for small vec_ids. With the old small
+    ``a = 2·seed+3`` the hash was exactly affine for ids below ~p/a, so
+    ``h % train_mod`` was the CONSTANT ``b % train_mod`` whenever
+    ``train_mod`` divided ``a`` — at seed 42 (a=87) a derived train_mod of
+    3 selected an EMPTY training sample (caught by the tm>1 twin test).
+    Max intermediate ``(p-1)·a + b < 2^63`` so both Spark longs and DuckDB
+    BIGINTs evaluate it exactly."""
+    a = (654435761 * (2 * seed + 3)) % _IVF_MOD
+    b = (354850103 * (7 * seed + 10)) % _IVF_MOD
+    return a, b, _IVF_MOD
 
 
 def ivf_resolve_train_mod(
@@ -230,7 +240,7 @@ def ivf_training_sample(
     a, b, mod = ivf_train_hash_params(seed)
     rows = (
         vectors.filter(
-            ((F.col(id_col).cast("long") * a + b) % mod) % train_mod == 0
+            (((F.col(id_col).cast("long") % mod) * a + b) % mod) % train_mod == 0
         )
         .select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec"))
         .collect()
@@ -280,7 +290,7 @@ def ivf_train(
             f"training sample ({len(sample)}) smaller than n_centroids "
             f"({n_centroids}); lower train_mod"
         )
-    order = sorted(sample, key=lambda t: ((t[0] * a + b) % mod, t[0]))
+    order = sorted(sample, key=lambda t: (((t[0] % mod) * a + b) % mod, t[0]))
     cents = [list(v) for _, v in order[:n_centroids]]
     dim = len(cents[0])
     for _ in range(lloyd_iterations):

@@ -189,3 +189,53 @@ def test_strict_counts_by_type(spark):
     z = rows["disease"]
     assert (z.tp, z.fp, z.fn) == (0, 0, 1)
     assert z.precision == 0.0 and z.recall == 0.0 and z.f1 == 0.0
+
+
+def test_ivf_derived_train_mod_twin_agreement_above_threshold(spark, tmp_path):
+    """The driver gate runs at sf0.01/sf0.1 where n <= 2000 < 4096, so the
+    derived train_mod is always 1 there — this test is the only place the
+    tm>1 branch of BOTH twins (Spark count()-derived modulus vs the DuckDB
+    params CTE) executes against each other: n=10000 → tm=3."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_resolve_train_mod,
+    )
+
+    n, dim = 10_000, 64
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        path,
+    )
+    assert ivf_resolve_train_mod(n, 16) == 3  # the branch under test
+
+    emb = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_cosine_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4
+        ).select("query_id", "rank", "vec_id").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = sorted(map(tuple, con.execute(entrymod._ivf_ann_sql()).fetchall()))
+    assert got == want and len(got) == 15
