@@ -186,11 +186,15 @@ def _warm_python_workers(spark, cores: int) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def run_ner_numpy_bench(cores: int, n_pages: int = 2000) -> dict:
+def run_ner_numpy_bench(
+    cores: int, n_pages: int = 2000, tokenizer_kind: str = "char"
+) -> dict:
     """Real-model inference data point: ner_pages with the numpy
-    BertForTokenClassification forward (random-init weights, char
-    tokenizer) — measures the §2.6 model path's distributed throughput,
-    complementing the gazetteer-stub scaling bench."""
+    BertForTokenClassification forward (random-init weights) — measures the
+    §2.6 model path's distributed throughput, complementing the
+    gazetteer-stub scaling bench. ``tokenizer_kind='wordpiece'`` drives the
+    sub-token path (piece tokenization + piece→char span lifting) so the
+    alignment overhead is a measured number, not a guess."""
     import time as _t
 
     from bert_namedentityrecognition_spark.operators.bert_numpy import (
@@ -210,7 +214,17 @@ def run_ner_numpy_bench(cores: int, n_pages: int = 2000) -> dict:
     alphabet = sorted(
         {c for r in rows[:200] if r["text"] for c in han_to_zen(r["text"])}
     )
-    tok = CharTokenizer(alphabet)
+    if tokenizer_kind == "wordpiece":
+        from bert_namedentityrecognition_spark.oracle.wordpiece import (
+            WordPieceTokenizer,
+        )
+
+        # char vocab + ## continuations + a few hot multi-char pieces so
+        # words genuinely expand to >1 piece mid-word
+        pieces = [d for d in fixtures.DRUGS[:8]] + ["##" + c for c in alphabet]
+        tok = WordPieceTokenizer(alphabet + pieces)
+    else:
+        tok = CharTokenizer(alphabet)
     vocab = label_vocab_for_types(["drug", "symptom"])
     sd = init_token_classifier_state(
         vocab_size=len(tok.itos), num_labels=len(vocab.itos),
@@ -231,7 +245,8 @@ def run_ner_numpy_bench(cores: int, n_pages: int = 2000) -> dict:
         "wall_sec": round(dt, 3),
         "pages_per_sec": round(n_pages / dt, 1),
         "n_mentions": int(n_mentions),
-        "model": "numpy-bert 2L/64H/4h random-init",
+        "model": f"numpy-bert 2L/64H/4h random-init ({tokenizer_kind} tokenizer)",
+        "tokenizer": tokenizer_kind,
     }
 
 
@@ -513,6 +528,9 @@ def main():
 
     if os.environ.get("KG_BENCH_SKIP_NER_NUMPY", "0") != "1":
         result["ner_numpy"] = run_ner_numpy_bench(cores)
+        result["ner_numpy_wordpiece"] = run_ner_numpy_bench(
+            cores, tokenizer_kind="wordpiece"
+        )
 
     if os.environ.get("KG_BENCH_SKIP_SKEW", "0") != "1":
         result["skew"] = run_skew_bench(cores)
