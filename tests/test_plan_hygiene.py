@@ -60,3 +60,31 @@ def test_headline_scan_pushdown(spark):
     read_schema = scan.split("ReadSchema:")[1]
     for col in ("l_orderkey", "l_comment", "l_partkey"):
         assert col not in read_schema, read_schema
+
+
+def test_near_dup_guard_single_source_scan(spark, tmp_path):
+    """Round-3 regression lock: the guarded near-dup self-join must not
+    re-derive its lineage per refinement level. Before localCheckpoint
+    materialization the EXECUTED plan showed 32 parquet scans for one query
+    (exchange reuse does NOT dedup the almost-identical agg subtrees);
+    materialized, the source is scanned once and the guard's joins are
+    broadcasts of the oversized-key sets."""
+    import numpy as np
+
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(31)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(400)]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(path)
+
+    df = embedding_near_dup_pairs(
+        spark.read.parquet(path), threshold=0.8, m_bits=4, dim=16
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # source consumed at checkpoint time
+    assert plan.count("BroadcastExchange") >= 2  # hot-key sets broadcast
+    assert "SortMergeJoin" not in plan
