@@ -31,8 +31,24 @@ def stream_pages(spark: SparkSession, pages_dir: str, schema) -> DataFrame:
     )
 
 
-def streaming_mentions(pages_stream: DataFrame, term_types: dict[str, str]) -> DataFrame:
-    """Stateless stages compose identically on a streaming DataFrame."""
+def streaming_mentions(
+    pages_stream: DataFrame,
+    term_types: dict[str, str],
+    model=None,
+    label_vocab=None,
+) -> DataFrame:
+    """Stateless stages compose identically on a streaming DataFrame.
+
+    With ``model``/``label_vocab`` the NER stage is the real model path
+    (``ner_pages`` — fused preprocess + split + batched forward + BIO
+    decode in one Arrow section, broadcast weights): ``mapInPandas`` is
+    stateless, so the identical operator runs on micro-batches unchanged
+    and the streaming mention set equals the batch one
+    (tests/test_streaming_triples.py)."""
+    if model is not None:
+        from ..operators.ner import ner_pages
+
+        return ner_pages(pages_stream, model, label_vocab)
     return extract_mentions(pages_stream, term_types)
 
 
