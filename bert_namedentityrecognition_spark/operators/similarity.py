@@ -120,8 +120,17 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's m-bit LSH bucket."""
+    """Approximate top-k: candidates share the query's m-bit LSH bucket.
+
+    ``multi_probe=h`` additionally probes every bucket within hamming
+    distance ≤ h of the query's signature (the standard multi-probe LSH
+    recall/cost dial): each query row explodes to ``Σ C(m,i)`` probe
+    buckets JVM-side — still a broadcast of |queries|·probes rows against
+    the bucketed big side, no extra pass over the vectors. h=1 roughly
+    multiplies candidates by m+1 and recovers neighbors that differ on one
+    marginal hyperplane sign."""
     dim = _require_dim(dim, vec_col)
     planes = _hyperplanes(dim, m_bits, seed)
     v = vectors.select(
@@ -134,6 +143,24 @@ def lsh_cosine_topk(
         F.col(vec_col).alias("qvec"),
         lsh_signature_expr(F.col(vec_col), planes).alias("bucket"),
     )
+    if multi_probe > 0:
+        flips = [0]  # xor masks for hamming balls of radius <= multi_probe
+        from itertools import combinations
+
+        for r in range(1, multi_probe + 1):
+            for bits in combinations(range(m_bits), r):
+                mask = 0
+                for j in bits:
+                    mask |= 1 << j
+                flips.append(mask)
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips]
+                )
+            ),
+        )
     scored = v.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     ).select(

@@ -54,7 +54,13 @@ def test_ann_recall_on_clustered_vectors(clustered):
     r_ivf4 = recall(ivf_cosine_topk(clustered, queries, k=10, n_centroids=16, n_probe=4))
     r_ivf2 = recall(ivf_cosine_topk(clustered, queries, k=10, n_centroids=16, n_probe=2))
     r_lsh = recall(lsh_cosine_topk(clustered, queries, k=10, m_bits=4, dim=64))
+    r_lsh_mp = recall(
+        lsh_cosine_topk(clustered, queries, k=10, m_bits=4, dim=64, multi_probe=1)
+    )
     assert r_ivf4 >= 0.9, r_ivf4
     assert r_ivf2 >= 0.75, r_ivf2
     assert r_ivf4 >= r_ivf2  # more probes can only help
     assert r_lsh >= 0.6, r_lsh
+    # hamming-1 multi-probe strictly widens the candidate set
+    assert r_lsh_mp >= r_lsh, (r_lsh_mp, r_lsh)
+    assert r_lsh_mp >= 0.85, r_lsh_mp
