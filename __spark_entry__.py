@@ -1816,12 +1816,15 @@ def _ivf_ann_sql(
     )
 
 
-def _lsh_ann_sql() -> str:
+def _lsh_ann_sql(multi_probe: int = 0) -> str:
     """LSH-bucketed ANN replayed exactly: the 4 seeded hyperplanes are
     inlined as literals and each sign bit's dot product uses the SAME
     arithmetic as the Spark side (elements promoted to DOUBLE, sequential
     left fold) — so bucket assignments are bit-identical, and the in-bucket
-    cosine ranking reuses the proven list_cosine_similarity ordering."""
+    cosine ranking reuses the proven list_cosine_similarity ordering.
+    ``multi_probe=h`` replays the hamming-ball probing: the query CTE
+    cross-joins the same xor-mask list the Spark side explodes (a vector
+    lives in exactly one bucket, so probes never double-count)."""
     from bert_namedentityrecognition_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(64, 4, 42)
@@ -1838,9 +1841,30 @@ def _lsh_ann_sql() -> str:
         f"(CASE WHEN {dot_expr('embedding', p)} >= 0 THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(planes)
     )
+    if multi_probe > 0:
+        from itertools import combinations
+
+        masks = [0]
+        for r in range(1, multi_probe + 1):
+            for bits in combinations(range(len(planes)), r):
+                m = 0
+                for j in bits:
+                    m |= 1 << j
+                masks.append(m)
+        vals = ", ".join(f"({m})" for m in masks)
+        q_cte = (
+            f"q AS (SELECT vec_id AS query_id, embedding AS qvec, "
+            f"xor(bucket, m.mask) AS bucket FROM v, (VALUES {vals}) m(mask) "
+            f"WHERE vec_id < 3)"
+        )
+    else:
+        q_cte = (
+            "q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket "
+            "FROM v WHERE vec_id < 3)"
+        )
     return f"""
 WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM v WHERE vec_id < 3),
+{q_cte},
 scored AS (
   SELECT q.query_id, v.vec_id,
     row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -1849,6 +1873,22 @@ scored AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= 5
 """
+
+
+def _lsh_ann_multiprobe(spark, sf):
+    """Hamming-1 multi-probe LSH ANN (recall/cost dial of §2 similarity
+    family): each query probes its own bucket plus the 4 one-bit-flip
+    neighbors — candidates ≈ 5× single-probe, recall 0.78 → ≥0.85 on the
+    clustered corpus (tests/test_ann_recall.py)."""
+    from bert_namedentityrecognition_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(
+        emb, queries, k=5, m_bits=4, dim=64, multi_probe=1
+    ).select("query_id", "rank", "vec_id")
 
 
 def _embedding_neardup_lsh(spark, sf):
@@ -2194,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
+        "ann_lsh_multiprobe": _lsh_ann_multiprobe,
         "ann_ivf_topk": _ivf_ann,
         "multimodal_features": _multimodal_features,
     }
@@ -2224,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
+        "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),
         "ann_ivf_topk": _ivf_ann_sql(),
         "kg_e2e_triples": _kg_e2e_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
