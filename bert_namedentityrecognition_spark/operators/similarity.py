@@ -315,7 +315,8 @@ def ivf_train(
     if len(sample) < n_centroids:
         raise ValueError(
             f"training sample ({len(sample)}) smaller than n_centroids "
-            f"({n_centroids}); lower train_mod"
+            f"({n_centroids}); raise max_train_sample (or lower an explicit "
+            "train_mod), or reduce n_centroids for this corpus size"
         )
     order = sorted(sample, key=lambda t: (((t[0] % mod) * a + b) % mod, t[0]))
     cents = [list(v) for _, v in order[:n_centroids]]
