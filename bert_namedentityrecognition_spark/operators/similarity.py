@@ -374,8 +374,9 @@ def ivf_build(
     (argmax = first index of the max score, ties to the smallest list).
 
     Returns (assigned_vectors_with_list_id, centroids). At scale the
-    assigned table is written bucketed by ``list_id`` so probes read only
-    their lists' buckets; training cost is one bounded sample collect.
+    assigned table is persisted with :func:`ivf_write_index`
+    (``partitionBy(list_id)`` + centroid sidecar) so probes read only their
+    lists' directories; training cost is one bounded sample collect.
     """
     if cents is None:
         cents = ivf_train(
@@ -396,6 +397,31 @@ def ivf_build(
         (F.array_position(F.col("scores"), F.array_max("scores")) - 1).cast("int"),
     ).drop("scores")
     return assigned, cents
+
+
+def _query_probe_lists(
+    queries: DataFrame,
+    cents: list[list[float]],
+    n_probe: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """(query_id, qvec, list_id): each query exploded to its ``n_probe``
+    nearest inverted lists (sort (score, idx) structs descending — ties to
+    the larger idx, mirrored exactly by the SQL oracle's prn window)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _centroid_scores(vec_col, cents).alias("scores"),
+    )
+    idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    pairs = F.arrays_zip(F.col("scores"), idxs.alias("idx"))
+    top_lists = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+    return q.select(
+        "query_id",
+        "qvec",
+        F.explode(F.transform(top_lists, lambda s: s["idx"])).alias("list_id"),
+    )
 
 
 def ivf_cosine_topk(
@@ -422,22 +448,7 @@ def ivf_cosine_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _centroid_scores(vec_col, cents).alias("scores"),
-    )
-    # n_probe nearest lists per query: sort (score, idx) structs descending
-    idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    pairs = F.arrays_zip(F.col("scores"), idxs.alias("idx"))
-    top_lists = F.slice(
-        F.reverse(F.array_sort(pairs)), 1, n_probe
-    )
-    q = q.select(
-        "query_id",
-        "qvec",
-        F.explode(F.transform(top_lists, lambda s: s["idx"])).alias("list_id"),
-    )
+    q = _query_probe_lists(queries, cents, n_probe, vec_col, query_id_col)
     scored = assigned.join(F.broadcast(q), "list_id").filter(
         F.col(id_col) != F.col("query_id")
     ).select(
@@ -445,6 +456,84 @@ def ivf_cosine_topk(
         F.col(id_col).alias("vec_id"),
         cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_write_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    seed: int = 42,
+    train_mod: int | None = None,
+    max_train_sample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index: the assigned table written
+    ``partitionBy(list_id)`` (one directory per inverted list) plus the
+    trained centroids as a ``_ivf_centroids.json`` sidecar (underscore
+    prefix → invisible to Spark's file listing). This is the persisted form
+    the scale story promises: a probe reads ``n_probe`` of ``n_centroids``
+    DIRECTORIES — partition pruning, not a post-scan filter — so scan cost
+    is n·n_probe/n_centroids at any corpus size. Returns the centroids."""
+    import json
+    import os
+
+    assigned, cents = ivf_build(
+        vectors,
+        n_centroids=n_centroids,
+        lloyd_iterations=lloyd_iterations,
+        seed=seed,
+        train_mod=train_mod,
+        max_train_sample=max_train_sample,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump({"centroids": cents, "seed": seed}, fh)
+    return cents
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF index (:func:`ivf_write_index`) with
+    STATIC partition pruning: the probe lists of the (small, broadcastable
+    by design) query set are collected — a bounded |queries|·n_probe-int
+    action — and applied as a ``list_id IN (...)`` filter BEFORE the join,
+    so the parquet scan lists only the probed directories
+    (``PartitionFilters`` in the plan, asserted in tests). Results are
+    identical to :func:`ivf_cosine_topk` run with the same centroids."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        cents = json.load(fh)["centroids"]
+    q = _query_probe_lists(queries, cents, n_probe, vec_col, query_id_col)
+    probe_ids = sorted({r.list_id for r in q.select("list_id").distinct().collect()})
+    assigned = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    scored = (
+        assigned.join(F.broadcast(q), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

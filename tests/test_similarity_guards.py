@@ -239,3 +239,37 @@ def test_ivf_derived_train_mod_twin_agreement_above_threshold(spark, tmp_path):
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
     want = sorted(map(tuple, con.execute(entrymod._ivf_ann_sql()).fetchall()))
     assert got == want and len(got) == 15
+
+
+def test_ivf_persisted_index_partition_pruned_probe(spark, tmp_path):
+    """ivf_write_index → ivf_probe_index: identical results to the direct
+    ivf_cosine_topk, and the probe's parquet scan lists ONLY the probed
+    list_id directories (PartitionFilters — the n_probe/n_centroids scan
+    cost the scale story promises, pruned at file listing, not post-scan)."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    rng = np.random.RandomState(41)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(1000)]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(vectors, path, n_centroids=8, seed=42)
+    probed = ivf_probe_index(spark, path, queries, k=5, n_probe=3)
+    direct = ivf_cosine_topk(vectors, queries, k=5, n_centroids=8, n_probe=3, seed=42)
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.vec_id) for r in df.select("query_id", "rank", "vec_id").collect()
+    )
+    assert key(probed) == key(direct) and len(key(probed)) == 15
+
+    probed.count()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "list_id" in pf, pf
