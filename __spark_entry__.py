@@ -1894,19 +1894,24 @@ def _lsh_ann_multiprobe(spark, sf):
 def _embedding_neardup_lsh(spark, sf):
     """Embedding-cosine near-dup pairs through the guarded LSH self-join
     (operators/similarity.embedding_near_dup_pairs): m_bits=2 / t=0.4 chosen
-    so the synthetic embeddings table yields a non-trivial pair set; the
-    hot-bucket guard (cap 1024) cannot trigger at sf≤0.1 bucket sizes, so
-    the DuckDB twin replays the plain banding — the guard's splitting and
-    neighbor-window paths are covered by tests/test_similarity hot-bucket
-    cases. ``portable=True``: threshold evaluated as dot ≥ 0 AND
-    dot² ≥ t²·Σa²·Σb² with sequential double folds (rule 11)."""
+    so the synthetic embeddings table yields a non-trivial pair set. The
+    DuckDB twin replays the PLAIN banding, which is only valid while no
+    bucket exceeds bucket_cap — so the cap is derived from the corpus size
+    (n rows → no bucket can exceed n) instead of trusting a fixed 1024 to
+    stay above the bucket sizes at every sf (r3 ADVICE: at sf0.1 the margin
+    was only ~2×). The guard's splitting and neighbor-window paths get
+    their own oracle at guard-triggering parameters in
+    ``dedup_embedding_neardup_guarded``. ``portable=True``: threshold
+    evaluated as dot ≥ 0 AND dot² ≥ t²·Σa²·Σb² with sequential double
+    folds (rule 11)."""
     from bert_namedentityrecognition_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
 
     emb = _t(spark, sf, "embeddings")
+    cap = max(1024, emb.count())
     return embedding_near_dup_pairs(
-        emb, threshold=0.4, m_bits=2, dim=64, portable=True
+        emb, threshold=0.4, m_bits=2, dim=64, portable=True, bucket_cap=cap
     ).select("vec_a", "vec_b")
 
 

@@ -137,7 +137,9 @@ def save_checkpoint(
         extra["_meta.tokenizer_kind"] = np.array([tokenizer_kind or "char"])
     if label_itos is not None:
         extra["_meta.label_itos"] = np.array(label_itos)
-    np.savez_compressed(path, **sd, **extra)
+    # Merge (explicit args win) so re-saving a dict that already carries
+    # _meta.* keys from load_checkpoint doesn't raise duplicate-kwarg.
+    np.savez_compressed(path, **{**sd, **extra})
 
 
 def load_checkpoint(path: str) -> dict[str, np.ndarray]:

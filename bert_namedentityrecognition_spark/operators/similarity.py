@@ -259,7 +259,7 @@ def ivf_training_sample(
 ) -> list[tuple[int, list[float]]]:
     """Collect the portable-hash training sample, sorted by vec_id.
 
-    The filter ``((a·vec_id + b) % p) % train_mod == 0`` keeps ~n/train_mod
+    The filter ``(((vec_id % p)·a + b) % p) % train_mod == 0`` keeps ~n/train_mod
     rows (universal hash family → near-uniform over residues), so the
     driver-side collect is bounded by the caller's sample target, not by n.
     Exposed separately so tests can assert the bound directly.

@@ -125,8 +125,8 @@ def _xlsx_sheet_order(zf) -> list[str]:
         )
         ordered = []
         for sheet in wb_root.iter(f"{main_ns}sheet"):
-            target = targets.get(sheet.get(rid_attr), "")
-            part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+            target = targets.get(sheet.get(rid_attr), "").lstrip("/")
+            part = target if target.startswith("xl/") else f"xl/{target}"
             if part in names:
                 ordered.append(part)
         if ordered:

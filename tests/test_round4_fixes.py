@@ -1,0 +1,74 @@
+"""Regression pins for the round-3 ADVICE items fixed in round 4."""
+import zipfile
+
+import numpy as np
+
+
+def _abs_target_xlsx(path: str) -> None:
+    """Workbook whose rels use ABSOLUTE part targets ('/xl/worksheets/…') —
+    valid OPC, and the round-3 code turned them into 'xl/xl/…' (never in
+    the zip) so such files silently fell back to filename order."""
+    main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    relns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def sheet_xml(k):
+        return (
+            f'<worksheet xmlns="{main}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>col</t></is></c></row>'
+            f'<row r="2"><c r="A2" t="inlineStr"><is><t>v{k}</t></is></c></row>'
+            f"</sheetData></worksheet>"
+        )
+
+    # declared order: sheet2 first — filename-order fallback would flip it
+    sheets = (
+        f'<sheet name="B" sheetId="1" r:id="rId1"/>'
+        f'<sheet name="A" sheetId="2" r:id="rId2"/>'
+    )
+    workbook = (
+        f'<workbook xmlns="{main}" xmlns:r="{relns}"><sheets>{sheets}</sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'<Relationship Id="rId1" Type="{relns}/worksheet" Target="/xl/worksheets/sheet2.xml"/>'
+        f'<Relationship Id="rId2" Type="{relns}/worksheet" Target="/xl/worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml(1))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml(2))
+
+
+def test_xlsx_sheet_order_handles_absolute_rel_targets(tmp_path):
+    from bert_namedentityrecognition_spark.sources.dims import read_xlsx_rows
+
+    p = str(tmp_path / "abs.xlsx")
+    _abs_target_xlsx(p)
+    # declared order resolves through the absolute targets: sheet2 first
+    assert read_xlsx_rows(p, sheet_index=0) == [{"col": "v2"}]
+    assert read_xlsx_rows(p, sheet_index=1) == [{"col": "v1"}]
+
+
+def test_checkpoint_resave_roundtrip(tmp_path):
+    """save→load→save again with explicit vocab args must not raise
+    duplicate-kwarg (the loaded dict already carries _meta.*) and the
+    explicit args must win."""
+    from bert_namedentityrecognition_spark.operators.bert_numpy import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    sd = {"classifier.weight": np.zeros((3, 4), dtype=np.float32)}
+    p1 = str(tmp_path / "a.npz")
+    save_checkpoint(sd, p1, tokenizer_itos=["x", "y"], label_itos=["O", "B"],
+                    tokenizer_kind="char")
+    loaded = load_checkpoint(p1)
+    assert "_meta.tokenizer_itos" in loaded
+    p2 = str(tmp_path / "b.npz")
+    # re-save the loaded dict WITH explicit args — crashed before the fix
+    save_checkpoint(loaded, p2, tokenizer_itos=["x", "y", "z"],
+                    label_itos=["O", "B"], tokenizer_kind="char")
+    again = load_checkpoint(p2)
+    assert list(again["_meta.tokenizer_itos"]) == ["x", "y", "z"]
+    assert list(again["_meta.label_itos"]) == ["O", "B"]
