@@ -1965,6 +1965,42 @@ WHERE {sq('va')} > 0 AND {sq('vb')} > 0
 """
 
 
+def _ner_model_mentions(spark, sf):
+    """Real-model NER under the driver gate (§2.6, the reference's core
+    operator — ``BERT/Model.py:295-327``): a tiny deterministic float64
+    ``gelu_new`` checkpoint is materialized as a self-describing ``.npz``,
+    loaded through ``classifier_from_checkpoint`` (the spark-submit
+    ``--checkpoint`` hand-off), broadcast, and run by ``ner_pages`` —
+    tokenize → [CLS] → length-sorted padded sub-batches → numpy
+    BertForTokenClassification forward → argmax → trim → BIO decode — over
+    the flagship fixture corpus. The oracle replays the ENTIRE forward as
+    SQL CTEs (oracle/bert_sql.py): embeddings+LayerNorm, 2 layers of
+    2-head attention with softmax, GELU FFN, classifier, argmax, and the
+    lenient BIO FSM. Agreement is exact because the compared output is
+    discrete and the checkpoint generator asserts every argmax margin
+    clears 1e-6 (~1000× the float64 replay error floor)."""
+    import os
+
+    from bert_namedentityrecognition_spark.operators.ner import (
+        classifier_from_checkpoint,
+        ner_pages,
+    )
+    from bert_namedentityrecognition_spark.oracle.bert_sql import (
+        write_ner_checkpoint,
+    )
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "var", "ner_tiny_ckpt.npz"
+    )
+    write_ner_checkpoint(path)
+    clf, vocab = classifier_from_checkpoint(path)
+    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(200, seed=42))
+    return ner_pages(pages, clf, vocab).select(
+        "url", "sent_id", "start", "end", "type", "word"
+    )
+
+
 def _multimodal_features(spark, sf):
     """Binary-column plumbing over real bytes: documents.text → UTF-8 binary
     media → one Arrow decode stage. The compared projection is integer/hex
@@ -2242,7 +2278,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
         "ann_ivf_topk": _ivf_ann,
         "multimodal_features": _multimodal_features,
+        "ner_model_mentions": _ner_model_mentions,
     }
+
+
+def _ner_model_sql() -> str:
+    """Full-forward SQL twin of ``_ner_model_mentions`` (generation and the
+    exactness argument live in oracle/bert_sql.py; lru_cached there)."""
+    from bert_namedentityrecognition_spark.oracle.bert_sql import (
+        ner_model_mentions_sql,
+    )
+
+    return ner_model_mentions_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2290,4 +2337,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "dedup_simhash_signatures": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
+        "ner_model_mentions": _ner_model_sql(),
     }

@@ -1,0 +1,421 @@
+"""DuckDB replay of the numpy-BERT token-classification NER path.
+
+The reference's core operator is ``NERModel.predict``
+(``/root/reference/BERT/Model.py:295-327``): tokenize → [CLS] → pad →
+BertForTokenClassification forward → argmax → [CLS]-drop → trim → id→label →
+[PAD]→O → BIO decode. This module puts that whole chain under the driver
+CORRECTNESS gate: it builds a tiny deterministic checkpoint (2 layers,
+hidden 8, 2 heads, ff 16, ``gelu_new`` — every op DuckDB-expressible:
+``tanh``/``exp``/``sqrt``) and emits a SQL twin that replays the FULL
+forward as CTEs — embeddings + LayerNorm, per-layer multi-head attention
+with softmax, GELU FFN, classifier head — then argmax, label mapping and
+the lenient BIO FSM (``oracle/iob.py``, semantics of
+``util/iob_util.py:62-94``), producing the same mention rows as
+``operators/ner.ner_pages`` running ``NumpyTokenClassifier`` from the same
+checkpoint on executors.
+
+Why the two sides agree (the float story, CLAUDE.md rules 11/20):
+
+- The checkpoint tensors are **float64**, so the numpy forward runs in
+  float64 and the only Spark-vs-DuckDB divergence is summation order
+  (BLAS/pairwise vs left-associated SQL chains) — ≤ ~1e-12 absolute on
+  these magnitudes. Where association is cheap to match (embedding sum,
+  LayerNorm, residuals, GELU operand order) the SQL mirrors numpy's
+  evaluation order exactly.
+- The compared output is **discrete** (argmax labels → spans), so agreement
+  needs only that no logit gap is smaller than the replay error. The
+  checkpoint generator *asserts* that: the smallest top1−top2 logit margin
+  over every real token position of the whole corpus must exceed
+  ``MARGIN_MIN`` (1e-6 — ~1000× the error floor, and far above the final
+  float32 cast's ~1e-9 rounding), else the next seed is tried. The
+  classifier weight is scaled ×10 so margins clear the floor for early
+  seeds.
+- Sub-batch padding on the Spark side (length-sorted, right-pad, additive
+  −10⁴ mask — ``BERT/data_utils.py:66-97``) is invisible in float64: a pad
+  key's softmax term is ``exp(≈−10⁴) == 0.0`` exactly (underflow), pad
+  queries never feed back into real positions, and adding exact zeros
+  never changes a sum. The oracle therefore replays each sentence
+  unpadded.
+
+The sentence-prep stages (preprocess → reference split regex → han_to_zen)
+are inlined as VALUES computed by the pure-Python kernels in
+``oracle/textproc.py`` — the positional SQL replay of those same kernels is
+already under the gate with generation-time assertions in ``kg_e2e_triples``
+(rule 14); duplicating it here would add no new signal, while the model
+chain is the part this query puts under the gate for the first time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..sources import fixtures
+from . import textproc
+
+N_PAGES = 200
+PAGE_SEED = 42
+HIDDEN = 8
+HEADS = 2
+DH = HIDDEN // HEADS
+FF = 16
+LAYERS = 2
+LABEL_ITOS = ["[PAD]", "O", "B-drug", "I-drug", "B-symptom", "I-symptom"]
+MARGIN_MIN = 1e-6
+MAX_SEED_TRIES = 64
+LN_EPS = 1e-12
+
+
+@functools.lru_cache(maxsize=1)
+def ner_fixture_sentences() -> tuple[tuple[str, int, str], ...]:
+    """(url, sid, NORMALIZED sentence) exactly as ``ner_pages`` derives them
+    from the flagship fixture corpus: lang='ja' filter, text non-null and
+    non-empty (the fixture html wraps the same text, so the html fallback
+    contributes nothing), preprocess → reference split (sid enumerates the
+    split output) → ≤512 filter → han_to_zen. Asserts every kept normalized
+    sentence is ≤511 chars so the ``max_len-1`` truncation inside
+    ``_infer_rows`` can never fire."""
+    rows: list[tuple[str, int, str]] = []
+    for r in fixtures.generate_pages(N_PAGES, seed=PAGE_SEED):
+        if r["lang"] != "ja":
+            continue
+        text = r["text"]
+        if text is None or text == "":
+            continue
+        sents = textproc.split_sentences(textproc.preprocess_text(text))
+        for sid, sent in enumerate(sents):
+            if len(sent) <= 512:
+                norm = textproc.han_to_zen(sent)
+                assert len(norm) <= 511, (r["url"], sid, len(norm))
+                rows.append((r["url"], sid, norm))
+    assert rows
+    return tuple(rows)
+
+
+def _corpus_logits(sd: dict, sents, stoi: dict[str, int]) -> np.ndarray:
+    """Forward the whole corpus as ONE padded float64 batch; returns
+    [B, Tmax+1, L] float32 logits (same dtype the executors argmax over).
+    Padding is exact-zero in float64 (see module docstring), so per-position
+    values equal the unpadded per-sentence forward."""
+    from ..operators.bert_numpy import bert_token_logits
+
+    B = len(sents)
+    tmax = max(len(s) for _, _, s in sents) + 1  # +[CLS]
+    ids = np.zeros((B, tmax), np.int64)
+    mask = np.zeros((B, tmax), np.float64)
+    for bi, (_, _, s) in enumerate(sents):
+        enc = [1] + [stoi[c] for c in s]  # [CLS]=1
+        ids[bi, : len(enc)] = enc
+        mask[bi, : len(enc)] = 1.0
+    return bert_token_logits(sd, ids, mask)
+
+
+@functools.lru_cache(maxsize=1)
+def ner_tiny_checkpoint() -> tuple[dict, list[str], list[str], int, float]:
+    """(float64 state dict, tokenizer_itos, label_itos, seed, min_margin).
+
+    Deterministic: the char vocab is the sorted alphabet of the normalized
+    fixture corpus; seeds are tried in order until the corpus-wide minimum
+    argmax margin clears ``MARGIN_MIN`` (loud failure after
+    ``MAX_SEED_TRIES`` — never a silent brittle oracle)."""
+    from ..operators.bert_numpy import init_token_classifier_state
+
+    sents = ner_fixture_sentences()
+    alphabet = sorted({ch for _, _, s in sents for ch in s})
+    tokenizer_itos = ["[PAD]", "[CLS]", "[UNK]"] + alphabet
+    stoi = {c: i for i, c in enumerate(tokenizer_itos)}
+    for seed in range(MAX_SEED_TRIES):
+        sd = init_token_classifier_state(
+            vocab_size=len(tokenizer_itos),
+            num_labels=len(LABEL_ITOS),
+            hidden=HIDDEN,
+            layers=LAYERS,
+            heads=HEADS,
+            intermediate=FF,
+            seed=seed,
+            hidden_act="gelu_new",
+        )
+        sd = {
+            k: (v.astype(np.float64) if v.dtype == np.float32 else v)
+            for k, v in sd.items()
+        }
+        sd["classifier.weight"] = sd["classifier.weight"] * 10.0
+        logits = _corpus_logits(sd, sents, stoi)
+        margins = []
+        for bi, (_, _, s) in enumerate(sents):
+            lg = logits[bi, 1 : len(s) + 1].astype(np.float64)  # real positions
+            part = np.sort(lg, axis=1)
+            margins.append(float((part[:, -1] - part[:, -2]).min()))
+        min_margin = min(margins)
+        if min_margin >= MARGIN_MIN:
+            return sd, tokenizer_itos, list(LABEL_ITOS), seed, min_margin
+    raise AssertionError(
+        f"no seed in 0..{MAX_SEED_TRIES - 1} gives corpus-wide argmax margin "
+        f">= {MARGIN_MIN}; widen the classifier scale or the seed range"
+    )
+
+
+def write_ner_checkpoint(path: str) -> str:
+    """Materialize the tiny checkpoint as a self-describing ``.npz`` so the
+    driver query exercises the real file hand-off
+    (``classifier_from_checkpoint`` → broadcast → executors)."""
+    import os
+
+    from ..operators.bert_numpy import save_checkpoint
+
+    sd, tok_itos, label_itos, _seed, _margin = ner_tiny_checkpoint()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    save_checkpoint(
+        sd, path, tokenizer_itos=tok_itos, label_itos=label_itos,
+        tokenizer_kind="char",
+    )
+    return path
+
+
+# --- SQL assembly ----------------------------------------------------------
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _f(v) -> str:
+    return repr(float(v))
+
+
+def _lst(vals) -> str:
+    return "[" + ", ".join(_f(v) for v in vals) + "]"
+
+
+def _dot_chain(col: str, row) -> str:
+    """x[1]*(w1) + x[2]*(w2) + … — left-associated like numpy's sequential
+    small-array reduce."""
+    return " + ".join(f"{col}[{j + 1}]*({_f(w)})" for j, w in enumerate(row))
+
+
+def _matvec(col: str, W, b) -> str:
+    """[ (Σ_j col[j]·W[i][j]) + b[i] , … ] — HF Linear: y = x·Wᵀ + b."""
+    comps = [f"({_dot_chain(col, W[i])}) + ({_f(b[i])})" for i in range(W.shape[0])]
+    return "[" + ", ".join(comps) + "]"
+
+
+def _ln_ctes(src: str, xcol: str, out: str, w, b) -> str:
+    """LayerNorm over the last axis as 3 CTEs: mean, biased variance
+    (numpy ``.var`` ddof=0), then (x−μ)/√(σ²+eps)·w + b."""
+    h = xcol
+    n = len(w)
+    mu = "(" + " + ".join(f"{h}[{i + 1}]" for i in range(n)) + f")/{float(n)!r}"
+    va = (
+        "("
+        + " + ".join(f"({h}[{i + 1}]-mu)*({h}[{i + 1}]-mu)" for i in range(n))
+        + f")/{float(n)!r}"
+    )
+    comps = ", ".join(
+        f"({h}[{i + 1}]-mu)/sqrt(va + {LN_EPS!r})*({_f(w[i])}) + ({_f(b[i])})"
+        for i in range(n)
+    )
+    return f"""{out}_m AS (SELECT url, sid, p, {h}, {mu} AS mu FROM {src}),
+{out}_v AS (SELECT url, sid, p, {h}, mu, {va} AS va FROM {out}_m),
+{out} AS MATERIALIZED (SELECT url, sid, p, [{comps}] AS h FROM {out}_v)"""
+
+
+def _layer_ctes(sd: dict, i: int, src: str) -> tuple[str, str]:
+    """CTE text for encoder layer ``i`` reading hidden states from CTE
+    ``src`` (list col ``h``); returns (sql, out_cte_name)."""
+    p = f"bert.encoder.layer.{i}."
+    Wq, bq = sd[p + "attention.self.query.weight"], sd[p + "attention.self.query.bias"]
+    Wk, bk = sd[p + "attention.self.key.weight"], sd[p + "attention.self.key.bias"]
+    Wv, bv = sd[p + "attention.self.value.weight"], sd[p + "attention.self.value.bias"]
+    Wo, bo = sd[p + "attention.output.dense.weight"], sd[p + "attention.output.dense.bias"]
+    lw1 = sd[p + "attention.output.LayerNorm.weight"]
+    lb1 = sd[p + "attention.output.LayerNorm.bias"]
+    Wi, bi = sd[p + "intermediate.dense.weight"], sd[p + "intermediate.dense.bias"]
+    Wo2, bo2 = sd[p + "output.dense.weight"], sd[p + "output.dense.bias"]
+    lw2 = sd[p + "output.LayerNorm.weight"]
+    lb2 = sd[p + "output.LayerNorm.bias"]
+    scale = float(np.sqrt(DH))
+
+    # per-head scores: head h reads q/k components h·DH+1 .. h·DH+DH
+    score_cols = []
+    for h in range(HEADS):
+        dot = " + ".join(
+            f"a.q[{h * DH + d + 1}]*b.k[{h * DH + d + 1}]" for d in range(DH)
+        )
+        score_cols.append(f"({dot}) / {scale!r} AS sc{h}")
+    maxes = ", ".join(f"max(sc{h}) AS m{h}" for h in range(HEADS))
+    exps = ", ".join(f"exp(s.sc{h} - m.m{h}) AS e{h}" for h in range(HEADS))
+    sums = ", ".join(f"sum(e{h}) AS z{h}" for h in range(HEADS))
+    # ctx concat: head h fills components h·DH+1..h·DH+DH
+    ctx_comps = ", ".join(
+        f"sum((e.e{h} / z.z{h}) * kv.v[{h * DH + d + 1}])"
+        for h in range(HEADS)
+        for d in range(DH)
+    )
+    ao = ", ".join(
+        f"({_dot_chain('c.c', Wo[j])}) + ({_f(bo[j])}) + q.h[{j + 1}]"
+        for j in range(HIDDEN)
+    )
+    # DuckDB 1.0.0 has no tanh(); (e^{2z}−1)/(e^{2z}+1) is the double-exact
+    # fallback — its ≤1e-16 deviation from libm tanh is far under the
+    # asserted argmax margin.
+    zed = ", ".join(
+        f"exp(2.0*(0.7978845608028654*"
+        f"(u[{j + 1}] + 0.044715*(u[{j + 1}]*u[{j + 1}]*u[{j + 1}]))))"
+        for j in range(FF)
+    )
+    gelu = ", ".join(
+        f"0.5*u[{j + 1}]*(1.0 + (z[{j + 1}]-1.0)/(z[{j + 1}]+1.0))"
+        for j in range(FF)
+    )
+    fr = ", ".join(
+        f"({_dot_chain('g', Wo2[j])}) + ({_f(bo2[j])}) + h[{j + 1}]"
+        for j in range(HIDDEN)
+    )
+
+    sql = f"""qkv{i} AS MATERIALIZED (
+  SELECT url, sid, p, h,
+    {_matvec('h', Wq, bq)} AS q,
+    {_matvec('h', Wk, bk)} AS k,
+    {_matvec('h', Wv, bv)} AS v
+  FROM {src}
+),
+s{i} AS MATERIALIZED (
+  SELECT a.url, a.sid, a.p AS pa, b.p AS pb, {", ".join(score_cols)}
+  FROM qkv{i} a JOIN qkv{i} b ON a.url = b.url AND a.sid = b.sid
+),
+sm{i} AS (SELECT url, sid, pa, {maxes} FROM s{i} GROUP BY url, sid, pa),
+se{i} AS MATERIALIZED (
+  SELECT s.url, s.sid, s.pa, s.pb, {exps}
+  FROM s{i} s JOIN sm{i} m ON s.url = m.url AND s.sid = m.sid AND s.pa = m.pa
+),
+sz{i} AS (SELECT url, sid, pa, {sums} FROM se{i} GROUP BY url, sid, pa),
+ctx{i} AS MATERIALIZED (
+  SELECT e.url, e.sid, e.pa AS p, [{ctx_comps}] AS c
+  FROM se{i} e
+  JOIN sz{i} z ON e.url = z.url AND e.sid = z.sid AND e.pa = z.pa
+  JOIN qkv{i} kv ON kv.url = e.url AND kv.sid = e.sid AND kv.p = e.pb
+  GROUP BY e.url, e.sid, e.pa
+),
+ar{i} AS (
+  SELECT c.url, c.sid, c.p, [{ao}] AS x
+  FROM ctx{i} c JOIN qkv{i} q ON q.url = c.url AND q.sid = c.sid AND q.p = c.p
+),
+{_ln_ctes(f'ar{i}', 'x', f'a{i}', lw1, lb1)},
+ffa{i} AS (SELECT url, sid, p, h, {_matvec('h', Wi, bi)} AS u FROM a{i}),
+ffz{i} AS (SELECT url, sid, p, h, u, [{zed}] AS z FROM ffa{i}),
+ffb{i} AS (SELECT url, sid, p, h, [{gelu}] AS g FROM ffz{i}),
+fr{i} AS (SELECT url, sid, p, [{fr}] AS x FROM ffb{i}),
+{_ln_ctes(f'fr{i}', 'x', f'hh{i + 1}', lw2, lb2)}"""
+    return sql, f"hh{i + 1}"
+
+
+@functools.lru_cache(maxsize=1)
+def ner_model_mentions_sql() -> str:
+    """The full SQL twin (see module docstring)."""
+    sd, tok_itos, label_itos, _seed, _margin = ner_tiny_checkpoint()
+    sents = ner_fixture_sentences()
+    stoi = {c: i for i, c in enumerate(tok_itos)}
+
+    we = sd["bert.embeddings.word_embeddings.weight"]
+    pe = sd["bert.embeddings.position_embeddings.weight"]
+    te = sd["bert.embeddings.token_type_embeddings.weight"][0]
+    lnw = sd["bert.embeddings.LayerNorm.weight"]
+    lnb = sd["bert.embeddings.LayerNorm.bias"]
+    Wc, bc = sd["classifier.weight"], sd["classifier.bias"]
+
+    sents_sql = ", ".join(
+        f"({_q(u)}, {sid}, {_q(s)})" for u, sid, s in sents
+    )
+    alphabet = tok_itos[3:]
+    vocab_sql = ", ".join(f"({_q(c)}, {_lst(we[stoi[c]])})" for c in alphabet)
+    tmax = max(len(s) for _, _, s in sents)
+    pos_sql = ", ".join(f"({p}, {_lst(pe[p])})" for p in range(tmax + 1))
+    # x0 component: (word + position) + type — numpy's left-to-right add
+    x0 = ", ".join(
+        f"(t.we[{j + 1}] + g.pe[{j + 1}]) + ({_f(te[j])})" for j in range(HIDDEN)
+    )
+    labels_sql = ", ".join(
+        f"({lid}, {_q('O' if tag == '[PAD]' else tag)})"
+        for lid, tag in enumerate(label_itos)
+    )
+
+    layer_sqls = []
+    src = "h0"
+    for i in range(LAYERS):
+        sql, src = _layer_ctes(sd, i, src)
+        layer_sqls.append(sql)
+    layers_joined = ",\n".join(layer_sqls)
+
+    return f"""
+WITH
+sents(url, sid, s) AS (VALUES {sents_sql}),
+cs AS (SELECT url, sid, s, string_split(s, '') AS cl, length(s) AS n FROM sents),
+chars AS (
+  SELECT url, sid, CAST(u.p AS INT) AS p, cl[CAST(u.p AS INT)] AS c
+  FROM cs, unnest(range(1, n + 1)) AS u(p)
+),
+vocab(c, we) AS (VALUES {vocab_sql}),
+posn(p, pe) AS (VALUES {pos_sql}),
+toks AS (
+  SELECT url, sid, 0 AS p, {_lst(we[1])} AS we FROM sents
+  UNION ALL
+  SELECT ch.url, ch.sid, ch.p, v.we FROM chars ch JOIN vocab v USING (c)
+),
+x0 AS (
+  SELECT t.url, t.sid, t.p, [{x0}] AS x
+  FROM toks t JOIN posn g USING (p)
+),
+{_ln_ctes('x0', 'x', 'h0', lnw, lnb)},
+{layers_joined},
+lg AS MATERIALIZED (SELECT url, sid, p, {_matvec('h', Wc, bc)} AS l FROM {src}),
+lab AS (
+  SELECT lg.url, lg.sid, lg.p, CAST(u.i AS INT) AS lid, l[CAST(u.i + 1 AS INT)] AS v
+  FROM lg, unnest(range(0, {len(label_itos)})) AS u(i)
+),
+pred AS (
+  SELECT url, sid, p, lid FROM (
+    SELECT url, sid, p, lid,
+      row_number() OVER (PARTITION BY url, sid, p ORDER BY v DESC, lid ASC) AS rn
+    FROM lab
+  ) WHERE rn = 1
+),
+labels(lid, tag) AS (VALUES {labels_sql}),
+tags AS (
+  SELECT pr.url, pr.sid, pr.p, lb.tag
+  FROM pred pr JOIN labels lb USING (lid) WHERE pr.p >= 1
+),
+tl AS (
+  SELECT url, sid, p, tag,
+    coalesce(lag(tag) OVER (PARTITION BY url, sid ORDER BY p), 'O') AS prev
+  FROM tags
+),
+tf AS (
+  SELECT url, sid, p,
+    substring(tag, 1, 1) AS pf,
+    CASE WHEN tag = 'O' THEN '' ELSE substring(tag, 3) END AS ty,
+    substring(prev, 1, 1) AS ppf,
+    CASE WHEN prev = 'O' THEN '' ELSE substring(prev, 3) END AS pty
+  FROM tl
+),
+st AS (
+  SELECT url, sid, p, pf, ty,
+    CASE WHEN pf = 'B' THEN 1 WHEN pf = 'O' THEN 0
+         WHEN ppf = 'O' THEN 1 WHEN pty <> ty THEN 1 ELSE 0 END AS is_start
+  FROM tf
+),
+gr AS (
+  SELECT url, sid, p, pf, ty,
+    sum(is_start) OVER (PARTITION BY url, sid ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM st
+),
+spans AS (
+  SELECT url, sid, gid, CAST(min(p) - 1 AS INT) AS start,
+         CAST(max(p) AS INT) AS "end", min(ty) AS type
+  FROM gr WHERE pf <> 'O' GROUP BY url, sid, gid
+)
+SELECT sp.url, CAST(sp.sid AS INT) AS sent_id, sp.start, sp."end", sp.type,
+  substring(se.s, sp.start + 1, sp."end" - sp.start) AS word
+FROM spans sp JOIN sents se ON se.url = sp.url AND se.sid = sp.sid
+"""
