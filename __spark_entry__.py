@@ -1684,6 +1684,41 @@ def _ivf_ann(spark, sf):
     )
 
 
+def _ivf_ann_persisted(spark, sf):
+    """The persisted-index ANN path (r3 VERDICT #5): ``ivf_write_index``
+    materializes the assignment table ``partitionBy(list_id)`` + centroid
+    sidecar under var/, then ``ivf_probe_index`` answers the same top-k by
+    reading ONLY the probed list directories (static partition pruning —
+    ``PartitionFilters`` asserted in tests/test_similarity_guards.py and
+    visible in PLANS.md). Same parameters as ``ann_ivf_topk``, so the
+    Lloyd-unrolled SQL twin is shared verbatim: pruning must not change a
+    single row, and the gate proves it."""
+    import os
+    import tempfile
+
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # Under spark-submit --py-files this module lives INSIDE the zip, so
+    # dirname(__file__) is the zip path, not a writable directory.
+    base = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(base):
+        base = tempfile.gettempdir()
+    path = os.path.join(
+        base, "var", f"ivf_index_{os.path.basename(os.path.normpath(sf))}"
+    )
+    ivf_write_index(emb, path, n_centroids=16, seed=42)
+    return ivf_probe_index(spark, path, queries, k=5, n_probe=4).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
 def _lsh_ann(spark, sf):
     from bert_namedentityrecognition_spark.operators.similarity import lsh_cosine_topk
 
@@ -1976,6 +2011,67 @@ cand AS (
 SELECT vec_a, vec_b FROM cand
 WHERE {sq('va')} > 0 AND {sq('vb')} > 0
   AND {dot} >= 0 AND {dot} * {dot} >= {t2!r} * {sq('va')} * {sq('vb')}
+"""
+
+
+def _embedding_neardup_multiprobe(spark, sf):
+    """Near-dup pairs with the hamming-1 multi-probe recall dial (r3
+    VERDICT #8): same corpus-derived unguarded cap as
+    ``dedup_embedding_neardup``, plus cross-bucket candidates for base
+    signatures one sign-flip apart. The twin replays the probe expansion
+    with the same nonzero XOR-mask set (pattern of ann_lsh_multiprobe);
+    recall-vs-brute-force is measured in tests/test_round4_fixes.py."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cap = max(1024, emb.count())
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, m_bits=2, dim=64, portable=True, bucket_cap=cap,
+        multi_probe=1,
+    ).select("vec_a", "vec_b")
+
+
+def _embedding_neardup_multiprobe_sql(
+    threshold: float = 0.4,
+    m_bits: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    multi_probe: int = 1,
+) -> str:
+    """Unguarded banding + hamming-ball cross-bucket probes, replayed with
+    the inlined hyperplanes and xor() over the same nonzero mask set. The
+    mask set excludes 0 so the two candidate branches are disjoint on both
+    sides (no dedup pass on either engine)."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        _hyperplanes,
+        hamming_ball_masks,
+    )
+
+    planes = _hyperplanes(dim, m_bits, seed)
+    bucket = _fold_bucket("embedding", planes)
+    dot = _fold_dot("va", "vb", dim)
+    sqa, sqb = _fold_sq("va", dim), _fold_sq("vb", dim)
+    t2 = float(threshold) * float(threshold)
+    vals = ", ".join(f"({m})" for m in hamming_ball_masks(m_bits, multi_probe))
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+cand0 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+candp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM v a, (VALUES {vals}) m(mask), v b
+  WHERE xor(a.bucket, m.mask) = b.bucket AND a.vec_id < b.vec_id
+),
+cand AS (SELECT * FROM cand0 UNION ALL SELECT * FROM candp)
+SELECT vec_a, vec_b FROM cand
+WHERE {sqa} > 0 AND {sqb} > 0
+  AND {dot} >= 0 AND {dot} * {dot} >= {t2!r} * {sqa} * {sqb}
 """
 
 
@@ -2384,12 +2480,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _embedding_cosine_dups,
         "dedup_embedding_neardup": _embedding_neardup_lsh,
         "dedup_embedding_neardup_guarded": _embedding_neardup_guarded,
+        "dedup_embedding_neardup_multiprobe": _embedding_neardup_multiprobe,
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
         "ann_ivf_topk": _ivf_ann,
+        "ann_ivf_persisted": _ivf_ann_persisted,
         "multimodal_features": _multimodal_features,
         "ner_model_mentions": _ner_model_mentions,
     }
@@ -2432,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),
         "ann_ivf_topk": _ivf_ann_sql(),
+        "ann_ivf_persisted": _ivf_ann_sql(),
         "kg_e2e_triples": _kg_e2e_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,
@@ -2448,6 +2547,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
         "dedup_embedding_neardup": _embedding_neardup_sql(),
         "dedup_embedding_neardup_guarded": _embedding_neardup_guarded_sql(),
+        "dedup_embedding_neardup_multiprobe": _embedding_neardup_multiprobe_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "dedup_simhash_signatures": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,

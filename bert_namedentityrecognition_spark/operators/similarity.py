@@ -622,6 +622,22 @@ def _near_dup_keyed(
     return v.join(hot_keys(v), "key", "left")
 
 
+def hamming_ball_masks(m_bits: int, radius: int) -> list[int]:
+    """Nonzero XOR masks of hamming weight 1..radius over ``m_bits`` bits —
+    the probe set of a hamming-ball expansion (shared by the ANN multi-probe
+    and the near-dup multi-probe dials)."""
+    from itertools import combinations
+
+    masks: list[int] = []
+    for r in range(1, radius + 1):
+        for bits in combinations(range(m_bits), r):
+            m = 0
+            for j in bits:
+                m |= 1 << j
+            masks.append(m)
+    return masks
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -636,6 +652,7 @@ def embedding_near_dup_pairs(
     neighbor_window: int = 64,
     portable: bool = False,
     materialize: bool = True,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join with a
     hot-bucket guard: only pairs in the same bucket are scored; cosine ≥
@@ -663,6 +680,22 @@ def embedding_near_dup_pairs(
     arithmetic instead of a float cosine compare: keep ⇔ ``dot ≥ 0 AND
     dot² ≥ t²·Σa²·Σb²`` with every sum a sequential double fold — the exact
     boundary a DuckDB twin reproduces bit-for-bit (CLAUDE.md rule 11).
+
+    ``multi_probe=h`` (recall dial, same hamming-ball idea as
+    :func:`lsh_cosine_topk`'s): ADDITIONALLY pairs vectors whose BASE
+    m-bit signatures differ in 1..h bits — near-threshold pairs that land
+    one sign-flip apart are the dominant LSH miss mode, and probing
+    adjacent buckets recovers them at the same m (measured on the sf0.001
+    embeddings fixture at t=0.4, m=2: pair recall vs brute force
+    0.318 → 0.773 at h=1 → 1.000 at h=2; tests/test_round4_fixes.py). Cost/scale contract:
+    candidates grow by ≤ Σ_{{r≤h}} C(m,r) × mean bucket size per row, and
+    rows in buckets the guard marked hot are EXCLUDED from cross-bucket
+    expansion (a hot bucket is an all-near-identical blob, densely
+    connected by its own window pairs; probing it from outside would
+    reintroduce the k·|neighbor| blowup the guard exists to stop).
+    Same-final-key candidates keep their guard treatment unchanged, and the
+    mask set never contains 0, so the branches are disjoint — no pair
+    dedup pass is needed.
     """
     dim = _require_dim(dim, vec_col)
     v = _near_dup_keyed(
@@ -699,6 +732,33 @@ def embedding_near_dup_pairs(
         ["key", "rn"],
     ).select("vec_a", "vec_b", "va", "vb")
     cand = cand_small.unionByName(cand_big)
+    if multi_probe > 0:
+        masks = hamming_ball_masks(m_bits, multi_probe)
+        nh = (
+            v.filter(F.col("_hot").isNull())
+            .withColumn("bsig", F.split(F.col("key"), "/")[0].cast("long"))
+            .select("vec_id", "vec", "bsig")
+        )
+        probes = nh.select(
+            "vec_id",
+            "vec",
+            F.col("bsig"),
+            F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias(
+                "mask"
+            ),
+        ).withColumn("pkey", F.col("bsig").bitwiseXOR(F.col("mask")))
+        cand_probe = (
+            probes.alias("x")
+            .join(nh.alias("y"), F.col("x.pkey") == F.col("y.bsig"))
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+                F.col("x.vec").alias("va"),
+                F.col("y.vec").alias("vb"),
+            )
+        )
+        cand = cand.unionByName(cand_probe)
     if portable:
         t2 = float(threshold) * float(threshold)
         dot = _dot64(F.col("va"), F.col("vb"))
