@@ -89,6 +89,10 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict, dict]:
     # minutes; a single-shot timing judges the host's mood, not the plan
     for name in HEADLINE:
         fn = qs[name]
+        # discarded per-query warm-up (r3 VERDICT #7): codegen compilation +
+        # per-plan python-worker spin-up land here instead of inside trial 1
+        # (the r3 artifact showed 2-4x first-trial bursts, e.g. q1 4.31->1.84)
+        _noop_write(fn(spark, sf_dir))
         trials = []
         for _ in range(3 if name in SUB2S_MIN3 else 2):
             t0 = time.perf_counter()
@@ -292,20 +296,61 @@ def _ensure_skew_corpus(n_pages: int) -> str:
     return out_dir
 
 
-def run_skew_bench(cores: int, n_pages: int = 40000) -> dict:
-    """Skewed-corpus pipeline wall, plain vs salted count (identical output
-    asserted in tests/test_skew_evidence.py; here the timing evidence).
+def _reducer_split(df, key_cols, n_parts: int) -> dict:
+    """Per-reducer shuffle-row split of a would-be ``groupBy(key_cols)``
+    exchange, computed DETERMINISTICALLY: Spark's hash partitioning assigns
+    a row to ``pmod(murmur3(keys), P)`` and ``F.hash`` IS that Murmur3
+    expression, so this replays the partitioner bit-for-bit — the numbers
+    are pure plan math, immune to host windows (the defect of the wall-
+    based skew claim, r3 VERDICT #4)."""
+    import statistics
 
-    Honest note recorded with the numbers: for groupBy().count() map-side
-    partial aggregation already collapses the hot cell to one row per map
-    partition, so salting is ~free insurance here; its real target is
-    aggregations whose partial state doesn't collapse (collect_list etc.).
-    AQE skew-join splitting (enabled in build_session) covers the join side.
+    from pyspark.sql import functions as F
+
+    rows = [
+        r["count"]
+        for r in df.groupBy(
+            F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_parts)).alias(
+                "_r"
+            )
+        )
+        .count()
+        .collect()
+    ]
+    rows += [0] * (n_parts - len(rows))
+    rows.sort()
+    total = sum(rows)
+    return {
+        "max_rows": rows[-1],
+        "median_rows": int(statistics.median(rows)),
+        "total_rows": total,
+        "max_share": round(rows[-1] / total, 3) if total else 0.0,
+    }
+
+
+def run_skew_bench(cores: int, n_pages: int = 40000) -> dict:
+    """Skewed-corpus salting evidence, reducer-based (r3 VERDICT #4): the
+    primary claim is the DETERMINISTIC per-reducer row split of the pairing
+    exchange — plain ``(subj, obj)`` keys pin the hot cell's rows on one
+    reducer; salted ``(subj, obj, salt)`` keys flatten max/median — which
+    no host window can flip. Wall times for the full pipeline are recorded
+    too, with the honest note that for groupBy().count() map-side partial
+    aggregation already collapses the hot cell before the wire, so salting
+    is ~free insurance there; the split quantifies its real target:
+    aggregations whose partial state doesn't collapse (collect_list /
+    collect_set). AQE skew-join splitting (on in build_session) covers the
+    join side. Identical output plain vs salted is asserted in
+    tests/test_skew_evidence.py.
     """
     import time as _t
 
     from pyspark.sql import functions as F
 
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        normalize_mentions,
+    )
+    from bert_namedentityrecognition_spark.operators.tagger import extract_mentions
+    from bert_namedentityrecognition_spark.operators.triples import build_pairs
     from bert_namedentityrecognition_spark.plans.pipeline import run_kg_pipeline
     from bert_namedentityrecognition_spark.plans.session import build_session
     from bert_namedentityrecognition_spark.sources import fixtures
@@ -325,7 +370,27 @@ def run_skew_bench(cores: int, n_pages: int = 40000) -> dict:
         n = res["triples"].agg(F.sum("count")).collect()[0][0]
         out[f"wall_sec_{label}"] = round(_t.perf_counter() - t0, 3)
         out["n_triples"] = int(n)
+        if label == "salted":
+            # reducer split of the counting exchange, on the exact pair
+            # stream the pipeline aggregates (same session, data cached)
+            mentions = extract_mentions(pages, tt)
+            pairs = build_pairs(normalize_mentions(mentions, dim)).persist()
+            out["reducer_split_plain"] = _reducer_split(
+                pairs, ["subj", "obj"], cores
+            )
+            salted_pairs = pairs.withColumn(
+                "_salt", (F.rand(seed=42) * 32).cast("int")
+            )
+            out["reducer_split_salted"] = _reducer_split(
+                salted_pairs, ["subj", "obj", "_salt"], cores
+            )
+            pairs.unpersist()
         spark.stop()
+    out["skew_note"] = (
+        "reducer_split_* is deterministic partitioner math (pmod(murmur3)) "
+        "— the salting claim; walls show salting is ~free for the "
+        "map-side-combining count agg"
+    )
     return out
 
 
@@ -530,8 +595,10 @@ def main():
             # 0.67-0.87 purely with host windows (the probe quantifies the
             # per-proc CPU the host withdraws at 8 busy procs); the
             # host-normalized figure is the cluster-relevant one.
+            # min-of-3 BOTH levels (r3 VERDICT #3) so a single bad window
+            # at either level cannot decide the pair
             result["kg_scaling_cross"] = run_kg_scaling(
-                n_pages, 2, 8, trials=2, adaptive=False
+                n_pages, 2, 8, trials=3, adaptive=False
             )
 
     if os.environ.get("KG_BENCH_SKIP_NER_NUMPY", "0") != "1":

@@ -41,22 +41,18 @@ def salted_count(
     return df.groupBy(*keys).agg(F.count("*").alias(count_col))
 
 
-def build_triples(
+def build_pairs(
     mentions: DataFrame,
     subj_type: str = "drug",
     obj_type: str = "symptom",
-    pred: str = DEFAULT_PRED,
     scope: str = "document",
     remove_duplicates: bool = True,
     use_canonical: bool = True,
-    salt_buckets: int = 0,
     emit_no_symptoms: bool = True,
 ) -> DataFrame:
-    """mentions(url, sent_id, type, word[, canonical]) → (subj, pred, obj, count).
-
-    With ``use_canonical`` the normalized surface is paired (''-sentinel rows
-    drop, reference :49-55); otherwise the raw surface.
-    """
+    """The pre-aggregation (subj, obj) pair stream of :func:`build_triples`
+    — exposed so the skew bench can measure the per-reducer shuffle split
+    of the counting exchange on the exact rows that feed it."""
     keys = ["url"] if scope == "document" else ["url", "sent_id"]
     name = F.col("canonical") if use_canonical and "canonical" in mentions.columns else F.col("word")
     base = mentions.withColumn("_name", F.trim(name))
@@ -93,10 +89,37 @@ def build_triples(
         # presence test, reference :41)
         objs = F.when(F.size("_syms_raw") == 0, F.array(F.lit(NO_SYMPTOMS))).otherwise(objs)
 
-    pairs = (
+    return (
         perdoc.select(drugs.alias("_drugs"), objs.alias("_objs"))
         .select(F.explode("_drugs").alias("subj"), "_objs")
         .select("subj", F.explode("_objs").alias("obj"))
+    )
+
+
+def build_triples(
+    mentions: DataFrame,
+    subj_type: str = "drug",
+    obj_type: str = "symptom",
+    pred: str = DEFAULT_PRED,
+    scope: str = "document",
+    remove_duplicates: bool = True,
+    use_canonical: bool = True,
+    salt_buckets: int = 0,
+    emit_no_symptoms: bool = True,
+) -> DataFrame:
+    """mentions(url, sent_id, type, word[, canonical]) → (subj, pred, obj, count).
+
+    With ``use_canonical`` the normalized surface is paired (''-sentinel rows
+    drop, reference :49-55); otherwise the raw surface.
+    """
+    pairs = build_pairs(
+        mentions,
+        subj_type=subj_type,
+        obj_type=obj_type,
+        scope=scope,
+        remove_duplicates=remove_duplicates,
+        use_canonical=use_canonical,
+        emit_no_symptoms=emit_no_symptoms,
     )
     counted = salted_count(pairs, ["subj", "obj"], salt_buckets)
     return counted.select("subj", F.lit(pred).alias("pred"), "obj", F.col("count"))
@@ -140,6 +163,21 @@ def build_triples_patterned(
         "sent_id",
         pattern_predicate(F.col("sent"), patterns, default_pred).alias("pred"),
     )
+    return patterned_from_preds(
+        mentions, preds, subj_type=subj_type, obj_type=obj_type
+    )
+
+
+def patterned_from_preds(
+    mentions: DataFrame,
+    preds: DataFrame,
+    subj_type: str = "drug",
+    obj_type: str = "symptom",
+) -> DataFrame:
+    """Pairing half of :func:`build_triples_patterned`, over an already-
+    materialized per-sentence predicate table ``preds(url, sent_id, pred)``
+    — the ledger resume path persists preds per url-bucket alongside
+    mentions and pairs them here after all buckets commit."""
     perkey = mentions.groupBy("url", "sent_id").agg(
         F.array_distinct(
             F.filter(

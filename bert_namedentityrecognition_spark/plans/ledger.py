@@ -35,8 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.normalize import normalize_mentions
+from ..operators.sentences import pages_to_sentences
 from ..operators.tagger import extract_mentions
-from ..operators.triples import build_triples
+from ..operators.triples import (
+    build_triples,
+    pattern_predicate,
+    patterned_from_preds,
+)
 
 LEDGER_FILE = "ledger.jsonl"
 
@@ -92,43 +97,98 @@ def resume_run(
     fail_after_bucket: int | None = None,
     write_triples: bool = False,
     lang_filter: str | None = "ja",
+    patterns: list[tuple[str, str]] | None = None,
+    default_pred: str = "HAS_ADVERSE_EVENT",
 ) -> DataFrame:
     """Bucket-at-a-time mention extraction with ledger-gated commits, then
     triples over all committed buckets. Rerunning after any crash yields
     identical triples with no duplicates.
 
+    ``patterns`` (pattern-based predicates): each bucket ALSO commits a
+    per-sentence predicate table ``preds/bucket=K`` under its own ledger
+    stage, and after all buckets the patterned triples are derived from
+    the committed unions (written to ``triples_patterned/`` when
+    ``write_triples``). A separate ``preds`` stage — not a second column on
+    the mentions commit — keeps the two idempotent independently: adding
+    ``--pred-patterns`` to a run whose mentions already committed
+    backfills only the predicate buckets, byte-identically (the bucket's
+    pages are deterministic), without rewriting mentions.
+
     ``fail_after_bucket`` injects a crash (for the kill/rerun test).
     """
     ledger = MetricsLedger(base_dir)
     done = ledger.committed_buckets("mentions")
+    preds_done = ledger.committed_buckets("preds") if patterns else set()
     mentions_dir = os.path.join(base_dir, "mentions")
+    preds_dir = os.path.join(base_dir, "preds")
 
     bucketed = pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
     for b in range(n_buckets):
-        if b in done:
+        if b in done and (not patterns or b in preds_done):
             continue
-        t0 = time.perf_counter()
         chunk = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        m = extract_mentions(chunk, term_types, lang_filter=lang_filter)
-        out_path = os.path.join(mentions_dir, f"bucket={b}")
-        m.write.mode("overwrite").parquet(out_path)  # atomic dir replace
-        n_rows = spark.read.parquet(out_path).count()
-        n_pages = chunk.count()
-        ledger.commit(
-            "mentions",
-            b,
-            {
-                "rows": n_rows,
-                "n_pages": n_pages,
-                "wall_sec": round(time.perf_counter() - t0, 3),
-            },
-        )
+        if b not in done:
+            t0 = time.perf_counter()
+            m = extract_mentions(chunk, term_types, lang_filter=lang_filter)
+            out_path = os.path.join(mentions_dir, f"bucket={b}")
+            m.write.mode("overwrite").parquet(out_path)  # atomic dir replace
+            n_rows = spark.read.parquet(out_path).count()
+            n_pages = chunk.count()
+            ledger.commit(
+                "mentions",
+                b,
+                {
+                    "rows": n_rows,
+                    "n_pages": n_pages,
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                },
+            )
+        if patterns and b not in preds_done:
+            t0 = time.perf_counter()
+            sents = pages_to_sentences(chunk, lang_filter=lang_filter)
+            p = sents.select(
+                "url",
+                "sent_id",
+                pattern_predicate(
+                    F.col("sent"), patterns, default_pred
+                ).alias("pred"),
+            )
+            p_path = os.path.join(preds_dir, f"bucket={b}")
+            p.write.mode("overwrite").parquet(p_path)
+            ledger.commit(
+                "preds",
+                b,
+                {
+                    "rows": spark.read.parquet(p_path).count(),
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                },
+            )
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
 
     mentions = spark.read.parquet(mentions_dir)
     normalized = normalize_mentions(mentions, dim, threshold=threshold)
     triples = build_triples(normalized)
+    if patterns:
+        patterned = patterned_from_preds(
+            mentions, spark.read.parquet(preds_dir)
+        )
+        if write_triples:
+            t0 = time.perf_counter()
+            out_path = os.path.join(base_dir, "triples_patterned")
+            patterned.write.mode("overwrite").parquet(out_path)
+            agg = spark.read.parquet(out_path).agg(
+                F.count("*").alias("rows"), F.sum("count").alias("total")
+            ).collect()[0]
+            ledger.commit(
+                "triples_patterned",
+                0,
+                {
+                    "rows": int(agg["rows"]),
+                    "total_count": int(agg["total"] or 0),
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                },
+            )
     if write_triples:
         t0 = time.perf_counter()
         out_path = os.path.join(base_dir, "triples")

@@ -8,8 +8,9 @@
 With ``--resume`` the job processes url-hash buckets through the metrics
 ledger (idempotent restart from the last committed bucket); without it, one
 batch pass. Outputs: mentions/ triples/ nodes/ edges/ (+ ledger.jsonl;
-``--pred-patterns`` adds triples_patterned/ — batch mode only, rejected
-with ``--resume``).
+``--pred-patterns`` adds triples_patterned/ — in both modes; under
+``--resume`` the per-sentence predicate table commits per url-bucket with
+the same ledger idempotency as mentions).
 
 Non-ASCII ``--pred-patterns`` values require a UTF-8 locale (``LANG=C.UTF-8``)
 — the spark-submit JVM decodes argv with the platform charset and silently
@@ -82,12 +83,6 @@ def main(argv=None):
     # opaque unpack ValueError deep inside pattern_predicate
     patterns: list[tuple[str, str]] = []
     if args.pred_patterns:
-        if args.resume:
-            p.error(
-                "--pred-patterns is not supported with --resume: the bucketed "
-                "resume path writes triples/ only (run a batch pass for "
-                "triples_patterned/)"
-            )
         for spec in args.pred_patterns.split(";"):
             if not spec:
                 continue
@@ -138,6 +133,8 @@ def main(argv=None):
             threshold=args.threshold,
             write_triples=True,
             lang_filter=args.lang or None,
+            patterns=patterns or None,
+            default_pred=args.default_pred,
         )
         n = triples.count()
     else:

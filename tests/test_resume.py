@@ -43,3 +43,84 @@ def test_kill_rerun_identical_triples(spark, tmp_path):
     got_again = _triples_set(resume_run(spark, pages, dim, tt, base, n_buckets=6))
     assert got_again == want
     assert len(ledger.rows()) == 6
+
+
+PATTERNS = [("頭痛", "CAUSES_HEADACHE"), ("投与", "OBSERVED_AFTER_DOSE")]
+
+
+def _patterned_set(spark, base):
+    df = spark.read.parquet(f"{base}/triples_patterned")
+    return {(r.subj, r.pred, r.obj): r["count"] for r in df.collect()}
+
+
+def test_pred_patterns_resume_kill_rerun(spark, tmp_path):
+    """r3 VERDICT #6: --pred-patterns with --resume — per-bucket preds
+    commits under their own ledger stage; a mid-run kill + rerun yields
+    patterned triples identical to the single-shot batch path."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        build_triples_patterned,
+    )
+
+    corpus = fixtures.generate_pages(120, seed=5)
+    pages = fixtures.pages_to_spark(spark, corpus)
+    dim = fixtures.entity_dim_to_spark(spark)
+    tt = fixtures.pipeline_term_types()
+    base = str(tmp_path / "run")
+
+    out = run_kg_pipeline(pages, dim, tt)
+    want = {
+        (r.subj, r.pred, r.obj): r["count"]
+        for r in build_triples_patterned(
+            out["mentions"], out["sentences"], PATTERNS
+        ).collect()
+    }
+    assert {p for (_, p, _) in want} > {"HAS_ADVERSE_EVENT"}  # patterns fire
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resume_run(spark, pages, dim, tt, base, n_buckets=6,
+                   fail_after_bucket=2, patterns=PATTERNS, write_triples=True)
+    ledger = MetricsLedger(base)
+    assert ledger.committed_buckets("preds") == {0, 1, 2}
+
+    resume_run(spark, pages, dim, tt, base, n_buckets=6,
+               patterns=PATTERNS, write_triples=True)
+    assert _patterned_set(spark, base) == want
+    # exactly one committed preds row per bucket — no duplicate processing
+    assert sorted(
+        r["bucket"] for r in ledger.rows() if r["stage"] == "preds"
+    ) == list(range(6))
+
+
+def test_pred_patterns_backfill_after_plain_run(spark, tmp_path):
+    """Adding --pred-patterns to a run whose mentions already committed
+    backfills ONLY the preds buckets (mentions ledger rows unchanged) and
+    still matches the batch patterned output."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        build_triples_patterned,
+    )
+
+    corpus = fixtures.generate_pages(100, seed=9)
+    pages = fixtures.pages_to_spark(spark, corpus)
+    dim = fixtures.entity_dim_to_spark(spark)
+    tt = fixtures.pipeline_term_types()
+    base = str(tmp_path / "run")
+
+    resume_run(spark, pages, dim, tt, base, n_buckets=4)
+    ledger = MetricsLedger(base)
+    n_mention_rows = len([r for r in ledger.rows() if r["stage"] == "mentions"])
+    assert n_mention_rows == 4
+
+    resume_run(spark, pages, dim, tt, base, n_buckets=4,
+               patterns=PATTERNS, write_triples=True)
+    assert ledger.committed_buckets("preds") == {0, 1, 2, 3}
+    # mentions stage untouched by the backfill
+    assert len([r for r in ledger.rows() if r["stage"] == "mentions"]) == 4
+
+    out = run_kg_pipeline(pages, dim, tt)
+    want = {
+        (r.subj, r.pred, r.obj): r["count"]
+        for r in build_triples_patterned(
+            out["mentions"], out["sentences"], PATTERNS
+        ).collect()
+    }
+    assert _patterned_set(spark, base) == want

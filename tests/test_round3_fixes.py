@@ -96,12 +96,3 @@ def test_pred_patterns_cli_validation(capsys):
         main(["--pages-dir", "/x", "--out", "/y", "--pred-patterns", "no-equals-here"])
     err = capsys.readouterr().err
     assert "no '='" in err and "no-equals-here" in err
-
-    # --pred-patterns + --resume → explicit rejection
-    with pytest.raises(SystemExit):
-        main(
-            ["--pages-dir", "/x", "--out", "/y", "--resume",
-             "--pred-patterns", "a=B"]
-        )
-    err = capsys.readouterr().err
-    assert "not supported with --resume" in err
