@@ -3,15 +3,15 @@
 ``entry(spark)`` runs the flagship KG pipeline (synthetic pages → triples).
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
-DuckDB-executable twin for every SQL-expressible query (the rest get the
-weaker rows-only check — only kg_e2e_triples remains: the fixture corpus
-sentence-split needs Python-regex lookbehinds RE2 lacks; pinned by pytest
-goldens. Everything else is value-verified, including the rapidfuzz-indel
-normalizer via a pure-SQL bitmask-LCS, LSH ANN via bit-identical inlined
-hyperplanes, IVF ANN via a full SQL replay of the driver-side k-means
-training (portable-hash sample, sequential double folds), the relaxed
-greedy metric via a per-group recursive-CTE replay, and the span-match
-taxonomy via pure joins).
+DuckDB-executable twin for EVERY query — zero rows-only entries. Every
+query is value-verified, including the e2e pipeline (lookbehind-free
+sentence-split replay), the rapidfuzz-indel normalizer via a pure-SQL
+bitmask-LCS, LSH ANN via bit-identical inlined hyperplanes, IVF ANN via a
+full SQL replay of the driver-side k-means training (portable-hash
+sample, sequential double folds), the relaxed greedy metric via a
+per-group recursive-CTE replay, the span-match taxonomy via pure joins,
+and the real-model NER path via a full sequential-fold CTE replay of the
+tiny-checkpoint BERT forward.
 
 Numeric-compare policy: money sums go through decimal(18,4) (exact) before a
 final double cast + round, counts are BIGINT both sides, ratios are
@@ -25,6 +25,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+
+def _writable_base() -> str:
+    """Directory for scratch artifacts (checkpoints, persisted indexes).
+    Under spark-submit --py-files this module lives INSIDE the zip, so
+    dirname(__file__) is the zip path, not a writable directory — fall
+    back to the system tempdir there."""
+    import os
+    import tempfile
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    return base if os.path.isdir(base) else tempfile.gettempdir()
 
 # --- shared dictionaries (documents corpus is a closed 31-word vocabulary) ---
 
@@ -881,6 +893,97 @@ FROM documents
 """
 
 
+def _streaming_dedup(spark, sf):
+    """Cross-batch stateful dedup (``streaming/stateful.dedup_stream``,
+    applyInPandasWithState) under the driver gate — a REAL Structured
+    Streaming run, not a batch stand-in: the documents table is split into
+    4 doc_id-ranged files with strictly increasing mtimes, streamed with
+    ``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow`` (FileStreamSource
+    picks oldest-mtime first, so batch order is deterministic), and the
+    keyed state carries seen-counts ACROSS the four micro-batches. Because
+    batch ranges are doc_id-ordered and the operator orders within a
+    batch by doc_id, arrival order == doc_id order, so the exact SQL twin
+    is the batch exact-dedup predicate: is_duplicate ⇔ doc_id >
+    min(doc_id) over the fingerprint — duplicates spanning micro-batches
+    are flagged only through the cross-batch state. The fixture corpus has
+    NO exact duplicates, so the stream is salted deterministically: the
+    first 50 docs are appended again at ids shifted past max(doc_id) —
+    originals arrive in micro-batch 0, copies in the LAST batch, and every
+    copy's flag depends on state carried across all four batches (the SQL
+    twin applies the same union)."""
+    import glob
+    import os
+    import shutil
+
+    from bert_namedentityrecognition_spark.streaming.stateful import dedup_stream
+
+    raw = _t(spark, sf, "documents").select("doc_id", "text")
+    lo0, hi0 = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    docs = raw.unionByName(
+        raw.filter(F.col("doc_id") < int(lo0) + 50).select(
+            (F.col("doc_id") + int(hi0) + 1).alias("doc_id"), "text"
+        )
+    )
+    base = os.path.join(
+        _writable_base(),
+        "var",
+        f"stream_dedup_{os.path.basename(os.path.normpath(sf))}",
+    )
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo)) // 4 + 1)
+    for i in range(4):
+        a, b = int(lo) + i * step, int(lo) + (i + 1) * step
+        tmp = os.path.join(base, f"tmp{i}")
+        docs.filter(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < (b if i < 3 else int(hi) + 1))
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        shutil.copyfile(src, dst)
+        # strictly increasing mtimes pin FileStreamSource's batch order
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    global _STREAM_DEDUP_SEQ
+    _STREAM_DEDUP_SEQ += 1
+    name = f"stream_dedup_out_{_STREAM_DEDUP_SEQ}"
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("doc_id", "fingerprint", "is_duplicate")
+
+
+_STREAM_DEDUP_SEQ = 0
+
+_STREAM_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM documents WHERE doc_id < (SELECT min(doc_id) + 50 FROM documents)
+)
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_duplicate
+FROM d
+"""
+
+
 def _minhash_sigs(spark, sf):  # MinHash signatures (portable hash family)
     from bert_namedentityrecognition_spark.operators.dedup import minhash_signatures
 
@@ -1694,7 +1797,6 @@ def _ivf_ann_persisted(spark, sf):
     Lloyd-unrolled SQL twin is shared verbatim: pruning must not change a
     single row, and the gate proves it."""
     import os
-    import tempfile
 
     from bert_namedentityrecognition_spark.operators.similarity import (
         ivf_probe_index,
@@ -1705,13 +1807,10 @@ def _ivf_ann_persisted(spark, sf):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # Under spark-submit --py-files this module lives INSIDE the zip, so
-    # dirname(__file__) is the zip path, not a writable directory.
-    base = os.path.dirname(os.path.abspath(__file__))
-    if not os.path.isdir(base):
-        base = tempfile.gettempdir()
     path = os.path.join(
-        base, "var", f"ivf_index_{os.path.basename(os.path.normpath(sf))}"
+        _writable_base(),
+        "var",
+        f"ivf_index_{os.path.basename(os.path.normpath(sf))}",
     )
     ivf_write_index(emb, path, n_centroids=16, seed=42)
     return ivf_probe_index(spark, path, queries, k=5, n_probe=4).select(
@@ -2198,9 +2297,7 @@ def _ner_model_mentions(spark, sf):
     )
     from bert_namedentityrecognition_spark.sources import fixtures
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "var", "ner_tiny_ckpt.npz"
-    )
+    path = os.path.join(_writable_base(), "var", "ner_tiny_ckpt.npz")
     write_ner_checkpoint(path)
     clf, vocab = classifier_from_checkpoint(path)
     pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(200, seed=42))
@@ -2483,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup_multiprobe": _embedding_neardup_multiprobe,
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
+        "dedup_streaming_stateful": _streaming_dedup,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -2550,6 +2648,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_neardup_multiprobe": _embedding_neardup_multiprobe_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "dedup_simhash_signatures": _SIMHASH_SQL,
+        # the streaming twin's arrival order == doc_id order by construction
+        # (doc_id-ranged files, mtime-ordered batches), so the batch
+        # exact-dedup predicate over the same salted union is its oracle
+        "dedup_streaming_stateful": _STREAM_DEDUP_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
     }

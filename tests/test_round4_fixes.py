@@ -161,3 +161,20 @@ def test_neardup_multiprobe_excludes_hot_buckets(spark):
     plain = embedding_near_dup_pairs(vectors, **kw).count()
     probed = embedding_near_dup_pairs(vectors, multi_probe=1, **kw).count()
     assert probed == plain == 2000 * 16 - 16 * 17 // 2
+
+
+def test_streaming_dedup_gate_query_cross_batch(spark):
+    """The dedup_streaming_stateful driver query must flag EXACTLY the 50
+    salted copies, whose originals arrive three micro-batches earlier —
+    a false flag or a missed one means the keyed state did not survive
+    across batches."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["dedup_streaming_stateful"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 550
+    dups = {r.doc_id for r in rows if r.is_duplicate}
+    # copies live past the original id range (hi0=499) -> batch 3 of 4;
+    # their originals (ids 0..49) were streamed in batch 0
+    assert dups == set(range(500, 550))
