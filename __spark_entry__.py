@@ -453,6 +453,64 @@ def _kg_mentions(spark, sf):  # gazetteer NER (§2.8 containment join)
 _KG_MENTIONS_SQL = f"SELECT doc_id, term, kind, n FROM ({_OCC_SQL})"
 
 
+def _kg_bucketed_join(spark, sf):
+    """The 100 TB co-located-join story under the driver gate
+    (SCALE.md: bucket(url) pairing with zero shuffle): mentions are
+    written as a REAL bucketed catalog table (``bucketBy(8, url).sortBy
+    (url).saveAsTable`` — the jar-less executable twin of the Iceberg
+    ``bucket()`` spec, CLAUDE.md rule 21), then the drug side and symptom
+    side of the SAME stored table are merge-joined on url. Both sides
+    read identical bucketing, so the join plans with no exchange on
+    either input (asserted with controlled confs in
+    tests/test_graph_outputs.py); only the final small aggregation
+    shuffles. Values — per-(drug, symptom) occurrence-pair counts — are
+    oracled by the occurrence-multiplicity product in SQL."""
+    import os
+
+    import shutil
+
+    m = _doc_mentions(spark, sf).select("url", "type", "word")
+    tbl = "kgb_mentions_" + os.path.basename(os.path.normpath(sf)).replace(
+        ".", "_"
+    )
+    if not spark.catalog.tableExists(tbl):
+        # the in-memory session catalog forgets tables between sessions but
+        # their warehouse directories persist; saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS — drop the orphaned location first
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = wh.removeprefix("file:") + "/" + tbl.lower()
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        m.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(8, "url")
+        .sortBy("url")
+        .saveAsTable(tbl)
+    )
+    t = spark.table(tbl)
+    drugs = t.filter(F.col("type") == "drug").select(
+        "url", F.col("word").alias("subj")
+    )
+    syms = t.filter(F.col("type") == "symptom").select(
+        "url", F.col("word").alias("obj")
+    )
+    return (
+        drugs.hint("merge")
+        .join(syms, "url")
+        .groupBy("subj", "obj")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_KG_BUCKETED_JOIN_SQL = f"""
+WITH occ AS ({_OCC_SQL})
+SELECT d.term AS subj, s.term AS obj, CAST(SUM(d.n * s.n) AS BIGINT) AS cnt
+FROM occ d JOIN occ s ON d.doc_id = s.doc_id
+WHERE d.kind = 'drug' AND s.kind = 'symptom'
+GROUP BY d.term, s.term
+"""
+
+
 def _kg_triples(spark, sf):  # pairing + No Symptoms + count (§2.8/2.9)
     from bert_namedentityrecognition_spark.operators.triples import build_triples
 
@@ -2551,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json,
         # KG construction family (SURVEY §2 core)
         "kg_mentions": _kg_mentions,
+        "kg_bucketed_join": _kg_bucketed_join,
         "kg_triples_codoc": _kg_triples,
         "kg_triples_patterned": _kg_triples_patterned,
         "kg_top_subjects": _kg_top_subjects,
@@ -2615,6 +2674,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
+        "kg_bucketed_join": _KG_BUCKETED_JOIN_SQL,
         "kg_triples_codoc": _KG_TRIPLES_SQL,
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
         "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,

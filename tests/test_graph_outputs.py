@@ -107,3 +107,23 @@ def test_write_outputs_bucketed_colocated_join_and_rerun(spark, tmp_path):
     assert t1 == t2
     for t in ("kg_b_mentions", "kg_b_triples", "kg_b_nodes", "kg_b_edges"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_kg_bucketed_join_gate_query_no_join_exchange(spark):
+    """The kg_bucketed_join DRIVER query (not just the sink helper) must
+    plan its url merge-join exchange-free on both inputs: the only
+    hashpartitioning exchange allowed is the final (subj, obj) aggregation."""
+    import __spark_entry__ as E
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = E.queries()["kg_bucketed_join"](spark, "/root/testdata/sf0.001")
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # one exchange total (the aggregation), zero feeding the join: the
+        # agg exchange partitions by (subj, obj), never by url
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Exchange hashpartitioning(url" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
