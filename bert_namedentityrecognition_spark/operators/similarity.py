@@ -144,15 +144,8 @@ def lsh_cosine_topk(
         lsh_signature_expr(F.col(vec_col), planes).alias("bucket"),
     )
     if multi_probe > 0:
-        flips = [0]  # xor masks for hamming balls of radius <= multi_probe
-        from itertools import combinations
-
-        for r in range(1, multi_probe + 1):
-            for bits in combinations(range(m_bits), r):
-                mask = 0
-                for j in bits:
-                    mask |= 1 << j
-                flips.append(mask)
+        # xor masks for hamming balls of radius <= multi_probe (0 = own bucket)
+        flips = [0] + hamming_ball_masks(m_bits, multi_probe)
         q = q.withColumn(
             "bucket",
             F.explode(
