@@ -2351,6 +2351,8 @@ def _ner_model_mentions(spark, sf):
         ner_pages,
     )
     from bert_namedentityrecognition_spark.oracle.bert_sql import (
+        N_PAGES,
+        PAGE_SEED,
         write_ner_checkpoint,
     )
     from bert_namedentityrecognition_spark.sources import fixtures
@@ -2358,7 +2360,11 @@ def _ner_model_mentions(spark, sf):
     path = os.path.join(_writable_base(), "var", "ner_tiny_ckpt.npz")
     write_ner_checkpoint(path)
     clf, vocab = classifier_from_checkpoint(path)
-    pages = fixtures.pages_to_spark(spark, fixtures.generate_pages(200, seed=42))
+    # the SAME corpus constants the oracle's fixture/vocab derive from —
+    # hardcoding 200/42 here would silently desync the twin if tuned
+    pages = fixtures.pages_to_spark(
+        spark, fixtures.generate_pages(N_PAGES, seed=PAGE_SEED)
+    )
     return ner_pages(pages, clf, vocab).select(
         "url", "sent_id", "start", "end", "type", "word"
     )

@@ -204,8 +204,11 @@ def bert_token_logits(
     sd: dict[str, np.ndarray],
     ids: np.ndarray,
     attention_mask: np.ndarray | None = None,
+    out_dtype: np.dtype = np.float32,
 ) -> np.ndarray:
-    """ids [B, T] int → logits [B, T, num_labels] float32.
+    """ids [B, T] int → logits [B, T, num_labels] (``out_dtype``, default
+    float32 — the executor dtype; the SQL-oracle margin check passes
+    float64 so the asserted margins bound the PRE-cast gaps).
 
     Standard BERT encoder: (word + position + type-0) embeddings → LayerNorm
     → per layer (multi-head self-attention with additive −10⁴ pad mask,
@@ -261,4 +264,4 @@ def bert_token_logits(
             sd[p + "output.LayerNorm.bias"],
         )
 
-    return (x @ sd["classifier.weight"].T + sd["classifier.bias"]).astype(np.float32)
+    return (x @ sd["classifier.weight"].T + sd["classifier.bias"]).astype(out_dtype)

@@ -24,12 +24,14 @@ Why the two sides agree (the float story, CLAUDE.md rules 11/20):
   evaluation order exactly.
 - The compared output is **discrete** (argmax labels → spans), so agreement
   needs only that no logit gap is smaller than the replay error. The
-  checkpoint generator *asserts* that: the smallest top1−top2 logit margin
-  over every real token position of the whole corpus must exceed
-  ``MARGIN_MIN`` (1e-6 — ~1000× the error floor, and far above the final
-  float32 cast's ~1e-9 rounding), else the next seed is tried. The
-  classifier weight is scaled ×10 so margins clear the floor for early
-  seeds.
+  checkpoint generator *asserts* that: the smallest top1−top2 FLOAT64
+  logit margin over every real token position of the whole corpus must
+  exceed both ``MARGIN_MIN`` (1e-6 — ~1000× the replay error floor) and a
+  scale-aware float32 bound (4·ulp32 of the max |logit|, ~1e-6 at
+  |logit|≈2 — the executor argmaxes float32-cast logits, which can flip
+  pairs whose float64 gap is within a few ulps), else the next seed is
+  tried. The classifier weight is scaled ×10 so margins clear the floor
+  for early seeds.
 - Sub-batch padding on the Spark side (length-sorted, right-pad, additive
   −10⁴ mask — ``BERT/data_utils.py:66-97``) is invisible in float64: a pad
   key's softmax term is ``exp(≈−10⁴) == 0.0`` exactly (underflow), pad
@@ -95,9 +97,12 @@ def ner_fixture_sentences() -> tuple[tuple[str, int, str], ...]:
 
 def _corpus_logits(sd: dict, sents, stoi: dict[str, int]) -> np.ndarray:
     """Forward the whole corpus as ONE padded float64 batch; returns
-    [B, Tmax+1, L] float32 logits (same dtype the executors argmax over).
-    Padding is exact-zero in float64 (see module docstring), so per-position
-    values equal the unpadded per-sentence forward."""
+    [B, Tmax+1, L] **float64** logits — the pre-cast values whose top-2
+    gaps the margin assertion must bound (a margin measured AFTER the
+    executor's float32 cast would not bound the float64 gap the DuckDB
+    twin argmaxes once |logit| approaches float32-ulp scale). Padding is
+    exact-zero in float64 (see module docstring), so per-position values
+    equal the unpadded per-sentence forward."""
     from ..operators.bert_numpy import bert_token_logits
 
     B = len(sents)
@@ -108,7 +113,7 @@ def _corpus_logits(sd: dict, sents, stoi: dict[str, int]) -> np.ndarray:
         enc = [1] + [stoi[c] for c in s]  # [CLS]=1
         ids[bi, : len(enc)] = enc
         mask[bi, : len(enc)] = 1.0
-    return bert_token_logits(sd, ids, mask)
+    return bert_token_logits(sd, ids, mask, out_dtype=np.float64)
 
 
 @functools.lru_cache(maxsize=1)
@@ -141,14 +146,21 @@ def ner_tiny_checkpoint() -> tuple[dict, list[str], list[str], int, float]:
             for k, v in sd.items()
         }
         sd["classifier.weight"] = sd["classifier.weight"] * 10.0
-        logits = _corpus_logits(sd, sents, stoi)
-        margins = []
+        logits = _corpus_logits(sd, sents, stoi)  # float64, pre-cast
+        margins, max_abs = [], 0.0
         for bi, (_, _, s) in enumerate(sents):
-            lg = logits[bi, 1 : len(s) + 1].astype(np.float64)  # real positions
+            lg = logits[bi, 1 : len(s) + 1]  # real positions only
             part = np.sort(lg, axis=1)
             margins.append(float((part[:, -1] - part[:, -2]).min()))
+            max_abs = max(max_abs, float(np.abs(lg).max()))
         min_margin = min(margins)
-        if min_margin >= MARGIN_MIN:
+        # the margin must clear BOTH replay floors: the float64 SQL replay
+        # error (MARGIN_MIN covers it ~1000×) and the executor-side float32
+        # argmax, which can flip pairs whose float64 gap is within a few
+        # ulps of the logit magnitude — scale-aware, so raising the
+        # classifier scale cannot silently unsound the assertion
+        need = max(MARGIN_MIN, 4.0 * float(np.spacing(np.float32(max_abs))))
+        if min_margin >= need:
             return sd, tokenizer_itos, list(LABEL_ITOS), seed, min_margin
     raise AssertionError(
         f"no seed in 0..{MAX_SEED_TRIES - 1} gives corpus-wide argmax margin "

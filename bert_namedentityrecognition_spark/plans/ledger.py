@@ -57,14 +57,22 @@ class MetricsLedger:
         self.path = os.path.join(base_dir, LEDGER_FILE)
         os.makedirs(base_dir, exist_ok=True)
 
-    def committed_buckets(self, stage: str) -> set[int]:
+    def committed_buckets(self, stage: str, spec: str | None = None) -> set[int]:
+        """Buckets with a committed row for ``stage``. With ``spec``, only
+        rows whose recorded spec matches count — a bucket committed under
+        DIFFERENT parameters (e.g. changed --pred-patterns) is treated as
+        not-done and recomputed, instead of silently reused."""
         out: set[int] = set()
         if not os.path.exists(self.path):
             return out
         with open(self.path) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec["stage"] == stage and rec["status"] == "committed":
+                if (
+                    rec["stage"] == stage
+                    and rec["status"] == "committed"
+                    and (spec is None or rec.get("spec") == spec)
+                ):
                     out.add(rec["bucket"])
         return out
 
@@ -118,7 +126,17 @@ def resume_run(
     """
     ledger = MetricsLedger(base_dir)
     done = ledger.committed_buckets("mentions")
-    preds_done = ledger.committed_buckets("preds") if patterns else set()
+    # the preds commit is parameterized by the pattern spec: a bucket
+    # committed under different patterns/default_pred must NOT be reused
+    # (it would silently pair mentions with the stale predicate table)
+    pred_spec = (
+        json.dumps([list(p) for p in patterns] + [default_pred])
+        if patterns
+        else None
+    )
+    preds_done = (
+        ledger.committed_buckets("preds", spec=pred_spec) if patterns else set()
+    )
     mentions_dir = os.path.join(base_dir, "mentions")
     preds_dir = os.path.join(base_dir, "preds")
 
@@ -161,6 +179,7 @@ def resume_run(
                 {
                     "rows": spark.read.parquet(p_path).count(),
                     "wall_sec": round(time.perf_counter() - t0, 3),
+                    "spec": pred_spec,
                 },
             )
         if fail_after_bucket is not None and b >= fail_after_bucket:

@@ -124,3 +124,40 @@ def test_pred_patterns_backfill_after_plain_run(spark, tmp_path):
         ).collect()
     }
     assert _patterned_set(spark, base) == want
+
+
+def test_pred_patterns_change_forces_preds_recompute(spark, tmp_path):
+    """Rerunning with DIFFERENT --pred-patterns must recompute the preds
+    buckets (the ledger records the pattern spec per commit): the stale
+    first-run predicate table must never be silently paired."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        build_triples_patterned,
+    )
+
+    corpus = fixtures.generate_pages(80, seed=7)
+    pages = fixtures.pages_to_spark(spark, corpus)
+    dim = fixtures.entity_dim_to_spark(spark)
+    tt = fixtures.pipeline_term_types()
+    base = str(tmp_path / "run")
+
+    resume_run(spark, pages, dim, tt, base, n_buckets=3,
+               patterns=PATTERNS, write_triples=True)
+    first = _patterned_set(spark, base)
+
+    new_patterns = [("投与", "DOSED_WITH")]
+    resume_run(spark, pages, dim, tt, base, n_buckets=3,
+               patterns=new_patterns, write_triples=True)
+    got = _patterned_set(spark, base)
+
+    out = run_kg_pipeline(pages, dim, tt)
+    want = {
+        (r.subj, r.pred, r.obj): r["count"]
+        for r in build_triples_patterned(
+            out["mentions"], out["sentences"], new_patterns
+        ).collect()
+    }
+    assert got == want and got != first
+    # ledger carries both specs: 3 buckets per distinct pattern set
+    ledger = MetricsLedger(base)
+    specs = {r["spec"] for r in ledger.rows() if r["stage"] == "preds"}
+    assert len(specs) == 2
