@@ -60,6 +60,35 @@ def normalized_dim(dim: DataFrame) -> DataFrame:
     return dim.withColumn("surface_norm", han_to_zen_udf(F.col("surface")))
 
 
+def _dedup_dimn(dimn: DataFrame) -> DataFrame:
+    """One row per (surface_norm, kind), chosen VALUE-deterministically
+    (min (canonical, entity_id, code), strings, nulls last). Dictionaries
+    with normalization-collapsed duplicates (e.g. half- and full-width
+    variants of one term as separate rows) would otherwise fan out the
+    exact equi-join — inflating every downstream count — and diverge from
+    the driver kernel, which keys a dict per (surface_norm, kind). Both
+    paths now pick the SAME row by value, not by row order (row order is
+    not stable distributed)."""
+    w = Window.partitionBy("surface_norm", "kind").orderBy(
+        F.col("canonical").asc_nulls_last(),
+        F.col("entity_id").cast("string").asc_nulls_last(),
+        F.col("code").cast("string").asc_nulls_last(),
+    )
+    return (
+        dimn.withColumn("_dn", F.row_number().over(w))
+        .filter(F.col("_dn") == 1)
+        .drop("_dn")
+    )
+
+
+def _dim_row_sort_key(rr: dict) -> tuple:
+    """Driver twin of :func:`_dedup_dimn`'s ordering."""
+    return tuple(
+        (v is None, "" if v is None else str(v))
+        for v in (rr.get("canonical"), rr.get("entity_id"), rr.get("code"))
+    )
+
+
 def normalize_surfaces(
     surfaces: DataFrame,
     dim: DataFrame,
@@ -73,8 +102,10 @@ def normalize_surfaces(
     best (rejected) candidate, mirroring ``manbyo.py:68-71``.
     """
     spark = surfaces.sparkSession
-    dimn = normalized_dim(dim).select(
-        "surface_norm", "canonical", "entity_id", "code", "kind"
+    dimn = _dedup_dimn(
+        normalized_dim(dim).select(
+            "surface_norm", "canonical", "entity_id", "code", "kind"
+        )
     )
 
     if type_to_kind:
@@ -326,13 +357,22 @@ def resolve_surfaces_driver(
     the reference itself uses (in-memory normalizer dict), and at high core
     counts it avoids ~6 tiny python-UDF stages whose fixed cost dominates.
     """
-    by_kind: dict[str, list[dict]] = {}
-    exact_index: dict[tuple[str, str], dict] = {}
+    # value-deterministic dedup per (surface_norm, kind) — the twin of the
+    # distributed path's _dedup_dimn (last-row-wins depended on dim row
+    # order, which the distributed path cannot reproduce)
+    chosen: dict[tuple[str, str], dict] = {}
     for r in dim_rows:
         sn = han_to_zen(r["surface"])
         rr = {**r, "surface_norm": sn}
-        by_kind.setdefault(r["kind"], []).append(rr)
-        exact_index[(sn, r["kind"])] = rr
+        key = (sn, r["kind"])
+        prev = chosen.get(key)
+        if prev is None or _dim_row_sort_key(rr) < _dim_row_sort_key(prev):
+            chosen[key] = rr
+    by_kind: dict[str, list[dict]] = {}
+    exact_index: dict[tuple[str, str], dict] = {}
+    for (sn, kind), rr in chosen.items():
+        by_kind.setdefault(kind, []).append(rr)
+        exact_index[(sn, kind)] = rr
     out = []
     for word, mtype in surface_rows:
         kind = (type_to_kind or {}).get(mtype, mtype)

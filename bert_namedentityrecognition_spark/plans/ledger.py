@@ -125,15 +125,18 @@ def resume_run(
     ``fail_after_bucket`` injects a crash (for the kill/rerun test).
     """
     ledger = MetricsLedger(base_dir)
-    done = ledger.committed_buckets("mentions")
-    # the preds commit is parameterized by the pattern spec: a bucket
-    # committed under different patterns/default_pred must NOT be reused
-    # (it would silently pair mentions with the stale predicate table)
+    # every bucket commit is parameterized by the inputs that shaped it: a
+    # bucket committed under a different n_buckets (different url→bucket
+    # assignment), dictionary, lang filter, or pattern set must NOT be
+    # reused — it would silently union stale or double-counted rows
+    base_spec = [n_buckets, lang_filter]
+    mention_spec = json.dumps(base_spec + [sorted(term_types.items())])
     pred_spec = (
-        json.dumps([list(p) for p in patterns] + [default_pred])
+        json.dumps(base_spec + [[list(p) for p in patterns], default_pred])
         if patterns
         else None
     )
+    done = ledger.committed_buckets("mentions", spec=mention_spec)
     preds_done = (
         ledger.committed_buckets("preds", spec=pred_spec) if patterns else set()
     )
@@ -159,6 +162,7 @@ def resume_run(
                     "rows": n_rows,
                     "n_pages": n_pages,
                     "wall_sec": round(time.perf_counter() - t0, 3),
+                    "spec": mention_spec,
                 },
             )
         if patterns and b not in preds_done:
@@ -185,12 +189,23 @@ def resume_run(
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
 
-    mentions = spark.read.parquet(mentions_dir)
+    # read EXACTLY the buckets of this run's assignment — never a whole-dir
+    # glob: a leftover bucket=K dir from an earlier larger-n_buckets run
+    # would be silently unioned in (double counting its urls)
+    mentions = spark.read.parquet(
+        *[os.path.join(mentions_dir, f"bucket={b}") for b in range(n_buckets)]
+    )
     normalized = normalize_mentions(mentions, dim, threshold=threshold)
     triples = build_triples(normalized)
     if patterns:
         patterned = patterned_from_preds(
-            mentions, spark.read.parquet(preds_dir)
+            mentions,
+            spark.read.parquet(
+                *[
+                    os.path.join(preds_dir, f"bucket={b}")
+                    for b in range(n_buckets)
+                ]
+            ),
         )
         if write_triples:
             t0 = time.perf_counter()

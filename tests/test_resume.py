@@ -161,3 +161,27 @@ def test_pred_patterns_change_forces_preds_recompute(spark, tmp_path):
     ledger = MetricsLedger(base)
     specs = {r["spec"] for r in ledger.rows() if r["stage"] == "preds"}
     assert len(specs) == 2
+
+
+def test_rebucketing_rerun_is_correct(spark, tmp_path):
+    """Changing n_buckets between runs must not reuse buckets committed
+    under the old url→bucket assignment NOR union leftover bucket dirs:
+    a 4-bucket run followed by a 2-bucket rerun yields exactly the
+    single-shot triples (no double counting from stale bucket=2,3 dirs,
+    no stale mod-4 content in buckets 0,1)."""
+    corpus = fixtures.generate_pages(90, seed=3)
+    pages = fixtures.pages_to_spark(spark, corpus)
+    dim = fixtures.entity_dim_to_spark(spark)
+    tt = fixtures.pipeline_term_types()
+    base = str(tmp_path / "run")
+
+    want = _triples_set(run_kg_pipeline(pages, dim, tt)["triples"])
+    assert _triples_set(
+        resume_run(spark, pages, dim, tt, base, n_buckets=4)
+    ) == want
+    got = _triples_set(resume_run(spark, pages, dim, tt, base, n_buckets=2))
+    assert got == want
+    # the rerun recomputed both mod-2 buckets (specs differ from the mod-4 run)
+    ledger = MetricsLedger(base)
+    specs = {r["spec"] for r in ledger.rows() if r["stage"] == "mentions"}
+    assert len(specs) == 2

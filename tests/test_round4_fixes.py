@@ -178,3 +178,35 @@ def test_streaming_dedup_gate_query_cross_batch(spark):
     # copies live past the original id range (hi0=499) -> batch 3 of 4;
     # their originals (ids 0..49) were streamed in batch 0
     assert dups == set(range(500, 550))
+
+
+def test_normalize_dedups_collapsed_dim_rows_both_paths(spark):
+    """A dictionary carrying half- and full-width variants of one term as
+    separate rows collapses to one surface_norm under han_to_zen; the
+    exact stage must not fan out (one output row per mention) and the
+    distributed and driver paths must pick the SAME row by value."""
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        normalize_surfaces,
+        resolve_surfaces_driver,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("ﾛｷｿﾆﾝ", "CANON_B", "E2", "C2", "drug"),
+            ("ロキソニン", "CANON_A", "E1", "C1", "drug"),
+        ],
+        "surface string, canonical string, entity_id string, code string, kind string",
+    )
+    surfaces = spark.createDataFrame(
+        [("ロキソニン", "drug")], "word string, type string"
+    )
+    rows = normalize_surfaces(surfaces, dim).collect()
+    assert len(rows) == 1  # no fan-out
+    assert (rows[0].canonical, rows[0].entity_id) == ("CANON_A", "E1")
+
+    got = resolve_surfaces_driver(
+        [("ロキソニン", "drug")],
+        [r.asDict() for r in dim.collect()],
+    )
+    assert len(got) == 1
+    assert (got[0][2], got[0][3]) == ("CANON_A", "E1")
