@@ -190,11 +190,39 @@ def canonical_alias_map(
     )
 
 
-def apply_alias_map(mentions: DataFrame, alias_map: DataFrame, col: str = "canonical") -> DataFrame:
-    """Rewrite a canonical column through the (small, broadcast) alias map."""
+def apply_alias_map(
+    mentions: DataFrame,
+    alias_map: DataFrame,
+    col: str = "canonical",
+    dim: DataFrame | None = None,
+    id_cols: tuple[str, ...] = ("entity_id", "code"),
+) -> DataFrame:
+    """Rewrite a canonical column through the (small, broadcast) alias map.
+
+    With ``dim``, every mention whose canonical participates in the alias
+    map ALSO gets its id columns remapped to the representative's dim row
+    (matched on ``dim.surface == canonical_surface`` — chains terminate at
+    a real canonical entity per :func:`canonical_alias_map`). Without
+    this, a mention normalized to entity B then alias-collapsed onto A's
+    surface kept B's entity_id, so the nodes table split one collapsed
+    entity across two ids. A representative absent from dim maps its
+    component's ids to null — consistently, so the component still
+    collapses to one node key."""
     am = alias_map.withColumnRenamed("surface", col)
+    remap = [c for c in id_cols if dim is not None and c in mentions.columns]
+    if remap:
+        rep = dim.select(
+            F.col("surface").alias("canonical_surface"),
+            *[F.col(c).alias(f"_rep_{c}") for c in remap],
+        ).dropDuplicates(["canonical_surface"])
+        am = am.join(rep, "canonical_surface", "left")
+    out = mentions.join(F.broadcast(am), col, "left")
+    aliased = F.col("canonical_surface").isNotNull()
+    for c in remap:
+        out = out.withColumn(
+            c, F.when(aliased, F.col(f"_rep_{c}")).otherwise(F.col(c))
+        )
     return (
-        mentions.join(F.broadcast(am), col, "left")
-        .withColumn(col, F.coalesce("canonical_surface", F.col(col)))
-        .drop("canonical_surface")
+        out.withColumn(col, F.coalesce("canonical_surface", F.col(col)))
+        .drop("canonical_surface", *[f"_rep_{c}" for c in remap])
     )

@@ -14,7 +14,12 @@ from ..oracle.ade import ade_pairs_from_lists
 from ..oracle.iob import iob_to_spans
 from ..oracle.matcher import build_automaton, automaton_match
 from ..oracle.normalize import DictNormalizer
-from ..oracle.textproc import han_to_zen, preprocess_text, split_sentences
+from ..oracle.textproc import (
+    han_to_zen,
+    html_to_text,
+    preprocess_text,
+    split_sentences,
+)
 
 
 def oracle_mentions(
@@ -30,8 +35,22 @@ def oracle_mentions(
     for row in rows:
         text = row.get("text")
         if text is None or text == "":
-            continue
-        if lang_filter is not None and row.get("lang") != lang_filter:
+            # html→text fallback — the SAME kernel the Spark paths run via
+            # _pages_text_source (CLAUDE.md rule 10: input-contract changes
+            # must reach every mention path, this twin included)
+            html = row.get("html")
+            if html is None:
+                continue
+            text = html_to_text(html)
+            if text == "":
+                continue
+        # the Spark paths filter lang only when the COLUMN exists; mirror
+        # that: a row dict without a 'lang' key passes through
+        if (
+            lang_filter is not None
+            and "lang" in row
+            and row["lang"] != lang_filter
+        ):
             continue
         for sent_id, sent in enumerate(split_sentences(preprocess_text(text))):
             if len(sent) > max_length:

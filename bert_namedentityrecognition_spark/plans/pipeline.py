@@ -64,7 +64,7 @@ def run_kg_pipeline(
     normalized = normalize_mentions(mentions, dim, threshold=threshold)
     if alias_edges is not None:
         alias_map = canonical_alias_map(alias_edges, dim)
-        normalized = apply_alias_map(normalized, alias_map)
+        normalized = apply_alias_map(normalized, alias_map, dim=dim)
     # normalized is NOT persisted: it is a cheap broadcast-join view over the
     # persisted mentions; consumers (triples, nodes) recompute that join
     # rather than paying a second materialization of the mention stream

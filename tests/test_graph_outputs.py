@@ -127,3 +127,41 @@ def test_kg_bucketed_join_gate_query_no_join_exchange(spark):
         assert "Exchange hashpartitioning(url" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_alias_collapse_unifies_node_ids(spark):
+    """A mention normalized to entity D2 and alias-collapsed onto D1's
+    surface must land in D1's node row — one node per collapsed entity,
+    not a (D2_id, D1_surface) split (the id remap in apply_alias_map)."""
+    rows = [
+        {"entity_id": "D1", "surface": "ロキソニン", "canonical": "ロキソニン",
+         "code": "A1", "kind": "drug", "human_check": None},
+        {"entity_id": "D2", "surface": "ロキソプロフェン",
+         "canonical": "ロキソプロフェン", "code": "A2", "kind": "drug",
+         "human_check": None},
+        {"entity_id": "S1", "surface": "頭痛", "canonical": "頭痛",
+         "code": "I1", "kind": "symptom", "human_check": None},
+    ]
+    dim = fixtures.entity_dim_to_spark(spark, rows)
+    tt = {"ロキソニン": "drug", "ロキソプロフェン": "drug", "頭痛": "symptom"}
+    pages = spark.createDataFrame(
+        [("https://a", None, None, "ロキソニンを服用後、頭痛が出現した。", "ja"),
+         ("https://b", None, None, "ロキソプロフェンを服用後、頭痛が出現した。", "ja")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    alias = spark.createDataFrame(
+        [("ロキソプロフェン", "ロキソニン")], ["src", "dst"]
+    )
+    out = run_kg_pipeline(pages, dim, tt, alias_edges=alias, persist=False)
+    drug_nodes = [
+        r for r in out["nodes"].collect()
+        if r.kind == "drug" and r.canonical == "ロキソニン"
+    ]
+    assert len(drug_nodes) == 1, drug_nodes
+    assert drug_nodes[0].entity_id == "D1"
+    assert drug_nodes[0].mention_count == 2
+    # no leftover node under the collapsed entity's old surface or id
+    assert not [
+        r for r in out["nodes"].collect()
+        if r.entity_id == "D2" or r.canonical == "ロキソプロフェン"
+    ]

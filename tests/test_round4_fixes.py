@@ -210,3 +210,40 @@ def test_normalize_dedups_collapsed_dim_rows_both_paths(spark):
     )
     assert len(got) == 1
     assert (got[0][2], got[0][3]) == ("CANON_A", "E1")
+
+
+def test_embedding_cosine_dups_no_bigint_wrap_on_huge_docs(spark):
+    """Book-length docs push dot²·den past 2^63; non-ANSI BIGINT multiply
+    wraps silently. The predicate now runs in decimal(38,0): two identical
+    huge docs (cosine exactly 1) must be detected."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    # ~15k DISTINCT shingles folded into dim=1 → na = cnt² ≈ 2.2e8, so
+    # dot²·400 ≈ 2e19 > 2^63 (the wrap regime) while the bucket join stays
+    # one row per side (shingle construction is O(tokens²) per doc, so the
+    # regime is reached by concentrating counts, not by a longer doc)
+    text = " ".join(f"w{i}" for i in range(15_000))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = embedding_cosine_dups(docs, dim=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.dot == r.na == r.nb  # identical docs: cosine exactly 1
+    assert r.dot * r.dot * 400 > 2**63  # the regime where bigint wrapped
+
+
+def test_token_shingles_linear_in_doc_length(spark):
+    """Book-length docs: shingle construction must be linear in tokens.
+    The regression (split expression inlined into the transform lambda →
+    full re-split per shingle, O(tokens²)) made this 64k-token doc take
+    ~10 minutes; linear construction finishes in ~a second — the suite
+    timeout IS the guard."""
+    from bert_namedentityrecognition_spark.operators.dedup import token_shingles
+
+    text = " ".join(f"w{i}" for i in range(64_000))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert token_shingles(docs).count() == 63_998

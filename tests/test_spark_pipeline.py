@@ -118,3 +118,36 @@ def test_alias_canonicalization(spark):
     }
     assert amap["ロキソプロフェンナトリウム"] == "ロキソニン"
     assert amap["ロキソプロフェン"] == "ロキソニン"
+
+
+def test_oracle_mentions_html_fallback_and_langless_parity(spark):
+    """The P/R ground-truth twin must apply the same input contract as the
+    Spark paths (CLAUDE.md rule 10): html-only rows decode via the html
+    fallback, and rows without a lang column are NOT filtered."""
+    from bert_namedentityrecognition_spark.operators.tagger import extract_mentions
+
+    tt = fixtures.pipeline_term_types()
+    text = "ロキソニンを服用後、頭痛が出現した。"
+    html = ("<html><body><p>" + text + "</p></body></html>").encode()
+    corpus = [
+        {"url": "https://h", "warc_ts": None, "html": html, "text": None,
+         "lang": "ja"},
+        {"url": "https://t", "warc_ts": None, "html": None, "text": text,
+         "lang": "ja"},
+    ]
+    want = {
+        (m["url"], m["sent_id"], m["start"], m["end"], m["type"], m["word"])
+        for m in oracle_mentions(corpus, tt)
+    }
+    assert any(u == "https://h" for (u, *_) in want)  # fallback fired
+    pages = fixtures.pages_to_spark(spark, corpus)
+    got = {
+        (r.url, r.sent_id, r.start, r.end, r.type, r.word)
+        for r in extract_mentions(pages, tt).collect()
+    }
+    assert got == want
+
+    # lang-less row dicts (no 'lang' key) pass through, mirroring the
+    # column-existence check on the Spark side
+    langless = [{"url": "https://x", "text": text}]
+    assert oracle_mentions(langless, tt)
