@@ -946,7 +946,7 @@ def _dedup_exact(spark, sf):
 
 _DEDUP_EXACT_SQL = """
 SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
-  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_duplicate
+  md5(lower(trim(text))) IS NOT NULL AND doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_duplicate
 FROM documents
 """
 
@@ -1037,7 +1037,7 @@ WITH d AS (
   FROM documents WHERE doc_id < (SELECT min(doc_id) + 50 FROM documents)
 )
 SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
-  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_duplicate
+  md5(lower(trim(text))) IS NOT NULL AND doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_duplicate
 FROM d
 """
 

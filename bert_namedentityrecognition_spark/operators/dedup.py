@@ -35,7 +35,10 @@ MINHASH_PARAMS = [(2 * i + 1, 7 * i + 3) for i in range(1, 17)]  # 16 seeds
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint, is_duplicate): duplicate = not the min-id doc of
-    its fingerprint group."""
+    its fingerprint group. Null-text docs carry a null fingerprint and are
+    NEVER duplicates — unknown content was not compared to anything, and a
+    window partitioned on the null key would otherwise silently flag every
+    null-text doc but one as a duplicate of the rest."""
     fp = docs.select(
         F.col(id_col).alias("doc_id"), md5_fingerprint(F.col(text_col)).alias("fingerprint")
     )
@@ -43,7 +46,10 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return fp.select(
         "doc_id",
         "fingerprint",
-        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+        (
+            F.col("fingerprint").isNotNull()
+            & (F.col("doc_id") != F.min("doc_id").over(w))
+        ).alias("is_duplicate"),
     )
 
 

@@ -177,6 +177,11 @@ def normalize_surfaces(
     return hits.unionByName(fuzzy)
 
 
+# per-worker-process cache of built dim indexes, keyed by broadcast id
+# (survives across tasks via spark.python.worker.reuse)
+_WORKER_DIM_INDEX: dict[int, tuple] = {}
+
+
 def normalize_mentions_udf(
     mentions: DataFrame,
     dim_rows: list[dict],
@@ -184,9 +189,12 @@ def normalize_mentions_udf(
     type_to_kind: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming-safe normalization: one Arrow stage resolving each mention
-    against the broadcast dimension with the oracle kernels (per-worker LRU
-    over distinct surfaces). No shuffle, no window, no driver collect —
-    legal on streaming DataFrames and exactly the batch semantics."""
+    against the broadcast dimension with the oracle kernels. The dim index
+    is built ONCE per worker per broadcast (cached across reused workers —
+    re-normalizing a 100k-row dictionary per batch would dominate the
+    stage) and the per-task surface cache is bounded by the task's
+    distinct surfaces. No shuffle, no window, no driver collect — legal on
+    streaming DataFrames and exactly the batch semantics."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -206,6 +214,14 @@ def normalize_mentions_udf(
 
     def run(batches):
         rows_dim, thr, t2k = bc.value
+        # index cached per broadcast across REUSED workers (module-level,
+        # spark.python.worker.reuse) — one O(|dim|) build per worker, not
+        # one per task or per batch
+        idx = _WORKER_DIM_INDEX.get(bc.id)
+        if idx is None:
+            idx = build_dim_index(rows_dim)
+            _WORKER_DIM_INDEX.clear()  # one live dim per worker is the norm
+            _WORKER_DIM_INDEX[bc.id] = idx
         cache: dict[tuple[str, str], tuple] = {}
         for pdf in batches:
             need = {
@@ -214,7 +230,9 @@ def normalize_mentions_udf(
                 if (w, t) not in cache
             }
             if need:
-                for rec in resolve_surfaces_driver(sorted(need), rows_dim, thr, t2k):
+                for rec in resolve_surfaces_driver(
+                    sorted(need), rows_dim, thr, t2k, index=idx
+                ):
                     cache[(rec[0], rec[1])] = rec[2:]
             res = [cache[(w, t)] for w, t in zip(pdf["word"], pdf["type"])]
             out = pdf.copy()
@@ -343,23 +361,17 @@ def search_candidates_topk(
     )
 
 
-def resolve_surfaces_driver(
-    surface_rows: list[tuple[str, str]],
+def build_dim_index(
     dim_rows: list[dict],
-    threshold: float = 70.0,
-    type_to_kind: dict[str, str] | None = None,
-) -> list[tuple]:
-    """Driver-side twin of ``normalize_surfaces`` over collected surfaces.
+) -> tuple[dict[str, list[dict]], dict[tuple[str, str], dict]]:
+    """(by_kind, exact_index) over the normalized dimension — the O(|dim|)
+    part of :func:`resolve_surfaces_driver`, split out so long-lived
+    workers (the streaming UDF) build it ONCE instead of re-normalizing
+    the whole dictionary on every batch that carries a new surface.
 
-    Bit-identical semantics (same han_to_zen, same banded prune, same indel
-    scorer, same tie-break) via the oracle kernels. Used by the hybrid path
-    when the distinct-surface set fits on the driver — the evaluation order
-    the reference itself uses (in-memory normalizer dict), and at high core
-    counts it avoids ~6 tiny python-UDF stages whose fixed cost dominates.
-    """
-    # value-deterministic dedup per (surface_norm, kind) — the twin of the
-    # distributed path's _dedup_dimn (last-row-wins depended on dim row
-    # order, which the distributed path cannot reproduce)
+    Value-deterministic dedup per (surface_norm, kind) — the twin of the
+    distributed path's _dedup_dimn (last-row-wins depended on dim row
+    order, which the distributed path cannot reproduce)."""
     chosen: dict[tuple[str, str], dict] = {}
     for r in dim_rows:
         sn = han_to_zen(r["surface"])
@@ -373,6 +385,28 @@ def resolve_surfaces_driver(
     for (sn, kind), rr in chosen.items():
         by_kind.setdefault(kind, []).append(rr)
         exact_index[(sn, kind)] = rr
+    return by_kind, exact_index
+
+
+def resolve_surfaces_driver(
+    surface_rows: list[tuple[str, str]],
+    dim_rows: list[dict],
+    threshold: float = 70.0,
+    type_to_kind: dict[str, str] | None = None,
+    index: tuple[dict, dict] | None = None,
+) -> list[tuple]:
+    """Driver-side twin of ``normalize_surfaces`` over collected surfaces.
+
+    Bit-identical semantics (same han_to_zen, same banded prune, same indel
+    scorer, same tie-break) via the oracle kernels. Used by the hybrid path
+    when the distinct-surface set fits on the driver — the evaluation order
+    the reference itself uses (in-memory normalizer dict), and at high core
+    counts it avoids ~6 tiny python-UDF stages whose fixed cost dominates.
+
+    ``index``: a prebuilt :func:`build_dim_index` result — pass it from
+    long-lived callers so ``dim_rows`` isn't re-indexed per call.
+    """
+    by_kind, exact_index = index if index is not None else build_dim_index(dim_rows)
     out = []
     for word, mtype in surface_rows:
         kind = (type_to_kind or {}).get(mtype, mtype)

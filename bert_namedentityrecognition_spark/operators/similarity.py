@@ -657,7 +657,23 @@ def embedding_near_dup_pairs(
 
     1. buckets larger than ``bucket_cap`` are recursively split by appending
        ``rehash_bits`` fresh hyperplane bits (up to ``rehash_levels`` times)
-       — separates *distinct* vectors that happened to collide;
+       — separates *distinct* vectors that happened to collide. **Honest
+       recall note**: the split is a RECALL TRADE, not free — a true pair
+       inside a mixed hot bucket survives the split only if all
+       ``rehash_bits`` fresh hyperplanes agree on both vectors
+       (probability ≈ (1−θ/π)^bits for angle θ), and neither ``cand_small``
+       (equal full keys) nor ``multi_probe`` (flips BASE-signature bits
+       only, never the re-hash suffix) recovers a split-separated pair.
+       Measured on the clustered sf0.001 fixture at the LOOSE t=0.4
+       (θ≈66°, per-bit survive ≈0.63 — near worst case): forcing a split
+       on every bucket retains 0.29 of the unguarded pairs at
+       rehash_bits=2 and 0.05 at rehash_bits=4, matching the formula
+       (tests/test_round4_fixes.py::test_guard_split_recall_measured). At
+       the tight thresholds the guard targets (t=0.95, θ≈18°, per-bit
+       ≈0.90) the same split retains ~0.8 at 2 bits / ~0.43 at 8. Size
+       ``bucket_cap`` so the guard fires only on pathological blobs, not
+       on working buckets, and keep ``rehash_bits`` small at loose
+       thresholds;
     2. buckets STILL oversized after splitting (≈ all-near-identical mass,
        which no re-hash can separate) switch from all-pairs to sorted
        neighbor-window candidates: each vector pairs with the next
@@ -787,9 +803,12 @@ def embedding_near_dup_bucket_stats(
     materialize: bool = True,
 ) -> DataFrame:
     """(key, size, truncated, pairs_skipped): per final bucket, whether the
-    neighbor-window fallback fired and how many candidate pairs it skipped
-    (``C(size,2) − (size·W − W·(W+1)/2)``). The drop count the guard owes
-    its users — aggregate and log it next to the pairs job."""
+    neighbor-window fallback fired and how many candidate pairs it skipped.
+    The window emits ``C(size,2)`` pairs when ``size ≤ W+1`` (every pair is
+    within the window — nothing skipped) and ``size·W − W·(W+1)/2``
+    otherwise; the unconditional second form would over-report skips for
+    small hot buckets under a window wider than the bucket. The drop count
+    the guard owes its users — aggregate and log it next to the pairs job."""
     dim = _require_dim(dim, vec_col)
     v = _near_dup_keyed(
         vectors, m_bits, seed, id_col, vec_col, dim,
@@ -798,7 +817,9 @@ def embedding_near_dup_bucket_stats(
     sz = F.col("size").cast("long")
     wlit = F.lit(neighbor_window).cast("long")
     all_pairs = sz * (sz - 1) / 2
-    kept = sz * wlit - wlit * (wlit + 1) / 2
+    kept = F.when(sz <= wlit + 1, all_pairs).otherwise(
+        sz * wlit - wlit * (wlit + 1) / 2
+    )
     return (
         v.groupBy("key")
         .agg(F.count("*").alias("size"), F.max("_hot").alias("_h"))

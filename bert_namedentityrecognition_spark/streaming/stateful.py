@@ -60,10 +60,17 @@ def dedup_stream(
             )
         state.update((seen,))
 
-    return fp.groupBy("fingerprint").applyInPandasWithState(
+    out = fp.groupBy("fingerprint").applyInPandasWithState(
         update,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # null-text docs (null fingerprint) all land in one state group; their
+    # content was never compared, so they are NEVER duplicates — same rule
+    # as the batch exact_dedup twin
+    return out.withColumn(
+        "is_duplicate",
+        F.col("fingerprint").isNotNull() & F.col("is_duplicate"),
     )
