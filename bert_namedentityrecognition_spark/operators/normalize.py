@@ -177,9 +177,12 @@ def normalize_surfaces(
     return hits.unionByName(fuzzy)
 
 
-# per-worker-process cache of built dim indexes, keyed by broadcast id
-# (survives across tasks via spark.python.worker.reuse)
+# per-worker-process cache of built dim indexes, keyed by a driver-assigned
+# sequence number (survives across tasks via spark.python.worker.reuse)
+import itertools as _it
+
 _WORKER_DIM_INDEX: dict[int, tuple] = {}
+_UDF_BC_SEQ = _it.count()
 
 
 def normalize_mentions_udf(
@@ -201,6 +204,9 @@ def normalize_mentions_udf(
 
     sc = mentions.sparkSession.sparkContext
     bc = sc.broadcast((dim_rows, threshold, type_to_kind))
+    # key captured DRIVER-side: the worker-side Broadcast object carries no
+    # .id attribute
+    bc_key = next(_UDF_BC_SEQ)
     schema = T.StructType(
         mentions.schema.fields
         + [
@@ -217,11 +223,11 @@ def normalize_mentions_udf(
         # index cached per broadcast across REUSED workers (module-level,
         # spark.python.worker.reuse) — one O(|dim|) build per worker, not
         # one per task or per batch
-        idx = _WORKER_DIM_INDEX.get(bc.id)
+        idx = _WORKER_DIM_INDEX.get(bc_key)
         if idx is None:
             idx = build_dim_index(rows_dim)
             _WORKER_DIM_INDEX.clear()  # one live dim per worker is the norm
-            _WORKER_DIM_INDEX[bc.id] = idx
+            _WORKER_DIM_INDEX[bc_key] = idx
         cache: dict[tuple[str, str], tuple] = {}
         for pdf in batches:
             need = {
