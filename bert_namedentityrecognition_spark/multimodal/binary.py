@@ -69,8 +69,26 @@ def fake_decoder(content: bytes, media_type: str, dim: int = 16) -> np.ndarray:
     return arr / 255.0
 
 
+def real_resizer(content: bytes, width: int, height: int) -> bytes:
+    """Drop-in point for PIL.Image.resize — not available in this container."""
+    raise NotImplementedError(
+        "PIL/ffmpeg are not installed in this environment; "
+        "register a real resizer via DecoderRegistry.register_resizer"
+    )
+
+
+def fake_resizer(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: content XOR-folded to width·height bytes."""
+    n = width * height
+    folded = bytearray(n)
+    for i, b in enumerate(content):
+        folded[i % n] ^= b
+    return bytes(folded)
+
+
 class DecoderRegistry:
     _decoders: dict[str, Callable] = {"fake": fake_decoder, "real": real_decoder}
+    _resizers: dict[str, Callable] = {"fake": fake_resizer, "real": real_resizer}
 
     @classmethod
     def get(cls, name: str) -> Callable:
@@ -80,12 +98,29 @@ class DecoderRegistry:
     def register(cls, name: str, fn: Callable) -> None:
         cls._decoders[name] = fn
 
+    @classmethod
+    def get_resizer(cls, name: str) -> Callable:
+        return cls._resizers[name]
+
+    @classmethod
+    def register_resizer(cls, name: str, fn: Callable) -> None:
+        cls._resizers[name] = fn
+
 
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
-    """media(MEDIA_SCHEMA) → FEATURE_SCHEMA via one Arrow stage."""
+    """media(MEDIA_SCHEMA) → FEATURE_SCHEMA via one Arrow stage.
+
+    The decoder is resolved to a CALLABLE on the driver and shipped in the
+    closure — resolving the name worker-side would only see the registry
+    entries present at module import, so a custom
+    ``DecoderRegistry.register``-ed decoder (the documented production
+    path) would KeyError on every executor. Per-row degradation: a blob
+    the decoder rejects (truncated image, bad codec) yields a
+    ``decode_error`` status row instead of failing the task — at scale one
+    corrupt blob must not abort the job."""
+    decode = DecoderRegistry.get(decoder)  # driver-side resolution
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = DecoderRegistry.get(decoder)
         for pdf in batches:
             ids, feats, sizes, hashes, status = [], [], [], [], []
             for mid, mtype, content in zip(
@@ -107,6 +142,9 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
                 except NotImplementedError:
                     feats.append(None)
                     status.append("decoder_unavailable")
+                except Exception:
+                    feats.append(None)
+                    status.append("decode_error")
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -147,8 +185,13 @@ def resize_media(
 
     The 'fake' resizer is a deterministic byte-fold standing in for
     PIL.Image.resize (not installed here): output = content folded to
-    width·height bytes. The Spark contract (schema, batch-bounded memory,
-    per-row status) is the real, tested part."""
+    width·height bytes. Same contract as :func:`extract_features`: the
+    resizer is resolved driver-side through the registry (so
+    ``register_resizer``-ed callables reach executors) and failures
+    degrade PER ROW — ``decoder_unavailable`` for an unimplemented
+    resizer, ``decode_error`` for a blob it rejects — never a task
+    abort."""
+    resize = DecoderRegistry.get_resizer(decoder)  # driver-side resolution
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,15 +202,16 @@ def resize_media(
                     ws.append(None); hs.append(None); blobs.append(None)
                     status.append("null_content")
                     continue
-                if decoder == "real":
-                    raise NotImplementedError("PIL/ffmpeg not in this container")
-                buf = bytes(content)
-                n = width * height
-                folded = bytearray(n)
-                for i, b in enumerate(buf):
-                    folded[i % n] ^= b
-                ws.append(width); hs.append(height)
-                blobs.append(bytes(folded)); status.append("ok")
+                try:
+                    out = resize(bytes(content), width, height)
+                    ws.append(width); hs.append(height)
+                    blobs.append(out); status.append("ok")
+                except NotImplementedError:
+                    ws.append(None); hs.append(None); blobs.append(None)
+                    status.append("decoder_unavailable")
+                except Exception:
+                    ws.append(None); hs.append(None); blobs.append(None)
+                    status.append("decode_error")
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -121,12 +121,17 @@ def _pages_text_source(
     key_col: str,
     html_col: str | None,
     lang_filter: str | None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(url, text, _html) source for the fused Arrow stages.
+    """(url, text, _html[, *extra_cols]) source for the fused Arrow stages.
 
     _html is null unless the row needs the html→text fallback (text null or
     empty): the pushable filter keeps text-or-html rows, and the JVM-side
-    ``when`` gate keeps html bytes out of the Arrow transfer for text rows."""
+    ``when`` gate keeps html bytes out of the Arrow transfer for text rows.
+    EVERY pages consumer must come through here (CLAUDE.md rule 10) so the
+    input contract — fallback + lang gating — stays in one place;
+    ``extra_cols`` carries additional passthrough columns (e.g. warc_ts
+    for the streaming pair path)."""
     has_text = F.col(text_col).isNotNull() & (F.col(text_col) != "")
     if html_col is not None and html_col in pages.columns:
         df = pages.filter(has_text | F.col(html_col).isNotNull())
@@ -140,6 +145,7 @@ def _pages_text_source(
         F.col(key_col).alias("url"),
         F.col(text_col).alias("text"),
         html_arg.alias("_html"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -38,19 +38,36 @@ def dim_from_csv(
     kind: str = "symptom",
     id_prefix: str = "ENT",
 ) -> DataFrame:
-    """CSV → entity_dim (Manbyo: 出現形→標準病名/ICD; Hyakuyaku: 出現形→一般名)."""
+    """CSV → entity_dim (Manbyo: 出現形→標準病名/ICD; Hyakuyaku: 出現形→一般名).
+
+    entity_id is CONTENT-derived (hash of the surface), not
+    monotonically_increasing_id: the latter encodes partition id + offset,
+    so the same CSV loaded twice (or split differently) produced different
+    ids for the same surface — silently mismatching every artifact keyed
+    on entity_id across runs. Duplicate surfaces keep the
+    value-deterministic min (canonical, code) row, not an arbitrary one."""
+    from pyspark.sql import Window
+
     df = spark.read.option("header", "true").csv(path)
     out = df.select(
-        F.concat(F.lit(id_prefix), F.monotonically_increasing_id().cast("string")).alias(
-            "entity_id"
-        ),
+        F.concat(
+            F.lit(id_prefix),
+            F.format_string("%016x", F.xxhash64(F.col(surface_col))),
+        ).alias("entity_id"),
         F.col(surface_col).alias("surface"),
         F.col(canonical_col).alias("canonical"),
         (F.col(code_col) if code_col else F.lit(None).cast("string")).alias("code"),
         F.lit(kind).alias("kind"),
         F.lit(None).cast("string").alias("human_check"),
+    ).filter(F.col("surface").isNotNull())
+    w = Window.partitionBy("surface").orderBy(
+        F.col("canonical").asc_nulls_last(), F.col("code").asc_nulls_last()
     )
-    return out.filter(F.col("surface").isNotNull()).dropDuplicates(["surface"])
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def dim_from_sqlite(
@@ -68,6 +85,12 @@ def dim_from_sqlite(
         r.setdefault("code", None)
         r["kind"] = kind
         r["human_check"] = None
+        # sqlite columns are often INTEGER (MedDRA llt/pt codes) while the
+        # dim schema is all-string — createDataFrame(StringType) rejects
+        # ints, so coerce the projected values
+        for k in ("entity_id", "surface", "canonical", "code"):
+            if r.get(k) is not None and not isinstance(r[k], str):
+                r[k] = str(r[k])
     return spark.createDataFrame(rows, DIM_SCHEMA) if rows else spark.createDataFrame([], DIM_SCHEMA)
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from xml.sax.saxutils import unescape as _unescape
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -123,7 +124,10 @@ def read_articles_xml(spark: SparkSession, path: str) -> DataFrame:
             out = {"source_file": [], "article_id": [], "headers": [], "text": []}
             for fname, content in zip(pdf["source_file"], pdf["value"]):
                 for m in _ARTICLE_RE.finditer(content):
-                    headers = dict(_ATTR_RE.findall(m.group(1)))
+                    headers = {
+                        k: _unescape(v, {"&quot;": '"'})
+                        for k, v in _ATTR_RE.findall(m.group(1))
+                    }
                     out["source_file"].append(fname)
                     out["article_id"].append(headers.get("id"))
                     out["headers"].append(headers)
@@ -179,7 +183,17 @@ def write_conll(df: DataFrame, path: str) -> None:
 
 def write_articles_xml(df: DataFrame, path: str) -> None:
     """Fixture-boundary sink mirroring ``articles_to_xml``
-    (``util/xml_parser.py:247-266``): one XML part per partition."""
+    (``util/xml_parser.py:247-266``): one XML part per partition.
+
+    The body is written RAW, exactly like the reference — article text is
+    tagged NER markup (inline entity tags are the payload), so escaping it
+    would destroy the format. Consequence shared with the reference: a
+    body containing a literal ``</article>`` truncates that article on
+    re-read (the reference's ``check_xml_structure`` likewise drops
+    mismatched articles). Attribute VALUES are minimally escaped
+    (``& " <``) so a quote in a header cannot corrupt the attr framing."""
+    from xml.sax.saxutils import escape
+
     header_col = "headers" if "headers" in df.columns else None
 
     def fmt(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,8 +202,11 @@ def write_articles_xml(df: DataFrame, path: str) -> None:
             for _, row in pdf.iterrows():
                 attrs = ""
                 if header_col and isinstance(row[header_col], dict):
+                    # always double-quoted (the reader's attr regex expects
+                    # k="v"), with the quote char itself entity-escaped
                     attrs = "".join(
-                        f' {k}="{v}"' for k, v in sorted(row[header_col].items())
+                        ' {}="{}"'.format(k, escape(str(v), {'"': "&quot;"}))
+                        for k, v in sorted(row[header_col].items())
                     )
                 rows.append(f"<article{attrs}>{row['text']}</article>")
             yield pd.DataFrame({"value": ["\n".join(rows)]})
@@ -245,6 +262,10 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
                 headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers["content-length"])
+            if length < 0:
+                # a negative length would move the cursor BACKWARDS and
+                # re-find the same header forever (task spins at 100% CPU)
+                raise ValueError("negative Content-Length")
         except (KeyError, ValueError):
             # malformed framing: a CRLFCRLF scan could land inside an HTTP
             # payload and emit garbage records — resync at the next WARC

@@ -36,9 +36,13 @@ def dedup_stream(
 ) -> DataFrame:
     """streaming docs → (doc_id, fingerprint, is_duplicate) with cross-batch
     memory of seen fingerprints."""
+    from ..functions.textstats import md5_fingerprint
+
     fp = docs_stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+        # the canonical exact-dup fingerprint — same helper as batch
+        # exact_dedup, so the two paths cannot silently diverge
+        md5_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
 
     def update(

@@ -72,35 +72,49 @@ def streaming_pairs(
 
     import pandas as pd
 
-    from ..operators.normalize import resolve_surfaces_driver
+    from ..operators.normalize import build_dim_index, resolve_surfaces_driver
+    from ..operators.tagger import _pages_text_source
     from ..oracle.ade import NO_SYMPTOMS
     from ..oracle.matcher import automaton_match, build_automaton
-    from ..oracle.textproc import han_to_zen, preprocess_text, split_sentences
+    from ..oracle.textproc import (
+        han_to_zen,
+        html_to_text,
+        preprocess_text,
+        split_sentences,
+    )
 
     normalized_types = {han_to_zen(k): v for k, v in term_types.items()}
     sc = pages_stream.sparkSession.sparkContext
     bc = sc.broadcast((list(normalized_types), normalized_types, dim_rows, threshold))
 
-    df = pages_stream.filter(F.col("text").isNotNull() & (F.col("text") != ""))
-    if lang_filter is not None and "lang" in pages_stream.columns:
-        df = df.filter(F.col("lang") == lang_filter)
-    src = df.select("url", "warc_ts", "text")
+    # the shared pages contract (rule 10): html→text fallback rows pass
+    # through with _html set — a WARC-sourced stream carries text=None by
+    # design, and a bare text filter would silently drop every page
+    src = _pages_text_source(
+        pages_stream, "text", "url", "html", lang_filter, extra_cols=("warc_ts",)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         terms, types, dims, thr = bc.value
         automaton = build_automaton(terms)
+        # one O(|dim|) index build per task, not one per distinct surface
+        idx = build_dim_index(dims)
         cache: dict[tuple[str, str], tuple] = {}
 
         def canon(word: str, mtype: str) -> str:
             key = (word, mtype)
             if key not in cache:
-                rec = resolve_surfaces_driver([key], dims, thr)[0]
+                rec = resolve_surfaces_driver([key], dims, thr, index=idx)[0]
                 cache[key] = rec
             return cache[key][2] or ""
 
         for pdf in batches:
             ts_out, subj_out, obj_out = [], [], []
-            for ts, text in zip(pdf["warc_ts"], pdf["text"]):
+            for ts, text, hb in zip(pdf["warc_ts"], pdf["text"], pdf["_html"]):
+                if text is None or text == "":
+                    text = html_to_text(hb) if hb is not None else ""
+                    if not text:
+                        continue
                 drugs: list[str] = []
                 syms_raw: list[str] = []
                 for sent in split_sentences(preprocess_text(text)):
