@@ -17,7 +17,6 @@ Spark fuzzy join prunes candidates by length band before scoring.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 
 def _lcs_len(a: str, b: str) -> int:
@@ -67,8 +66,3 @@ def extract_one(query: str, candidates, scorer=ratio) -> tuple[str, float] | Non
         if best is None or s > best[1] or (s == best[1] and cand < best[0]):
             best = (cand, s)
     return best
-
-
-@lru_cache(maxsize=65536)
-def cached_ratio(a: str, b: str) -> float:
-    return ratio(a, b)

@@ -24,7 +24,13 @@ from collections import deque
 def exact_match(
     text1: str, text2: str, ignore: list[tuple] | None = None
 ) -> list[tuple[int, int, str]]:
-    """All occurrences of ``text2`` in ``text1`` outside ``ignore`` intervals."""
+    """All occurrences of ``text2`` in ``text1`` outside ``ignore`` intervals.
+
+    An empty ``text2`` returns no matches — ``str.find('')`` succeeds at
+    every position without advancing, which would spin this loop forever
+    appending zero-width matches."""
+    if not text2:
+        return []
     ignore_iter = iter(sorted(ignore or []))
     start = 0
     maxlen = len(text1)

@@ -44,9 +44,20 @@ def span_prf(
 
 
 def accuracy(y_true: list[list[str]], y_pred: list[list[str]]) -> float:
-    """Token-level accuracy (seqeval ``accuracy_score``)."""
+    """Token-level accuracy (seqeval ``accuracy_score``).
+
+    Raises on sequence/token length mismatch like seqeval does — a nested
+    ``zip`` would silently truncate and return a plausible wrong score."""
+    if len(y_true) != len(y_pred):
+        raise ValueError(
+            f"sequence count mismatch: {len(y_true)} vs {len(y_pred)}"
+        )
     total = correct = 0
-    for ts, ps in zip(y_true, y_pred):
+    for i, (ts, ps) in enumerate(zip(y_true, y_pred)):
+        if len(ts) != len(ps):
+            raise ValueError(
+                f"token count mismatch in sequence {i}: {len(ts)} vs {len(ps)}"
+            )
         for t, p in zip(ts, ps):
             total += 1
             correct += t == p

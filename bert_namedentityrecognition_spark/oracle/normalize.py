@@ -58,7 +58,7 @@ class ExactThenFuzzyNormalizer:
         self.threshold = threshold
         self.candidates = sorted({han_to_zen(k) for k in mapping})
 
-    def normalize(self, term: str) -> str:
+    def normalize(self, term: str, _seen: frozenset[str] = frozenset()) -> str:
         if term in self.mapping:
             checked = self.mapping[term]
             if checked is not None and str(checked) != self.REJECT:
@@ -71,5 +71,18 @@ class ExactThenFuzzyNormalizer:
             return ""
         surface, score = best
         if score > self.threshold:
-            return self.normalize(surface)
+            if surface in _seen or surface == term:
+                # the reference recurses forever here (OICI_database.py:
+                # 55-58): candidates are han_to_zen-normalized while the
+                # exact branch checks RAW keys, so a dictionary with a
+                # halfwidth/ASCII key whose zenkaku form is not itself a
+                # key cycles. Fail loudly naming the defect instead of
+                # dying of RecursionError a thousand frames deep.
+                raise ValueError(
+                    f"normalization cycle at {surface!r}: dictionary keys "
+                    "are not closed under han_to_zen (the zenkaku candidate "
+                    "never hits the exact branch) — fix the dictionary or "
+                    "pre-normalize its keys"
+                )
+            return self.normalize(surface, _seen | {term})
         return ""

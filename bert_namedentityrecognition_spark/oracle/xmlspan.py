@@ -35,7 +35,17 @@ def xml_to_taglist(
     tag_list: list[str] | None = None,
     attr: list[str] | None = None,
 ) -> tuple[str, list[tuple[int, int, str, str]]]:
-    """Extract (clean_text, [(start, end, tag+attrs, word)]) from inline XML."""
+    """Extract (clean_text, [(start, end, tag+attrs, word)]) from inline XML.
+
+    Depth ≥ 2 nesting replicates the reference's stale-``word`` quirk
+    (``util/iob_util.py:231-238``: on close, enclosing spans absorb the
+    LAST-seen text segment — the closed child's tail — not the child's
+    accumulated word): ``<a>x<b>y<c>z</c>w</b>v</a>`` yields
+    ``(0, 4, 'a', 'xzw')`` for the outer tag, end offset including the
+    tail 'w' and word missing 'y'. Pinned by
+    tests/test_oracle_xmlspan.py::test_depth2_nesting_reference_quirk —
+    bug-compatible by design, like the B→I dead-code quirk (CLAUDE.md
+    rule 7)."""
     if attr is None:
         attr = []
     text = "<sent>" + sent + "</sent>"

@@ -73,6 +73,16 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
+    if args.input_format == "warc" and not args.prepare and args.lang:
+        # raw WARC rows carry lang=NULL, so a lang filter drops EVERY page
+        # and the job "succeeds" with zero triples — the silent-empty class
+        # CLAUDE.md rule 17 records
+        p.error(
+            "--input-format warc with a --lang filter requires --prepare "
+            "(raw WARC pages have no lang values until the lang-ID stage "
+            "fills them); pass --prepare, or --lang '' to disable the filter"
+        )
+
     if args.checkpoint and args.resume:
         p.error(
             "--checkpoint is not supported with --resume yet: the bucketed "
@@ -91,7 +101,9 @@ def main(argv=None):
                     f"--pred-patterns spec {spec!r} has no '='; expected "
                     "'REGEX=NAME;REGEX=NAME'"
                 )
-            patterns.append(tuple(spec.split("=", 1)))
+            # rsplit: the predicate NAME is an identifier, the regex may
+            # contain literal '=' (e.g. '用量=[0-9]+=DOSE')
+            patterns.append(tuple(spec.rsplit("=", 1)))
 
     from pyspark.sql import SparkSession
 

@@ -80,3 +80,20 @@ def test_xml_text_to_iob_char_tokenizer():
 def test_xml_text_to_iob_drops_spaces_and_newlines():
     iob = xml_text_to_iob("a <C>b</C>\nc")
     assert [t for t, _ in iob] == ["a", "b", "c"]
+
+
+def test_depth2_nesting_reference_quirk():
+    """Depth-2 nesting: the enclosing span absorbs the closed child's TAIL
+    (the stale `word` at close time) and drops the child's own text — the
+    reference's convert_xml_to_taglist (iob_util.py:231-238) does exactly
+    this (`tag[3] += word` after the child's end event reset `word` to its
+    tail), and the oracle is bug-compatible by design."""
+    from bert_namedentityrecognition_spark.oracle.xmlspan import xml_to_taglist
+
+    res, label = xml_to_taglist("<a>x<b>y<c>z</c>w</b>v</a>")
+    assert res == "xyzwv"
+    assert label == [
+        (2, 3, "c", "z"),
+        (1, 3, "b", "yz"),
+        (0, 4, "a", "xzw"),
+    ]

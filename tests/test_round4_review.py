@@ -164,3 +164,70 @@ def test_streaming_pairs_html_fallback(spark):
         pages, [r.asDict() for r in dim.collect()], fixtures.pipeline_term_types()
     ).collect()
     assert {(r.subj, r.obj) for r in pairs} == {("ロキソニン", "頭痛")}
+
+
+def test_oici_normalizer_cycle_fails_loudly():
+    """A dictionary whose keys are not closed under han_to_zen made the
+    reference's OICINormalizer recurse forever (OICI_database.py:55-58);
+    the twin raises a clear ValueError naming the defect instead of dying
+    of RecursionError."""
+    import pytest
+
+    from bert_namedentityrecognition_spark.oracle.normalize import (
+        ExactThenFuzzyNormalizer,
+    )
+
+    n = ExactThenFuzzyNormalizer({"abc": "X"}, threshold=60)
+    assert n.normalize("abc") == "X"  # raw exact hit still works
+    with pytest.raises(ValueError, match="closed under han_to_zen"):
+        n.normalize("ａｂｃ")  # zenkaku form of the key: fuzzy 100 → cycle
+
+
+def test_exact_match_empty_term_returns_nothing():
+    """str.find('') matches at every position without advancing — an empty
+    term must return [] instead of spinning forever."""
+    from bert_namedentityrecognition_spark.oracle.matcher import exact_match
+
+    assert exact_match("abc", "") == []
+
+
+def test_accuracy_raises_on_length_mismatch():
+    """seqeval's accuracy_score raises on mismatched lengths; a nested zip
+    silently truncated and inflated the score."""
+    import pytest
+
+    from bert_namedentityrecognition_spark.oracle.metrics import accuracy
+
+    assert accuracy([["O", "B-x"]], [["O", "B-x"]]) == 1.0
+    with pytest.raises(ValueError, match="token count mismatch"):
+        accuracy([["O", "O", "O", "B-x"]], [["O", "O"]])
+    with pytest.raises(ValueError, match="sequence count mismatch"):
+        accuracy([["O"]], [])
+
+
+def test_pred_patterns_rsplit_allows_equals_in_regex(capsys):
+    """The predicate NAME is the part after the LAST '=' — a regex with a
+    literal '=' must parse correctly, not silently mangle."""
+    from scripts.run_pipeline import main
+
+    # parse path only: invalid pages-dir aborts later, but the pattern
+    # validation runs first; use a spec that would mis-split under
+    # split('=', 1)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--pages-dir", "/nonexistent", "--out", "/tmp/x",
+              "--resume", "--checkpoint", "c.npz",
+              "--pred-patterns", "用量=[0-9]+=DOSE"])
+    err = capsys.readouterr().err
+    # rejected for checkpoint+resume (parse succeeded past the patterns)
+    assert "not supported with --resume" in err
+
+
+def test_check_oracles_norm_val_zero_sign():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracles import norm_val
+
+    assert norm_val(-0.0) == norm_val(0.0) == "0.000000"

@@ -22,7 +22,7 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6f}"
+        return f"{v + 0.0:.6f}"  # -0.0 and 0.0 must hash identically
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
     return str(v)
@@ -49,6 +49,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - qs.keys()
+    if unknown:
+        # a typo'd name must not exit 0 with "0 failures" having run nothing
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
