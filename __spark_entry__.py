@@ -1363,10 +1363,66 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= 
 """
 
 
+# The exact→fuzzy indel normalizer replay (banded prune + bitmask-LCS +
+# deterministic top-1), shared VERBATIM by _kg_e2e_sql and
+# _fuzzy_indel_sql — a tie-break or threshold fix reaches both twins.
+# Assumes CTEs words(word, word_norm, type) and dim(surface, canonical,
+# kind) and the 70.0 threshold.
+_INDEL_LCS_CTES = """misses AS (
+  SELECT w.word, w.word_norm, w.type FROM words w
+  WHERE NOT EXISTS (SELECT 1 FROM dim d
+                    WHERE d.surface = w.word_norm AND d.kind = w.type)
+),
+cand AS (
+  SELECT m.word, m.word_norm, m.type, d.surface, d.canonical
+  FROM misses m LEFT JOIN dim d
+    ON m.type = d.kind
+   AND (200.0 * least(length(m.word_norm), length(d.surface))
+        / (length(m.word_norm) + length(d.surface))) > 70.0
+),
+subs_w AS (
+  SELECT DISTINCT m.word_norm,
+    array_to_string(list_transform(
+      list_filter(range(0, length(m.word_norm)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(m.word_norm, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM misses m,
+       unnest(range(0, CAST(pow(2, length(m.word_norm)) AS BIGINT))) AS u(mask)
+),
+subs_d AS (
+  SELECT DISTINCT d.surface,
+    array_to_string(list_transform(
+      list_filter(range(0, length(d.surface)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(d.surface, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM dim d,
+       unnest(range(0, CAST(pow(2, length(d.surface)) AS BIGINT))) AS u(mask)
+),
+lcs AS (
+  SELECT sw.word_norm, sd.surface, CAST(max(length(sw.sub)) AS BIGINT) AS lcs
+  FROM subs_w sw JOIN subs_d sd ON sd.sub = sw.sub
+  GROUP BY sw.word_norm, sd.surface
+),
+scored AS (
+  SELECT c.word, c.type, c.surface, c.canonical,
+    CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
+         ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
+    END AS score,
+    row_number() OVER (PARTITION BY c.word, c.type ORDER BY
+      CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
+      END DESC, c.surface ASC NULLS LAST) AS rn
+  FROM cand c LEFT JOIN lcs l
+    ON l.word_norm = c.word_norm AND l.surface = c.surface
+),"""
+
+
 def _kg_e2e_triples(spark, sf):
     return entry(spark)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _kg_e2e_sql() -> str:
     """Exact DuckDB replay of the flagship ``entry()`` pipeline over the
     inlined fixture corpus: lookbehind-free sentence split (delimiter
@@ -1376,8 +1432,13 @@ def _kg_e2e_sql() -> str:
     exact→fuzzy indel normalizer (bitmask-LCS), alias connected components
     as a recursive CTE, and the pairing/No-Symptoms/count stages.
 
-    Three generation-time assertions pin the reformulation to the reference
+    Four generation-time assertions pin the reformulation to the reference
     kernels on this corpus (loud failure instead of silent drift):
+    0. the Spark pipeline splits ``preprocess_text(text)`` while pages_sql
+       inlines the RAW fixture text — asserted identical per page (the
+       fixture corpus carries no strippable whitespace or <core> markup;
+       if it ever grows some, this fails at generation, not as an opaque
+       downstream gate diff);
     1. positional split == ``oracle/textproc.py:split_sentences`` per text
        (valid because the corpus has no ``\\s``, so only the zero-width
        Japanese branch of the regex fires — asserted via equality);
@@ -1398,6 +1459,9 @@ def _kg_e2e_sql() -> str:
 
     # --- fixture inputs ------------------------------------------------------
     pages = fixtures.generate_pages(200, seed=42)
+    for r in pages:  # assertion 0: raw inlined text == preprocessed text
+        if r["text"]:
+            assert textproc.preprocess_text(r["text"]) == r["text"], r["url"]
     tt = fixtures.pipeline_term_types()
     norm_tt = {textproc.han_to_zen(k): v for k, v in tt.items()}
     terms = sorted(norm_tt)
@@ -1556,51 +1620,7 @@ hits AS (
   SELECT w.word, d.canonical FROM words w
   JOIN dim d ON w.word_norm = d.surface AND w.type = d.kind
 ),
-misses AS (
-  SELECT w.word, w.word_norm, w.type FROM words w
-  WHERE NOT EXISTS (SELECT 1 FROM dim d
-                    WHERE d.surface = w.word_norm AND d.kind = w.type)
-),
-cand AS (
-  SELECT m.word, m.word_norm, m.type, d.surface, d.canonical
-  FROM misses m LEFT JOIN dim d
-    ON m.type = d.kind
-   AND (200.0 * least(length(m.word_norm), length(d.surface))
-        / (length(m.word_norm) + length(d.surface))) > 70.0
-),
-subs_w AS (
-  SELECT DISTINCT m.word_norm,
-    array_to_string(list_transform(
-      list_filter(range(0, length(m.word_norm)), i -> ((u.mask >> i) & 1) = 1),
-      i -> substring(m.word_norm, CAST(i + 1 AS INT), 1)), '') AS sub
-  FROM misses m,
-       unnest(range(0, CAST(pow(2, length(m.word_norm)) AS BIGINT))) AS u(mask)
-),
-subs_d AS (
-  SELECT DISTINCT d.surface,
-    array_to_string(list_transform(
-      list_filter(range(0, length(d.surface)), i -> ((u.mask >> i) & 1) = 1),
-      i -> substring(d.surface, CAST(i + 1 AS INT), 1)), '') AS sub
-  FROM dim d,
-       unnest(range(0, CAST(pow(2, length(d.surface)) AS BIGINT))) AS u(mask)
-),
-lcs AS (
-  SELECT sw.word_norm, sd.surface, CAST(max(length(sw.sub)) AS BIGINT) AS lcs
-  FROM subs_w sw JOIN subs_d sd ON sd.sub = sw.sub
-  GROUP BY sw.word_norm, sd.surface
-),
-scored AS (
-  SELECT c.word, c.type, c.surface, c.canonical,
-    CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
-         ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
-    END AS score,
-    row_number() OVER (PARTITION BY c.word, c.type ORDER BY
-      CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
-           ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
-      END DESC, c.surface ASC NULLS LAST) AS rn
-  FROM cand c LEFT JOIN lcs l
-    ON l.word_norm = c.word_norm AND l.surface = c.surface
-),
+{_INDEL_LCS_CTES}
 fuzzy AS (
   SELECT word, CASE WHEN score > 70.0 THEN canonical ELSE '' END AS canonical
   FROM scored WHERE rn = 1
@@ -1681,51 +1701,7 @@ hits AS (
          'exact' AS method
   FROM words w JOIN dim d ON w.word_norm = d.surface AND w.type = d.kind
 ),
-misses AS (
-  SELECT w.word, w.word_norm, w.type FROM words w
-  WHERE NOT EXISTS (SELECT 1 FROM dim d
-                    WHERE d.surface = w.word_norm AND d.kind = w.type)
-),
-cand AS (
-  SELECT m.word, m.word_norm, m.type, d.surface, d.canonical
-  FROM misses m LEFT JOIN dim d
-    ON m.type = d.kind
-   AND (200.0 * least(length(m.word_norm), length(d.surface))
-        / (length(m.word_norm) + length(d.surface))) > 70.0
-),
-subs_w AS (
-  SELECT DISTINCT m.word_norm,
-    array_to_string(list_transform(
-      list_filter(range(0, length(m.word_norm)), i -> ((u.mask >> i) & 1) = 1),
-      i -> substring(m.word_norm, CAST(i + 1 AS INT), 1)), '') AS sub
-  FROM misses m,
-       unnest(range(0, CAST(pow(2, length(m.word_norm)) AS BIGINT))) AS u(mask)
-),
-subs_d AS (
-  SELECT DISTINCT d.surface,
-    array_to_string(list_transform(
-      list_filter(range(0, length(d.surface)), i -> ((u.mask >> i) & 1) = 1),
-      i -> substring(d.surface, CAST(i + 1 AS INT), 1)), '') AS sub
-  FROM dim d,
-       unnest(range(0, CAST(pow(2, length(d.surface)) AS BIGINT))) AS u(mask)
-),
-lcs AS (
-  SELECT sw.word_norm, sd.surface, CAST(max(length(sw.sub)) AS BIGINT) AS lcs
-  FROM subs_w sw JOIN subs_d sd ON sd.sub = sw.sub
-  GROUP BY sw.word_norm, sd.surface
-),
-scored AS (
-  SELECT c.word, c.type, c.surface, c.canonical,
-    CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
-         ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
-    END AS score,
-    row_number() OVER (PARTITION BY c.word, c.type ORDER BY
-      CASE WHEN c.surface IS NULL THEN CAST(0.0 AS DOUBLE)
-           ELSE 200.0 * l.lcs / (length(c.word_norm) + length(c.surface))
-      END DESC, c.surface ASC NULLS LAST) AS rn
-  FROM cand c LEFT JOIN lcs l
-    ON l.word_norm = c.word_norm AND l.surface = c.surface
-),
+{_INDEL_LCS_CTES}
 fuzzy AS (
   SELECT word, type,
     CASE WHEN score > 70.0 THEN canonical ELSE '' END AS canonical,
@@ -2017,32 +1993,17 @@ def _lsh_ann_sql(multi_probe: int = 0) -> str:
     ``multi_probe=h`` replays the hamming-ball probing: the query CTE
     cross-joins the same xor-mask list the Spark side explodes (a vector
     lives in exactly one bucket, so probes never double-count)."""
-    from bert_namedentityrecognition_spark.operators.similarity import _hyperplanes
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        _hyperplanes,
+        hamming_ball_masks,
+    )
 
     planes = _hyperplanes(64, 4, 42)
-
-    def dot_expr(col, plane):
-        prods = ", ".join(
-            f"CAST({col}[{i + 1}] AS DOUBLE) * ({v!r})" for i, v in enumerate(plane)
-        )
-        return (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{prods}]), (a, b) -> a + b)"
-        )
-
-    bucket = " + ".join(
-        f"(CASE WHEN {dot_expr('embedding', p)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(planes)
-    )
+    # the ONE sign-bit fold shared by every LSH twin — a fix to the
+    # exactness-critical fold arithmetic must reach all of them
+    bucket = _fold_bucket("embedding", planes)
     if multi_probe > 0:
-        from itertools import combinations
-
-        masks = [0]
-        for r in range(1, multi_probe + 1):
-            for bits in combinations(range(len(planes)), r):
-                m = 0
-                for j in bits:
-                    m |= 1 << j
-                masks.append(m)
+        masks = [0] + hamming_ball_masks(len(planes), multi_probe)
         vals = ", ".join(f"({m})" for m in masks)
         q_cte = (
             f"q AS (SELECT vec_id AS query_id, embedding AS qvec, "
@@ -2693,8 +2654,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),
-        "ann_ivf_topk": _ivf_ann_sql(),
-        "ann_ivf_persisted": _ivf_ann_sql(),
+        # one assembly, two queries: pruning must not change the twin
+        "ann_ivf_topk": (_ivf_sql := _ivf_ann_sql()),
+        "ann_ivf_persisted": _ivf_sql,
         "kg_e2e_triples": _kg_e2e_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,

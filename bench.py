@@ -17,9 +17,15 @@ min-of-3, the rest min-of-2) and a second scaling pair "kg_scaling_cross"
 (local[2] vs local[8]) with its own host probe, so the artifact of record
 carries both the gate pair and the cross-check.
 
+Further recorded sections: "ner_numpy" / "ner_numpy_wordpiece" (real-model
+inference pages/s), "skew" (walls + deterministic reducer split), and
+"ppjoin_openvocab" (naive vs prefix-filtered set-similarity join).
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, KG_BENCH_PAGES (corpus
-size, default 250000), KG_BENCH_SKIP_SCALING=1 to skip the two-session
-scaling run, KG_BENCH_SKIP_CROSS=1 to skip the 2→8 cross pair.
+size, default 250000), KG_BENCH_TRIALS (base trials per scaling level,
+default 2), KG_BENCH_CORES_LOW / KG_BENCH_CORES_HIGH (gate pair override),
+and section skips: KG_BENCH_SKIP_SCALING, KG_BENCH_SKIP_CROSS,
+KG_BENCH_SKIP_NER_NUMPY, KG_BENCH_SKIP_SKEW, KG_BENCH_SKIP_PPJOIN (=1).
 """
 
 from __future__ import annotations
@@ -104,24 +110,21 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict, dict]:
     return timings, trials_out
 
 
-def _ensure_bench_corpus(n_pages: int) -> str:
-    """Deterministic pages corpus on disk (generated once, reused).
-
-    Written directly with pyarrow (no Spark) in 32 row-group-sized files so
-    both parallelism levels see identical, well-split input.
-    """
-    marker = os.path.join(BENCH_DATA, f".n{n_pages}")
-    if os.path.exists(marker):
-        return BENCH_DATA
-    if os.path.isdir(BENCH_DATA):
-        shutil.rmtree(BENCH_DATA)
-    os.makedirs(BENCH_DATA)
+def _write_pages_parquet(rows: list[dict], out_dir: str, marker: str) -> str:
+    """Deterministic pages corpus on disk (generated once, reused; marker
+    file keyed on the corpus size). Written directly with pyarrow (no
+    Spark) in 32 row-group-sized files so both parallelism levels see
+    identical, well-split input — the ONE corpus-write contract both the
+    scaling and skew benches depend on."""
+    marker_path = os.path.join(out_dir, marker)
+    if os.path.exists(marker_path):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from bert_namedentityrecognition_spark.sources import fixtures
-
-    rows = fixtures.generate_pages(n_pages, seed=42, min_sents=4, max_sents=12)
     schema = pa.schema(
         [
             ("url", pa.string()),
@@ -138,9 +141,19 @@ def _ensure_bench_corpus(n_pages: int) -> str:
         if not chunk:
             break
         table = pa.Table.from_pylist(chunk, schema=schema)
-        pq.write_table(table, os.path.join(BENCH_DATA, f"part-{i:05d}.parquet"))
-    open(marker, "w").close()
-    return BENCH_DATA
+        pq.write_table(table, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    open(marker_path, "w").close()
+    return out_dir
+
+
+def _ensure_bench_corpus(n_pages: int) -> str:
+    marker = f".n{n_pages}"
+    if os.path.exists(os.path.join(BENCH_DATA, marker)):
+        return BENCH_DATA
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    rows = fixtures.generate_pages(n_pages, seed=42, min_sents=4, max_sents=12)
+    return _write_pages_parquet(rows, BENCH_DATA, marker)
 
 
 def run_kg_level(data_dir: str, cores: int) -> dict:
@@ -260,15 +273,9 @@ def _ensure_skew_corpus(n_pages: int) -> str:
     import random
 
     out_dir = os.path.join(REPO, "var", "skew_pages")
-    marker = os.path.join(out_dir, f".n{n_pages}")
-    if os.path.exists(marker):
+    marker = f".n{n_pages}"
+    if os.path.exists(os.path.join(out_dir, marker)):
         return out_dir
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from bert_namedentityrecognition_spark.sources import fixtures
 
     rng = random.Random(13)
@@ -282,18 +289,7 @@ def _ensure_skew_corpus(n_pages: int) -> str:
             text = f"{d}の投与により{s}を認めた。経過は良好である。"
         rows.append({"url": f"https://s/{i}", "warc_ts": None, "html": None,
                      "text": text, "lang": "ja"})
-    schema = pa.schema(
-        [("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
-         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())]
-    )
-    per = (len(rows) + 31) // 32
-    for i in range(32):
-        chunk = rows[i * per : (i + 1) * per]
-        if chunk:
-            pq.write_table(pa.Table.from_pylist(chunk, schema=schema),
-                           os.path.join(out_dir, f"part-{i:05d}.parquet"))
-    open(marker, "w").close()
-    return out_dir
+    return _write_pages_parquet(rows, out_dir, marker)
 
 
 def _reducer_split(df, key_cols, n_parts: int) -> dict:
@@ -355,10 +351,11 @@ def run_skew_bench(cores: int, n_pages: int = 40000) -> dict:
     from bert_namedentityrecognition_spark.plans.session import build_session
     from bert_namedentityrecognition_spark.sources import fixtures
 
+    SALT = 32  # ONE constant: the pipeline salt AND the reducer-split salt
     data_dir = _ensure_skew_corpus(n_pages)
     tt = fixtures.pipeline_term_types()
-    out = {"n_pages": n_pages, "hot_cell_share": 0.3}
-    for label, salt in (("plain", 0), ("salted", 32)):
+    out = {"n_pages": n_pages, "hot_cell_share": 0.3, "salt_buckets": SALT}
+    for label, salt in (("plain", 0), ("salted", SALT)):
         spark = build_session(app_name=f"skew-{label}", cores=cores,
                               shuffle_partitions=cores)
         pages = spark.read.parquet(data_dir)
@@ -379,7 +376,7 @@ def run_skew_bench(cores: int, n_pages: int = 40000) -> dict:
                 pairs, ["subj", "obj"], cores
             )
             salted_pairs = pairs.withColumn(
-                "_salt", (F.rand(seed=42) * 32).cast("int")
+                "_salt", (F.rand(seed=42) * SALT).cast("int")
             )
             out["reducer_split_salted"] = _reducer_split(
                 salted_pairs, ["subj", "obj", "_salt"], cores
@@ -426,14 +423,22 @@ def run_ppjoin_bench(cores: int, n_docs: int = 15000) -> dict:
         out[f"wall_sec_{label}"] = round(_t.perf_counter() - t0, 3)
         out[f"rows_{label}"] = int(n)
     spark.stop()
+    # self-validating evidence: a pruning regression that only bites at
+    # this scale must fail the bench, not advertise a wrong-answer speedup
+    assert out["rows_naive"] == out["rows_ppjoin"], out
     out["ppjoin_speedup"] = round(out["wall_sec_naive"] / out["wall_sec_ppjoin"], 2)
     return out
 
 
-def _run_level_subprocess(data_dir: str, cores: int) -> dict:
+def _run_level_subprocess(data_dir: str, cores: int) -> dict | None:
     """Each level runs in a fresh process -> fresh JVM, identical starting
     conditions for both parallelism levels (a shared JVM carries heap/GC
-    state from whatever ran before and skews the comparison)."""
+    state from whatever ran before and skews the comparison).
+
+    A trial that exceeds the timeout (a burst-stalled host window, per the
+    module docstring up to 24×) returns ``None`` instead of raising — one
+    bad window must not abort the whole bench and lose every completed
+    section's numbers."""
     import subprocess
 
     code = (
@@ -441,9 +446,13 @@ def _run_level_subprocess(data_dir: str, cores: int) -> dict:
         "print('KGLEVEL ' + json.dumps(bench.run_kg_level(%r, %d)))"
         % (REPO, data_dir, cores)
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1200,
+        )
+    except subprocess.TimeoutExpired:
+        return None
     for line in proc.stdout.splitlines():
         if line.startswith("KGLEVEL "):
             return json.loads(line[len("KGLEVEL "):])
@@ -507,7 +516,10 @@ def run_kg_scaling(
         "cores_low": cores_low,
         "cores_high": cores_high,
         "n_pages": n_pages,
-        "trials": trials,
+        # base count only — the high level runs max(base, 3) and adaptive
+        # mode may add more; the authoritative per-level protocol is the
+        # LENGTH of each wall_sec_*_trials list
+        "trials_base": trials,
     }
     for label, cores in (("low", cores_low), ("high", cores_high)):
         # asymmetric sampling: the high level is ~3× cheaper per trial AND
@@ -516,9 +528,13 @@ def run_kg_scaling(
         # where variance lives
         n_trials = trials if label == "low" else max(trials, 3)
         walls = []
+        n_timeouts = 0
         n_triples = None
         for _ in range(n_trials):
             lv = _run_level_subprocess(data_dir, cores)
+            if lv is None:
+                n_timeouts += 1
+                continue
             walls.append(lv["wall_sec"])
             n_triples = lv["n_triples"]
         # adaptive extra trials: keep sampling (bounded) until the best two
@@ -526,12 +542,22 @@ def run_kg_scaling(
         # estimate, two agreeing ones are. Disabled for the cross-check
         # pair (it documents the host, it is not the gate — unbounded
         # retries there cost ~10 min for no decision value)
-        while adaptive and len(walls) < n_trials + 3:
+        while adaptive and len(walls) + n_timeouts < n_trials + 3:
             best2 = sorted(walls)[:2]
             if len(walls) >= 2 and (best2[1] - best2[0]) / best2[0] <= 0.05:
                 break
             lv = _run_level_subprocess(data_dir, cores)
+            if lv is None:
+                n_timeouts += 1
+                continue
             walls.append(lv["wall_sec"])
+        if not walls:
+            raise RuntimeError(
+                f"every {label}-level trial timed out ({n_timeouts}); "
+                "host unusable for a scaling measurement in this window"
+            )
+        if n_timeouts:
+            out[f"n_timeouts_{label}"] = n_timeouts
         wall = min(walls)
         out[f"wall_sec_{label}"] = wall
         out[f"wall_sec_{label}_trials"] = walls
