@@ -473,13 +473,20 @@ def _kg_bucketed_join(spark, sf):
     tbl = "kgb_mentions_" + os.path.basename(os.path.normpath(sf)).replace(
         ".", "_"
     )
-    if not spark.catalog.tableExists(tbl):
-        # the in-memory session catalog forgets tables between sessions but
-        # their warehouse directories persist; saveAsTable then fails with
-        # LOCATION_ALREADY_EXISTS — drop the orphaned location first
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = wh.removeprefix("file:") + "/" + tbl.lower()
-        shutil.rmtree(loc, ignore_errors=True)
+    # the in-memory session catalog forgets tables between sessions but
+    # their warehouse directories persist; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS — drop the table AND the orphaned location
+    # unconditionally before the write. The location is derived by parsing
+    # the warehouse URI (handles file:/, file:///, and plain paths — a
+    # string removeprefix("file:") left file://-style URIs untouched).
+    from urllib.parse import unquote, urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    p = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if p.scheme in ("", "file"):
+        shutil.rmtree(
+            os.path.join(unquote(p.path), tbl.lower()), ignore_errors=True
+        )
     (
         m.write.format("parquet")
         .mode("overwrite")

@@ -190,39 +190,112 @@ def canonical_alias_map(
     )
 
 
+def _rep_rows(dim: DataFrame, remap: list[str], part: list[str], pfx: str) -> DataFrame:
+    """One dim row per ``part`` key, chosen VALUE-deterministically (min
+    (canonical, entity_id, code) cast to string, nulls last — the same
+    ordering as ``normalize._dedup_dimn``). ``dropDuplicates`` here would be
+    row-order-dependent: a surface present under multiple kinds (or as
+    normalization-collapsed duplicates) would hand back an arbitrary row's
+    ids, differing across runs/partitionings."""
+    from pyspark.sql import Window
+
+    order = [
+        F.col(c).cast("string").asc_nulls_last()
+        for c in ("canonical", "entity_id", "code")
+        if c in dim.columns
+    ]
+    w = Window.partitionBy(*part).orderBy(*order)
+    return (
+        dim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("surface").alias(f"{pfx}surface"),
+            *[F.col(c).alias(f"{pfx}kind") for c in ("kind",) if "kind" in part],
+            *[F.col(c).alias(f"{pfx}{c}") for c in remap],
+        )
+    )
+
+
 def apply_alias_map(
     mentions: DataFrame,
     alias_map: DataFrame,
     col: str = "canonical",
     dim: DataFrame | None = None,
     id_cols: tuple[str, ...] = ("entity_id", "code"),
+    kind_col: str = "type",
 ) -> DataFrame:
     """Rewrite a canonical column through the (small, broadcast) alias map.
 
     With ``dim``, every mention whose canonical participates in the alias
     map ALSO gets its id columns remapped to the representative's dim row
-    (matched on ``dim.surface == canonical_surface`` — chains terminate at
-    a real canonical entity per :func:`canonical_alias_map`). Without
-    this, a mention normalized to entity B then alias-collapsed onto A's
-    surface kept B's entity_id, so the nodes table split one collapsed
-    entity across two ids. A representative absent from dim maps its
-    component's ids to null — consistently, so the component still
-    collapses to one node key."""
+    (chains terminate at a real canonical entity per
+    :func:`canonical_alias_map`). The rep row is matched on
+    ``(surface, kind)`` using the mention's ``kind_col`` when both sides
+    carry kinds — a surface shared by two kinds must not hand the other
+    kind's ids back — falling back to a kind-agnostic row when that kind
+    has no dim entry for the surface. Either way the row is picked
+    value-deterministically (min (canonical, entity_id, code), matching
+    ``normalize._dedup_dimn``), never by row order. Without the remap, a
+    mention normalized to entity B then alias-collapsed onto A's surface
+    kept B's entity_id, so the nodes table split one collapsed entity
+    across two ids. A representative absent from dim maps its component's
+    ids to null — consistently, so the component still collapses to one
+    node key."""
     am = alias_map.withColumnRenamed("surface", col)
     remap = [c for c in id_cols if dim is not None and c in mentions.columns]
-    if remap:
-        rep = dim.select(
-            F.col("surface").alias("canonical_surface"),
-            *[F.col(c).alias(f"_rep_{c}") for c in remap],
-        ).dropDuplicates(["canonical_surface"])
-        am = am.join(rep, "canonical_surface", "left")
+    use_kind = (
+        bool(remap) and "kind" in dim.columns and kind_col in mentions.columns
+    )
     out = mentions.join(F.broadcast(am), col, "left")
     aliased = F.col("canonical_surface").isNotNull()
-    for c in remap:
-        out = out.withColumn(
-            c, F.when(aliased, F.col(f"_rep_{c}")).otherwise(F.col(c))
-        )
-    return (
-        out.withColumn(col, F.coalesce("canonical_surface", F.col(col)))
-        .drop("canonical_surface", *[f"_rep_{c}" for c in remap])
+    if remap:
+        if use_kind:
+            rep = _rep_rows(dim, remap, ["surface", "kind"], "_rep_")
+            fb = _rep_rows(dim, remap, ["surface"], "_fb_")
+            out = (
+                out.join(
+                    F.broadcast(rep),
+                    (F.col("canonical_surface") == F.col("_rep_surface"))
+                    & (F.col(kind_col) == F.col("_rep_kind")),
+                    "left",
+                )
+                .join(
+                    F.broadcast(fb),
+                    F.col("canonical_surface") == F.col("_fb_surface"),
+                    "left",
+                )
+            )
+            kind_matched = F.col("_rep_surface").isNotNull()
+            for c in remap:
+                # when the kind-matched rep exists use it WHOLE (even its
+                # null columns) — coalescing per-column would splice another
+                # kind's code onto this kind's entity_id
+                out = out.withColumn(
+                    c,
+                    F.when(
+                        aliased,
+                        F.when(kind_matched, F.col(f"_rep_{c}")).otherwise(
+                            F.col(f"_fb_{c}")
+                        ),
+                    ).otherwise(F.col(c)),
+                )
+            out = out.drop(
+                "_rep_surface", "_rep_kind", "_fb_surface",
+                *[f"_rep_{c}" for c in remap],
+                *[f"_fb_{c}" for c in remap],
+            )
+        else:
+            rep = _rep_rows(dim, remap, ["surface"], "_rep_")
+            out = out.join(
+                F.broadcast(rep),
+                F.col("canonical_surface") == F.col("_rep_surface"),
+                "left",
+            )
+            for c in remap:
+                out = out.withColumn(
+                    c, F.when(aliased, F.col(f"_rep_{c}")).otherwise(F.col(c))
+                )
+            out = out.drop("_rep_surface", *[f"_rep_{c}" for c in remap])
+    return out.withColumn(col, F.coalesce("canonical_surface", F.col(col))).drop(
+        "canonical_surface"
     )

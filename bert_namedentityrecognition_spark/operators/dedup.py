@@ -411,14 +411,39 @@ def embedding_cosine_dups(
     # large-doc regime. DuckDB's sum() already returns HUGEINT (int128),
     # so this also keeps the twin's arithmetic domain matched.
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # loud overflow guard (unreachable at realistic shingle counts): under
+    # non-ANSI mode a product past decimal(38) yields NULL, so the filter
+    # would silently DROP the pair — the opposite of loud-failure. na·nb
+    # itself always fits (both are bigint, product < 8.6e37 < 1e38), and
+    # dot² ≤ na·nb by Cauchy-Schwarz, so bounding na·nb·max(num,den) under
+    # 1e38 bounds every product in the predicate; past the bound we
+    # raise_error instead of comparing.
+    _lim = (10**38 - 1) // max(threshold_num, threshold_den, 1)
+    nanb = d38(F.col("na")) * d38(F.col("nb"))
+    # the guard is the FIRST conjunct of the filter (AND evaluates left
+    # first, and a NULLed-out right operand would short-circuit a
+    # comparison before any raise inside it): nanb itself always fits
+    # decimal(38), and once nanb ≤ _lim, dot² ≤ nanb (Cauchy-Schwarz)
+    # bounds every product in the real predicate under 1e38.
+    guard = F.when(
+        nanb > F.lit(str(_lim)).cast("decimal(38,0)"),
+        F.raise_error(
+            "embedding_cosine_dups: na*nb exceeds the decimal(38) "
+            "overflow-safe bound; rescale thresholds or shard the vectors"
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     return (
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
         .filter(
-            d38(F.col("dot")) * d38(F.col("dot")) * F.lit(threshold_den)
-            >= d38(F.col("na")) * d38(F.col("nb")) * F.lit(threshold_num)
+            guard
+            & (
+                d38(F.col("dot")) * d38(F.col("dot"))
+                * F.lit(str(threshold_den)).cast("decimal(38,0)")
+                >= nanb * F.lit(str(threshold_num)).cast("decimal(38,0)")
+            )
         )
         .select("doc_a", "doc_b", "dot", "na", "nb")
     )

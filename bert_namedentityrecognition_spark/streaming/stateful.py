@@ -31,6 +31,39 @@ _OUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
 
 
+def _make_update_fn():
+    """The per-fingerprint state-update kernel, exposed module-level so its
+    chunking semantics are unit-testable without a streaming query."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = state.get[0] if state.exists else 0
+        # concatenate the group's Arrow chunks BEFORE sorting: sorting each
+        # chunk independently makes "first copy by doc_id within a batch"
+        # only per-chunk, so a fingerprint split across chunks could flag
+        # the lower doc_id as the duplicate
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:  # NoTimeout ⇒ only called with data; belt-and-braces
+            state.update((seen,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        flags = []
+        for _ in range(len(pdf)):
+            flags.append(seen > 0)
+            seen += 1
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "fingerprint": key[0],
+                "is_duplicate": flags,
+            }
+        )
+        state.update((seen,))
+
+    return update
+
+
 def dedup_stream(
     docs_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -45,27 +78,8 @@ def dedup_stream(
         md5_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
 
-    def update(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        seen = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            flags = []
-            for _ in range(len(pdf)):
-                flags.append(seen > 0)
-                seen += 1
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "fingerprint": key[0],
-                    "is_duplicate": flags,
-                }
-            )
-        state.update((seen,))
-
     out = fp.groupBy("fingerprint").applyInPandasWithState(
-        update,
+        _make_update_fn(),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
