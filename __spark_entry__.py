@@ -2306,12 +2306,18 @@ def _ner_model_mentions(spark, sf):
     ``--checkpoint`` hand-off), broadcast, and run by ``ner_pages`` —
     tokenize → [CLS] → length-sorted padded sub-batches → numpy
     BertForTokenClassification forward → argmax → trim → BIO decode — over
-    the flagship fixture corpus. The oracle replays the ENTIRE forward as
-    SQL CTEs (oracle/bert_sql.py): embeddings+LayerNorm, 2 layers of
-    2-head attention with softmax, GELU FFN, classifier, argmax, and the
-    lenient BIO FSM. Agreement is exact because the compared output is
-    discrete and the checkpoint generator asserts every argmax margin
-    clears 1e-6 (~1000× the float64 replay error floor)."""
+    an sf-SCALED prefix of the fixture corpus: 200/600/2000 pages at
+    sf0.001/0.01/0.1, derived from the ``events`` row count by
+    ``pages_for_events`` (the SQL twin computes the identical integer
+    expression in a params CTE from the registered ``events`` view, rule
+    24 — one static SQL string, three corpus sizes). The checkpoint,
+    vocab and margin assertion derive from the MAX corpus, which bounds
+    every prefix. The oracle replays the ENTIRE forward as SQL CTEs
+    (oracle/bert_sql.py): embeddings+LayerNorm, 2 layers of 2-head
+    attention with softmax, GELU FFN, classifier, argmax, and the lenient
+    BIO FSM. Agreement is exact because the compared output is discrete
+    and the checkpoint generator asserts every argmax margin clears 1e-6
+    (~1000× the float64 replay error floor)."""
     import os
 
     from bert_namedentityrecognition_spark.operators.ner import (
@@ -2319,8 +2325,8 @@ def _ner_model_mentions(spark, sf):
         ner_pages,
     )
     from bert_namedentityrecognition_spark.oracle.bert_sql import (
-        N_PAGES,
         PAGE_SEED,
+        pages_for_events,
         write_ner_checkpoint,
     )
     from bert_namedentityrecognition_spark.sources import fixtures
@@ -2328,10 +2334,11 @@ def _ner_model_mentions(spark, sf):
     path = os.path.join(_writable_base(), "var", "ner_tiny_ckpt.npz")
     write_ner_checkpoint(path)
     clf, vocab = classifier_from_checkpoint(path)
-    # the SAME corpus constants the oracle's fixture/vocab derive from —
-    # hardcoding 200/42 here would silently desync the twin if tuned
+    # the SAME sf probe the oracle's params CTE computes — hardcoding a
+    # page count here would silently desync the twin if tuned
+    n_pages = pages_for_events(_t(spark, sf, "events").count())
     pages = fixtures.pages_to_spark(
-        spark, fixtures.generate_pages(N_PAGES, seed=PAGE_SEED)
+        spark, fixtures.generate_pages(n_pages, seed=PAGE_SEED)
     )
     return ner_pages(pages, clf, vocab).select(
         "url", "sent_id", "start", "end", "type", "word"

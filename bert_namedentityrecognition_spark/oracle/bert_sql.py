@@ -56,8 +56,29 @@ import numpy as np
 from ..sources import fixtures
 from . import textproc
 
-N_PAGES = 200
+N_PAGES = 200  # min corpus (sf0.001); kept for back-compat imports
+N_PAGES_MAX = 2000  # the corpus the checkpoint/vocab/SQL VALUES derive from
+EVENTS_BASE = 1000  # events row count at sf0.001 — the sf probe both twins share
 PAGE_SEED = 42
+
+
+def pages_for_events(n_events: int) -> int:
+    """sf-scaled corpus size from the ``events`` row count, integer-exact on
+    both twins (CLAUDE rule 24): ``200·⌊√(n_events//1000)⌋`` clamped to
+    [200, 2000] → 200/600/2000 pages at sf0.001/0.01/0.1 (events =
+    1000/10000/100000 rows). ``events`` is the probe because ``documents``
+    has the same row count at sf0.001 and sf0.01. ``floor(sqrt(double(k)))``
+    in the SQL params CTE equals ``math.isqrt(k)`` for every k that can
+    land inside the clamp window (k ≤ 120), so the two sides cannot
+    diverge. The fixture generator is prefix-stable
+    (``generate_pages(n)[i] == generate_pages(m)[i]`` for i < min(n, m)),
+    so the sf corpora are literal prefixes of the inlined max corpus."""
+    import math
+
+    return min(
+        N_PAGES_MAX,
+        max(N_PAGES, N_PAGES * math.isqrt(max(0, n_events) // EVENTS_BASE)),
+    )
 HIDDEN = 8
 HEADS = 2
 DH = HIDDEN // HEADS
@@ -77,9 +98,14 @@ def ner_fixture_sentences() -> tuple[tuple[str, int, str], ...]:
     contributes nothing), preprocess → reference split (sid enumerates the
     split output) → ≤512 filter → han_to_zen. Asserts every kept normalized
     sentence is ≤511 chars so the ``max_len-1`` truncation inside
-    ``_infer_rows`` can never fire."""
+    ``_infer_rows`` can never fire.
+
+    Generated from the MAX corpus (``N_PAGES_MAX``): every sf-scaled run is
+    a url-prefix subset, so one checkpoint/vocab/margin assertion covers
+    all three gate sizes (removing sentences can only raise the corpus-min
+    margin, never lower it)."""
     rows: list[tuple[str, int, str]] = []
-    for r in fixtures.generate_pages(N_PAGES, seed=PAGE_SEED):
+    for r in fixtures.generate_pages(N_PAGES_MAX, seed=PAGE_SEED):
         if r["lang"] != "ja":
             continue
         text = r["text"]
@@ -322,9 +348,17 @@ fr{i} AS (SELECT url, sid, p, [{fr}] AS x FROM ffb{i}),
     return sql, f"hh{i + 1}"
 
 
-@functools.lru_cache(maxsize=1)
-def ner_model_mentions_sql() -> str:
-    """The full SQL twin (see module docstring)."""
+@functools.lru_cache(maxsize=4)
+def ner_model_mentions_sql(n_events: int | None = None) -> str:
+    """The full SQL twin (see module docstring), sf-scaled: the VALUES
+    inline the max corpus once, and a ``params`` CTE derives ``n_pages``
+    from the ``events`` view's row count with the SAME integer arithmetic
+    as :func:`pages_for_events` on the Spark side, then prefilters the
+    ``sents`` CTE by the url-encoded page index — so one static SQL string
+    replays a 200-page corpus at sf0.001, 600 at sf0.01 and 2000 at sf0.1,
+    and every downstream CTE scales with the filtered sentence set. Pass
+    ``n_events`` to pin the probe for a connection with no ``events`` view
+    (unit tests)."""
     sd, tok_itos, label_itos, _seed, _margin = ner_tiny_checkpoint()
     sents = ner_fixture_sentences()
     stoi = {c: i for i, c in enumerate(tok_itos)}
@@ -336,6 +370,10 @@ def ner_model_mentions_sql() -> str:
     lnb = sd["bert.embeddings.LayerNorm.bias"]
     Wc, bc = sd["classifier.weight"], sd["classifier.bias"]
 
+    probe = (
+        str(int(n_events)) if n_events is not None
+        else "SELECT count(*) FROM events"
+    )
     sents_sql = ", ".join(
         f"({_q(u)}, {sid}, {_q(s)})" for u, sid, s in sents
     )
@@ -361,7 +399,17 @@ def ner_model_mentions_sql() -> str:
 
     return f"""
 WITH
-sents(url, sid, s) AS (VALUES {sents_sql}),
+params AS (
+  SELECT least({N_PAGES_MAX}, greatest({N_PAGES},
+    {N_PAGES} * CAST(floor(sqrt(CAST(({probe}) // {EVENTS_BASE} AS DOUBLE))) AS INT)
+  )) AS n_pages
+),
+sents_all(url, sid, s) AS (VALUES {sents_sql}),
+sents AS MATERIALIZED (
+  -- page index is url-encoded (https://crawl.example/%07d → chars 23..29)
+  SELECT url, sid, s FROM sents_all, params
+  WHERE CAST(substring(url, 23) AS INT) < params.n_pages
+),
 cs AS (SELECT url, sid, s, string_split(s, '') AS cl, length(s) AS n FROM sents),
 chars AS (
   SELECT url, sid, CAST(u.p AS INT) AS p, cl[CAST(u.p AS INT)] AS c

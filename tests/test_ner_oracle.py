@@ -42,9 +42,30 @@ def test_sql_twin_matches_python_reference():
         labels = ["O" if label_itos[i] == "[PAD]" else label_itos[i] for i in pred]
         for sp in iob_to_spans(list(s), labels):
             expected.add((u, sid, sp["start"], sp["end"], sp["type"], sp["word"]))
+    # n_events=100000 → n_pages clamps to N_PAGES_MAX: the FULL inlined corpus
     con = duckdb.connect()
-    got = set(map(tuple, con.sql(bert_sql.ner_model_mentions_sql()).fetchall()))
+    got = set(
+        map(tuple, con.sql(bert_sql.ner_model_mentions_sql(n_events=100000)).fetchall())
+    )
     assert got == expected and len(got) > 100
+
+
+def test_sf_scaled_twin_is_a_prefix_subset():
+    """The params-CTE filter must select EXACTLY the url-prefix subset: the
+    200-page replay == the 2000-page replay restricted to page idx < 200,
+    and pages_for_events matches the SQL's integer arithmetic."""
+    import duckdb
+
+    assert bert_sql.pages_for_events(1000) == 200
+    assert bert_sql.pages_for_events(10000) == 600
+    assert bert_sql.pages_for_events(100000) == 2000
+    assert bert_sql.pages_for_events(0) == 200  # clamp floor
+    assert bert_sql.pages_for_events(10**9) == 2000  # clamp ceiling
+    con = duckdb.connect()
+    small = set(map(tuple, con.sql(bert_sql.ner_model_mentions_sql(n_events=1000)).fetchall()))
+    big = set(map(tuple, con.sql(bert_sql.ner_model_mentions_sql(n_events=100000)).fetchall()))
+    assert small == {r for r in big if int(r[0][-7:]) < 200}
+    assert len(small) < len(big)
 
 
 def test_spark_query_matches_oracle(spark):
@@ -54,9 +75,13 @@ def test_spark_query_matches_oracle(spark):
 
     import __spark_entry__ as entrymod
 
-    df = entrymod.queries()["ner_model_mentions"](spark, "/root/testdata/sf0.001")
+    sf = "/root/testdata/sf0.001"
+    df = entrymod.queries()["ner_model_mentions"](spark, sf)
     spark_rows = {tuple(r) for r in df.collect()}
     con = duckdb.connect()
+    # the production oracle string reads the sf probe from the registered
+    # events view, exactly like the driver gate
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     duck_rows = set(
         map(tuple, con.sql(entrymod.oracle_sql()["ner_model_mentions"]).fetchall())
     )
