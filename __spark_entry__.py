@@ -2387,6 +2387,174 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+# --- WARC raw-source ingest under the gate (§2.1) ----------------------------
+
+_WARC_PAGES_MIN = 60
+_WARC_PAGES_MAX = 600
+
+
+def _warc_pages_for_events(n_events: int) -> int:
+    """sf-scaled WARC fixture size, same probe/arithmetic recipe as
+    ``bert_sql.pages_for_events`` (rule 24): 60/180/600 pages at
+    sf0.001/0.01/0.1. The SQL twin's params CTE computes the identical
+    expression from the registered ``events`` view."""
+    import math
+
+    return min(
+        _WARC_PAGES_MAX,
+        max(_WARC_PAGES_MIN, _WARC_PAGES_MIN * math.isqrt(max(0, n_events) // 1000)),
+    )
+
+
+def _warc_ingest_mentions(spark, sf):
+    """Raw-source scan under the driver gate (§2.1 — the only SURVEY
+    section previously without an oracle-gated row): a deterministic WARC
+    fixture (plain + gzip segments, script subtrees, HTML entities, an
+    English decoy page per 10) is materialized to ``_writable_base()``,
+    then ``read_warc`` (binaryFile → framing parser) → ``prepare_pages``
+    (html→text fallback + lang-ID — rows arrive with text=null by design)
+    → ``extract_mentions`` (fused split/512/han_to_zen/tag stage,
+    lang_filter='cjk'). Output grain is (url, term, kind): occurrence
+    count ``n`` plus the per-url ``warc_ts`` (gates WARC-Date parsing) and
+    ``text_md5`` (gates the byte-identical-extracted-text-per-url
+    invariant — the md5 is over the html→text DERIVED text, compared with
+    the oracle's md5 over the GROUND-TRUTH strings the html was generated
+    from). Every cjk page matches ≥1 term by construction, so every
+    page's ts/md5 is actually compared; English pages prove the lang
+    filter drops them. Ref: reference ingest is file readers only
+    (``BERT/dataset_utils.py``) — crawl-scale ingest is this repo's
+    extension, spark-submit/e2e tested since r3, oracle-gated here."""
+    import os
+
+    from bert_namedentityrecognition_spark.operators.sentences import prepare_pages
+    from bert_namedentityrecognition_spark.operators.tagger import extract_mentions
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.readers import read_warc
+
+    n_pages = _warc_pages_for_events(_t(spark, sf, "events").count())
+    d = os.path.join(_writable_base(), "var", f"warc_fixture_{n_pages}")
+    fixtures.write_warc_fixture(d, n_pages)
+    pages = prepare_pages(read_warc(spark, d))
+    m = extract_mentions(
+        pages, fixtures.WARC_TERM_TYPES, lang_filter="cjk", normalize=True
+    )
+    per_url = pages.select(
+        "url",
+        "warc_ts",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+    return (
+        m.groupBy(
+            "url", F.col("word").alias("term"), F.col("type").alias("kind")
+        )
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(per_url), "url")
+        .select("url", "warc_ts", "text_md5", "term", "kind", "n")
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _warc_ingest_sql() -> str:
+    """SQL twin of ``_warc_ingest_mentions``, built from the GROUND-TRUTH
+    corpus strings (the sentences the html was generated around), never
+    from the extractor's output. Generation-time assertions pin every
+    reformulation to the production kernels (loud failure, rule 14):
+
+    1. ``html_to_text(html) == ground-truth text`` per page (the extractor
+       must invert the generator: script dropped, blocks→newlines, tags
+       stripped, entities unescaped);
+    2. ``preprocess_text`` is identity on these texts and ``han_to_zen``
+       is identity on every split sentence (so the fused stage's
+       normalization cannot shift matches);
+    3. per-page term counts via the Aho-Corasick greedy matcher over the
+       REAL split sentences == whole-text length-replace counts (valid
+       because the vocabulary is closed and non-overlapping; every split
+       sentence ≤512 so none is dropped);
+    4. a pure-Python replay of ``lang_guess`` (same CJK range + stopword
+       list the SQL inlines) == the expected lang per page.
+    """
+    import re as _re
+
+    from bert_namedentityrecognition_spark.functions.textstats import STOPWORDS
+    from bert_namedentityrecognition_spark.oracle import textproc
+    from bert_namedentityrecognition_spark.oracle.matcher import (
+        automaton_match,
+        build_automaton,
+    )
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = fixtures.generate_warc_corpus(_WARC_PAGES_MAX)
+    terms = sorted(fixtures.WARC_TERM_TYPES)
+    auto = build_automaton(terms)
+    cjk_re = _re.compile(r"[぀-ヿ㐀-鿿]")
+
+    def lang_py(text: str) -> str:
+        if cjk_re.search(text):
+            return "cjk"
+        toks = _re.split(r"\s+", text.strip())
+        if any(t.lower() in STOPWORDS for t in toks):
+            return "en"
+        return "other"
+
+    for r in rows:
+        text = r["text"]
+        assert textproc.html_to_text(r["html"]) == text, r["url"]  # (1)
+        assert textproc.preprocess_text(text) == text, r["url"]  # (2)
+        assert lang_py(text) == r["lang"], r["url"]  # (4)
+        if r["lang"] != "cjk":
+            continue  # filtered before tagging; (2)/(3) are cjk-only claims
+        counts: dict[str, int] = {}
+        for sent in textproc.split_sentences(text):
+            assert len(sent) <= 512, r["url"]  # (3): no 512 drops
+            assert textproc.han_to_zen(sent) == sent, r["url"]  # (2)
+            for _a, _b, t in automaton_match(sent, auto):
+                counts[t] = counts.get(t, 0) + 1
+        for t in terms:  # (3): greedy matcher == length-replace counting
+            rep = (len(text) - len(text.replace(t, ""))) // len(t)
+            assert rep == counts.get(t, 0), (r["url"], t)
+        assert counts, r["url"]  # every cjk page's ts/md5 is compared
+
+    pages_sql = ", ".join(
+        f"({q(r['url'])}, TIMESTAMP '{r['ts'].isoformat(sep=' ')}', {q(r['text'])})"
+        for r in rows
+    )
+    terms_sql = ", ".join(
+        f"({q(t)}, {q(fixtures.WARC_TERM_TYPES[t])})" for t in terms
+    )
+    stop_sql = ", ".join(q(w) for w in STOPWORDS)
+    pfx = len(fixtures.WARC_URL_PREFIX)  # page idx starts at char pfx+1
+
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n_pages
+),
+pages_all(url, warc_ts, text) AS (VALUES {pages_sql}),
+pages AS (
+  SELECT url, warc_ts, text FROM pages_all, params
+  WHERE CAST(substring(url, {pfx + 1}) AS INT) < params.n_pages
+),
+langed AS (
+  SELECT url, warc_ts, text,
+    CASE WHEN regexp_matches(text, '[぀-ヿ㐀-鿿]') THEN 'cjk'
+         WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> list_contains([{stop_sql}], lower(t)))) > 0
+           THEN 'en'
+         ELSE 'other' END AS lang
+  FROM pages
+)
+SELECT p.url, p.warc_ts, md5(p.text) AS text_md5, t.term, t.kind,
+  CAST((length(p.text) - length(replace(p.text, t.term, ''))) / length(t.term) AS BIGINT) AS n
+FROM langed p CROSS JOIN (VALUES {terms_sql}) AS t(term, kind)
+WHERE p.lang = 'cjk'
+  AND length(p.text) - length(replace(p.text, t.term, '')) > 0
+"""
+
+
 def _span_match_scores(spark, sf):
     """Span-match taxonomy (util/xlarge.py semantics) distributed: gold =
     full dictionary, pred = dictionary minus one term → per-sentence scores."""
@@ -2628,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted": _ivf_ann_persisted,
         "multimodal_features": _multimodal_features,
         "ner_model_mentions": _ner_model_mentions,
+        "warc_ingest_mentions": _warc_ingest_mentions,
     }
 
 
@@ -2696,4 +2865,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_streaming_stateful": _STREAM_DEDUP_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
+        "warc_ingest_mentions": _warc_ingest_sql(),
     }

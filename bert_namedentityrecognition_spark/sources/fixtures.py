@@ -243,3 +243,129 @@ def entity_dim_to_spark(spark, rows: list[dict] | None = None):
         ]
     )
     return spark.createDataFrame(rows or generate_entity_dim(), schema=schema)
+
+
+# --- WARC ingest fixture (driver-gate raw-source scan) -----------------------
+
+WARC_DRUGS = ["アスピリン", "イブプロフェン", "ロキソプロフェン"]
+WARC_SYMS = ["腹痛", "めまい", "発疹"]
+WARC_TERM_TYPES = {
+    **{d: "drug" for d in WARC_DRUGS},
+    **{s: "symptom" for s in WARC_SYMS},
+}
+WARC_URL_PREFIX = "https://warc.example/"
+
+
+def generate_warc_corpus(n_pages: int, seed: int = 7) -> list[dict]:
+    """Ground-truth corpus for the WARC ingest gate query: per page the
+    KNOWN sentence strings, the html that wraps them (entity-escaped, with
+    a script subtree the extractor must drop), the EXPECTED extracted text
+    (derived from the ground-truth strings, NOT from the extractor — the
+    oracle pins the kernel against this), the WARC-Date timestamp, and the
+    expected lang. Prefix-stable: page i's rng draws depend only on pages
+    < i, so ``generate_warc_corpus(n)[i] == generate_warc_corpus(m)[i]``.
+
+    Term vocabulary is closed and non-overlapping (no term a substring of
+    another, no cross-term in-text overlap possible), so greedy matching
+    degenerates to plain substring counting — the property the SQL twin's
+    length-replace occurrence counting needs; the gate's generation-time
+    assertion re-checks it against the Aho-Corasick matcher per sentence.
+    """
+    import html as _htmllib
+
+    rng = random.Random(seed)
+    base_ts = dt.datetime(2024, 3, 1)
+    rows: list[dict] = []
+    for i in range(n_pages):
+        url = f"{WARC_URL_PREFIX}{i:07d}"
+        ts = base_ts + dt.timedelta(minutes=i * 7 % 40000)
+        is_en = i % 10 == 9
+        if is_en:
+            title = f"document {i}."
+            sents = ["the patient took medicine and felt fine."]
+            lang = "en"
+        else:
+            # full-width digits: han_to_zen must be IDENTITY on ja pages so
+            # the fused stage's normalization cannot move any byte the md5
+            # invariant or the matcher sees
+            fw = str(i).translate(str.maketrans("0123456789", "０１２３４５６７８９"))
+            title = f"文書{fw}。"
+            sents = []
+            n_sent = rng.randint(1, 4)
+            for j in range(n_sent):
+                d = rng.choice(WARC_DRUGS)
+                s = rng.choice(WARC_SYMS)
+                t = rng.randrange(4) if j else rng.randrange(3)
+                if t == 0:
+                    sents.append(f"{d}を服用した後、{s}が現れた。")
+                elif t == 1:
+                    sents.append(f"{s}のため{d}の投与を中止した。")
+                elif t == 2:
+                    d2 = rng.choice(WARC_DRUGS)
+                    sents.append(f"{d}と{d2}を併用し、{s}を認めた。")
+                else:
+                    sents.append("経過は良好だった。")
+            lang = "cjk"
+        body = "".join(f"<p>{_htmllib.escape(s)}</p>" for s in sents)
+        html_doc = (
+            f"<html><head><title>{title}</title>"
+            f"<script>var x = {i};</script></head>"
+            f"<body>{body}</body></html>"
+        )
+        rows.append(
+            {
+                "url": url,
+                "ts": ts,
+                "title": title,
+                "sents": sents,
+                "html": html_doc.encode("utf-8"),
+                # ground truth, independent of the extractor: title line +
+                # one line per <p> block
+                "text": "\n".join([title] + sents),
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def warc_record_bytes(url: str, ts: dt.datetime, html: bytes) -> bytes:
+    """One WARC/1.0 response record wrapping an HTTP response."""
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    )
+    return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+
+def write_warc_fixture(base_dir: str, n_pages: int, segment_pages: int = 50) -> str:
+    """Materialize the first ``n_pages`` ground-truth pages as WARC segment
+    files under ``base_dir`` (every 2nd segment gzipped, so even the
+    smallest sf fixture — 2 segments — carries both container forms under
+    the gate). Deterministic contents; rewritten on each call."""
+    import glob
+    import gzip
+    import os
+
+    os.makedirs(base_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(base_dir, "seg*")):
+        os.remove(stale)  # a leftover segment would duplicate records
+    rows = generate_warc_corpus(n_pages)
+    for seg_start in range(0, n_pages, segment_pages):
+        seg = rows[seg_start : seg_start + segment_pages]
+        blob = b"".join(
+            warc_record_bytes(r["url"], r["ts"], r["html"]) for r in seg
+        )
+        idx = seg_start // segment_pages
+        if idx % 2 == 1:
+            path = os.path.join(base_dir, f"seg{idx:04d}.warc.gz")
+            data = gzip.compress(blob, mtime=0)  # mtime=0: byte-deterministic
+        else:
+            path = os.path.join(base_dir, f"seg{idx:04d}.warc")
+            data = blob
+        with open(path, "wb") as f:
+            f.write(data)
+    return base_dir
