@@ -2387,6 +2387,67 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+# --- alias canonicalization under the gate (§2.8/SCALE.md CC) ----------------
+
+
+def _kg_alias_components(spark, sf):
+    """Connected components over a DERIVED alias graph, gated directly (r4
+    verdict item 5 — CC was previously exercised only inside the kg_e2e
+    oracles). Both twins construct the SAME graph arithmetically from the
+    ``events`` row count (no inlining, sf-scaled: 1k/10k/100k nodes):
+    chains of 40 consecutive ids, block heads linked in groups of 3 →
+    components of 120 nodes where the farthest node is ~41 hops from its
+    component min. That EXCEEDS the plain label-propagation cap (32
+    rounds — pinned by tests/test_bucketing_cc.py), so this query pins
+    ``connected_components_star`` — the alternating large-star/small-star
+    O(log²) variant that is the 100 TB path for alias chains — at gate
+    parameters. Oracle: DuckDB recursive-CTE reachability (walk = every
+    (node, reachable id) state, dedup by UNION) with min-id aggregation —
+    an independent formulation of min-id components.
+    Ref: the reference resolves aliases one hop at a time
+    (``OICI_database.py:34-39``); transitive collapse is this repo's
+    KG-scale extension (SURVEY §2.12)."""
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    comps = connected_components_star(chain.union(heads))
+    return comps.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+_KG_ALIAS_COMPONENTS_SQL = """
+WITH RECURSIVE
+ids AS (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.comp
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
 # --- WARC raw-source ingest under the gate (§2.1) ----------------------------
 
 _WARC_PAGES_MIN = 60
@@ -2797,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "ner_model_mentions": _ner_model_mentions,
         "warc_ingest_mentions": _warc_ingest_mentions,
+        "kg_alias_components": _kg_alias_components,
     }
 
 
@@ -2866,4 +2928,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),
+        "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
     }

@@ -192,3 +192,34 @@ def test_propagation_cc_raises_on_diameter_above_cap(spark):
     df = spark.createDataFrame(path, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iterations=10)
+
+
+def test_alias_components_gate_needs_star_variant(spark):
+    """kg_alias_components' fixture graph (chains of 40 in groups of 3 →
+    ~41 hops from the farthest node to its component min) EXCEEDS plain label propagation's 32-round cap — the
+    gate query genuinely pins connected_components_star, not the easy
+    variant — and the star output matches the closed form 60*(node//60)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    df = E.queries()["kg_alias_components"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert all(r.component == 120 * (r.node // 120) for r in rows)
+
+    ids = spark.range(1000)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain.union(heads))

@@ -88,3 +88,28 @@ def test_near_dup_guard_single_source_scan(spark, tmp_path):
     assert plan.count("Scan parquet") == 0  # source consumed at checkpoint time
     assert plan.count("BroadcastExchange") >= 2  # hot-key sets broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_jaccard_ppjoin_branch_plan_shape(spark):
+    """Both dedup_ngram_jaccard branch plans are recorded in PLANS.md
+    (probe pinned); this asserts the PPJoin branch's distinguishing shape:
+    a rarity-ranking Window (df asc, shingle asc prefix order) that the
+    naive branch must NOT have, and the candidate-then-verify double pass
+    over the shingle table (strictly more shingle joins than naive's one
+    self-join). Plans only — identical OUTPUT is pinned separately in
+    tests/test_ppjoin_openvocab.py."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def plan(pf):
+        df = ngram_jaccard_pairs(docs, n=3, threshold=0.6, prefix_filter=pf)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    naive, pp = plan(False), plan(True)
+    assert "Window" not in naive
+    assert "Window" in pp and "row_number" in pp  # rarity prefix rank
+    # candidate generation + verification re-join: more shingle joins
+    assert pp.count("Join") > naive.count("Join")
