@@ -2387,6 +2387,239 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+# --- shared sf probe for the fixture-backed gate queries ---------------------
+
+_WARC_PAGES_MIN = 60
+_WARC_PAGES_MAX = 600
+
+
+def _warc_pages_for_events(n_events: int) -> int:
+    """sf-scaled fixture size, same probe/arithmetic recipe as
+    ``bert_sql.pages_for_events`` (rule 24): 60/180/600 at
+    sf0.001/0.01/0.1. The SQL twins' params CTEs compute the identical
+    expression from the registered ``events`` view."""
+    import math
+
+    return min(
+        _WARC_PAGES_MAX,
+        max(_WARC_PAGES_MIN, _WARC_PAGES_MIN * math.isqrt(max(0, n_events) // 1000)),
+    )
+
+
+# --- watermarked windowed streaming aggregation under the gate ---------------
+
+_SW_BASE_TS = "2024-05-01 00:00:00"
+_SW_DRUGS = ["アスピリン", "イブプロフェン", "ロキソプロフェン"]
+_SW_SYMS = ["腹痛", "めまい", "発疹"]
+
+
+def _sw_schedule(n: int) -> list[tuple[int, int, int, str, str, str]]:
+    """Deterministic 4-batch event-time schedule for the windowed-streaming
+    gate: (i, batch, minute, role, drug, symptom) per row. Every batch ends
+    with a clock-advancer at hour 10b+9; batches b≥2 carry rows stamped two
+    decades back whose 1h windows are provably BELOW the late-data filter
+    watermark (dropped), and batches b≥1 carry two flavors of late-but-
+    within-watermark rows (kept). All margins are multiple hours wide, so
+    no row sits near a boundary.
+
+    Replay model (validated empirically against Spark 4.1's
+    microbatch watermark tracker, and validated structurally by this gate
+    query at three SFs): during batch i the LATE-DATA FILTER uses the
+    watermark committed after batch i−1 — i.e. max event time over batches
+    ≤ i−2 minus the 1h delay — while EVICTION/EMISSION uses max event time
+    over batches ≤ i−1 minus the delay. With availableNow + a final
+    no-data microbatch, the emitted set is exactly: rows whose window end
+    exceeds their batch's filter watermark, aggregated into windows whose
+    end ≤ (global max event time − 1h)."""
+    plan = []
+    for i in range(n):
+        b = i * 4 // n
+        if i == (b + 1) * n // 4 - 1:
+            m, role = 600 * b + 590, "advance"
+        elif b >= 2 and i % 5 == 0:
+            m, role = 600 * (b - 2) + (i % 30), "late_dropped"
+        elif b >= 1 and i % 5 == 1:
+            m, role = 600 * b - 30, "late_kept"
+        elif b >= 1 and i % 5 == 2:
+            m, role = 600 * (b - 1) + 560, "late_kept_prev_decade"
+        else:
+            m, role = 600 * b + (i * 7 % 480), "ontime"
+        plan.append((i, b, m, role, _SW_DRUGS[i % 3], _SW_SYMS[(i // 3) % 3]))
+    # structural invariants the replay model depends on
+    for b in range(4):
+        batch = [p for p in plan if p[1] == b]
+        adv = [p for p in batch if p[3] == "advance"]
+        assert len(adv) == 1 and adv[0][2] == max(p[2] for p in batch)
+    assert any(p[3] == "late_dropped" for p in plan)
+    assert any(p[3] == "late_kept" for p in plan)
+    return plan
+
+
+_STREAM_WT_SEQ = 0
+
+
+def _streaming_windowed_triples(spark, sf):
+    """The watermarked streaming aggregation (``streaming_triples``:
+    row-local pair extraction → withWatermark('1 hour') → 1h windowed
+    count) under the driver gate — a REAL 4-micro-batch Structured
+    Streaming run (mtime-ordered files, maxFilesPerTrigger=1, availableNow)
+    in which specific late rows are provably dropped BY THE WATERMARK:
+    they carry entity pairs and on-time siblings, so if the watermark
+    failed to drop them the window counts (and extra windows) would
+    hash-mismatch the twin. sf-scaled 60/180/600 rows via the events
+    probe. Oracle: the same integer schedule arithmetic + the validated
+    filter/eviction watermark replay (see ``_sw_schedule``) — a
+    window-filter predicate over the same salted late rows, per the r4
+    verdict item 6. Generation-time assertion: the pair-extraction kernels
+    (split → match → canon against the identity dim) map each template to
+    exactly its (drug, symptom) pair."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        build_dim_index,
+        resolve_surfaces_driver,
+    )
+    from bert_namedentityrecognition_spark.oracle.matcher import (
+        automaton_match,
+        build_automaton,
+    )
+    from bert_namedentityrecognition_spark.oracle.textproc import (
+        han_to_zen,
+        preprocess_text,
+        split_sentences,
+    )
+    from bert_namedentityrecognition_spark.streaming.stream_pipeline import (
+        streaming_triples,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    plan = _sw_schedule(n)
+    base_ts = dt.datetime.fromisoformat(_SW_BASE_TS)
+
+    dim_rows = [
+        {"entity_id": f"S{k}", "surface": s, "canonical": s, "code": None,
+         "kind": "symptom", "human_check": None}
+        for k, s in enumerate(_SW_SYMS)
+    ]
+    tt = {**{d: "drug" for d in _SW_DRUGS}, **{s: "symptom" for s in _SW_SYMS}}
+    # pin the kernel→pair mapping for every template the stream carries
+    auto = build_automaton(sorted(tt))
+    idx = build_dim_index(dim_rows)
+    for d in _SW_DRUGS:
+        for s in _SW_SYMS:
+            text = f"{d}を服用した後、{s}が現れた。"
+            (sent,) = split_sentences(preprocess_text(text))
+            assert han_to_zen(sent) == sent, sent
+            matched = {t for _a, _b, t in automaton_match(sent, auto)}
+            assert matched == {d, s}, (sent, matched)
+            rec = resolve_surfaces_driver([(s, "symptom")], dim_rows, 70.0, index=idx)[0]
+            assert rec[2] == s, rec  # identity dim: canon(s) == s
+
+    rows = [
+        (f"u{i:05d}", base_ts + dt.timedelta(minutes=m), None,
+         f"{d}を服用した後、{s}が現れた。", "ja", b)
+        for i, b, m, _role, d, s in plan
+    ]
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, b int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    base = os.path.join(
+        _writable_base(), "var",
+        f"stream_wt_{os.path.basename(os.path.normpath(sf))}",
+    )
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    for bb in range(4):
+        tmp = os.path.join(base, f"tmp{bb}")
+        df.filter(F.col("b") == bb).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"{bb:03d}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_000_000_000 + bb, 1_000_000_000 + bb))
+
+    dim = spark.createDataFrame(
+        dim_rows,
+        "entity_id string, surface string, canonical string, code string, "
+        "kind string, human_check string",
+    )
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    global _STREAM_WT_SEQ
+    _STREAM_WT_SEQ += 1
+    name = f"stream_wt_out_{_STREAM_WT_SEQ}"
+    q = (
+        streaming_triples(stream, dim, tt)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "subj",
+        "obj",
+        F.col("count").cast("long").alias("cnt"),
+    )
+
+
+_STREAM_WT_SQL = f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n
+),
+ids AS (SELECT row_number() OVER () - 1 AS i FROM events),
+sched AS (
+  SELECT i, p.n AS n, (i * 4) // p.n AS b FROM ids, params p WHERE i < p.n
+),
+mins AS (
+  SELECT i, b,
+    CASE WHEN i = ((b + 1) * n) // 4 - 1 THEN 600*b + 590
+         WHEN b >= 2 AND i % 5 = 0 THEN 600*(b-2) + (i % 30)
+         WHEN b >= 1 AND i % 5 = 1 THEN 600*b - 30
+         WHEN b >= 1 AND i % 5 = 2 THEN 600*(b-1) + 560
+         ELSE 600*b + (i*7) % 480 END AS m
+  FROM sched
+),
+rowsx AS (
+  SELECT i, b, (m // 60) * 60 AS ws, (m // 60) * 60 + 60 AS we FROM mins
+),
+kept AS (
+  -- late-data filter: window end <= (max event time over batches <= b-2)
+  -- minus the 1h delay  =>  dropped; emission: window end <= global max
+  -- event time (600*3+590) minus the delay
+  SELECT * FROM rowsx
+  WHERE NOT (b >= 2 AND we <= 600*(b-2) + 530)
+    AND we <= 600*3 + 530
+)
+SELECT TIMESTAMP '{_SW_BASE_TS}' + to_minutes(CAST(ws AS BIGINT)) AS w_start,
+       TIMESTAMP '{_SW_BASE_TS}' + to_minutes(CAST(we AS BIGINT)) AS w_end,
+       ['アスピリン','イブプロフェン','ロキソプロフェン'][(i % 3) + 1] AS subj,
+       ['腹痛','めまい','発疹'][((i // 3) % 3) + 1] AS obj,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM kept
+GROUP BY ws, we, (i % 3), ((i // 3) % 3)
+"""
+
+
 # --- alias canonicalization under the gate (§2.8/SCALE.md CC) ----------------
 
 
@@ -2449,22 +2682,6 @@ FROM walk GROUP BY node
 
 
 # --- WARC raw-source ingest under the gate (§2.1) ----------------------------
-
-_WARC_PAGES_MIN = 60
-_WARC_PAGES_MAX = 600
-
-
-def _warc_pages_for_events(n_events: int) -> int:
-    """sf-scaled WARC fixture size, same probe/arithmetic recipe as
-    ``bert_sql.pages_for_events`` (rule 24): 60/180/600 pages at
-    sf0.001/0.01/0.1. The SQL twin's params CTE computes the identical
-    expression from the registered ``events`` view."""
-    import math
-
-    return min(
-        _WARC_PAGES_MAX,
-        max(_WARC_PAGES_MIN, _WARC_PAGES_MIN * math.isqrt(max(0, n_events) // 1000)),
-    )
 
 
 def _warc_ingest_mentions(spark, sf):
@@ -2859,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_model_mentions": _ner_model_mentions,
         "warc_ingest_mentions": _warc_ingest_mentions,
         "kg_alias_components": _kg_alias_components,
+        "streaming_windowed_triples": _streaming_windowed_triples,
     }
 
 
@@ -2929,4 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
+        # real 4-micro-batch run; late rows dropped by the WATERMARK, the
+        # twin replays the validated filter/eviction model (see _sw_schedule)
+        "streaming_windowed_triples": _STREAM_WT_SQL,
     }
