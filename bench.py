@@ -1,21 +1,29 @@
 """Benchmark harness.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS], then the KG-pipeline throughput scaling check at
-two parallelism levels (local[N] vs local[4N] — the sandbox stand-in for N vs
-4N executors per BASELINE.md). Prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS] in TWO time-separated windows (r4 VERDICT #4 —
+the host's multi-minute burst windows shift every wall 5-16% in lockstep, so
+one window cannot distinguish drift from regression; the scaling/ner/skew
+sections run between the windows), then the KG-pipeline throughput scaling
+check at two parallelism levels (local[N] vs local[4N] — the sandbox
+stand-in for N vs 4N executors per BASELINE.md).
 
-    {"metric": ..., "value": <total headline sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...,
+Prints ONE COMPACT JSON line (<1900 chars — the recording driver keeps only
+a ~2000-char stdout tail; r3/r4 printed longer lines and their BENCH
+artifacts landed unparsed):
+
+    {"metric": ..., "value": <total headline sec, per-query min-of-windows>,
+     "unit": "sec", "queries": {name: sec, ...}, "sf": ...,
+     "headline_window_totals": [w1, w2],
      "kg_scaling": {"cores_low": N, "cores_high": 4N,
-                    "triples_per_sec_low": ..., "triples_per_sec_high": ...,
-                    "pages_per_sec_low": ..., "pages_per_sec_high": ...,
-                    "scaling_efficiency": ...}}
+                    "scaling_efficiency": ..., ...},
+     "full_artifact": "BENCH_FULL.json"}
 
-Also recorded: per-query trial lists ("query_trials" — sub-2s queries run
-min-of-3, the rest min-of-2) and a second scaling pair "kg_scaling_cross"
-(local[2] vs local[8]) with its own host probe, so the artifact of record
-carries both the gate pair and the cross-check.
+The FULL result — per-window per-query trial lists ("query_trials" — sub-2s
+queries run min-of-3, the rest min-of-2), the cross scaling pair local[2] vs
+local[8] with its own host probe, skew reducer splits, ppjoin walls — is
+written to BENCH_FULL.json at the repo root (checked in per round; var/ is
+wiped between rounds, which is how the r3/r4 full histories were lost).
 
 Further recorded sections: "ner_numpy" / "ner_numpy_wordpiece" (real-model
 inference pages/s), "skew" (walls + deterministic reducer split), and
@@ -589,15 +597,19 @@ def main():
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    timings, query_trials = run_headline(sf_dir, cores)
-    total = round(sum(timings.values()), 3)
+    # headline window 1 of 2 (r4 VERDICT #4): the host shows multi-minute
+    # burst windows that shift every per-query wall 5-16% in lockstep with
+    # UNCHANGED plans; a single window cannot distinguish host drift from a
+    # plan regression. Window 2 runs at the END of main() — the scaling /
+    # ner / skew / ppjoin sections between them (~20-40 min) guarantee the
+    # two samples sit in different host windows. The headline figure of
+    # record ("queries"/"value") is the per-query min across both windows.
+    t_w1 = time.time()
+    timings_w1, trials_w1 = run_headline(sf_dir, cores)
 
     result = {
         "metric": "headline_queries_total",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
-        "query_trials": query_trials,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
     }
@@ -643,7 +655,100 @@ def main():
     if os.environ.get("KG_BENCH_SKIP_PPJOIN", "0") != "1":
         result["ppjoin_openvocab"] = run_ppjoin_bench(cores)
 
-    print(json.dumps(result))
+    # headline window 2 of 2 (see comment at window 1). Skippable for quick
+    # iteration runs; the figure of record then degrades to one window.
+    if os.environ.get("KG_BENCH_SKIP_HEADLINE_W2", "0") != "1":
+        t_w2 = time.time()
+        timings_w2, trials_w2 = run_headline(sf_dir, cores)
+    else:
+        t_w2, timings_w2, trials_w2 = None, {}, {}
+
+    timings = {
+        q: min(v for v in (timings_w1.get(q), timings_w2.get(q)) if v is not None)
+        for q in timings_w1
+    }
+    result["value"] = round(sum(timings.values()), 3)
+    result["queries"] = timings
+    # full per-window evidence: totals, per-query mins, raw trial lists and
+    # the wall-clock separation between the two samples
+    result["headline_windows"] = [
+        w
+        for w in (
+            {
+                "window": 1,
+                "total": round(sum(timings_w1.values()), 3),
+                "queries": timings_w1,
+                "query_trials": trials_w1,
+            },
+            {
+                "window": 2,
+                "total": round(sum(timings_w2.values()), 3),
+                "queries": timings_w2,
+                "query_trials": trials_w2,
+                "minutes_after_window1": round((t_w2 - t_w1) / 60.0, 1)
+                if t_w2
+                else None,
+            }
+            if timings_w2
+            else None,
+        )
+        if w
+    ]
+    # back-compat: older artifacts carried one flat trial list
+    result["query_trials"] = {
+        q: trials_w1.get(q, []) + trials_w2.get(q, []) for q in timings_w1
+    }
+
+    # Full evidence goes to a FILE; stdout gets a compact line. The driver
+    # that records BENCH_r{N}.json keeps only the last ~2000 chars of
+    # stdout and json-parses that: rounds 3 and 4 printed one JSON line
+    # >2000 chars and both artifacts landed with parsed=null — the full
+    # sections (trial lists, per-window probes) were lost when var/ was
+    # wiped between rounds. BENCH_FULL.json is checked in per round so the
+    # complete history survives.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "cores": cores,
+        "headline_window_totals": [
+            w["total"] for w in result["headline_windows"]
+        ],
+        "full_artifact": "BENCH_FULL.json",
+    }
+    _SCALING_KEYS = (
+        "cores_low", "cores_high", "n_pages", "wall_sec_low", "wall_sec_high",
+        "speedup", "scaling_efficiency", "host_cpu_factor",
+        "scaling_efficiency_host_normalized",
+    )
+    for sec in ("kg_scaling", "kg_scaling_cross"):
+        if sec in result:
+            compact[sec] = {
+                k: result[sec][k] for k in _SCALING_KEYS if k in result[sec]
+            }
+    for sec in ("ner_numpy", "ner_numpy_wordpiece"):
+        if sec in result:
+            compact[sec + "_pages_per_sec"] = result[sec]["pages_per_sec"]
+    if "skew" in result:
+        compact["skew_max_share"] = {
+            "plain": result["skew"]["reducer_split_plain"]["max_share"],
+            "salted": result["skew"]["reducer_split_salted"]["max_share"],
+        }
+    if "ppjoin_openvocab" in result:
+        compact["ppjoin_speedup"] = result["ppjoin_openvocab"]["ppjoin_speedup"]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard budget: the driver's stdout tail is 2000
+        for k in ("skew_max_share", "kg_scaling_cross", "queries"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":
