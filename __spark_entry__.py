@@ -2860,6 +2860,134 @@ WHERE p.lang = 'cjk'
 """
 
 
+def _xml_articles_roundtrip(spark, sf):
+    """§2.2 sink + §2.1 scan under one gate: the deterministic articles
+    corpus is pushed through the REAL ``write_articles_xml`` sink
+    (partitioned — multiple XML part files) and read back with the REAL
+    ``read_articles_xml`` scan; the gate compares the ROUNDTRIPPED header
+    fields and body md5 (plus JVM-side length-replace term counts over
+    the roundtripped text) against the ground-truth strings inlined in
+    the SQL twin. What the hash pins: attr-value escaping (``& " <`` in
+    the ``src`` header), raw-body markup passthrough (``<adr>…</adr>``),
+    and the documented truncation-at-``</article>`` quirk shared with the
+    reference (``util/xml_parser.py:23-96,247-266`` — mismatched bodies
+    drop their tail). sf-scaled 60/180/600 articles via the events probe.
+    """
+    import os
+    import shutil
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.readers import (
+        read_articles_xml,
+        write_articles_xml,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    rows = fixtures.generate_articles_corpus(n)
+    d = os.path.join(_writable_base(), "var", f"articles_fixture_{n}")
+    shutil.rmtree(d, ignore_errors=True)  # stale parts would duplicate rows
+    src = spark.createDataFrame(
+        [(r["article_id"], r["headers"], r["text_in"]) for r in rows],
+        "article_id string, headers map<string,string>, text string",
+    )
+    write_articles_xml(src.repartition(4), d)
+    arts = read_articles_xml(spark, d)
+    terms = spark.createDataFrame(
+        sorted(fixtures.ARTICLE_TERM_TYPES.items()), "term string, kind string"
+    )
+    return (
+        arts.select(
+            "article_id",
+            F.col("headers")["src"].alias("src"),
+            F.col("headers")["year"].cast("long").alias("year"),
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+            "text",
+        )
+        .crossJoin(F.broadcast(terms))
+        .withColumn(
+            "n",
+            (
+                (F.length("text") - F.length(F.replace("text", "term")))
+                / F.length("term")
+            ).cast("long"),
+        )
+        .filter(F.col("n") > 0)
+        .drop("text")
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _xml_articles_sql() -> str:
+    """SQL twin of ``_xml_articles_roundtrip``, built from the GROUND-TRUTH
+    corpus (``text_out`` — the expected post-roundtrip body), never from
+    the scan's output. Generation-time assertion (rule 14): a pure-Python
+    replay of the sink's exact formatting (sorted attrs, saxutils escape
+    with the ``"``→``&quot;`` extra) concatenated across articles and
+    re-parsed with the PRODUCTION scan regexes (``_ARTICLE_RE`` /
+    ``_ATTR_RE`` + the same ``_unescape`` call) must reproduce every
+    article's id, full header map, and ``text_out`` — including the
+    truncation-quirk articles — so the inlined strings are pinned to the
+    real kernels, loudly, at twin-build time."""
+    from xml.sax.saxutils import escape
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.readers import (
+        _ARTICLE_RE,
+        _ATTR_RE,
+        _unescape,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = fixtures.generate_articles_corpus(_WARC_PAGES_MAX)
+    rendered = "\n".join(
+        "<article{}>{}</article>".format(
+            "".join(
+                ' {}="{}"'.format(k, escape(str(v), {'"': "&quot;"}))
+                for k, v in sorted(r["headers"].items())
+            ),
+            r["text_in"],
+        )
+        for r in rows
+    )
+    parsed = []
+    for m in _ARTICLE_RE.finditer(rendered):
+        headers = {
+            k: _unescape(v, {"&quot;": '"'}) for k, v in _ATTR_RE.findall(m.group(1))
+        }
+        parsed.append((headers.get("id"), headers, m.group(2).strip()))
+    assert parsed == [
+        (r["article_id"], r["headers"], r["text_out"]) for r in rows
+    ], "sink→scan replay diverged from ground truth"
+
+    arts_sql = ", ".join(
+        f"({q(r['article_id'])}, {q(r['headers']['src'])}, "
+        f"{int(r['headers']['year'])}, {q(r['text_out'])})"
+        for r in rows
+    )
+    terms_sql = ", ".join(
+        f"({q(t)}, {q(k)})" for t, k in sorted(fixtures.ARTICLE_TERM_TYPES.items())
+    )
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n_articles
+),
+arts_all(article_id, src, year, text) AS (VALUES {arts_sql}),
+arts AS (
+  SELECT article_id, src, year, text FROM arts_all, params
+  WHERE CAST(substring(article_id, 2) AS INT) < params.n_articles
+)
+SELECT a.article_id, a.src, CAST(a.year AS BIGINT) AS year,
+  md5(a.text) AS text_md5, t.term, t.kind,
+  CAST((length(a.text) - length(replace(a.text, t.term, ''))) / length(t.term) AS BIGINT) AS n
+FROM arts a CROSS JOIN (VALUES {terms_sql}) AS t(term, kind)
+WHERE length(a.text) - length(replace(a.text, t.term, '')) > 0
+"""
+
+
 def _span_match_scores(spark, sf):
     """Span-match taxonomy (util/xlarge.py semantics) distributed: gold =
     full dictionary, pred = dictionary minus one term → per-sentence scores."""
@@ -3102,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "ner_model_mentions": _ner_model_mentions,
         "warc_ingest_mentions": _warc_ingest_mentions,
+        "xml_articles_roundtrip": _xml_articles_roundtrip,
         "kg_alias_components": _kg_alias_components,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
@@ -3173,6 +3302,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),
+        "xml_articles_roundtrip": _xml_articles_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)

@@ -369,3 +369,73 @@ def write_warc_fixture(base_dir: str, n_pages: int, segment_pages: int = 50) -> 
         with open(path, "wb") as f:
             f.write(data)
     return base_dir
+
+
+ARTICLE_TERM_TYPES = WARC_TERM_TYPES  # same closed, non-overlapping vocab
+
+
+def generate_articles_corpus(n_articles: int, seed: int = 11) -> list[dict]:
+    """Ground-truth corpus for the XML sink→scan roundtrip gate query
+    (``xml_articles_roundtrip``): per article the header map HANDED TO the
+    sink (``headers``), the body text handed to the sink (``text_in``),
+    and the EXPECTED values after ``write_articles_xml`` →
+    ``read_articles_xml`` (``text_out`` — equal to ``text_in`` except for
+    the documented truncation quirk below). Prefix-stable like
+    ``generate_warc_corpus``: article i depends only on draws < i.
+
+    Exercises the format's edge semantics on a deterministic cadence:
+
+    - attr-value escaping (``&``, ``"``, ``<`` in the ``src`` header —
+      `readers.py:write_articles_xml` escapes, the scan's ``_unescape``
+      inverts);
+    - RAW body roundtrip: inline NER-style markup (``<adr>…</adr>``)
+      passes through unescaped — the payload of the reference's format
+      (``util/xml_parser.py:247-266``);
+    - the shared truncation quirk: a body containing a literal
+      ``</article>`` truncates at it on re-read (reference's
+      ``check_xml_structure`` likewise drops the tail); ``text_out`` is
+      the truncated-and-stripped prefix, and the discarded tail never
+      contains ``<article`` so no phantom article appears.
+
+    Every article carries ≥1 vocabulary term INSIDE ``text_out`` (asserted
+    here), so every article's md5/headers row is actually compared by the
+    gate; terms never overlap, so length-replace counting equals greedy
+    matching.
+    """
+    rng = random.Random(seed)
+    drugs, syms = WARC_DRUGS, WARC_SYMS
+    rows: list[dict] = []
+    for i in range(n_articles):
+        aid = f"a{i:05d}"
+        src = (
+            f'journal "{i % 7}" & <eds>' if i % 4 == 1 else f"journal {i % 7}"
+        )
+        headers = {"id": aid, "src": src, "year": str(2000 + i % 20)}
+        sents = []
+        for j in range(rng.randint(1, 3)):
+            d, s = rng.choice(drugs), rng.choice(syms)
+            t = rng.randrange(3)
+            if t == 0:
+                sents.append(f"{d}を服用した後、{s}が現れた。")
+            elif t == 1:
+                sents.append(f"{s}のため<adr>{d}</adr>の投与を中止した。")
+            else:
+                sents.append(f"{d}と{rng.choice(drugs)}を併用し、{s}を認めた。")
+        text_in = "\n".join(sents)
+        if i % 37 == 17:
+            text_out = text_in  # prefix survives, tail is truncated
+            text_in = text_in + "</article>切断された残り。"
+        else:
+            text_out = text_in
+        assert any(t in text_out for t in ARTICLE_TERM_TYPES), aid
+        assert "<article" not in text_in
+        assert text_out == text_out.strip()
+        rows.append(
+            {
+                "article_id": aid,
+                "headers": headers,
+                "text_in": text_in,
+                "text_out": text_out,
+            }
+        )
+    return rows
