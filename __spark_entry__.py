@@ -2988,6 +2988,118 @@ WHERE length(a.text) - length(replace(a.text, t.term, '')) > 0
 """
 
 
+def _meddra_two_hop(spark, sf):
+    """§2.1 MedDRA SQLite scan + §2.8 LLT→PT two-hop join under the gate:
+    a real SQLite file (``llt``/``pt`` tables, sf-scaled 60/180/600 LLT
+    rows via the events probe, fixed 200-row PT vocabulary) is scanned
+    with ``sqlite_query_df`` (the connect/execute kernel
+    ``dim_from_sqlite`` layers on), pre-joined into one dimension by
+    ``two_hop_dim`` (left join + ``coalesce(pt_name, surface)`` fallback
+    for dangling pt_codes + VALUE-deterministic surface dedup — the
+    ``dropDuplicates`` row-order pick was replaced by the
+    ``_dedup_dimn``-style window this round), then broadcast-equi-joined
+    against a 4n-row arithmetic mention stream and counted. The fixture
+    has no rng — pure integer arithmetic — so the SQL twin replays
+    generation, hop, dedup, and counting exactly. Ref: reference two-hop
+    is ``knowledge_bases/meddra.py`` (LLT→PT via SQLite); collision and
+    dangling-PT cadences are asserted present at fixture-build time."""
+    import os
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.dims import (
+        sqlite_query_df,
+        two_hop_dim,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    db = os.path.join(_writable_base(), "var", f"meddra_{n}.sqlite")
+    fixtures.write_meddra_sqlite(db, n)
+    llt = sqlite_query_df(
+        spark, db, "SELECT llt_code, surface, pt_code FROM llt",
+        "llt_code long, surface string, pt_code long",
+    )
+    pt = sqlite_query_df(
+        spark, db, "SELECT pt_code, pt_name FROM pt",
+        "pt_code long, pt_name string",
+    )
+    dim = two_hop_dim(llt, pt).select("entity_id", "surface", "canonical", "code")
+    mentions = spark.range(0, 4 * n).select(
+        (F.lit(80000000) + (F.col("id") * 7 + 3) % n).alias("llt_code")
+    )
+    surf = mentions.join(
+        F.broadcast(llt.select("llt_code", "surface")), "llt_code"
+    ).select("surface")
+    return (
+        surf.join(F.broadcast(dim), "surface")
+        .groupBy("surface", "entity_id", "canonical", "code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _meddra_two_hop_sql() -> str:
+    """SQL twin of ``_meddra_two_hop``: inlines the GROUND-TRUTH fixture
+    tables (generated by the same arithmetic — asserted equal to
+    ``generate_meddra_fixture`` row-for-row at twin-build time), filters
+    LLT by the events-probe params CTE, and replays the hop (left join +
+    coalesce), the value-deterministic dedup (row_number over the same
+    (canonical, entity_id, code) ordering — no nulls in any ordering
+    column by construction), and the 4n arithmetic mention stream."""
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    fx = fixtures.generate_meddra_fixture(_WARC_PAGES_MAX)
+    # assert the inlined VALUES really are the generator's output shape
+    for i, (code, surface, ptc) in enumerate(fx["llt"]):
+        assert code == 80000000 + i
+        if i % 11 == 5 and i > 0:
+            assert surface == fx["llt"][i - 1][1]
+        if i % 7 == 3:
+            assert ptc == 99990000 + i
+        else:
+            assert ptc == 90000 + (i * 13 % fixtures.MEDDRA_PT_MOD)
+
+    llt_sql = ", ".join(
+        f"({i}, {code}, {q(surface)}, {ptc})"
+        for i, (code, surface, ptc) in enumerate(fx["llt"])
+    )
+    pt_sql = ", ".join(f"({c}, {q(nm)})" for c, nm in fx["pt"])
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n_llt
+),
+llt_all(idx, llt_code, surface, pt_code) AS (VALUES {llt_sql}),
+pt(pt_code, pt_name) AS (VALUES {pt_sql}),
+llt AS (SELECT idx, llt_code, surface, pt_code FROM llt_all, params WHERE idx < params.n_llt),
+hop AS (
+  SELECT CAST(l.llt_code AS VARCHAR) AS entity_id, l.surface,
+         coalesce(p.pt_name, l.surface) AS canonical,
+         CAST(l.pt_code AS VARCHAR) AS code
+  FROM llt l LEFT JOIN pt p ON l.pt_code = p.pt_code
+),
+dim AS (
+  SELECT entity_id, surface, canonical, code FROM (
+    SELECT h.*, row_number() OVER (
+      PARTITION BY surface ORDER BY canonical, entity_id, code) AS rn
+    FROM hop h) WHERE rn = 1
+),
+mentions AS (
+  SELECT l.surface
+  FROM range(0, {4 * _WARC_PAGES_MAX}) AS t(j)
+  JOIN params ON t.j < 4 * params.n_llt
+  JOIN llt_all l ON l.idx = (t.j * 7 + 3) % params.n_llt
+)
+SELECT d.surface, d.entity_id, d.canonical, d.code,
+  CAST(count(*) AS BIGINT) AS n
+FROM mentions m JOIN dim d ON d.surface = m.surface
+GROUP BY d.surface, d.entity_id, d.canonical, d.code
+"""
+
+
 def _span_match_scores(spark, sf):
     """Span-match taxonomy (util/xlarge.py semantics) distributed: gold =
     full dictionary, pred = dictionary minus one term → per-sentence scores."""
@@ -3231,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_model_mentions": _ner_model_mentions,
         "warc_ingest_mentions": _warc_ingest_mentions,
         "xml_articles_roundtrip": _xml_articles_roundtrip,
+        "meddra_two_hop_normalize": _meddra_two_hop,
         "kg_alias_components": _kg_alias_components,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
@@ -3303,6 +3416,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),
         "xml_articles_roundtrip": _xml_articles_sql(),
+        "meddra_two_hop_normalize": _meddra_two_hop_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)

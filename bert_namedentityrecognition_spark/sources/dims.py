@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import sqlite3
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DIM_SCHEMA = (
@@ -46,8 +46,6 @@ def dim_from_csv(
     ids for the same surface — silently mismatching every artifact keyed
     on entity_id across runs. Duplicate surfaces keep the
     value-deterministic min (canonical, code) row, not an arbitrary one."""
-    from pyspark.sql import Window
-
     df = spark.read.option("header", "true").csv(path)
     out = df.select(
         F.concat(
@@ -94,24 +92,48 @@ def dim_from_sqlite(
     return spark.createDataFrame(rows, DIM_SCHEMA) if rows else spark.createDataFrame([], DIM_SCHEMA)
 
 
+def sqlite_query_df(
+    spark: SparkSession, path: str, query: str, schema: str
+) -> DataFrame:
+    """Generic SQLite scan: stdlib sqlite3 export → DataFrame with an
+    explicit schema. Driver-side by design — SQLite dims are small
+    (MedDRA ~80k LLT rows); at scale the same query goes through
+    ``spark.read.jdbc`` or a pre-exported parquet/Iceberg table.
+    ``dim_from_sqlite`` layers the entity-dim projection/coercion on top
+    of the same connect/execute kernel."""
+    with sqlite3.connect(path) as con:
+        rows = [tuple(r) for r in con.execute(query).fetchall()]
+    return spark.createDataFrame(rows, schema)
+
+
 def two_hop_dim(llt: DataFrame, pt: DataFrame) -> DataFrame:
     """Pre-join the two-step canonical hop (surface→LLT→PT) into one
     dimension: the runtime then needs a single broadcast equi-join.
 
     llt(llt_code, surface, pt_code), pt(pt_code, pt_name) →
     entity_dim rows with canonical = pt_name, code = pt_code.
-    """
+
+    Surface collisions (two LLTs sharing a surface) are resolved
+    VALUE-deterministically — min (canonical, entity_id, code), nulls
+    last, same ordering as ``normalize._dedup_dimn`` — not by
+    ``dropDuplicates`` row order, which is not stable distributed."""
+    joined = llt.join(F.broadcast(pt), "pt_code", "left").select(
+        F.col("llt_code").cast("string").alias("entity_id"),
+        F.col("surface"),
+        F.coalesce(F.col("pt_name"), F.col("surface")).alias("canonical"),
+        F.col("pt_code").cast("string").alias("code"),
+        F.lit("symptom").alias("kind"),
+        F.lit(None).cast("string").alias("human_check"),
+    )
+    w = Window.partitionBy("surface").orderBy(
+        F.col("canonical").asc_nulls_last(),
+        F.col("entity_id").asc_nulls_last(),
+        F.col("code").asc_nulls_last(),
+    )
     return (
-        llt.join(F.broadcast(pt), "pt_code", "left")
-        .select(
-            F.col("llt_code").cast("string").alias("entity_id"),
-            F.col("surface"),
-            F.coalesce(F.col("pt_name"), F.col("surface")).alias("canonical"),
-            F.col("pt_code").cast("string").alias("code"),
-            F.lit("symptom").alias("kind"),
-            F.lit(None).cast("string").alias("human_check"),
-        )
-        .dropDuplicates(["surface"])
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

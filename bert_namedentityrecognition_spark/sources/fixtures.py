@@ -439,3 +439,57 @@ def generate_articles_corpus(n_articles: int, seed: int = 11) -> list[dict]:
             }
         )
     return rows
+
+
+MEDDRA_PT_MOD = 200  # fixed PT vocabulary size (independent of n: prefix-stable)
+
+
+def generate_meddra_fixture(n_llt: int) -> dict:
+    """Ground-truth MedDRA-shaped fixture for the SQLite two-hop gate
+    (``meddra_two_hop_normalize``): pure integer arithmetic, no rng, so
+    the SQL twin replays it exactly and prefix-stability is trivial.
+
+    - ``pt``: the FULL fixed 200-row PT vocabulary (always all rows — the
+      PT table is a closed dimension, only LLT scales with sf);
+    - ``llt``: n rows; every ``i % 11 == 5`` row REUSES row i−1's surface
+      under a different llt_code (exercises the value-deterministic
+      surface dedup in ``two_hop_dim``); every ``i % 7 == 3`` row points
+      at a pt_code absent from ``pt`` (exercises the left-join
+      ``coalesce(pt_name, surface)`` fallback);
+    - ``mentions``: 4n rows, mention j's surface is llt row
+      ``(7j+3) mod n``'s.
+    """
+    pt = [(90000 + k, f"標準症状{k:03d}") for k in range(MEDDRA_PT_MOD)]
+    llt = []
+    for i in range(n_llt):
+        if i % 11 == 5 and i > 0:
+            surface = llt[i - 1][1]
+        else:
+            surface = f"症状{i:04d}の痛み"
+        ptc = 99990000 + i if i % 7 == 3 else 90000 + (i * 13 % MEDDRA_PT_MOD)
+        llt.append((80000000 + i, surface, ptc))
+    assert any(i % 11 == 5 for i in range(n_llt)), n_llt
+    assert any(i % 7 == 3 for i in range(n_llt)), n_llt
+    mentions = [(j, llt[(j * 7 + 3) % n_llt][1]) for j in range(4 * n_llt)]
+    return {"llt": llt, "pt": pt, "mentions": mentions}
+
+
+def write_meddra_sqlite(path: str, n_llt: int) -> str:
+    """Materialize the fixture as a real SQLite file (the §2.1 MedDRA
+    source shape: ``llt(llt_code, surface, pt_code)``, ``pt(pt_code,
+    pt_name)``). Recreated on every call — stale DBs from another n would
+    change the scan."""
+    import os
+    import sqlite3
+
+    fx = generate_meddra_fixture(n_llt)
+    if os.path.exists(path):
+        os.remove(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with sqlite3.connect(path) as con:
+        con.execute("CREATE TABLE llt (llt_code INTEGER, surface TEXT, pt_code INTEGER)")
+        con.execute("CREATE TABLE pt (pt_code INTEGER, pt_name TEXT)")
+        con.executemany("INSERT INTO llt VALUES (?,?,?)", fx["llt"])
+        con.executemany("INSERT INTO pt VALUES (?,?)", fx["pt"])
+        con.commit()
+    return path
