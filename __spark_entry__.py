@@ -2988,6 +2988,99 @@ WHERE length(a.text) - length(replace(a.text, t.term, '')) > 0
 """
 
 
+def _conll_roundtrip(spark, sf):
+    """§2.2 IOB sink + §2.1 CoNLL scan under one gate: the deterministic
+    sentence corpus (sf-scaled 60/180/600 via the events probe) is pushed
+    through the REAL ``write_conll`` sink (repartitioned — multiple text
+    parts, blank-line sentence framing) and read back with the REAL
+    ``read_conll`` scan; per-sentence (tokens, tags, counts) are compared
+    against the ground truth inlined in the SQL twin. Sentences are
+    unique by construction, so the set comparison is immune to the
+    sink's partition-order nondeterminism while still catching any
+    framing corruption (a lost blank line merges sentences and changes
+    every joined string). Ref: ``util/xml_parser.py:186-214`` (sink
+    shape), reference CoNLL readers in ``BERT/dataset_utils.py``."""
+    import os
+    import shutil
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.readers import (
+        read_conll,
+        write_conll,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    rows = fixtures.generate_conll_sentences(n)
+    d = os.path.join(_writable_base(), "var", f"conll_fixture_{n}")
+    shutil.rmtree(d, ignore_errors=True)
+    src = spark.createDataFrame(
+        [(r["tokens"], r["tags"]) for r in rows],
+        "tokens array<string>, tags array<string>",
+    )
+    write_conll(src.repartition(4), d)
+    back = read_conll(spark, d)
+    return back.select(
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+        F.concat_ws(" ", "tags").alias("tags_str"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter("tags", lambda t: t.startswith("B-"))
+        ).cast("long").alias("n_entities"),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _conll_roundtrip_sql() -> str:
+    """SQL twin of ``_conll_roundtrip``: inlines the ground-truth joined
+    strings, recomputing the counts in SQL from the tag string.
+    Generation-time assertion (rule 14): a pure-Python replay of the
+    sink's exact block formatting (token\\ttag rows, blank-line sentence
+    breaks) re-parsed with the scan's exact splitting
+    (\\n\\n → \\n → \\t, 'O' default for tagless rows) must reproduce
+    every sentence — the format contract is pinned at twin-build time."""
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = fixtures.generate_conll_sentences(_WARC_PAGES_MAX)
+    rendered = "\n\n".join(
+        "\n".join(f"{t}\t{g}" for t, g in zip(r["tokens"], r["tags"]))
+        for r in rows
+    )
+    parsed = []
+    for block in rendered.split("\n\n"):
+        rr = [x.split("\t") for x in block.split("\n") if x != ""]
+        if not rr:
+            continue
+        parsed.append(
+            ([x[0] for x in rr], [x[1] if len(x) > 1 else "O" for x in rr])
+        )
+    assert parsed == [(r["tokens"], r["tags"]) for r in rows], (
+        "sink→scan CoNLL replay diverged from ground truth"
+    )
+
+    sents_sql = ", ".join(
+        f"({i}, {q(' '.join(r['tokens']))}, {q(' '.join(r['tags']))})"
+        for i, r in enumerate(rows)
+    )
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n_sents
+),
+sents_all(idx, tokens_str, tags_str) AS (VALUES {sents_sql}),
+sents AS (
+  SELECT tokens_str, tags_str FROM sents_all, params WHERE idx < params.n_sents
+)
+SELECT tokens_str, tags_str,
+  CAST(len(string_split(tokens_str, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(string_split(tags_str, ' '), t -> t LIKE 'B-%')) AS BIGINT) AS n_entities
+FROM sents
+"""
+
+
 def _meddra_two_hop(spark, sf):
     """§2.1 MedDRA SQLite scan + §2.8 LLT→PT two-hop join under the gate:
     a real SQLite file (``llt``/``pt`` tables, sf-scaled 60/180/600 LLT
@@ -3344,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_mentions": _warc_ingest_mentions,
         "xml_articles_roundtrip": _xml_articles_roundtrip,
         "meddra_two_hop_normalize": _meddra_two_hop,
+        "conll_roundtrip": _conll_roundtrip,
         "kg_alias_components": _kg_alias_components,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
@@ -3417,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest_mentions": _warc_ingest_sql(),
         "xml_articles_roundtrip": _xml_articles_sql(),
         "meddra_two_hop_normalize": _meddra_two_hop_sql(),
+        "conll_roundtrip": _conll_roundtrip_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)

@@ -493,3 +493,23 @@ def write_meddra_sqlite(path: str, n_llt: int) -> str:
         con.executemany("INSERT INTO pt VALUES (?,?)", fx["pt"])
         con.commit()
     return path
+
+
+def generate_conll_sentences(n_sents: int) -> list[dict]:
+    """Ground-truth sentences for the CoNLL sink→scan roundtrip gate
+    (``conll_roundtrip``): pure arithmetic (no rng, prefix-stable by
+    construction). Every sentence is unique (tokens embed the index), so
+    set-comparison survives the sink's partition-order nondeterminism;
+    tokens avoid tab/newline/space (the format's delimiters). Tags cycle
+    O → B-{C,D} → I-{C,D} on an index-shifted cadence so every sentence
+    mixes entity and O tokens and both tag families appear."""
+    rows = []
+    for i in range(n_sents):
+        fam = "C" if i % 2 else "D"
+        tokens, tags = [], []
+        for k in range(3 + i % 5):
+            r = (i + k) % 3
+            tokens.append(f"語{i:04d}_{k}")
+            tags.append("O" if r == 0 else (f"B-{fam}" if r == 1 else f"I-{fam}"))
+        rows.append({"tokens": tokens, "tags": tags})
+    return rows
