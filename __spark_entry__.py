@@ -2988,6 +2988,87 @@ WHERE length(a.text) - length(replace(a.text, t.term, '')) > 0
 """
 
 
+def _oici_excel_normalize(spark, sf):
+    """§2.1 Excel scan under the gate: a REAL OOXML spreadsheet
+    (sf-scaled 60/180/600 rows via the events probe; header + every
+    third word through the sharedStrings table, the rest inline strings;
+    ``human_check`` cells MISSING on the i%5==2 cadence) is written with
+    stdlib zipfile, scanned by ``dim_from_excel`` (pandas engine when
+    present, else the stdlib zip+XML ``read_xlsx_rows`` — this container
+    has no engine, so the fallback is the executing path), and
+    broadcast-joined against a 4n arithmetic mention stream (the OICI
+    exact-lookup normalize shape, ``knowledge_bases/OICI_database.py``).
+    Twin build asserts ``read_xlsx_rows`` — the actual production parser,
+    pure Python — reproduces the ground-truth rows byte-for-byte."""
+    import os
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.dims import dim_from_excel
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    p = os.path.join(_writable_base(), "var", f"oici_fixture_{n}.xlsx")
+    fixtures.write_oici_xlsx(p, n)
+    dim = dim_from_excel(spark, p).select("entity_id", "surface", "canonical")
+    mentions = spark.range(0, 4 * n).select(
+        F.format_string("症状%04d漢", (F.col("id") * 7 + 3) % n).alias("surface")
+    )
+    return (
+        mentions.join(F.broadcast(dim), "surface")
+        .groupBy("surface", "entity_id", "canonical")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _oici_excel_sql() -> str:
+    """SQL twin of ``_oici_excel_normalize``: the ground-truth rows are
+    REGENERATED (same arithmetic) and — the rule-14 pin — re-read from a
+    freshly materialized xlsx with the production ``read_xlsx_rows``
+    parser and asserted identical before being inlined."""
+    import os
+    import tempfile
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.dims import read_xlsx_rows
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = fixtures.oici_excel_rows(_WARC_PAGES_MAX)
+    p = os.path.join(tempfile.mkdtemp(), "oici_twin_check.xlsx")
+    fixtures.write_oici_xlsx(p, _WARC_PAGES_MAX)
+    assert read_xlsx_rows(p) == rows, (
+        "production xlsx parser diverged from ground truth"
+    )
+
+    dim_sql = ", ".join(
+        f"({i}, {q(r['word'])}, "
+        + ("NULL" if r["human_check"] is None else q(r["human_check"]))
+        + ")"
+        for i, r in enumerate(rows)
+    )
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n_rows
+),
+dim_all(idx, surface, canonical) AS (VALUES {dim_sql}),
+dim AS (
+  SELECT idx, 'OICI' || idx AS entity_id, surface, canonical
+  FROM dim_all, params WHERE idx < params.n_rows
+),
+mentions AS (
+  SELECT printf('症状%04d漢', (t.j * 7 + 3) % params.n_rows) AS surface
+  FROM range(0, {4 * _WARC_PAGES_MAX}) AS t(j)
+  JOIN params ON t.j < 4 * params.n_rows
+)
+SELECT d.surface, d.entity_id, d.canonical, CAST(count(*) AS BIGINT) AS n
+FROM mentions m JOIN dim d ON d.surface = m.surface
+GROUP BY d.surface, d.entity_id, d.canonical
+"""
+
+
 def _conll_roundtrip(spark, sf):
     """§2.2 IOB sink + §2.1 CoNLL scan under one gate: the deterministic
     sentence corpus (sf-scaled 60/180/600 via the events probe) is pushed
@@ -3438,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_articles_roundtrip": _xml_articles_roundtrip,
         "meddra_two_hop_normalize": _meddra_two_hop,
         "conll_roundtrip": _conll_roundtrip,
+        "oici_excel_normalize": _oici_excel_normalize,
         "kg_alias_components": _kg_alias_components,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
@@ -3512,6 +3594,7 @@ def oracle_sql() -> dict[str, str]:
         "xml_articles_roundtrip": _xml_articles_sql(),
         "meddra_two_hop_normalize": _meddra_two_hop_sql(),
         "conll_roundtrip": _conll_roundtrip_sql(),
+        "oici_excel_normalize": _oici_excel_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)

@@ -513,3 +513,78 @@ def generate_conll_sentences(n_sents: int) -> list[dict]:
             tags.append("O" if r == 0 else (f"B-{fam}" if r == 1 else f"I-{fam}"))
         rows.append({"tokens": tokens, "tags": tags})
     return rows
+
+
+def oici_excel_rows(n_rows: int) -> list[dict]:
+    """Ground truth for the Excel-scan gate (``oici_excel_normalize``):
+    pure arithmetic. ``human_check`` is MISSING (no B cell at all) on the
+    ``i % 5 == 2`` cadence — the reference's NaN-skip shape
+    (``knowledge_bases/OICI_database.py:8-20``). String-only values so
+    any Excel engine (pandas or the stdlib zip+XML fallback) yields
+    identical strings."""
+    return [
+        {
+            "word": f"症状{i:04d}漢",
+            "human_check": None if i % 5 == 2 else f"標準{i:04d}",
+        }
+        for i in range(n_rows)
+    ]
+
+
+def write_oici_xlsx(path: str, n_rows: int) -> str:
+    """Materialize ``oici_excel_rows`` as a real OOXML spreadsheet via
+    stdlib zipfile: header + word cells on the ``i % 3 == 0`` cadence go
+    through the sharedStrings table, the rest are inline strings — both
+    cell encodings exercised at every scale factor."""
+    import os
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    rows = oici_excel_rows(n_rows)
+    shared = ["word", "human_check"] + [
+        r["word"] for i, r in enumerate(rows) if i % 3 == 0
+    ]
+    sidx = {s: k for k, s in enumerate(shared)}
+    ss = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    body = [
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+    ]
+    for i, r in enumerate(rows):
+        rr = i + 2
+        if i % 3 == 0:
+            a = f'<c r="A{rr}" t="s"><v>{sidx[r["word"]]}</v></c>'
+        else:
+            a = f'<c r="A{rr}" t="inlineStr"><is><t>{escape(r["word"])}</t></is></c>'
+        b = (
+            ""
+            if r["human_check"] is None
+            else f'<c r="B{rr}" t="inlineStr"><is><t>{escape(r["human_check"])}</t></is></c>'
+        )
+        body.append(f'<row r="{rr}">{a}{b}</row>')
+    sheet = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+    )
+    types = (
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    workbook = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>'
+        "</sheets></workbook>"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        os.remove(path)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", types)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/sharedStrings.xml", ss)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return path
