@@ -2988,6 +2988,193 @@ WHERE length(a.text) - length(replace(a.text, t.term, '')) > 0
 """
 
 
+_OICI_MAP = [
+    ("頭痛症", "頭痛"),
+    ("腹痛症", "腹痛"),
+    ("発熱症", "-1"),
+    ("眩暈症", None),
+    ("動悸症", "[AMB]"),
+    ("頭重感", "頭重"),
+    ("咳嗽症", "咳嗽"),
+    ("倦怠感", "倦怠"),
+]
+# fixed term list covering every branch: exact hits on all four sentinel
+# classes; fuzzy chains landing on value / reject / NaN / [AMB] keys (the
+# [AMB] chain must return the KEY, not the original term — the kernel's
+# recursive re-entry binds term := surface); one equal-score tie (痛症 →
+# 腹痛症/頭痛症 both 80.0 → lexicographically smaller key wins); one
+# below-threshold miss
+_OICI_TERMS = [
+    "頭痛症", "発熱症", "眩暈症", "動悸症",  # exact: value / -1 / NaN / [AMB]
+    "頭痛症候", "腹痛症状", "発熱症状", "動悸症状", "眩暈症状",  # fuzzy chains
+    "痛症",  # fuzzy tie → min-key tie-break
+    "ぜんぜん違",  # below threshold → ''
+    "頭重感",  # exact value hit #2
+]
+
+
+def _oici_fuzzy_chain(spark, sf):
+    """The OICI exact→fuzzy→recurse normalizer (§2.8) under the gate,
+    DISTRIBUTED (`operators/normalize.py:oici_normalize_surfaces`; the
+    pure-Python kernel `ExactThenFuzzyNormalizer` is the generation-time
+    assertion): a fixed 8-key dictionary covering all four sentinel
+    classes is hit by an sf-scaled 4n arithmetic mention stream over the
+    12-term list above. The hash pins: sentinel semantics on both the
+    exact and the post-fuzzy path, the [AMB] recursion returning the
+    MATCHED KEY, the deterministic min-key tie-break at equal score, the
+    indel-ratio values themselves (round 6), and the '' sentinel below
+    threshold. Ref: ``knowledge_bases/OICI_database.py:8-58``."""
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        oici_normalize_surfaces,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    mapping = spark.createDataFrame(_OICI_MAP, "key string, checked string")
+    terms = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_OICI_TERMS)], "tidx int, term string"
+    )
+    stream = spark.range(0, 4 * n).select(
+        ((F.col("id") * 7 + 3) % len(_OICI_TERMS)).cast("int").alias("tidx")
+    )
+    counts = stream.groupBy("tidx").agg(F.count("*").alias("n"))
+    res = oici_normalize_surfaces(terms.select("term"), mapping)
+    return (
+        res.join(F.broadcast(terms), "term")
+        .join(F.broadcast(counts), "tidx")
+        .select(
+            "term",
+            "normalized",
+            F.round("score", 6).alias("score"),
+            "method",
+            "n",
+        )
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _oici_fuzzy_chain_sql() -> str:
+    """SQL twin of ``_oici_fuzzy_chain``: inlines the raw dictionary and
+    term list and REPLAYS exact CASE, length-band candidate join,
+    bitmask-subsequence LCS (rule 14's established recipe), min-key
+    tie-break, and the post-fuzzy sentinel CASE. Generation-time
+    assertion: a pure-Python replay of that derivation must equal
+    ``ExactThenFuzzyNormalizer(mapping, 60).normalize(term)`` — the
+    oracle kernel — for every term."""
+    from bert_namedentityrecognition_spark.oracle.fuzzy import ratio
+    from bert_namedentityrecognition_spark.oracle.normalize import (
+        ExactThenFuzzyNormalizer,
+    )
+    from bert_namedentityrecognition_spark.oracle.textproc import han_to_zen
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    mp = dict(_OICI_MAP)
+    kernel = ExactThenFuzzyNormalizer(mp, threshold=60)
+    for k in mp:
+        assert han_to_zen(k) == k, k  # closure: the loud-cycle precondition
+
+    def exact_case(checked, term):
+        if checked is None or checked == "-1":
+            return ""
+        return term if checked == "[AMB]" else checked
+
+    for t in _OICI_TERMS:  # replay the SQL derivation, assert == kernel
+        if t in mp:
+            got = exact_case(mp[t], t)
+        else:
+            best = max(
+                ((ratio(t, k), k) for k in mp),
+                key=lambda x: (x[0], [-ord(c) for c in x[1]]),
+            )
+            got = exact_case(mp[best[1]], best[1]) if best[0] > 60 else ""
+        assert got == kernel.normalize(t), (t, got)
+
+    map_sql = ", ".join(
+        f"({q(k)}, " + ("NULL" if v is None else q(v)) + ")" for k, v in _OICI_MAP
+    )
+    terms_sql = ", ".join(f"({i}, {q(t)})" for i, t in enumerate(_OICI_TERMS))
+    n_terms = len(_OICI_TERMS)
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n
+),
+map(key, checked) AS (VALUES {map_sql}),
+terms(tidx, term) AS (VALUES {terms_sql}),
+counts AS (
+  SELECT (t.j * 7 + 3) % {n_terms} AS tidx, CAST(count(*) AS BIGINT) AS n
+  FROM range(0, {4 * _WARC_PAGES_MAX}) AS t(j)
+  JOIN params ON t.j < 4 * params.n
+  GROUP BY 1
+),
+hits AS (
+  SELECT t.tidx, t.term,
+    CASE WHEN m.checked IS NULL OR m.checked = '-1' THEN ''
+         WHEN m.checked = '[AMB]' THEN t.term ELSE m.checked END AS normalized,
+    CAST(100.0 AS DOUBLE) AS score, 'exact' AS method
+  FROM terms t JOIN map m ON m.key = t.term
+),
+misses AS (
+  SELECT t.tidx, t.term FROM terms t
+  WHERE NOT EXISTS (SELECT 1 FROM map m WHERE m.key = t.term)
+),
+cand AS (
+  SELECT ms.tidx, ms.term, m.key, m.checked
+  FROM misses ms LEFT JOIN map m
+    ON (200.0 * least(length(ms.term), length(m.key))
+        / (length(ms.term) + length(m.key))) > 60.0
+),
+subs_t AS (
+  SELECT DISTINCT ms.term,
+    array_to_string(list_transform(
+      list_filter(range(0, length(ms.term)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(ms.term, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM misses ms,
+       unnest(range(0, CAST(pow(2, length(ms.term)) AS BIGINT))) AS u(mask)
+),
+subs_k AS (
+  SELECT DISTINCT m.key,
+    array_to_string(list_transform(
+      list_filter(range(0, length(m.key)), i -> ((u.mask >> i) & 1) = 1),
+      i -> substring(m.key, CAST(i + 1 AS INT), 1)), '') AS sub
+  FROM map m,
+       unnest(range(0, CAST(pow(2, length(m.key)) AS BIGINT))) AS u(mask)
+),
+lcs AS (
+  SELECT st.term, sk.key, CAST(max(length(st.sub)) AS BIGINT) AS lcs
+  FROM subs_t st JOIN subs_k sk ON sk.sub = st.sub
+  GROUP BY st.term, sk.key
+),
+scored AS (
+  SELECT c.tidx, c.term, c.key, c.checked,
+    CASE WHEN c.key IS NULL THEN CAST(0.0 AS DOUBLE)
+         ELSE 200.0 * coalesce(l.lcs, 0) / (length(c.term) + length(c.key))
+    END AS score,
+    row_number() OVER (PARTITION BY c.tidx ORDER BY
+      CASE WHEN c.key IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE 200.0 * coalesce(l.lcs, 0) / (length(c.term) + length(c.key))
+      END DESC, c.key ASC NULLS LAST) AS rn
+  FROM cand c LEFT JOIN lcs l ON l.term = c.term AND l.key = c.key
+),
+fuzzy AS (
+  SELECT tidx, term,
+    CASE WHEN score > 60.0 THEN
+      CASE WHEN checked IS NULL OR checked = '-1' THEN ''
+           WHEN checked = '[AMB]' THEN key ELSE checked END
+    ELSE '' END AS normalized,
+    score, 'fuzzy' AS method
+  FROM scored WHERE rn = 1
+),
+united AS (
+  SELECT * FROM hits UNION ALL SELECT * FROM fuzzy
+)
+SELECT u.term, u.normalized, round(u.score, 6) AS score, u.method, c.n
+FROM united u JOIN counts c USING (tidx)
+"""
+
+
 def _oici_excel_normalize(spark, sf):
     """§2.1 Excel scan under the gate: a REAL OOXML spreadsheet
     (sf-scaled 60/180/600 rows via the events probe; header + every
@@ -3520,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meddra_two_hop_normalize": _meddra_two_hop,
         "conll_roundtrip": _conll_roundtrip,
         "oici_excel_normalize": _oici_excel_normalize,
+        "oici_fuzzy_chain": _oici_fuzzy_chain,
         "kg_alias_components": _kg_alias_components,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
@@ -3595,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "meddra_two_hop_normalize": _meddra_two_hop_sql(),
         "conll_roundtrip": _conll_roundtrip_sql(),
         "oici_excel_normalize": _oici_excel_sql(),
+        "oici_fuzzy_chain": _oici_fuzzy_chain_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)

@@ -252,6 +252,92 @@ def normalize_mentions_udf(
     return mentions.mapInPandas(run, schema=schema)
 
 
+OICI_AMBIGUOUS = "[AMB]"
+OICI_REJECT = "-1"
+
+
+def _oici_exact_result(checked, term):
+    """The OICI exact-branch sentinel CASE (``OICI_database.py``): NULL
+    (NaN) or '-1' → '' (rejected); '[AMB]' → the queried term itself;
+    else the human_check value. ``term`` is the term OF THAT LOOKUP — in
+    the post-fuzzy recursion that is the matched KEY, not the original
+    query (the oracle kernel's ``normalize(surface)`` re-entry)."""
+    return (
+        F.when(checked.isNull() | (checked == OICI_REJECT), F.lit(SENTINEL))
+        .when(checked == OICI_AMBIGUOUS, term)
+        .otherwise(checked)
+    )
+
+
+def oici_normalize_surfaces(
+    surfaces: DataFrame, mapping: DataFrame, threshold: float = 60.0
+) -> DataFrame:
+    """Distributed OICI normalization — exact lookup with sentinels, else
+    fuzzy top-1 + one recursion level (``knowledge_bases/OICI_database.py``
+    semantics; pure-Python twin: ``oracle.normalize.ExactThenFuzzyNormalizer``,
+    parity pinned by tests/test_oici_gate.py).
+
+    surfaces(term) × mapping(key, checked) → (term, normalized, score,
+    method). Exact stage: broadcast equi-join on the RAW key, sentinel
+    CASE. Misses: length-band-pruned broadcast theta-join against the
+    han_to_zen'd candidate keys, exact indel-ratio scorer, top-1 by
+    (score desc, candidate asc — the kernel's deterministic tie-break);
+    score > threshold re-enters the exact branch ON THE MATCHED KEY (the
+    reference recurses; one level terminates because the match is itself
+    a dictionary key), else the '' sentinel.
+
+    Like the kernel, a dictionary whose keys are not closed under
+    han_to_zen would cycle (the zenkaku candidate never hits the exact
+    branch) — checked once driver-side with a bounded action and failed
+    loudly, instead of looping in the reference's manner."""
+    mapn = mapping.withColumn("key_norm", han_to_zen_udf(F.col("key")))
+    if mapn.filter(F.col("key") != F.col("key_norm")).limit(1).count():
+        raise ValueError(
+            "OICI dictionary keys are not closed under han_to_zen — the "
+            "zenkaku candidate never hits the exact branch and the "
+            "reference semantics recurse forever; pre-normalize the keys"
+        )
+    exact = surfaces.join(
+        F.broadcast(mapping), surfaces.term == mapping.key, "left"
+    )
+    hits = exact.filter(F.col("key").isNotNull()).select(
+        "term",
+        _oici_exact_result(F.col("checked"), F.col("term")).alias("normalized"),
+        F.lit(100.0).alias("score"),
+        F.lit("exact").alias("method"),
+    )
+    misses = exact.filter(F.col("key").isNull()).select("term")
+    lt = F.length("term").cast("double")
+    lk = F.length("key_norm").cast("double")
+    band_ok = (200.0 * F.least(lt, lk) / (lt + lk)) > F.lit(threshold)
+    cand = misses.join(F.broadcast(mapn), band_ok, "left").withColumn(
+        "fscore",
+        F.when(
+            F.col("key_norm").isNotNull(),
+            indel_ratio_udf(F.col("term"), F.col("key_norm")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("fscore").desc(), F.col("key_norm").asc_nulls_last()
+    )
+    fuzzy = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "term",
+            F.when(
+                F.col("fscore") > threshold,
+                _oici_exact_result(F.col("checked"), F.col("key_norm")),
+            )
+            .otherwise(F.lit(SENTINEL))
+            .alias("normalized"),
+            F.col("fscore").alias("score"),
+            F.lit("fuzzy").alias("method"),
+        )
+    )
+    return hits.unionByName(fuzzy)
+
+
 def normalize_surfaces_lev(
     surfaces: DataFrame,
     dim: DataFrame,
