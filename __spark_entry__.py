@@ -2988,6 +2988,153 @@ WHERE length(a.text) - length(replace(a.text, t.term, '')) > 0
 """
 
 
+def _raw_corpus_scans(spark, sf):
+    """§2.1's four remaining file-format scans under ONE gate: the same
+    sf-scaled ground-truth corpus (60/180/600 docs via the events probe)
+    is materialized as a headerless CSV directory, a JSON-lines file, a
+    headered TSV, and per-doc Yakureki txt files, then read back through
+    the REAL readers (``read_csv_dir`` / ``read_jsonl`` / ``read_tsv`` /
+    ``read_yakureki_txt``). Each wrapped format carries decoy rows its
+    scan must DROP (empty CSV text, missing JSONL field — the reference's
+    NaN-skip idiom); Yakureki's header fields join the hash via the
+    concat md5. Output grain: (fmt, text_md5, n_chars) — one row per doc
+    per format, so a parse drift in ANY format breaks the hash. Ref:
+    ``util/Dataset.py`` (TwitterDataset/YakurekiTxtDataset),
+    ``BERT/dataset_utils.py`` file readers."""
+    import os
+
+    from bert_namedentityrecognition_spark.sources import fixtures
+    from bert_namedentityrecognition_spark.sources.readers import (
+        read_csv_dir,
+        read_jsonl,
+        read_tsv,
+        read_yakureki_txt,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    base = os.path.join(_writable_base(), "var", f"raw_corpus_{n}")
+    paths = fixtures.write_raw_corpus_fixtures(base, n)
+
+    def brand(df, fmt, text_expr):
+        return df.select(
+            F.lit(fmt).alias("fmt"),
+            F.md5(F.encode(text_expr, "UTF-8")).alias("text_md5"),
+            F.length(F.col("text")).cast("long").alias("n_chars"),
+        )
+
+    csv = brand(read_csv_dir(spark, paths["csv"], text_column=1), "csv", F.col("text"))
+    jl = brand(read_jsonl(spark, paths["jsonl"], "text"), "jsonl", F.col("text"))
+    tsv = brand(read_tsv(spark, paths["tsv"]).select("text"), "tsv", F.col("text"))
+    yk = brand(
+        read_yakureki_txt(spark, paths["yakureki"]),
+        "yakureki",
+        F.concat_ws("|", "case_id", "drug", "ade", "text"),
+    )
+    return csv.unionByName(jl).unionByName(tsv).unionByName(yk)
+
+
+@functools.lru_cache(maxsize=1)
+def _raw_corpus_sql() -> str:
+    """SQL twin of ``_raw_corpus_scans``: ground-truth texts inlined, the
+    four per-format md5 formulas recomputed in SQL (the decoy rows are
+    never in the ground truth — a scan that fails to drop them yields
+    extra rows and the comparison fails on row count)."""
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = fixtures.generate_raw_corpus(_WARC_PAGES_MAX)
+    docs_sql = ", ".join(
+        f"({r['doc_id']}, {q(r['text'])}, {q(r['case_id'])}, {q(r['drug'])}, {q(r['ade'])})"
+        for r in rows
+    )
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n_docs
+),
+docs_all(doc_id, text, case_id, drug, ade) AS (VALUES {docs_sql}),
+docs AS (SELECT * FROM docs_all, params WHERE doc_id < params.n_docs)
+SELECT 'csv' AS fmt, md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars FROM docs
+UNION ALL
+SELECT 'jsonl', md5(text), CAST(length(text) AS BIGINT) FROM docs
+UNION ALL
+SELECT 'tsv', md5(text), CAST(length(text) AS BIGINT) FROM docs
+UNION ALL
+SELECT 'yakureki', md5(case_id || '|' || drug || '|' || ade || '|' || text),
+       CAST(length(text) AS BIGINT) FROM docs
+"""
+
+
+def _cv_fold_stats(spark, sf):
+    """§2.11 cross-validation averaging under the gate
+    (``fold_metric_stats`` — mean/std per metric column across folds,
+    ``scripts/crossvalidation/utils/crossvalidation_utils.py:7-71``):
+    sf-scaled 60/180/600 synthetic fold rows (three models × arithmetic
+    precision/recall/f1 metrics, floats built driver-side so the SQL twin
+    inlines bit-identical doubles via repr round-trip) grouped by model.
+    Sample stddev on both sides; round(·,6) absorbs summation-order
+    last-bits (rule 5)."""
+    from bert_namedentityrecognition_spark.operators.metrics import (
+        fold_metric_stats,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    folds = spark.createDataFrame(
+        [
+            (
+                f"model{k % 3}",
+                (50 + (k * 13) % 50) / 100.0,
+                (40 + (k * 7) % 60) / 100.0,
+                (30 + (k * 11) % 70) / 100.0,
+            )
+            for k in range(n)
+        ],
+        "model string, precision double, recall double, f1 double",
+    )
+    out = fold_metric_stats(folds, by=["model"])
+    return out.select(
+        "model",
+        *[
+            F.round(c, 6).alias(c)
+            for c in out.columns
+            if c != "model"
+        ],
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _cv_fold_stats_sql() -> str:
+    """SQL twin of ``_cv_fold_stats``: replays the fold-metric arithmetic
+    (integer expressions over k, cast to double by the /100.0 division —
+    bit-identical on both sides) and aggregates with avg/stddev_samp."""
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n
+),
+folds AS (
+  SELECT 'model' || (t.k % 3) AS model,
+    CAST(50 + (t.k * 13) % 50 AS DOUBLE) / 100 AS precision,
+    CAST(40 + (t.k * 7) % 60 AS DOUBLE) / 100 AS recall,
+    CAST(30 + (t.k * 11) % 70 AS DOUBLE) / 100 AS f1
+  FROM range(0, {_WARC_PAGES_MAX}) AS t(k)
+  JOIN params ON t.k < params.n
+)
+SELECT model,
+  round(avg(precision), 6) AS precision_mean,
+  round(stddev_samp(precision), 6) AS precision_std,
+  round(avg(recall), 6) AS recall_mean,
+  round(stddev_samp(recall), 6) AS recall_std,
+  round(avg(f1), 6) AS f1_mean,
+  round(stddev_samp(f1), 6) AS f1_std
+FROM folds GROUP BY model
+"""
+
+
 _OICI_MAP = [
     ("頭痛症", "頭痛"),
     ("腹痛症", "腹痛"),
@@ -3708,6 +3855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conll_roundtrip": _conll_roundtrip,
         "oici_excel_normalize": _oici_excel_normalize,
         "oici_fuzzy_chain": _oici_fuzzy_chain,
+        "raw_corpus_scans": _raw_corpus_scans,
+        "cv_fold_stats": _cv_fold_stats,
         "kg_alias_components": _kg_alias_components,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
@@ -3784,6 +3933,8 @@ def oracle_sql() -> dict[str, str]:
         "conll_roundtrip": _conll_roundtrip_sql(),
         "oici_excel_normalize": _oici_excel_sql(),
         "oici_fuzzy_chain": _oici_fuzzy_chain_sql(),
+        "raw_corpus_scans": _raw_corpus_sql(),
+        "cv_fold_stats": _cv_fold_stats_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)

@@ -588,3 +588,72 @@ def write_oici_xlsx(path: str, n_rows: int) -> str:
         zf.writestr("xl/sharedStrings.xml", ss)
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
     return path
+
+
+def generate_raw_corpus(n_docs: int) -> list[dict]:
+    """Ground truth for the multi-format raw-scan gate
+    (``raw_corpus_scans``): per doc the text (no comma/tab/quote/newline —
+    the wrapped formats' delimiters; asserted) plus the Yakureki header
+    fields. Pure arithmetic, prefix-stable."""
+    rows = []
+    for i in range(n_docs):
+        text = f"文書{i:04d}はテスト文{i % 7}を含む。"
+        assert not any(c in text for c in ',\t"\n'), text
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "case_id": f"case{i}",
+                "drug": f"drug{i % 5}",
+                "ade": f"ade{i % 3}",
+            }
+        )
+    return rows
+
+
+def write_raw_corpus_fixtures(base_dir: str, n_docs: int) -> dict:
+    """Materialize the SAME ground-truth corpus in four raw formats, each
+    salted with rows its scan must DROP (NaN-skip semantics):
+
+    - ``csv/``: 4 headerless files of ``id,text`` rows + one empty-text
+      row per file (``read_csv_dir`` drops null/blank text);
+    - ``corpus.jsonl``: one object per line + one missing-field decoy
+      (``read_jsonl`` drops rows without the projected field);
+    - ``corpus.tsv``: header + ``doc_id\\ttext`` rows (``read_tsv``);
+    - ``yakureki/``: one file per doc — ``%case,drug,ade,place`` header
+      line then the text (``read_yakureki_txt``).
+    """
+    import json as _json
+    import os
+    import shutil
+
+    rows = generate_raw_corpus(n_docs)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    csv_dir = os.path.join(base_dir, "csv")
+    yak_dir = os.path.join(base_dir, "yakureki")
+    os.makedirs(csv_dir)
+    os.makedirs(yak_dir)
+    n_files = 4
+    for f in range(n_files):
+        chunk = rows[f::n_files]
+        with open(os.path.join(csv_dir, f"part{f}.csv"), "w", encoding="utf-8") as fh:
+            for r in chunk:
+                fh.write(f"{r['doc_id']},{r['text']}\n")
+            fh.write(f"{n_docs + f},\n")  # empty text → dropped by the scan
+    jsonl = os.path.join(base_dir, "corpus.jsonl")
+    with open(jsonl, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(_json.dumps({"text": r["text"]}, ensure_ascii=False) + "\n")
+        fh.write(_json.dumps({"other": "decoy"}) + "\n")  # missing field → dropped
+    tsv = os.path.join(base_dir, "corpus.tsv")
+    with open(tsv, "w", encoding="utf-8") as fh:
+        fh.write("doc_id\ttext\n")
+        for r in rows:
+            fh.write(f"{r['doc_id']}\t{r['text']}\n")
+    for r in rows:
+        with open(
+            os.path.join(yak_dir, f"case{r['doc_id']:05d}.txt"), "w",
+            encoding="utf-8",
+        ) as fh:
+            fh.write(f"%{r['case_id']},{r['drug']},{r['ade']},place\n{r['text']}")
+    return {"csv": csv_dir, "jsonl": jsonl, "tsv": tsv, "yakureki": yak_dir}
