@@ -2988,6 +2988,121 @@ WHERE length(a.text) - length(replace(a.text, t.term, '')) > 0
 """
 
 
+def _textprep_texts(n: int) -> list[tuple[int, str]]:
+    """Fixture texts for the §2.4 scalar gate — six patterns cycling,
+    each made unique by the embedded index (digits are OUTSIDE the
+    normalize-prefix charset, so they also pin where the prefix stops):
+    mid-string and end-of-string 。 (the end one gets NO newline — the
+    lookahead needs a following char), consecutive 。。, 。 already
+    followed by \\n (no double insert), XML tags, the reference's
+    ``A-z`` charset quirk (accepts ``_ ^`` etc.), and a leading 。."""
+    out = []
+    for i in range(n):
+        p = i % 6
+        if p == 0:
+            t = f"今日は晴れ{i}。明日は雨。"
+        elif p == 1:
+            t = f"連続{i}。。テスト"
+        elif p == 2:
+            t = f"既に改行{i}。\nあり。"
+        elif p == 3:
+            t = f"タグ{i}<b>付き</b>文。"
+        elif p == 4:
+            t = f"Prefix_Test^ abc{i}、続き。"
+        else:
+            t = f"。先頭句点{i}"
+        out.append((i, t))
+    return out
+
+
+def _textprep_scalars(spark, sf):
+    """§2.4's remaining scalar functions under one gate, all three as JVM
+    Column expressions (zero Python on the path):
+    ``newline_after_period`` (``predict_for_xls_folder.py:61`` — Java
+    regex lookahead), ``normalize_text_prefix`` (``excelToTxt.py:9-11``
+    — anchored charset run INCLUDING the reference's ``A-z`` quirk, which
+    admits ``[ \\ ] ^ _ `` ``), and the ``remove_tags`` default branch
+    (``util/text_utils.py:86-98`` — ``<[^<>]*>`` strip). sf-scaled
+    60/180/600 texts via the events probe. The DuckDB twin cannot use
+    lookahead (RE2), so it replays the newline insert with the
+    lookbehind-free per-character walk (CLAUDE.md rule 14's recipe);
+    generation-time assertions pin both derivations to the
+    ``oracle/textproc.py`` kernels per text."""
+    from bert_namedentityrecognition_spark.functions.textprep import (
+        newline_after_period,
+        normalize_text_prefix,
+    )
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    docs = spark.createDataFrame(_textprep_texts(n), "doc_id long, text string")
+    return docs.select(
+        "doc_id",
+        newline_after_period(F.col("text")).alias("nl_text"),
+        normalize_text_prefix(F.col("text")).alias("prefix"),
+        F.regexp_replace("text", "<[^<>]*>", "").alias("untagged"),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _textprep_scalars_sql() -> str:
+    """SQL twin of ``_textprep_scalars``; see its docstring. Asserts at
+    build time, per text: (a) the per-character-walk newline derivation
+    == the kernel regex; (b) prefix/untagged patterns are RE2-compatible
+    reformulations whose Python evaluation == the kernels."""
+    import re as _re
+
+    from bert_namedentityrecognition_spark.oracle.textproc import (
+        NORMALIZE_PREFIX_REGEX,
+        _NEWLINE_AFTER_PERIOD_RE,
+        _NORMALIZE_PREFIX_RE,
+        remove_tags,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    texts = _textprep_texts(_WARC_PAGES_MAX)
+    for _i, t in texts:
+        walk = "".join(
+            ch + ("\n" if ch == "。" and j + 1 < len(t) and t[j + 1] != "\n" else "")
+            for j, ch in enumerate(t)
+        )
+        assert walk == _NEWLINE_AFTER_PERIOD_RE.sub("。\n", t), t  # (a)
+        m = _re.match("^(" + NORMALIZE_PREFIX_REGEX + ")", t)
+        assert m.group(1) == _NORMALIZE_PREFIX_RE.match(t).group(0), t  # (b)
+        assert _re.sub("<[^<>]*>", "", t) == remove_tags(t), t  # (b)
+
+    docs_sql = ", ".join(f"({i}, {q(t)})" for i, t in texts)
+    prefix_re = "^(" + NORMALIZE_PREFIX_REGEX + ")"
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n
+),
+docs_all(doc_id, text) AS (VALUES {docs_sql}),
+docs AS (SELECT doc_id, text FROM docs_all, params WHERE doc_id < params.n),
+chars AS (
+  SELECT d.doc_id, u.pos,
+    substring(d.text, CAST(u.pos AS INT), 1) AS ch,
+    substring(d.text, CAST(u.pos + 1 AS INT), 1) AS nxt
+  FROM docs d, unnest(range(1, length(d.text) + 1)) AS u(pos)
+),
+nl AS (
+  SELECT doc_id,
+    string_agg(
+      ch || CASE WHEN ch = '。' AND nxt != '' AND nxt != chr(10)
+                 THEN chr(10) ELSE '' END,
+      '' ORDER BY pos) AS nl_text
+  FROM chars GROUP BY doc_id
+)
+SELECT d.doc_id, n.nl_text,
+  regexp_extract(d.text, {q(prefix_re)}, 1) AS prefix,
+  regexp_replace(d.text, '<[^<>]*>', '', 'g') AS untagged
+FROM docs d JOIN nl n USING (doc_id)
+"""
+
+
 def _raw_corpus_scans(spark, sf):
     """§2.1's four remaining file-format scans under ONE gate: the same
     sf-scaled ground-truth corpus (60/180/600 docs via the events probe)
@@ -3857,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oici_fuzzy_chain": _oici_fuzzy_chain,
         "raw_corpus_scans": _raw_corpus_scans,
         "cv_fold_stats": _cv_fold_stats,
+        "textprep_scalars": _textprep_scalars,
         "kg_alias_components": _kg_alias_components,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
@@ -3935,6 +4051,7 @@ def oracle_sql() -> dict[str, str]:
         "oici_fuzzy_chain": _oici_fuzzy_chain_sql(),
         "raw_corpus_scans": _raw_corpus_sql(),
         "cv_fold_stats": _cv_fold_stats_sql(),
+        "textprep_scalars": _textprep_scalars_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)
