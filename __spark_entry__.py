@@ -985,6 +985,124 @@ FROM documents
 """
 
 
+def _decontaminate_ngram(spark, sf):
+    """Benchmark n-gram decontamination (``operators/corpus.decontaminate``):
+    docs with doc_id % 23 == 0 play the benchmark/eval set, the rest are the
+    training corpus scored against its broadcast trigram set. Contaminated
+    iff ≥ 10 % of a doc's distinct trigrams occur in the eval set —
+    integer cross-multiplication, no float boundary."""
+    from bert_namedentityrecognition_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate(train, ev, n=3, threshold_num=1, threshold_den=10)
+
+
+_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 23 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, count(*) AS o FROM train JOIN ev USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(o, 0) AS BIGINT) AS n_overlap,
+  coalesce(n, 0) > 0 AND coalesce(o, 0) * 10 >= coalesce(n, 0) * 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+LEFT JOIN sizes USING (doc_id)
+LEFT JOIN ov USING (doc_id)
+"""
+
+
+def _domain_weighted_sample(spark, sf):
+    """Deterministic per-domain hash-threshold sampling
+    (``operators/corpus.weighted_sample``): mixture building with zero
+    shuffles and zero RNG state — the keep decision is a pure function of
+    (source, doc_id) through the portable polynomial hash, so the sample
+    is identical at any cluster size / partitioning and the DuckDB twin
+    replays it bit-for-bit."""
+    from bert_namedentityrecognition_spark.operators.corpus import weighted_sample
+
+    return weighted_sample(_t(spark, sf, "documents"))
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(source, '.'), x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) % 5 AS wb,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(source || ':' || CAST(doc_id AS VARCHAR), '.'), x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(([10, 25, 50, 75, 100])[CAST(wb AS INT) + 1] AS BIGINT) AS rate_pct,
+  CAST(bucket AS BIGINT) AS bucket,
+  bucket * 100 < ([10, 25, 50, 75, 100])[CAST(wb AS INT) + 1] * 1000000 AS sampled
+FROM h
+"""
+
+
+def _doc_repetition_signals(spark, sf):
+    """Gopher-style within-doc repetition quality signals
+    (``operators/corpus.repetition_signals``): occurrence share of the top
+    2-gram and of duplicated 3-grams, keep decided by integer
+    cross-multiplication (top2*5 ≤ total2 AND dup3*2 ≤ total3)."""
+    from bert_namedentityrecognition_spark.operators.corpus import repetition_signals
+
+    return repetition_signals(_t(spark, sf, "documents"))
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i + 1 : i + 2], ' ') AS g, count(*) AS c
+  FROM toks, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+  GROUP BY doc_id, g
+),
+a2 AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top2, CAST(sum(c) AS BIGINT) AS total2
+  FROM g2 GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g, count(*) AS c
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+  GROUP BY doc_id, g
+),
+a3 AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+    CAST(sum(c) AS BIGINT) AS total3
+  FROM g3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(top2, 0) AS BIGINT) AS top2,
+  CAST(coalesce(total2, 0) AS BIGINT) AS total2,
+  CAST(coalesce(dup3, 0) AS BIGINT) AS dup3,
+  CAST(coalesce(total3, 0) AS BIGINT) AS total3,
+  coalesce(top2, 0) * 5 <= coalesce(total2, 0)
+    AND coalesce(dup3, 0) * 2 <= coalesce(total3, 0) AS keep
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+"""
+
+
 def _streaming_dedup(spark, sf):
     """Cross-batch stateful dedup (``streaming/stateful.dedup_stream``,
     applyInPandasWithState) under the driver gate — a REAL Structured
@@ -3957,6 +4075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "dedup_streaming_stateful": _streaming_dedup,
+        "decontaminate_ngram": _decontaminate_ngram,
+        "domain_weighted_sample": _domain_weighted_sample,
+        "doc_repetition_signals": _doc_repetition_signals,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -4041,6 +4162,9 @@ def oracle_sql() -> dict[str, str]:
         # (doc_id-ranged files, mtime-ordered batches), so the batch
         # exact-dedup predicate over the same salted union is its oracle
         "dedup_streaming_stateful": _STREAM_DEDUP_SQL,
+        "decontaminate_ngram": _DECONTAMINATE_SQL,
+        "domain_weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "doc_repetition_signals": _REPETITION_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),

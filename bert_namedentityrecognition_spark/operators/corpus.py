@@ -1,0 +1,196 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Three operations every web-scale pretraining pipeline runs between crawl
+and tokenizer, beyond the dedup family in ``operators/dedup.py``:
+
+- **decontaminate**: flag training documents whose n-gram shingles overlap
+  a benchmark/eval set (the GPT-3-style n-gram decontamination filter).
+  The eval set is tiny relative to the corpus (benchmark suites are MBs,
+  the corpus is TBs), so its shingle set is **broadcast** — the training
+  side never shuffles on shingle, only one groupBy(doc_id) aggregation.
+- **weighted_sample**: deterministic hash-threshold sampling with a
+  per-domain rate (mixture building / domain re-weighting). No RNG state:
+  the keep decision is a pure function of (source, doc_id) via the
+  portable polynomial hash, so the sample is reproducible on any cluster
+  size, any partitioning, and replayable bit-for-bit in the SQL oracle.
+- **repetition_signals**: Gopher-style within-document repetition quality
+  signals — the occurrence share of the most frequent 2-gram and the
+  occurrence share of duplicated 3-grams — with the keep decision made on
+  integer cross-multiplication (``top2*5 <= total2``), never a float
+  threshold, so engines agree bit-for-bit (CLAUDE.md rule 11).
+
+100 TB notes: decontaminate is broadcast + one doc-keyed shuffle;
+weighted_sample is a pure map (no shuffle at all — it composes with any
+scan); repetition_signals shuffles exploded grams once on (doc_id, gram)
+with map-side partial counts. No Python UDFs anywhere on these paths.
+
+Reference parity: the reference repo has no corpus-curation stage (its
+corpora are hand-curated annotation sets); these operators are part of the
+beyond-reference training-data family requested alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import poly_hash
+from .dedup import token_shingles
+
+# hash-threshold sampling resolution: buckets per unit of rate
+SAMPLE_DENOM = 1_000_000
+
+# the per-domain rate menu (percent); a domain's rate is chosen
+# deterministically from its name so the operator needs no side-channel
+# weights table at gate time — production callers pass explicit weights
+SAMPLE_RATES_PCT = [10, 25, 50, 75, 100]
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_overlap, contaminated): benchmark n-gram
+    decontamination.
+
+    A document is contaminated when at least ``threshold_num/threshold_den``
+    of its distinct n-token shingles also occur in the eval set
+    (``n_overlap * den >= n_shingles * num`` — integer-exact, no float
+    boundary). Documents with fewer than ``n`` tokens have zero shingles
+    and are never contaminated (nothing was compared).
+
+    Scale shape: the eval shingle set is broadcast (benchmark suites are
+    tiny next to the corpus); the training side is an exploded shingle
+    stream aggregated once on doc_id with map-side partial counts. The
+    only shuffle is that doc-keyed aggregation.
+    """
+    sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    ev = (
+        token_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = (
+        base.join(sizes, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    return out.withColumn(
+        "contaminated",
+        (F.col("n_shingles") > 0)
+        & (F.col("n_overlap") * threshold_den >= F.col("n_shingles") * threshold_num),
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates_pct: list[int] | None = None,
+    denom: int = SAMPLE_DENOM,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, rate_pct, bucket, sampled): deterministic
+    hash-threshold sampling per domain — the mixture-building primitive.
+
+    ``bucket = poly_hash(source ‖ ':' ‖ doc_id) mod denom`` and the row is
+    sampled iff ``bucket * 100 < rate_pct * denom`` (integer-exact). The
+    domain's rate is picked from ``rates_pct`` by ``poly_hash(source) mod
+    len(rates_pct)`` so the gate query is self-contained; production
+    callers join their own weights table instead — the keep predicate is
+    unchanged.
+
+    Scale shape: a pure per-row map — zero shuffles, composes with any
+    scan, and the sample is identical at any cluster size because the
+    hash depends only on row values (no partition-seeded RNG like
+    ``df.sample`` whose output changes with partitioning).
+    """
+    rates = rates_pct or SAMPLE_RATES_PCT
+    rate_arr = F.array(*[F.lit(r) for r in rates])
+    rate_pct = F.element_at(
+        rate_arr, (poly_hash(F.col(domain_col)) % len(rates) + 1).cast("int")
+    )
+    bucket = (
+        poly_hash(
+            F.concat(F.col(domain_col), F.lit(":"), F.col(id_col).cast("string"))
+        )
+        % denom
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("source"),
+        rate_pct.cast("long").alias("rate_pct"),
+        bucket.cast("long").alias("bucket"),
+        (bucket * 100 < rate_pct.cast("long") * denom).alias("sampled"),
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, top2, total2, dup3, total3, keep): within-document
+    repetition quality signals (Gopher-style repetition filters).
+
+    - ``top2 / total2``: occurrence share of the single most frequent
+      2-gram (boilerplate/menu detector),
+    - ``dup3 / total3``: occurrence share of 3-grams that appear more than
+      once (loop/spam detector),
+    - ``keep`` iff ``top2*5 <= total2`` (≤ 20 %) AND ``dup3*2 <= total3``
+      (≤ 50 %) — integer cross-multiplication, bit-identical in DuckDB.
+      Documents too short to have grams keep vacuously (0 ≤ 0).
+
+    Scale shape: grams explode with multiplicity and aggregate on
+    (doc_id, gram) — hash partial aggregation combines map-side, so the
+    shuffle carries per-doc-distinct grams, not raw occurrences; the
+    second per-doc rollup reuses the same doc_id hashing.
+    """
+
+    def _per_doc(n: int, top_alias: str, dup_alias: str, tot_alias: str):
+        g = (
+            token_shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+            .groupBy("doc_id", "shingle")
+            .agg(F.count("*").alias("c"))
+        )
+        return g.groupBy("doc_id").agg(
+            F.max("c").cast("long").alias(top_alias),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(dup_alias),
+            F.sum("c").cast("long").alias(tot_alias),
+        )
+
+    a2 = _per_doc(2, "top2", "_dup2", "total2").drop("_dup2")
+    a3 = _per_doc(3, "_top3", "dup3", "total3").drop("_top3")
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = (
+        base.join(a2, "doc_id", "left")
+        .join(a3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("top2"), F.lit(0)).cast("long").alias("top2"),
+            F.coalesce(F.col("total2"), F.lit(0)).cast("long").alias("total2"),
+            F.coalesce(F.col("dup3"), F.lit(0)).cast("long").alias("dup3"),
+            F.coalesce(F.col("total3"), F.lit(0)).cast("long").alias("total3"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top2") * 5 <= F.col("total2")) & (F.col("dup3") * 2 <= F.col("total3")),
+    )

@@ -54,10 +54,17 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def token_shingles(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle): distinct n-token shingles, built JVM-side via
-    split + transform + slice + array_join (no UDF).
+    """(doc_id, shingle): n-token shingles, built JVM-side via
+    split + transform + slice + array_join (no UDF). ``distinct=True``
+    (the dedup default) keeps one row per (doc, shingle); ``distinct=False``
+    keeps multiplicity — needed by occurrence-counting consumers such as
+    the repetition-quality signals in ``operators/corpus.py``.
 
     The token array is materialized as a column BEFORE the per-index
     transform: inlining the ``split`` expression into the lambda makes
@@ -74,14 +81,11 @@ def token_shingles(
         n_shingles > 0,
         F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
-        )
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

@@ -1,0 +1,104 @@
+"""Corpus-curation operators (operators/corpus.py): decontamination,
+deterministic weighted sampling, repetition quality signals.
+
+Each test pins the semantics on a handcrafted fixture where the expected
+values are computable by eye; the driver-gate twins
+(decontaminate_ngram / domain_weighted_sample / doc_repetition_signals)
+then pin the same kernels against DuckDB at three scale factors.
+"""
+
+import pytest
+
+from bert_namedentityrecognition_spark.operators.corpus import (
+    SAMPLE_DENOM,
+    SAMPLE_RATES_PCT,
+    decontaminate,
+    repetition_signals,
+    weighted_sample,
+)
+
+POLY_MOD = 1_000_000_007
+
+
+def _poly(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % POLY_MOD
+    return h
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 0: shares the trigram "alpha beta gamma" with the eval doc
+        (0, "alpha beta gamma delta epsilon", "src0"),
+        # 1: disjoint vocabulary — never contaminated
+        (1, "one two three four five six", "src1"),
+        # 2: too short for a trigram — zero shingles, never contaminated
+        (2, "alpha beta", "src0"),
+        # 3: the eval document itself
+        (3, "alpha beta gamma zeta", "src2"),
+        # 4: heavy repetition — "spam spam" dominates the 2-grams and every
+        #    3-gram is duplicated
+        (4, "spam spam spam spam spam spam", "src1"),
+        # 5: no repeated grams at all
+        (5, "a b c d e f g", "src2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_decontaminate_flags_overlap_and_skips_short_docs(docs):
+    ev = docs.filter("doc_id = 3")
+    train = docs.filter("doc_id <> 3")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(train, ev, n=3, threshold_num=1, threshold_den=10).collect()
+    }
+    # doc 0 has 3 distinct trigrams; the eval doc's trigram set is
+    # {alpha beta gamma, beta gamma zeta} → overlap == 1 (alpha beta gamma)
+    assert out[0]["n_shingles"] == 3 and out[0]["n_overlap"] == 1
+    assert out[0]["contaminated"]  # 1*10 >= 3*1
+    assert out[1]["n_overlap"] == 0 and not out[1]["contaminated"]
+    # < n tokens → zero shingles → vacuously clean
+    assert out[2]["n_shingles"] == 0 and not out[2]["contaminated"]
+
+
+def test_decontaminate_threshold_is_integer_exact(docs):
+    ev = docs.filter("doc_id = 3")
+    train = docs.filter("doc_id = 0")
+    # overlap 1 of 3: 1*3 >= 3*1 holds at threshold 1/3, fails at 1/2
+    loose = decontaminate(train, ev, n=3, threshold_num=1, threshold_den=3).collect()
+    tight = decontaminate(train, ev, n=3, threshold_num=1, threshold_den=2).collect()
+    assert loose[0]["contaminated"] and not tight[0]["contaminated"]
+
+
+def test_weighted_sample_replays_the_portable_hash(docs):
+    out = weighted_sample(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        rate = SAMPLE_RATES_PCT[_poly(r["source"]) % len(SAMPLE_RATES_PCT)]
+        bucket = _poly(f"{r['source']}:{r['doc_id']}") % SAMPLE_DENOM
+        assert r["rate_pct"] == rate and r["bucket"] == bucket
+        assert r["sampled"] == (bucket * 100 < rate * SAMPLE_DENOM)
+
+
+def test_weighted_sample_is_partitioning_invariant(docs):
+    a = sorted(map(tuple, weighted_sample(docs).collect()))
+    b = sorted(map(tuple, weighted_sample(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_repetition_signals_flags_spam(docs):
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    # doc 4: five "spam spam" 2-grams (all the same gram) → top2=5/total2=5;
+    # four identical "spam spam spam" 3-grams → dup3=4/total3=4 → dropped
+    assert out[4]["top2"] == 5 and out[4]["total2"] == 5
+    assert out[4]["dup3"] == 4 and out[4]["total3"] == 4
+    assert not out[4]["keep"]
+    # doc 5: 6 distinct 2-grams (top2=1 ≤ 6/5), no duplicated 3-grams → keep
+    assert out[5]["top2"] == 1 and out[5]["total2"] == 6
+    assert out[5]["dup3"] == 0 and out[5]["keep"]
+    # doc 2 has one 2-gram, zero 3-grams: 1*5 > 1 → the top-2-gram share is
+    # 100 % and the doc is dropped — degenerate-short docs fail the Gopher
+    # top-gram test by construction (length filters catch them upstream)
+    assert out[2]["total3"] == 0 and not out[2]["keep"]
