@@ -1103,6 +1103,68 @@ LEFT JOIN a3 USING (doc_id)
 """
 
 
+def _pii_scrub(spark, sf):
+    """PII scrub (``functions/textstats.redact_pii``): URLs, emails and
+    ≥9-digit runs replaced with typed placeholders, counts taken on the raw
+    text. The synthetic corpus contains no PII, so the gate input is salted
+    deterministically from doc_id (emails on %7, URLs on %5, id numbers on
+    %11) — the DuckDB twin splices the identical strings, so the redaction
+    itself is what's under test. Patterns are lookaround-free (valid and
+    identical in Java regex and RE2). All-JVM regexp ops, zero UDFs."""
+    from bert_namedentityrecognition_spark.functions.textstats import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    salted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" mail user"), did, F.lit("@example.com ok")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" see https://ex.com/p/"), did, F.lit("?q=1 end")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" id 90000000"), did),
+        ).otherwise(F.lit("")),
+    )
+    n_emails, n_urls, n_idnums = pii_counts(salted)
+    return d.select(
+        "doc_id",
+        redact_pii(salted).alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        n_idnums.cast("long").alias("n_idnums"),
+    )
+
+
+_PII_SCRUB_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    coalesce(text, '')
+      || CASE WHEN doc_id % 7 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com ok' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' see https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '?q=1 end' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' id 90000000' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{9,}', '<NUM>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(t, '[0-9]{9,}')) AS BIGINT) AS n_idnums
+FROM s
+"""
+
+
 def _streaming_dedup(spark, sf):
     """Cross-batch stateful dedup (``streaming/stateful.dedup_stream``,
     applyInPandasWithState) under the driver gate — a REAL Structured
@@ -4078,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": _decontaminate_ngram,
         "domain_weighted_sample": _domain_weighted_sample,
         "doc_repetition_signals": _doc_repetition_signals,
+        "pii_scrub": _pii_scrub,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -4165,6 +4228,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _DECONTAMINATE_SQL,
         "domain_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "doc_repetition_signals": _REPETITION_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),

@@ -88,6 +88,35 @@ def lang_guess(col: Column) -> Column:
     )
 
 
+# PII scrub patterns — deliberately lookaround-free so the same pattern is
+# valid in Java regex (Spark) and RE2 (DuckDB) with identical match sets
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+LONG_DIGIT_PATTERN = r"[0-9]{9,}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_urls, n_idnums): match counts for the three scrub
+    patterns, counted BEFORE redaction (a URL may contain digit runs; the
+    counts are per-pattern over the raw text, the redaction is ordered)."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(col, F.lit(URL_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(col, F.lit(LONG_DIGIT_PATTERN), F.lit(0))),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Training-data PII scrub: URLs, then emails, then ≥9-digit runs are
+    replaced with typed placeholder tokens. Order matters (URLs may embed
+    emails/digits); all-JVM regexp_replace, no UDF — a 100 TB scan stays in
+    codegen. The DuckDB twin is regexp_replace(..., 'g') with identical
+    RE2-safe patterns."""
+    out = F.regexp_replace(col, URL_PATTERN, "<URL>")
+    out = F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, LONG_DIGIT_PATTERN, "<NUM>")
+
+
 def md5_fingerprint(col: Column) -> Column:
     """Canonical exact-dup fingerprint: md5 of lower(trim(text))."""
     return F.md5(F.lower(F.trim(col)))

@@ -88,6 +88,39 @@ def test_weighted_sample_is_partitioning_invariant(docs):
     assert a == b
 
 
+def test_redact_pii_order_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from bert_namedentityrecognition_spark.functions.textstats import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "write bob@x.co or visit https://a.b/c?d=1 id 123456789 ok"),
+        (1, "no pii here"),
+        # an email-shaped substring INSIDE a url: the url is redacted first
+        # (whole match → one <URL>), while the raw-text email count still
+        # sees it — counts are per-pattern over the unredacted text
+        (2, "go https://user@mail.example.com/path now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ne, nu, nd = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in d.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("clean"),
+            ne.alias("ne"), nu.alias("nu"), nd.alias("nd"),
+        ).collect()
+    }
+    assert out[0]["clean"] == "write <EMAIL> or visit <URL> id <NUM> ok"
+    assert (out[0]["ne"], out[0]["nu"], out[0]["nd"]) == (1, 1, 1)
+    assert out[1]["clean"] == "no pii here" and out[1]["nu"] == 0
+    assert out[2]["clean"] == "go <URL> now"
+    assert (out[2]["ne"], out[2]["nu"]) == (1, 1)
+
+
 def test_repetition_signals_flags_spam(docs):
     out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
     # doc 4: five "spam spam" 2-grams (all the same gram) → top2=5/total2=5;
