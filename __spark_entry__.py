@@ -1165,6 +1165,56 @@ FROM s
 """
 
 
+PACK_BUDGET = 64
+PACK_GROUPS = 8
+
+
+def _sequence_packing(spark, sf):
+    """Sample packing (``operators/corpus.pack_sequences``): greedy
+    in-order first-fit of documents into {PACK_BUDGET}-token bins within
+    doc_id % {PACK_GROUPS} hash groups. The sequential fold runs in one
+    fused applyInPandas stage on the pure-Python kernel
+    (``oracle/packing.py``); the DuckDB twin replays it as a per-group
+    recursive CTE stepping one row per group per iteration."""
+    from bert_namedentityrecognition_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), budget=PACK_BUDGET, n_groups=PACK_GROUPS
+    )
+
+
+def _sequence_packing_sql() -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id % {PACK_GROUPS} AS BIGINT) AS group_id,
+    CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, group_id, n_tokens,
+         row_number() OVER (PARTITION BY group_id ORDER BY doc_id) AS rn
+  FROM d
+),
+packed AS (
+  SELECT doc_id, group_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS tok_offset,
+         n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.group_id, o.n_tokens, o.rn,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.bin_id ELSE p.bin_id + 1 END,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill ELSE CAST(0 AS BIGINT) END,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.group_id = p.group_id AND o.rn = p.rn + 1
+)
+SELECT doc_id, group_id, bin_id, tok_offset, n_tokens,
+       n_tokens > {PACK_BUDGET} AS oversize
+FROM packed
+"""
+
+
 def _streaming_dedup(spark, sf):
     """Cross-batch stateful dedup (``streaming/stateful.dedup_stream``,
     applyInPandasWithState) under the driver gate — a REAL Structured
@@ -4141,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_weighted_sample": _domain_weighted_sample,
         "doc_repetition_signals": _doc_repetition_signals,
         "pii_scrub": _pii_scrub,
+        "sequence_packing": _sequence_packing,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -4229,6 +4280,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "doc_repetition_signals": _REPETITION_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
+        "sequence_packing": _sequence_packing_sql(),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),

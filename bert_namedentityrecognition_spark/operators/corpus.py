@@ -140,6 +140,64 @@ def weighted_sample(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 64,
+    n_groups: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, group_id, bin_id, tok_offset, n_tokens, oversize):
+    sample packing — greedy in-order first-fit of documents into
+    token-budget bins, within deterministic hash groups
+    (``group_id = doc_id % n_groups``).
+
+    Packing is inherently a sequential fold, so it runs per group in ONE
+    fused ``applyInPandas`` stage (rule 1) importing the pure-Python
+    kernel ``oracle/packing.pack_group`` (rule 6) — the DuckDB twin
+    replays the same fold as a per-group recursive CTE. The group hash
+    makes the result a pure function of row values: identical at any
+    cluster size / partitioning.
+
+    Scale shape: one shuffle on group_id; per-group state is O(1)
+    (current bin + fill), rows stream through; choose n_groups ≈ the
+    write parallelism you want (at 100 TB, thousands of groups — each
+    group packs independently, bins are later read group-major so
+    packing locality survives the shuffle).
+    """
+    from ..functions.textstats import ws_token_count
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_groups).cast("long").alias("group_id"),
+        ws_token_count(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+    schema = (
+        "doc_id long, group_id long, bin_id long, tok_offset long, n_tokens long"
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        from bert_namedentityrecognition_spark.oracle.packing import pack_group
+
+        pdf = pdf.sort_values("doc_id")
+        packed = list(pack_group(zip(pdf["doc_id"], pdf["n_tokens"]), budget))
+        out = pd.DataFrame(packed, columns=["doc_id", "bin_id", "tok_offset"])
+        return out.merge(
+            pdf[["doc_id", "group_id", "n_tokens"]], on="doc_id"
+        )[["doc_id", "group_id", "bin_id", "tok_offset", "n_tokens"]]
+
+    return (
+        d.groupBy("group_id")
+        .applyInPandas(_pack, schema)
+        .withColumn("oversize", F.col("n_tokens") > budget)
+    )
+
+
 def repetition_signals(
     docs: DataFrame,
     id_col: str = "doc_id",

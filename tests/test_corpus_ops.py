@@ -121,6 +121,49 @@ def test_redact_pii_order_and_counts(spark):
     assert (out[2]["ne"], out[2]["nu"]) == (1, 1)
 
 
+def test_pack_group_kernel():
+    from bert_namedentityrecognition_spark.oracle.packing import pack_group
+
+    # budget 10: [4,5] fill bin 0; 3 overflows → bin 1; oversize 12 → bin 2
+    # (alone, fill 12 > budget); 2 can't join (12+2 > 10) → bin 3
+    items = [(0, 4), (1, 5), (2, 3), (3, 12), (4, 2)]
+    assert list(pack_group(items, 10)) == [
+        (0, 0, 0), (1, 0, 4), (2, 1, 0), (3, 2, 0), (4, 3, 0),
+    ]
+    # the FIRST doc seeds bin 0 even when oversize
+    assert list(pack_group([(7, 99), (8, 1)], 10)) == [(7, 0, 0), (8, 1, 0)]
+    # zero-token docs stack for free
+    assert list(pack_group([(0, 10), (1, 0), (2, 0)], 10)) == [
+        (0, 0, 0), (1, 0, 10), (2, 0, 10),
+    ]
+
+
+def test_pack_sequences_matches_kernel_and_is_partition_invariant(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import pack_sequences
+    from bert_namedentityrecognition_spark.oracle.packing import pack_group
+
+    rows = [(i, "tok " * (i % 7) if i % 11 else None, "s") for i in range(40)]
+    d = spark.createDataFrame(
+        [(i, t.strip() if t else t, s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = sorted(map(tuple, pack_sequences(d, budget=8, n_groups=3).collect()))
+    # replay with the kernel per group
+    expected = []
+    toks = {i: (0 if (t is None or not t.strip()) else len(t.split())) for i, t, _ in rows}
+    for g in range(3):
+        items = [(i, toks[i]) for i in sorted(toks) if i % 3 == g]
+        for doc_id, bin_id, off in pack_group(items, 8):
+            expected.append(
+                (doc_id, g, bin_id, off, toks[doc_id], toks[doc_id] > 8)
+            )
+    assert out == sorted(expected)
+    out2 = sorted(
+        map(tuple, pack_sequences(d.repartition(5), budget=8, n_groups=3).collect())
+    )
+    assert out == out2
+
+
 def test_repetition_signals_flags_spam(docs):
     out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
     # doc 4: five "spam spam" 2-grams (all the same gram) → top2=5/total2=5;
