@@ -1215,6 +1215,127 @@ FROM packed
 """
 
 
+def _corpus_curation_e2e(spark, sf):
+    """The full curation pass under one gate
+    (``operators/corpus.curate_corpus``): quality ≥ 0.5 → Gopher
+    repetition keep → exact-dup survivor → decontamination (< 40 %
+    trigram overlap vs the doc_id % 23 == 0 eval split — looser than the
+    standalone gate's 10 % because overlap share rises with corpus size
+    on a closed vocabulary) → deterministic
+    domain sampling → sequence packing of the survivors. Every stage is
+    individually gated; this query pins the COMPOSITION (stage order,
+    flag-join semantics, packing over the filtered sparse id stream)."""
+    from bert_namedentityrecognition_spark.operators.corpus import curate_corpus
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    return curate_corpus(train, ev, budget=PACK_BUDGET, n_groups=PACK_GROUPS)
+
+
+def _corpus_curation_sql() -> str:
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all({arg}, '.'), x -> CAST(ascii(x) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+    )
+    return f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 23 <> 0),
+qs AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+qparts AS (
+  SELECT doc_id,
+    least(length(text) / 200.0, 1.0) AS length_ok,
+    1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0) AS punct_pen,
+    least((len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is')))
+           / CAST(greatest(len(t), 1) AS DOUBLE)) * 4.0, 1.0) AS stop_ok,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+      / CAST(greatest(len(t), 1) AS DOUBLE) AS wl
+  FROM qs
+),
+qual AS (
+  SELECT doc_id, round((length_ok + punct_pen + stop_ok +
+         CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6) >= 0.5 AS k_quality
+  FROM qparts
+),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i + 1 : i + 2], ' ') AS g, count(*) AS c
+  FROM qs, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i) GROUP BY doc_id, g
+),
+a2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS total2 FROM g2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g, count(*) AS c
+  FROM qs, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i) GROUP BY doc_id, g
+),
+a3 AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3, sum(c) AS total3
+  FROM g3 GROUP BY doc_id
+),
+rep AS (
+  SELECT c.doc_id,
+    coalesce(top2, 0) * 5 <= coalesce(total2, 0)
+      AND coalesce(dup3, 0) * 2 <= coalesce(total3, 0) AS k_rep
+  FROM corpus c LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+),
+uniq AS (
+  SELECT doc_id, NOT (md5(lower(trim(text))) IS NOT NULL
+    AND doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))) AS k_uniq
+  FROM corpus
+),
+atoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM atoks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 23 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY doc_id),
+ov AS (SELECT doc_id, count(*) AS o FROM train JOIN ev USING (shingle) GROUP BY doc_id),
+clean AS (
+  SELECT c.doc_id,
+    NOT (coalesce(n, 0) > 0 AND coalesce(o, 0) * 5 >= coalesce(n, 0) * 2) AS k_clean
+  FROM corpus c LEFT JOIN sizes USING (doc_id) LEFT JOIN ov USING (doc_id)
+),
+samp AS (
+  SELECT doc_id,
+    {poly.format(arg="source")} % 5 AS wb,
+    {poly.format(arg="source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+  FROM corpus
+),
+kept AS (
+  SELECT c.doc_id,
+    CAST(CASE WHEN length(trim(coalesce(c.text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(c.text, '')), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM corpus c
+  JOIN qual USING (doc_id) JOIN rep USING (doc_id)
+  JOIN uniq USING (doc_id) JOIN clean USING (doc_id) JOIN samp USING (doc_id)
+  WHERE k_quality AND k_rep AND k_uniq AND k_clean
+    AND samp.bucket * 100 < ([10, 25, 50, 75, 100])[CAST(samp.wb AS INT) + 1] * 1000000
+),
+ordered AS (
+  SELECT doc_id, CAST(doc_id % {PACK_GROUPS} AS BIGINT) AS group_id, n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_GROUPS} ORDER BY doc_id) AS rn
+  FROM kept
+),
+packed AS (
+  SELECT doc_id, group_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS tok_offset, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.group_id, o.n_tokens, o.rn,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.bin_id ELSE p.bin_id + 1 END,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill ELSE CAST(0 AS BIGINT) END,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.group_id = p.group_id AND o.rn = p.rn + 1
+)
+SELECT doc_id, group_id, bin_id, tok_offset, n_tokens,
+       n_tokens > {PACK_BUDGET} AS oversize
+FROM packed
+"""
+
+
 def _streaming_dedup(spark, sf):
     """Cross-batch stateful dedup (``streaming/stateful.dedup_stream``,
     applyInPandasWithState) under the driver gate — a REAL Structured
@@ -4192,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_signals": _doc_repetition_signals,
         "pii_scrub": _pii_scrub,
         "sequence_packing": _sequence_packing,
+        "corpus_curation_e2e": _corpus_curation_e2e,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -4281,6 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": _REPETITION_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "sequence_packing": _sequence_packing_sql(),
+        "corpus_curation_e2e": _corpus_curation_sql(),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),

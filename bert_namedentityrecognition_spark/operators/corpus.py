@@ -120,6 +120,27 @@ def weighted_sample(
     hash depends only on row values (no partition-seeded RNG like
     ``df.sample`` whose output changes with partitioning).
     """
+    rate_pct, bucket, sampled = sample_columns(
+        rates_pct=rates_pct, denom=denom, id_col=id_col, domain_col=domain_col
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("source"),
+        rate_pct.cast("long").alias("rate_pct"),
+        bucket.cast("long").alias("bucket"),
+        sampled.alias("sampled"),
+    )
+
+
+def sample_columns(
+    rates_pct: list[int] | None = None,
+    denom: int = SAMPLE_DENOM,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+):
+    """(rate_pct, bucket, sampled) column expressions — the
+    ``weighted_sample`` predicate as inlineable columns, so compositions
+    (``curate_corpus``) get the zero-shuffle map without a self-join."""
     rates = rates_pct or SAMPLE_RATES_PCT
     rate_arr = F.array(*[F.lit(r) for r in rates])
     rate_pct = F.element_at(
@@ -131,13 +152,8 @@ def weighted_sample(
         )
         % denom
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(domain_col).alias("source"),
-        rate_pct.cast("long").alias("rate_pct"),
-        bucket.cast("long").alias("bucket"),
-        (bucket * 100 < rate_pct.cast("long") * denom).alias("sampled"),
-    )
+    sampled = bucket * 100 < rate_pct.cast("long") * denom
+    return rate_pct, bucket, sampled
 
 
 def pack_sequences(
@@ -196,6 +212,79 @@ def pack_sequences(
         .applyInPandas(_pack, schema)
         .withColumn("oversize", F.col("n_tokens") > budget)
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    budget: int = 64,
+    n_groups: int = 8,
+    decon_num: int = 2,
+    decon_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """The full curation pass, crawl → training batches, composed from the
+    individually-gated stages: quality filter (composite score ≥ 0.5) →
+    repetition filter (Gopher keep) → exact dedup (min-id survivor) →
+    benchmark decontamination (< 10 % trigram overlap) → deterministic
+    domain-weighted sampling → sequence packing of the survivors.
+
+    Stage order mirrors a production pipeline: cheap per-row predicates
+    (quality, sampling) are plain columns — Catalyst evaluates them in the
+    scan stage with zero shuffles — while the three aggregation-based
+    flags (repetition, dedup window, decontamination) join back on doc_id.
+    At 100 TB the doc_id-keyed joins share one hash partitioning (a single
+    exchange reused across them), the eval shingle set is broadcast, and
+    packing adds one group_id shuffle with O(1) state per group.
+
+    Returns the packed survivors: (doc_id, group_id, bin_id, tok_offset,
+    n_tokens, oversize).
+    """
+    from ..functions.textstats import quality_score
+    from .dedup import exact_dedup
+
+    _, _, sampled = sample_columns(id_col=id_col, domain_col=domain_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (F.round(quality_score(F.col(text_col)), 6) >= 0.5).alias("k_quality"),
+        sampled.alias("k_sampled"),
+    )
+    rep = repetition_signals(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", F.col("keep").alias("k_rep")
+    )
+    uniq = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", (~F.col("is_duplicate")).alias("k_uniq")
+    )
+    # composition default 2/5 (vs the standalone gate's 1/10): the overlap
+    # distribution rises with corpus size on a closed vocabulary, and at
+    # 10 % the stage would drop ~99 % of the large corpus — the filter
+    # should prune the tail, not become the pipeline
+    clean = decontaminate(
+        docs,
+        eval_docs,
+        n=3,
+        threshold_num=decon_num,
+        threshold_den=decon_den,
+        id_col=id_col,
+        text_col=text_col,
+    ).select("doc_id", (~F.col("contaminated")).alias("k_clean"))
+    kept = (
+        base.join(rep, "doc_id")
+        .join(uniq, "doc_id")
+        .join(clean, "doc_id")
+        .filter(
+            F.col("k_quality")
+            & F.col("k_sampled")
+            & F.col("k_rep")
+            & F.col("k_uniq")
+            & F.col("k_clean")
+        )
+        .select("doc_id", "text")
+    )
+    return pack_sequences(kept, budget=budget, n_groups=n_groups)
 
 
 def repetition_signals(

@@ -164,6 +164,53 @@ def test_pack_sequences_matches_kernel_and_is_partition_invariant(spark):
     assert out == out2
 
 
+def test_curate_corpus_composition_matches_individual_stages(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bert_namedentityrecognition_spark.functions.textstats import quality_score
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        curate_corpus,
+        decontaminate,
+        repetition_signals,
+        weighted_sample,
+    )
+    from bert_namedentityrecognition_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ev = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+
+    out = curate_corpus(train, ev, budget=64, n_groups=8)
+    kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    q = {r[0] for r in train.filter(
+        F.round(quality_score(F.col("text")), 6) >= 0.5).select("doc_id").collect()}
+    rep = {r[0] for r in repetition_signals(train).filter("keep").select("doc_id").collect()}
+    uniq = {r[0] for r in exact_dedup(train).filter("NOT is_duplicate").select("doc_id").collect()}
+    clean = {r[0] for r in decontaminate(train, ev, threshold_num=2, threshold_den=5)
+             .filter("NOT contaminated").select("doc_id").collect()}
+    samp = {r[0] for r in weighted_sample(train).filter("sampled").select("doc_id").collect()}
+
+    assert kept_ids == q & rep & uniq & clean & samp
+    assert kept_ids  # non-degenerate: the pipeline keeps something
+    # and the filter actually fires: at least one doc dropped overall
+    assert len(kept_ids) < train.count()
+    # packing invariant: offsets within a bin are strictly increasing in
+    # doc_id order and stay under budget unless the doc is oversize alone
+    rows = out.collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["group_id"], r["bin_id"]), []).append(r)
+    for members in by_bin.values():
+        members.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for m in members:
+            assert m["tok_offset"] == running
+            running += m["n_tokens"]
+
+
 def test_repetition_signals_flags_spam(docs):
     out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
     # doc 4: five "spam spam" 2-grams (all the same gram) → top2=5/total2=5;
