@@ -118,6 +118,36 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict, dict]:
     return timings, trials_out
 
 
+def run_curation_bench(sf_dir: str, cores: int) -> dict:
+    """Throughput of the composed curation pass (corpus_curation_e2e:
+    quality → repetition → dedup → decontaminate → sample → pack) at the
+    bench sf. Separate session, discarded warm-up, min-of-2 — same
+    protocol as the headline queries, kept out of HEADLINE so the
+    round-over-round headline total stays comparable."""
+    import __spark_entry__ as entrymod
+    from bert_namedentityrecognition_spark.plans.session import build_session
+
+    spark = build_session(app_name="bench-curation", cores=cores, shuffle_partitions=cores)
+    fn = entrymod.queries()["corpus_curation_e2e"]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    _noop_write(fn(spark, sf_dir))  # discarded warm-up (codegen + workers)
+    trials = []
+    kept = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        kept = fn(spark, sf_dir).count()
+        trials.append(round(time.perf_counter() - t0, 3))
+    spark.stop()
+    wall = min(trials)
+    return {
+        "wall_sec": wall,
+        "trials": trials,
+        "input_docs": n_docs,
+        "kept_docs": kept,
+        "docs_per_sec": round(n_docs / wall, 1) if wall else None,
+    }
+
+
 def _write_pages_parquet(rows: list[dict], out_dir: str, marker: str) -> str:
     """Deterministic pages corpus on disk (generated once, reused; marker
     file keyed on the corpus size). Written directly with pyarrow (no
@@ -655,6 +685,9 @@ def main():
     if os.environ.get("KG_BENCH_SKIP_PPJOIN", "0") != "1":
         result["ppjoin_openvocab"] = run_ppjoin_bench(cores)
 
+    if os.environ.get("KG_BENCH_SKIP_CURATION", "0") != "1":
+        result["curation"] = run_curation_bench(sf_dir, cores)
+
     # headline window 2 of 2 (see comment at window 1). Skippable for quick
     # iteration runs; the figure of record then degrades to one window.
     if os.environ.get("KG_BENCH_SKIP_HEADLINE_W2", "0") != "1":
@@ -741,6 +774,8 @@ def main():
         }
     if "ppjoin_openvocab" in result:
         compact["ppjoin_speedup"] = result["ppjoin_openvocab"]["ppjoin_speedup"]
+    if "curation" in result:
+        compact["curation_docs_per_sec"] = result["curation"]["docs_per_sec"]
     line = json.dumps(compact)
     if len(line) > 1900:  # hard budget: the driver's stdout tail is 2000
         for k in ("skew_max_share", "kg_scaling_cross", "queries"):
