@@ -1171,9 +1171,9 @@ PACK_GROUPS = 8
 
 def _sequence_packing(spark, sf):
     """Sample packing (``operators/corpus.pack_sequences``): greedy
-    in-order first-fit of documents into {PACK_BUDGET}-token bins within
-    doc_id % {PACK_GROUPS} hash groups. The sequential fold runs in one
-    fused applyInPandas stage on the pure-Python kernel
+    in-order first-fit of documents into 64-token bins within doc_id % 8
+    hash groups (PACK_BUDGET / PACK_GROUPS above). The sequential fold
+    runs in one fused applyInPandas stage on the pure-Python kernel
     (``oracle/packing.py``); the DuckDB twin replays it as a per-group
     recursive CTE stepping one row per group per iteration."""
     from bert_namedentityrecognition_spark.operators.corpus import pack_sequences
@@ -1183,18 +1183,17 @@ def _sequence_packing(spark, sf):
     )
 
 
-def _sequence_packing_sql() -> str:
+def _packing_cte_sql(source_cte: str) -> str:
+    """The ordered→packed recursive-CTE replay of ``oracle/packing.py``,
+    shared by _sequence_packing_sql and _corpus_curation_sql so the two
+    gates can never encode different packing semantics. ``source_cte``
+    must expose (doc_id, n_tokens); steps one row per group per
+    iteration."""
     return f"""
-WITH RECURSIVE d AS (
-  SELECT doc_id, CAST(doc_id % {PACK_GROUPS} AS BIGINT) AS group_id,
-    CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS n_tokens
-  FROM documents
-),
 ordered AS (
-  SELECT doc_id, group_id, n_tokens,
-         row_number() OVER (PARTITION BY group_id ORDER BY doc_id) AS rn
-  FROM d
+  SELECT doc_id, CAST(doc_id % {PACK_GROUPS} AS BIGINT) AS group_id, n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_GROUPS} ORDER BY doc_id) AS rn
+  FROM {source_cte}
 ),
 packed AS (
   SELECT doc_id, group_id, n_tokens, rn,
@@ -1213,6 +1212,17 @@ SELECT doc_id, group_id, bin_id, tok_offset, n_tokens,
        n_tokens > {PACK_BUDGET} AS oversize
 FROM packed
 """
+
+
+def _sequence_packing_sql() -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+{_packing_cte_sql("d")}"""
 
 
 def _corpus_curation_e2e(spark, sf):
@@ -1313,27 +1323,7 @@ kept AS (
   WHERE k_quality AND k_rep AND k_uniq AND k_clean
     AND samp.bucket * 100 < ([10, 25, 50, 75, 100])[CAST(samp.wb AS INT) + 1] * 1000000
 ),
-ordered AS (
-  SELECT doc_id, CAST(doc_id % {PACK_GROUPS} AS BIGINT) AS group_id, n_tokens,
-         row_number() OVER (PARTITION BY doc_id % {PACK_GROUPS} ORDER BY doc_id) AS rn
-  FROM kept
-),
-packed AS (
-  SELECT doc_id, group_id, n_tokens, rn,
-         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS tok_offset, n_tokens AS fill
-  FROM ordered WHERE rn = 1
-  UNION ALL
-  SELECT o.doc_id, o.group_id, o.n_tokens, o.rn,
-    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.bin_id ELSE p.bin_id + 1 END,
-    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill ELSE CAST(0 AS BIGINT) END,
-    CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill + o.n_tokens ELSE o.n_tokens END
-  FROM packed p
-  JOIN ordered o ON o.group_id = p.group_id AND o.rn = p.rn + 1
-)
-SELECT doc_id, group_id, bin_id, tok_offset, n_tokens,
-       n_tokens > {PACK_BUDGET} AS oversize
-FROM packed
-"""
+{_packing_cte_sql("kept")}"""
 
 
 def _streaming_dedup(spark, sf):

@@ -228,8 +228,9 @@ def curate_corpus(
     """The full curation pass, crawl → training batches, composed from the
     individually-gated stages: quality filter (composite score ≥ 0.5) →
     repetition filter (Gopher keep) → exact dedup (min-id survivor) →
-    benchmark decontamination (< 10 % trigram overlap) → deterministic
-    domain-weighted sampling → sequence packing of the survivors.
+    benchmark decontamination (drop at ≥ decon_num/decon_den trigram
+    overlap — default 2/5 = 40 %) → deterministic domain-weighted
+    sampling → sequence packing of the survivors.
 
     Stage order mirrors a production pipeline: cheap per-row predicates
     (quality, sampling) are plain columns — Catalyst evaluates them in the

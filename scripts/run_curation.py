@@ -15,7 +15,9 @@ packing. Outputs under --out:
   partitioned by group_id so a reader consumes bins group-major.
 - ``kept/``    — the surviving documents (doc_id, text, source), with
   ``--scrub-pii`` applying the URL/email/digit-run redaction to text.
-- ``metrics.json`` — input/eval/kept/bin counts for the run.
+- ``metrics/`` — a one-row JSON with input/eval/kept/bin counts (written
+  through Spark so --out may be hdfs://, s3a://, ...); the same object is
+  printed to stdout.
 
 The eval set is either an external parquet of documents (--eval-dir, the
 production shape: benchmark suites are tiny and broadcast) or a
@@ -65,6 +67,8 @@ def main(argv=None):
     else:
         ev = docs.filter(F.col("doc_id") % args.eval_mod == 0)
         corpus = docs.filter(F.col("doc_id") % args.eval_mod != 0)
+    # size metrics up front (column-pruned count scans), before the heavy job
+    input_docs, eval_docs = corpus.count(), ev.count()
 
     packed = curate_corpus(
         corpus,
@@ -95,16 +99,19 @@ def main(argv=None):
         F.sum("n_tokens").alias("tokens"),
     ).first()
     metrics = {
-        "input_docs": corpus.count(),
-        "eval_docs": ev.count(),
+        "input_docs": input_docs,
+        "eval_docs": eval_docs,
         "kept_docs": stats["kept"],
         "bins": stats["bins"],
         "kept_tokens": int(stats["tokens"] or 0),
         "budget": args.budget,
         "groups": args.groups,
     }
-    with open(os.path.join(args.out, "metrics.json"), "w") as f:
-        json.dump(metrics, f)
+    # write through Spark so --out may be any supported filesystem
+    # (hdfs://, s3a://, ...), not just the driver's local disk
+    spark.createDataFrame([metrics]).coalesce(1).write.mode("overwrite").json(
+        os.path.join(args.out, "metrics")
+    )
     print(json.dumps(metrics))
     spark.stop()
 
