@@ -1165,6 +1165,44 @@ FROM s
 """
 
 
+def _vocab_oov_ratio(spark, sf):
+    """Vocabulary-coverage quality filter (``operators/corpus.oov_ratio``):
+    per-doc OOV share against the corpus's own top-16 token vocabulary
+    (count desc, token asc — a total order, so ties can't flip the vocab
+    between engines). Keep iff n_oov*4 <= n_tokens (≤ 25 % OOV)."""
+    from bert_namedentityrecognition_spark.operators.corpus import oov_ratio
+
+    return oov_ratio(_t(spark, sf, "documents"), top_k=16)
+
+
+_VOCAB_OOV_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS tok
+    FROM documents
+  ) t WHERE length(t.tok) > 0
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= 16
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+  coalesce(n_oov, 0) * 4 <= coalesce(n_tokens, 0) * 1 AS keep
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 PACK_BUDGET = 64
 PACK_GROUPS = 8
 
@@ -4304,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "sequence_packing": _sequence_packing,
         "corpus_curation_e2e": _corpus_curation_e2e,
+        "vocab_oov_ratio": _vocab_oov_ratio,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -4394,6 +4433,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         "sequence_packing": _sequence_packing_sql(),
         "corpus_curation_e2e": _corpus_curation_sql(),
+        "vocab_oov_ratio": _VOCAB_OOV_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),

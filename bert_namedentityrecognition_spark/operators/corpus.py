@@ -214,6 +214,65 @@ def pack_sequences(
     )
 
 
+def oov_ratio(
+    docs: DataFrame,
+    top_k: int = 16,
+    keep_num: int = 1,
+    keep_den: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, keep): out-of-vocabulary ratio against the
+    corpus's own top-``top_k`` token vocabulary (vocabulary-coverage
+    quality filter, CCNet-style LM scoring's integer-exact cousin).
+
+    Two passes: (1) global token counts → the top-k vocabulary, ranked by
+    (count desc, token asc) — a TOTAL order, so the vocabulary is
+    deterministic across engines and cluster sizes even at count ties;
+    (2) per-doc token stream left-joined against the **broadcast**
+    vocabulary (top-k is tiny by construction). Keep iff
+    ``n_oov * keep_den <= n_tokens * keep_num`` (default ≤ 25 % OOV) —
+    integer cross-multiplication. Zero-token docs keep vacuously.
+
+    Scale shape: pass 1 is a map-side-combined groupBy on tokens followed
+    by a driver-size top-k; pass 2 is a broadcast join — the token stream
+    shuffles once on doc_id for the final rollup. No Python UDFs.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    vocab = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    ).select("tok")
+    per_doc = (
+        toks.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        )
+    )
+    return out.withColumn(
+        "keep", F.col("n_oov") * keep_den <= F.col("n_tokens") * keep_num
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -88,6 +88,30 @@ def test_weighted_sample_is_partitioning_invariant(docs):
     assert a == b
 
 
+def test_oov_ratio_vocab_and_keep(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import oov_ratio
+
+    rows = [
+        (0, "a a a b b c"),      # corpus counts: a=5, b=3, c=2, z=1
+        (1, "a a b z"),
+        (2, ""),                  # zero tokens → keep vacuously
+        (3, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # top_k=2 vocab is {a, b} (counts 5, 3); c and z are OOV
+    out = {r["doc_id"]: r.asDict() for r in oov_ratio(d, top_k=2).collect()}
+    assert out[0]["n_tokens"] == 6 and out[0]["n_oov"] == 1    # c
+    assert out[0]["keep"]                                       # 1*4 <= 6
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1    # z
+    assert out[1]["keep"]                                       # 1*4 <= 4
+    assert out[2]["n_tokens"] == 0 and out[2]["keep"]
+    assert out[3]["n_tokens"] == 0 and out[3]["keep"]
+    # tie-break is (count desc, token asc): with top_k=3, c(2) beats z(1);
+    # drop doc 0's c from OOV but doc 1's z stays
+    out3 = {r["doc_id"]: r.asDict() for r in oov_ratio(d, top_k=3).collect()}
+    assert out3[0]["n_oov"] == 0 and out3[1]["n_oov"] == 1
+
+
 def test_redact_pii_order_and_counts(spark):
     from pyspark.sql import functions as F
 
