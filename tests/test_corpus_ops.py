@@ -162,6 +162,42 @@ def test_pack_group_kernel():
     ]
 
 
+def test_pack_group_kernel_invariants_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bert_namedentityrecognition_spark.oracle.packing import pack_group
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=40), max_size=30),
+        budget=st.integers(min_value=1, max_value=25),
+    )
+    def run(toks, budget):
+        items = list(enumerate(toks))
+        out = list(pack_group(items, budget))
+        assert [d for d, _, _ in out] == [d for d, _ in items]  # order kept
+        fills = {}
+        last_bin = 0
+        for (doc_id, bin_id, off), (_, nt) in zip(out, items):
+            assert bin_id in (last_bin, last_bin + 1)  # bins open in order
+            last_bin = bin_id
+            assert off == fills.get(bin_id, 0)  # offset == fill before doc
+            fills[bin_id] = off + nt
+        for bin_id, fill in fills.items():
+            members = [
+                nt for (d, b, _), (_, nt) in zip(out, items) if b == bin_id
+            ]
+            assert fill == sum(members)
+            # a bin exceeds the budget only when an oversize doc seeded it,
+            # and then nothing else joins (fill + nt <= budget fails for
+            # every nt ≥ 0 once fill > budget)
+            if fill > budget:
+                assert len(members) == 1 and members[0] > budget
+
+    run()
+
+
 def test_pack_sequences_matches_kernel_and_is_partition_invariant(spark):
     from bert_namedentityrecognition_spark.operators.corpus import pack_sequences
     from bert_namedentityrecognition_spark.oracle.packing import pack_group
