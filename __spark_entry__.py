@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from bert_namedentityrecognition_spark.oracle.bpe_sql import (
+    bpe_encode_sql as _bpe_encode_sql,
+    bpe_merges_sql as _bpe_merges_sql,
+    bpe_vocab_sql as _bpe_vocab_sql,
+)
+
 
 def _writable_base() -> str:
     """Directory for scratch artifacts (checkpoints, persisted indexes).
@@ -1201,6 +1207,54 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc USING (doc_id)
 """
+
+
+BPE_NUM_MERGES = 16
+
+
+def _bpe_vocab(spark, sf):
+    """Distributed BPE tokenizer training (``operators/bpe.py``): 16 merges
+    trained on the corpus word-frequency table, returning each word's final
+    subword segmentation. Every iteration is one map-side-combined pair
+    aggregation over the Zipf-compressed vocab (never the corpus) plus a
+    zero-shuffle JVM ``aggregate`` fold; argmax ties break on
+    (count desc, left asc, right asc) — a total order, identical at any
+    cluster size. The DuckDB twin replays the WHOLE training loop
+    data-driven in SQL (no inlined constants), so it is exact at every sf.
+    Reference trains no tokenizer (it loads one:
+    /root/reference/BERT/Model.py:36-60) — beyond-reference LLM family."""
+    from bert_namedentityrecognition_spark.operators.bpe import segmented_vocab
+
+    return segmented_vocab(_t(spark, sf, "documents"), BPE_NUM_MERGES)
+
+
+def _bpe_merges(spark, sf):
+    """The trained BPE merge list (step, left_sym, right_sym, pair_count) —
+    the tokenizer artifact a downstream encode job ships. Every value is
+    produced by the distributed per-level argmax plan; the driver loop only
+    steers which pair to fold next (same bounded-scalar-collect class as
+    the connected-components convergence check)."""
+    from bert_namedentityrecognition_spark.operators.bpe import merge_table
+
+    return merge_table(_t(spark, sf, "documents"), BPE_NUM_MERGES).select(
+        "step",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "pair_count",
+    )
+
+
+def _bpe_encode(spark, sf):
+    """Corpus tokenize pass with the trained BPE vocabulary: per-doc word
+    and subword-piece counts. The segmentation is vocab-sized → broadcast
+    join; the corpus side is one token explode + one doc_id aggregation."""
+    from bert_namedentityrecognition_spark.operators.bpe import (
+        bpe_encode,
+        segmented_vocab,
+    )
+
+    d = _t(spark, sf, "documents")
+    return bpe_encode(d, segmented_vocab(d, BPE_NUM_MERGES))
 
 
 PACK_BUDGET = 64
@@ -4343,6 +4397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _sequence_packing,
         "corpus_curation_e2e": _corpus_curation_e2e,
         "vocab_oov_ratio": _vocab_oov_ratio,
+        "bpe_vocab_segmentation": _bpe_vocab,
+        "bpe_merge_table": _bpe_merges,
+        "bpe_encode_counts": _bpe_encode,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -4434,6 +4491,12 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": _sequence_packing_sql(),
         "corpus_curation_e2e": _corpus_curation_sql(),
         "vocab_oov_ratio": _VOCAB_OOV_SQL,
+        # whole BPE training loop replayed data-driven in SQL (no inlined
+        # constants) — greedy leftmost merging via the round-4 enumerate-
+        # positions recipe; seq/best CTEs MATERIALIZED (else 2^k inlining)
+        "bpe_vocab_segmentation": _bpe_vocab_sql(BPE_NUM_MERGES),
+        "bpe_merge_table": _bpe_merges_sql(BPE_NUM_MERGES),
+        "bpe_encode_counts": _bpe_encode_sql(BPE_NUM_MERGES),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),
