@@ -226,30 +226,34 @@ def bpe_encode(
     broadcasts; the corpus side is a zero-shuffle token stream aggregated
     once on doc_id. Words absent from the segmentation (impossible when
     trained on the same corpus) count their characters, the untrained
-    fallback."""
+    fallback.
+
+    ``explode_outer`` over the FILTERED token array keeps zero-token docs
+    as one null-token row, so the whole pass is scan → broadcast join →
+    one aggregation — no corpus⋈corpus join-back to restore empty docs
+    (the first cut's join-back planned as a SortMergeJoin of two
+    corpus-sized sides; null join keys don't match, so the sentinel rows
+    pass through the broadcast join untouched)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        F.explode_outer(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
         ).alias("tok"),
-    ).filter(F.length("tok") > 0)
+    )
     seg = segmented.select("tok", F.col("n_pieces").alias("_np"))
-    per_doc = (
+    return (
         toks.join(F.broadcast(seg), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_np"), F.length("tok").cast("long")))
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_np"), F.length("tok").cast("long"))),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_pieces"),
-        )
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
         )
     )

@@ -113,3 +113,26 @@ def test_ngram_jaccard_ppjoin_branch_plan_shape(spark):
     assert "Window" in pp and "row_number" in pp  # rarity prefix rank
     # candidate generation + verification re-join: more shingle joins
     assert pp.count("Join") > naive.count("Join")
+
+
+def test_bpe_encode_plan_single_shuffle_broadcast(spark):
+    """The BPE corpus tokenize pass must be scan → explode_outer →
+    BroadcastHashJoin(segmentation) → one doc_id aggregation exchange: no
+    SortMergeJoin anywhere (the naive join-back to restore zero-token docs
+    planned corpus⋈corpus SMJ — eliminated via explode_outer sentinels)."""
+    from bert_namedentityrecognition_spark.operators.bpe import (
+        bpe_encode,
+        segmented_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    seg = segmented_vocab(docs, 4)
+    df = bpe_encode(docs, seg)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # zero-token docs survive without a second corpus-side join
+    rows = {r["doc_id"]: (r["n_tokens"], r["n_pieces"]) for r in df.collect()}
+    assert rows[2] == (0, 0) and rows[3] == (0, 0)
