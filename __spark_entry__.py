@@ -1257,6 +1257,63 @@ def _bpe_encode(spark, sf):
     return bpe_encode(d, segmented_vocab(d, BPE_NUM_MERGES))
 
 
+def _lm_surprisal(spark, sf):
+    """CCNet-style unigram-LM quality filter
+    (``operators/corpus.lm_surprisal_filter``): per-doc total fixed-point
+    surprisal (micro-nats) under the corpus's own unigram distribution;
+    keep iff mean surprisal ≤ 3.405 nats (perplexity ~30; p75 of the
+    measured per-doc distribution at all three SFs). Rule-20 exactness:
+    the only transcendental (ln) runs driver-side in Python over the
+    bounded top-cap count table and is inlined as a literal broadcast
+    dim; Python math.log and DuckDB ln bind the same libm (verified
+    bit-identical over 2288 probe rationals), floor/×1e6/+0.5 are
+    IEEE-exact, and everything aggregated is BIGINT — order-independent
+    sums, integer cross-multiplied keep."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_surprisal_filter,
+    )
+
+    return lm_surprisal_filter(_t(spark, sf, "documents"))
+
+
+def _lm_surprisal_sql() -> str:
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        LM_KEEP_THRESH_MICRO,
+        LM_VOCAB_CAP,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS tok
+    FROM documents
+  ) t WHERE length(t.tok) > 0
+),
+vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+params AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+lp AS (
+  SELECT tok,
+         CAST(floor(ln(CAST((SELECT n FROM params) AS DOUBLE) / CAST(c AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS lp
+  FROM (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM vc)
+  WHERE rk <= {LM_VOCAB_CAP}
+),
+per_doc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(l.lp,
+           (SELECT CAST(floor(ln(CAST(2 * n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+            FROM params))) AS BIGINT) AS surprisal_micro
+  FROM toks t LEFT JOIN lp l ON t.tok = l.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(surprisal_micro, 0) AS BIGINT) AS surprisal_micro,
+  coalesce(surprisal_micro, 0) <= coalesce(n_tokens, 0) * {LM_KEEP_THRESH_MICRO} AS keep
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 PACK_BUDGET = 64
 PACK_GROUPS = 8
 
@@ -4400,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_segmentation": _bpe_vocab,
         "bpe_merge_table": _bpe_merges,
         "bpe_encode_counts": _bpe_encode,
+        "lm_surprisal_filter": _lm_surprisal,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -4497,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_segmentation": _bpe_vocab_sql(BPE_NUM_MERGES),
         "bpe_merge_table": _bpe_merges_sql(BPE_NUM_MERGES),
         "bpe_encode_counts": _bpe_encode_sql(BPE_NUM_MERGES),
+        "lm_surprisal_filter": _lm_surprisal_sql(),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),

@@ -285,3 +285,113 @@ def test_repetition_signals_flags_spam(docs):
     # 100 % and the doc is dropped — degenerate-short docs fail the Gopher
     # top-gram test by construction (length filters catch them upstream)
     assert out[2]["total3"] == 0 and not out[2]["keep"]
+
+
+# ---- unigram-LM surprisal filter (oracle/lm.py kernels) ----
+
+LM_DOCS = [
+    (1, "the the the cat"),      # common tokens -> low surprisal
+    (2, "zyzzyva qwfp zyzzyva"), # rare tokens -> high surprisal
+    (3, ""),                     # zero tokens -> keep vacuously
+    (4, None),
+    (5, "the cat 日本語"),
+]
+
+
+def _lm_expected(rows, cap):
+    from bert_namedentityrecognition_spark.oracle.lm import (
+        doc_surprisal,
+        oov_lp_micro,
+        vocab_table,
+    )
+
+    wc = {}
+    for _, t in rows:
+        for w in (t or "").split():
+            wc[w] = wc.get(w, 0) + 1
+    n_total = sum(wc.values())
+    table = vocab_table(wc, cap, n_total=n_total)
+    oov = oov_lp_micro(n_total)
+    return {
+        doc_id: doc_surprisal((t or "").split(), table, oov)
+        for doc_id, t in rows
+    }
+
+
+def test_lm_kernel_fixed_point_matches_duckdb_ln():
+    # the design premise: Python math.log == DuckDB ln on this host
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.lm import lp_micro, oov_lp_micro
+
+    con = duckdb.connect()
+    for n, c in [(10, 1), (10, 3), (123456, 7), (999983, 999983)]:
+        db = con.execute(
+            "SELECT CAST(floor(ln(CAST(? AS DOUBLE)/CAST(? AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)",
+            [n, c],
+        ).fetchone()[0]
+        assert lp_micro(n, c) == db
+    assert (
+        oov_lp_micro(123456)
+        == con.execute(
+            "SELECT CAST(floor(ln(CAST(2 * 123456 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        ).fetchone()[0]
+    )
+
+
+def test_lm_vocab_table_capped_needs_explicit_total():
+    from bert_namedentityrecognition_spark.oracle.lm import lp_micro, vocab_table
+
+    wc = {"a": 5, "b": 3, "c": 1}
+    t = vocab_table(wc, cap=2, n_total=9)
+    assert set(t) == {"a", "b"}  # (count desc, tok asc)
+    assert t["a"] == lp_micro(9, 5) and t["b"] == lp_micro(9, 3)
+
+
+@pytest.mark.parametrize("cap", [2, 100])  # cap=2 fires the OOV path
+def test_lm_surprisal_filter_matches_kernel(spark, cap):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_surprisal_filter,
+    )
+
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_micro"], r["keep"])
+        for r in lm_surprisal_filter(docs, vocab_cap=cap).collect()
+    }
+    exp = _lm_expected(LM_DOCS, cap)
+    assert set(got) == set(exp)
+    for doc_id, (n, s) in exp.items():
+        assert got[doc_id][:2] == (n, s), doc_id
+        assert got[doc_id][2] == (s <= n * 3_405_000)
+    # the common-token doc must score below the rare-token doc per token
+    assert got[1][1] * got[2][0] < got[2][1] * got[1][0]
+    assert got[3] == (0, 0, True) and got[4] == (0, 0, True)
+
+
+def test_lm_surprisal_filter_plan_no_corpus_join_back(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_surprisal_filter,
+    )
+
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    df = lm_surprisal_filter(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm_surprisal_filter_empty_corpus(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_surprisal_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_micro"], r["keep"])
+        for r in lm_surprisal_filter(docs).collect()
+    }
+    assert got == {1: (0, 0, True), 2: (0, 0, True)}
