@@ -69,26 +69,26 @@ def decontaminate(
     stream aggregated once on doc_id with map-side partial counts. The
     only shuffle is that doc-keyed aggregation.
     """
-    sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    # outer=True keeps shingle-less docs as a null sentinel, and the
+    # overlap flag rides the SAME broadcast left join as the size count —
+    # one aggregation, no corpus⋈corpus join-back (the first cut joined
+    # two separate per-doc aggregates back onto the corpus: two SMJs of
+    # corpus-sized sides)
+    sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col, outer=True)
     ev = (
         token_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    overlap = (
-        sh.join(F.broadcast(ev), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    base = docs.select(F.col(id_col).alias("doc_id"))
     out = (
-        base.join(sizes, "doc_id", "left")
-        .join(overlap, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        sh.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").cast("long").alias("n_shingles"),
+            F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
         )
     )
     return out.withColumn(
@@ -240,32 +240,44 @@ def oov_ratio(
     """
     from pyspark.sql import Window
 
+    # explode_outer over the FILTERED token array keeps zero-token docs as
+    # one null-token sentinel row, so the pass is scan → broadcast join →
+    # one doc_id aggregation — no corpus⋈corpus join-back to restore empty
+    # docs (the join-back planned as a SortMergeJoin of two corpus-sized
+    # sides; null join keys pass the broadcast join unmatched)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")).alias(
-            "tok"
-        ),
-    ).filter(F.length("tok") > 0)
-    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+        F.explode_outer(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    counts = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
     w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
     vocab = counts.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= top_k
     ).select("tok")
-    per_doc = (
+    out = (
         toks.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
-        )
-    )
-    out = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("tok").isNull(), 0)
+                    .when(F.col("_in").isNull(), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_oov"),
         )
     )
     return out.withColumn(
@@ -363,39 +375,47 @@ def repetition_signals(
       (≤ 50 %) — integer cross-multiplication, bit-identical in DuckDB.
       Documents too short to have grams keep vacuously (0 ≤ 0).
 
-    Scale shape: grams explode with multiplicity and aggregate on
-    (doc_id, gram) — hash partial aggregation combines map-side, so the
-    shuffle carries per-doc-distinct grams, not raw occurrences; the
-    second per-doc rollup reuses the same doc_id hashing.
+    Scale shape: ONE corpus scan builds both gram streams as a single
+    tagged struct array (k=2 ‖ k=3) and ``explode_outer`` keeps gram-less
+    docs as a null sentinel — no corpus⋈corpus join-back (the first cut
+    scanned the corpus twice and joined two per-doc aggregates back onto
+    it: two SMJs of corpus-sized sides). Grams aggregate on
+    (doc_id, k, gram) with map-side partial counts, so the shuffle
+    carries per-doc-distinct grams, not raw occurrences; the per-doc
+    rollup is conditional aggregation over the same doc_id hashing.
     """
+    from .dedup import shingle_array
 
-    def _per_doc(n: int, top_alias: str, dup_alias: str, tot_alias: str):
-        g = (
-            token_shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
-            .groupBy("doc_id", "shingle")
-            .agg(F.count("*").alias("c"))
+    toks = F.col("_toks")
+    tagged = F.concat(
+        F.transform(
+            shingle_array(toks, 2),
+            lambda s: F.struct(F.lit(2).alias("k"), s.alias("shingle")),
+        ),
+        F.transform(
+            shingle_array(toks, 3),
+            lambda s: F.struct(F.lit(3).alias("k"), s.alias("shingle")),
+        ),
+    )
+    g = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
         )
-        return g.groupBy("doc_id").agg(
-            F.max("c").cast("long").alias(top_alias),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias(dup_alias),
-            F.sum("c").cast("long").alias(tot_alias),
-        )
-
-    a2 = _per_doc(2, "top2", "_dup2", "total2").drop("_dup2")
-    a3 = _per_doc(3, "_top3", "dup3", "total3").drop("_top3")
-    base = docs.select(F.col(id_col).alias("doc_id"))
-    out = (
-        base.join(a2, "doc_id", "left")
-        .join(a3, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("top2"), F.lit(0)).cast("long").alias("top2"),
-            F.coalesce(F.col("total2"), F.lit(0)).cast("long").alias("total2"),
-            F.coalesce(F.col("dup3"), F.lit(0)).cast("long").alias("dup3"),
-            F.coalesce(F.col("total3"), F.lit(0)).cast("long").alias("total3"),
-        )
+        .select("doc_id", F.explode_outer(tagged).alias("p"))
+        .select("doc_id", F.col("p.k").alias("k"), F.col("p.shingle").alias("shingle"))
+    )
+    cnt = g.groupBy("doc_id", "k", "shingle").agg(
+        F.count("shingle").alias("c")  # sentinel rows count 0
+    )
+    k2, k3 = F.col("k") == 2, F.col("k") == 3
+    out = cnt.groupBy("doc_id").agg(
+        F.coalesce(F.max(F.when(k2, F.col("c"))), F.lit(0)).cast("long").alias("top2"),
+        F.coalesce(F.sum(F.when(k2, F.col("c"))), F.lit(0)).cast("long").alias("total2"),
+        F.coalesce(F.sum(F.when(k3 & (F.col("c") > 1), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("dup3"),
+        F.coalesce(F.sum(F.when(k3, F.col("c"))), F.lit(0)).cast("long").alias("total3"),
     )
     return out.withColumn(
         "keep",

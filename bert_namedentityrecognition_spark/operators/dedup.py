@@ -53,38 +53,48 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def shingle_array(toks, n: int):
+    """Array column of n-token shingles over a token-array column, built
+    JVM-side via transform + slice + array_join (no UDF).
+
+    Guard: ``sequence(1, 0)`` is DESCENDING [1, 0] and ``slice(_, 0, n)``
+    throws — docs with < n tokens (common in web text) must yield an
+    empty array, matching the oracle's ``range(0, greatest(len-(n-1), 0))``.
+
+    Pass a COLUMN holding the materialized token array, not the ``split``
+    expression: inlining ``split`` into the lambda makes Spark re-split
+    the whole text once per shingle — O(tokens²) per doc, measured 4×
+    wall per 2× tokens — while a column reference is sliced O(n) per
+    element."""
+    n_shingles = F.size(toks) - (n - 1)
+    idxs = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
+    return F.when(
+        n_shingles > 0,
+        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_shingles(
     docs: DataFrame,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     distinct: bool = True,
+    outer: bool = False,
 ) -> DataFrame:
-    """(doc_id, shingle): n-token shingles, built JVM-side via
-    split + transform + slice + array_join (no UDF). ``distinct=True``
-    (the dedup default) keeps one row per (doc, shingle); ``distinct=False``
-    keeps multiplicity — needed by occurrence-counting consumers such as
-    the repetition-quality signals in ``operators/corpus.py``.
-
-    The token array is materialized as a column BEFORE the per-index
-    transform: inlining the ``split`` expression into the lambda makes
-    Spark re-split the whole text once per shingle — O(tokens²) per doc,
-    measured 4× wall per 2× tokens — while a column reference is sliced
-    O(n) per element."""
-    toks = F.col("_toks")
-    # guard: sequence(1, 0) is DESCENDING [1, 0] and slice(_, 0, n) throws —
-    # docs with < n tokens (common in web text) must yield zero shingles,
-    # matching the oracle's range(0, greatest(len - (n-1), 0))
-    n_shingles = F.size(toks) - (n - 1)
-    idxs = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
-    sh = F.when(
-        n_shingles > 0,
-        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    """(doc_id, shingle): n-token shingles (see ``shingle_array``).
+    ``distinct=True`` (the dedup default) keeps one row per
+    (doc, shingle); ``distinct=False`` keeps multiplicity — needed by
+    occurrence-counting consumers such as the repetition-quality signals
+    in ``operators/corpus.py``. ``outer=True`` keeps shingle-less docs as
+    one null-shingle sentinel row (``explode_outer``), so consumers can
+    aggregate per doc without a corpus⋈corpus join-back to restore them."""
+    sh = shingle_array(F.col("_toks"), n)
+    exploded = F.explode_outer(sh) if outer else F.explode(sh)
     out = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
-    ).select("doc_id", F.explode(sh).alias("shingle"))
+    ).select("doc_id", exploded.alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -136,3 +136,30 @@ def test_bpe_encode_plan_single_shuffle_broadcast(spark):
     # zero-token docs survive without a second corpus-side join
     rows = {r["doc_id"]: (r["n_tokens"], r["n_pieces"]) for r in df.collect()}
     assert rows[2] == (0, 0) and rows[3] == (0, 0)
+
+
+def test_curation_per_doc_ops_no_corpus_join_back(spark):
+    """decontaminate / repetition_signals / oov_ratio must aggregate to
+    per-doc rows in ONE pass via explode_outer sentinels — no
+    SortMergeJoin of corpus-sized sides to restore gram-less/zero-token
+    docs (the first cuts joined per-doc aggregates back onto the corpus)."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        decontaminate,
+        oov_ratio,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    for df in (
+        decontaminate(docs, ev),
+        repetition_signals(docs),
+        oov_ratio(docs, top_k=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        # every doc row survives, including gram-less and null-text ones
+        assert {r["doc_id"] for r in df.collect()} == {1, 2, 3, 4}
