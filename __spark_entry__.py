@@ -3198,6 +3198,117 @@ FROM walk GROUP BY node
 """
 
 
+def _kg_entity_pagerank(spark, sf):
+    """Integer-exact PageRank over the SAME derived alias graph as
+    ``kg_alias_components`` (chain-of-40 + block heads from the ``events``
+    row count — sf-scaled 1k/10k/100k nodes), symmetrized so no node
+    dangles. Entity importance over the canonicalized alias graph is the
+    ranking a KG materialization ships alongside its nodes table (the
+    north rule's "graph materialize"); the reference has no graph stage
+    (one-hop alias resolution only, ``OICI_database.py:34-39``).
+
+    Exactness: ranks are BIGINTs (``init=10**9``); damping 0.85 is the
+    integer ratio 85/100 via ``DIV``; sums are order-independent integer
+    adds — the DuckDB twin (``oracle/graph.py:pagerank_sql`` — unrolled
+    per-iteration CTEs, graph CTEs MATERIALIZED per rule 30) matches
+    bit-for-bit at any corpus size. 6 iterations = 12 shuffles; the edge
+    list (with pre-joined out-degrees) is localCheckpoint-materialized
+    once and reused every level (rule 23)."""
+    from bert_namedentityrecognition_spark.operators.graph import pagerank_integer
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank_integer(sym, iterations=6)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_scaled").cast("long").alias("rank_scaled"),
+    )
+
+
+def _kg_entity_pagerank_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import pagerank_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    return pagerank_sql(graph_ctes, iterations=6)
+
+
+def _kg_triangle_counts(spark, sf):
+    """Per-node triangle participation over a derived co-mention graph —
+    the clustering signal a KG quality pass computes over its edges table.
+    Graph (both twins construct it arithmetically from the ``events`` row
+    count): path edges (i, i+1) plus skip edges (i, i+2) when i % 3 != 0,
+    giving triangles (i, i+1, i+2) exactly at those i — per-node counts
+    vary 0..2. Spark side uses DEGREE-BASED ORIENTATION
+    (``operators/graph.py:triangle_counts_df`` — out-degree bounded
+    O(sqrt(m)), wedge join O(m^1.5) worst case, the 100 TB enumeration);
+    counts are orientation-invariant so the DuckDB twin orients by plain
+    id order and still matches exactly. Nodes in no triangle are absent
+    from BOTH outputs."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        triangle_counts_df,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    e1 = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e2 = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    tc = triangle_counts_df(e1.union(e2))
+    return tc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
+
+
+_KG_TRIANGLE_COUNTS_SQL = """
+WITH
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+und AS MATERIALIZED (
+  SELECT a.i AS u, b.i AS v FROM ids a JOIN ids b ON b.i = a.i + 1
+  UNION ALL
+  SELECT a.i AS u, b.i AS v FROM ids a JOIN ids b ON b.i = a.i + 2
+  WHERE a.i % 3 <> 0
+),
+tri AS MATERIALIZED (
+  SELECT w1.u AS a, w1.v AS b, w2.v AS c
+  FROM und w1
+  JOIN und w2 ON w2.u = w1.v
+  JOIN und w3 ON w3.u = w1.u AND w3.v = w2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+"""
+
+
 # --- WARC raw-source ingest under the gate (§2.1) ----------------------------
 
 
@@ -4475,6 +4586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_fold_stats": _cv_fold_stats,
         "textprep_scalars": _textprep_scalars,
         "kg_alias_components": _kg_alias_components,
+        "kg_entity_pagerank": _kg_entity_pagerank,
+        "kg_triangle_counts": _kg_triangle_counts,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
 
@@ -4568,6 +4681,10 @@ def oracle_sql() -> dict[str, str]:
         "cv_fold_stats": _cv_fold_stats_sql(),
         "textprep_scalars": _textprep_scalars_sql(),
         "kg_alias_components": _KG_ALIAS_COMPONENTS_SQL,
+        # integer-exact graph analytics over derived graphs (rule 20 family:
+        # all-integer arithmetic, unrolled iterations, MATERIALIZED graph CTEs)
+        "kg_entity_pagerank": _kg_entity_pagerank_sql(),
+        "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)
         "streaming_windowed_triples": _STREAM_WT_SQL,

@@ -1,0 +1,145 @@
+"""Entity-graph analytics over alias/co-mention edges — PageRank and
+triangle counting as pure DataFrame jobs (GraphFrames-free).
+
+Semantics live in ``oracle/graph.py`` (integer-exact kernels); this module is
+the distributed execution. The reference has no graph stage (alias
+resolution is one-hop, ``OICI_database.py:34-39``) — ranking canonical
+entities and measuring alias-cluster cohesion are this repo's KG-scale
+extensions (SURVEY §2.12).
+
+100 TB notes
+------------
+* ``pagerank_integer``: per iteration = 1 shuffle to co-locate ranks with
+  the edge list's ``a`` side + 1 shuffle for the ``groupBy(b)`` partial-
+  aggregated sum. The edge list (with out-degrees pre-joined) is
+  ``localCheckpoint``-materialized ONCE and reused every iteration (rule
+  23: exchange reuse does not dedup near-identical subtrees; without the
+  checkpoint each level re-derives degrees from scratch). Ranks are
+  checkpointed per level so plan size stays O(1) in the iteration count.
+  At 10**12 nodes the integer scale ``init`` must shrink (or move to
+  decimal(38)) to keep ``d_num * sum`` under 2**63 — the kernel docstring
+  carries the bound.
+* ``triangle_counts_df``: degree-based orientation (direct every edge from
+  the lower ``(degree, id)`` endpoint to the higher) bounds every node's
+  out-degree by O(sqrt(m)), so the wedge join ``e1.b == e2.a`` materializes
+  O(m^1.5) candidate wedges worst-case instead of sum(deg^2) — the standard
+  scalable triangle enumeration. Counts are orientation-invariant, so the
+  DuckDB twin may orient by plain id order and still match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle.graph import D_DEN, D_NUM, INIT
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DIRECTED ``edges(src, dst)`` → ``(node, rank_scaled)`` — the exact
+    integer PageRank of ``oracle.graph.pagerank_int`` (pass both directions
+    for undirected graphs; dangling nodes keep the base rank)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # (a, b, deg) materialized once; every iteration reuses this partitioning.
+    e = e.join(deg, "a").repartition("a").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = ((d_den - d_num) * init) // d_den
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
+    for _ in range(iterations):
+        inc = (
+            e.join(ranks, e.a == ranks.node)
+            .select(F.col("b"), F.expr("rank_scaled DIV deg").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, nodes.node == inc.b, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({d_num} * coalesce(inc, 0L)) DIV {d_den}")
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_counts_df(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """UNDIRECTED ``edges`` (any orientation, dups/self-loops dropped) →
+    ``(node, triangles)`` per-node participation counts, exact.
+
+    Degree-based orientation: every undirected edge is directed from its
+    lower ``(degree, node)`` endpoint to the higher, then triangles are the
+    wedges ``x→y, y→z`` closed by ``x→z``. Every triangle is enumerated
+    exactly once (the orientation is acyclic), and each enumeration credits
+    all three corners."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # und feeds degree (twice), both orientation joins, and all three
+        # wedge-join legs — materialize once (rule 23: exchange reuse does
+        # NOT dedup near-identical subtrees; unmaterialized this plan
+        # re-derived the edge list 6× = 64 exchanges at the gate).
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # Orient low-(degree, id) → high-(degree, id): out-degree ≤ O(sqrt(m)).
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+            )
+            .otherwise(F.struct(F.col("v").alias("x"), F.col("u").alias("y")))
+            .alias("e")
+        )
+        .select("e.x", "e.y")
+        .localCheckpoint(eager=True)  # reused by all three wedge-join legs
+    )
+    e1 = oriented.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = oriented.select(F.col("x").alias("a3"), F.col("y").alias("c3"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b").alias("node")))
+        .union(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

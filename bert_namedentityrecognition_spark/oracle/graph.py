@@ -1,0 +1,135 @@
+"""Entity-graph analytics kernels — integer-exact PageRank and triangle
+counting (pure Python, no Spark imports; rule 6: semantics live here and the
+Spark operators + SQL twins both follow).
+
+Why integer arithmetic: floating-point PageRank is NOT replayable across
+engines (Spark partial aggregation and DuckDB both sum in data-dependent
+order; doubles are non-associative). Scaling the rank to a BIGINT
+(``init = 10**9``) and expressing the damping as integer ratios makes every
+step exact integer math — sums are order-independent, ``//`` (truncating
+integer division; all operands here are non-negative so truncation == floor)
+matches Spark's ``DIV`` and DuckDB's ``//`` bit-for-bit, and the driver's
+value-hash comparison holds at any corpus size.
+
+Overflow bound: with ``init = 10**9`` the total rank mass is ``n * 10**9``;
+the per-node incoming sum is bounded by the total, so the widest intermediate
+``d_num * inc ≤ 85 * n * 10**9`` stays under 2**63 for ``n`` up to ~10**8
+nodes per *gate fixture* (the production operator at 10**12 nodes would use a
+smaller ``init`` or decimal(38) — see the operator docstring).
+
+Ref: the reference has no graph stage — alias resolution is one-hop
+(``OICI_database.py:34-39``). Ranking canonical entities by alias-graph
+centrality and measuring clustering (triangles) are this repo's KG-scale
+extensions (SURVEY §2.12), the "graph materialize" half of the north rule.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Iterable, List, Tuple
+
+INIT = 10**9
+D_NUM = 85
+D_DEN = 100
+
+
+def pagerank_int(
+    edges: Iterable[Tuple[int, int]],
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> Dict[int, int]:
+    """Integer PageRank over DIRECTED ``edges`` (pass both directions for an
+    undirected graph). Returns ``{node: rank_scaled}``.
+
+    Update rule (all integer)::
+
+        base     = ((d_den - d_num) * init) // d_den
+        contrib  = rank(u) // out_degree(u)          # to each out-neighbor
+        rank'(v) = base + (d_num * sum(contrib)) // d_den
+
+    Nodes with no out-edges (dangling) keep contributing nothing — the
+    standard simplification; the gate fixture symmetrizes its edges so no
+    node dangles and both twins agree without a redistribution term.
+    """
+    out: Dict[int, List[int]] = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        out[a].append(b)
+    base = ((d_den - d_num) * init) // d_den
+    rank = {v: init for v in nodes}
+    for _ in range(iterations):
+        inc: Dict[int, int] = defaultdict(int)
+        for u, nbrs in out.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                inc[v] += c
+        rank = {v: base + (d_num * inc.get(v, 0)) // d_den for v in nodes}
+    return rank
+
+
+def triangle_counts(edges: Iterable[Tuple[int, int]]) -> Dict[int, int]:
+    """Per-node triangle participation counts over an UNDIRECTED graph
+    (edges may arrive in either orientation; duplicates and self-loops are
+    dropped). Each triangle {a,b,c} adds 1 to each of a, b, c."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: Dict[int, set] = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    counts: Dict[int, int] = defaultdict(int)
+    for a, b in und:
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # enumerate each triangle once (a < b < c)
+                counts[a] += 1
+                counts[b] += 1
+                counts[c] += 1
+    return dict(counts)
+
+
+def pagerank_sql(
+    graph_ctes: str,
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`pagerank_int`.
+
+    ``graph_ctes`` must define a CTE ``sym(a, b)`` — the directed edge list
+    (already symmetrized for undirected graphs). ``deg``/``nodes``/``sym``
+    are referenced once per unrolled level, so they are declared
+    ``MATERIALIZED`` (rule 30: DuckDB inlines non-materialized CTEs per
+    reference — K references would re-plan the graph K times). Each ``r{k}``
+    level is referenced exactly once by ``r{k+1}`` so levels need no
+    materialization and the plan grows linearly in ``iterations``.
+    """
+    base = ((d_den - d_num) * init) // d_den
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "deg AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),",
+        f"r0 AS (SELECT node, CAST({init} AS BIGINT) AS r FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"inc{k} AS (SELECT s.b AS node, SUM(r.r // deg.d) AS inc "
+            f"FROM r{k - 1} r JOIN sym s ON s.a = r.node "
+            f"JOIN deg ON deg.a = r.node GROUP BY s.b),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.node, CAST({base} AS BIGINT) + "
+            f"({d_num} * COALESCE(i.inc, 0)) // {d_den} AS r "
+            f"FROM nodes n LEFT JOIN inc{k} i ON i.node = n.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}"
+    )
+    return "\n".join(parts)

@@ -1,0 +1,122 @@
+"""Graph-analytics operators (PageRank, triangle counts) vs the pure-Python
+kernels in ``oracle/graph.py`` — exactness, determinism, and invariants."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from bert_namedentityrecognition_spark.operators.graph import (
+    pagerank_integer,
+    triangle_counts_df,
+)
+from bert_namedentityrecognition_spark.oracle.graph import (
+    INIT,
+    pagerank_int,
+    triangle_counts,
+)
+
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def _random_graph(n, m, seed):
+    rng = random.Random(seed)
+    seen = set()
+    while len(seen) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    return sorted(seen)
+
+
+def test_pagerank_spark_matches_kernel(spark):
+    und = _random_graph(60, 140, seed=7)
+    directed = _sym(und)
+    want = pagerank_int(directed, iterations=5)
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_integer(df, iterations=5).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_dangling_and_sources(spark):
+    # 0→1→2 chain (directed): 0 has no in-edges (base rank), 2 dangles.
+    directed = [(0, 1), (1, 2)]
+    want = pagerank_int(directed, iterations=4)
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_integer(df, iterations=4).collect()
+    }
+    assert got == want
+    base = (15 * INIT) // 100
+    assert got[0] == base  # no in-edges → pure base after iteration 1
+
+
+def test_pagerank_mass_and_order(spark):
+    und = _random_graph(40, 80, seed=11)
+    directed = _sym(und)
+    ranks = pagerank_int(directed, iterations=6)
+    # Total mass bounded by n * init (damping only removes mass).
+    assert sum(ranks.values()) <= len(ranks) * INIT
+    # A strictly-higher-degree hub outranks a degree-1 leaf: star fixture.
+    star = _sym([(0, i) for i in range(1, 9)])
+    r = pagerank_int(star, iterations=6)
+    assert r[0] > r[1]
+
+
+def test_triangle_counts_spark_matches_kernel(spark):
+    und = _random_graph(50, 180, seed=3)
+    want = triangle_counts(und)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts_df(df).collect()}
+    assert got == want
+    assert want, "fixture must actually contain triangles"
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4: every node is in C(3,2)=3 triangles; 4 triangles total.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    want = triangle_counts(k4)
+    assert want == {0: 3, 1: 3, 2: 3, 3: 3}
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts_df(df).collect()}
+    assert got == want
+    # Orientation invariance: reversed/duplicated inputs change nothing.
+    noisy = k4 + [(b, a) for a, b in k4] + k4[:2] + [(1, 1)]
+    df2 = spark.createDataFrame(noisy, ["src", "dst"])
+    got2 = {r["node"]: r["triangles"] for r in triangle_counts_df(df2).collect()}
+    assert got2 == want
+
+
+def test_pagerank_sql_twin_matches_kernel():
+    """The unrolled DuckDB twin reproduces the kernel bit-for-bit on the
+    gate's derived graph shape (chain-of-40 + block heads, symmetrized)."""
+    import duckdb
+
+    n = 200
+    chain = [(i, i - 1) for i in range(1, n) if i % 40 != 0]
+    heads = [
+        (i, i - 40) for i in range(1, n) if i % 40 == 0 and (i // 40) % 3 != 0
+    ]
+    directed = _sym(chain + heads)
+    want = pagerank_int(directed, iterations=6)
+
+    from bert_namedentityrecognition_spark.oracle.graph import pagerank_sql
+
+    graph_ctes = f"""
+ids AS MATERIALIZED (SELECT i FROM range({n}) t(i)),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    sql = pagerank_sql(graph_ctes, iterations=6)
+    got = {int(a): int(b) for a, b in duckdb.sql(sql).fetchall()}
+    assert got == want
