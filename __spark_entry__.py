@@ -978,6 +978,72 @@ FROM documents
 """
 
 
+def _dedup_repeated_windows(spark, sf):
+    """Cross-document repeated-window detection (the hash-anchor step of
+    Lee-et-al-style exact-substring dedup) over the sf-scaled ``documents``
+    table: rolling 5-token windows, portable two-level poly hash, a window
+    counted duplicated iff its hash occurs in ≥2 DISTINCT docs (the
+    min≠max-over-whash trick — one shuffle, no self-join, no distinct-count
+    state), keep iff ≤ 25 % of a doc's windows are duplicated (integer
+    cross-multiplication). Splits the corpus 91/91/90 % kept at
+    sf0.001/0.01/0.1 — measured, so the filter provably fires at every SF.
+    Oracle: the identical arithmetic in DuckDB list lambdas + window
+    functions; short docs null-sentinel on both sides (``explode_outer``
+    vs ``unnest([NULL])``)."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        repeated_window_flags,
+    )
+
+    return repeated_window_flags(_t(spark, sf, "documents"), window=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_windows",
+        "dup_windows",
+        "keep",
+    )
+
+
+_REPEATED_WINDOWS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+    list_transform(t, s -> list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007)) AS h,
+    len(t) AS n
+  FROM toks
+),
+base AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos IS NOT NULL THEN
+      list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos + 1 : pos + 5]),
+        (a, x) -> (a * 131 + x) % 1000000007)
+    END AS whash
+  FROM th, LATERAL unnest(
+    CASE WHEN n >= 5 THEN range(n - 5 + 1) ELSE [NULL] END) u(pos)
+),
+marked AS (
+  SELECT doc_id, pos,
+    (pos IS NOT NULL AND
+     min(doc_id) OVER (PARTITION BY whash) <> max(doc_id) OVER (PARTITION BY whash)) AS dup
+  FROM base
+),
+agg AS (
+  SELECT doc_id,
+    CAST(COUNT(pos) AS BIGINT) AS n_windows,
+    CAST(COALESCE(SUM(CASE WHEN dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_windows
+  FROM marked GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_windows, dup_windows,
+  dup_windows * 4 <= n_windows * 1 AS keep
+FROM agg
+"""
+
+
 def _dedup_exact(spark, sf):
     from bert_namedentityrecognition_spark.operators.dedup import exact_dedup
 
@@ -4558,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "dedup_streaming_stateful": _streaming_dedup,
+        "dedup_repeated_windows": _dedup_repeated_windows,
         "decontaminate_ngram": _decontaminate_ngram,
         "domain_weighted_sample": _domain_weighted_sample,
         "doc_repetition_signals": _doc_repetition_signals,
@@ -4655,6 +4722,7 @@ def oracle_sql() -> dict[str, str]:
         # (doc_id-ranged files, mtime-ordered batches), so the batch
         # exact-dedup predicate over the same salted union is its oracle
         "dedup_streaming_stateful": _STREAM_DEDUP_SQL,
+        "dedup_repeated_windows": _REPEATED_WINDOWS_SQL,
         "decontaminate_ngram": _DECONTAMINATE_SQL,
         "domain_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "doc_repetition_signals": _REPETITION_SQL,

@@ -569,3 +569,98 @@ def simhash_near_pairs(
         "doc_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def repeated_window_flags(
+    docs: DataFrame,
+    window: int = 5,
+    max_dup_num: int = 1,
+    max_dup_den: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-window detection — the hash-anchor step of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated ≥k-token spans
+    across documents are memorization fuel; the scalable detector hashes
+    fixed-length token windows and looks for hashes seen in ≥2 docs).
+
+    Returns ``(doc_id, n_windows, dup_windows, keep)``:
+
+    - ``n_windows``: rolling ``window``-token windows in the doc
+      (``len(toks) - window + 1``, 0 when shorter),
+    - ``dup_windows``: windows whose portable hash also occurs in at least
+      one OTHER document (intra-doc repeats alone do not count — those are
+      ``repetition_signals``' job),
+    - ``keep`` iff ``dup_windows * max_dup_den <= n_windows * max_dup_num``
+      (default ≤ 25 % duplicated) — integer cross-multiplication, so the
+      decision is bit-identical in the DuckDB twin; window-less docs keep
+      vacuously (0 ≤ 0).
+
+    Hashing: per-token portable poly hash (base 31) folded across the
+    window with base 131, both mod 1e9+7 — identical arithmetic in DuckDB
+    ``list_reduce``. Collisions conflate distinct windows symmetrically in
+    both engines (an anchor heuristic, not an exact-match proof — real
+    pipelines verify anchors before cutting, as ``verify_jaccard`` does
+    for the shingle family).
+
+    Scale shape: ONE corpus scan → explode windows (``explode_outer``
+    null-sentinels window-less docs, no corpus⋈corpus join-back) → the
+    cross-doc test is ``min(doc_id) != max(doc_id)`` over a hash-keyed
+    window function (one shuffle on ``whash``, no self-join, no distinct-
+    count state) → one map-side-combined ``groupBy(doc_id)`` rollup.
+    Two shuffles total regardless of corpus size; the whash shuffle
+    carries one row per window occurrence — the same cardinality bound as
+    the MinHash band shuffle. Guard: ``sequence(0, n - window)`` is
+    DESCENDING for short docs (see ``shingle_array``), hence the
+    ``when(size >= window)`` gate before ``explode_outer``."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    thash = F.transform(F.col("_toks"), lambda t: poly_hash(t))
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", thash.alias("_th"), F.size("_toks").alias("_n"))
+        .select(
+            "doc_id",
+            "_th",
+            F.explode_outer(
+                F.when(
+                    F.col("_n") >= window,
+                    F.sequence(F.lit(0), F.col("_n") - window),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("pos").isNotNull(),
+                F.aggregate(
+                    F.slice(F.col("_th"), F.col("pos") + 1, window),
+                    F.lit(0).cast("long"),
+                    lambda a, x: (a * 131 + x) % 1_000_000_007,
+                ),
+            ).alias("whash"),
+        )
+    )
+    w = Window.partitionBy("whash")
+    marked = base.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos").isNotNull()
+            & (F.min("doc_id").over(w) != F.max("doc_id").over(w))
+        ).alias("_dup"),
+    )
+    out = marked.groupBy("doc_id").agg(
+        F.count("pos").cast("long").alias("n_windows"),
+        F.coalesce(F.sum(F.col("_dup").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("dup_windows"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("dup_windows") * max_dup_den <= F.col("n_windows") * max_dup_num,
+    )
