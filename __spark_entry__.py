@@ -3375,6 +3375,76 @@ FROM corners GROUP BY node
 """
 
 
+KCORE_K = 3
+KCORE_SQL_ROUNDS = 4  # fixture fixpoint = 2 simultaneous-peel rounds at ANY
+# n (asserted by tests/test_graph_analytics.py::test_kcore_fixture_rounds);
+# the Spark loop is budgeted max_rounds=KCORE_SQL_ROUNDS and fails loudly
+# past it, so twin divergence is impossible to miss.
+
+
+def _kg_kcore(spark, sf):
+    """k-core decomposition (k=3) over a derived entity graph — the
+    density/cohesion pruning a KG runs before exposing its alias clusters
+    (nodes outside the k-core are weakly-supported entities). Graph (both
+    twins build it arithmetically from the ``events`` row count): a path
+    (i, i+1), a K4 clique on {b..b+3} at every b = 10m, and a tail edge
+    (b+4, b+6) per block — the tail makes the peel take TWO simultaneous
+    rounds (b+5/b+7 fall first, then b+4/b+6 whose degree depended on
+    them), so the gate pins genuine iteration, not a one-shot filter.
+    The 3-core is exactly the K4 nodes, every survivor at core degree 3.
+    Spark: `operators/graph.py:kcore` — per round one degree aggregation
+    + two anti-joins against the removal set, localCheckpoint per round;
+    oracle: `oracle/graph.py:kcore_sql` — the same simultaneous peel
+    unrolled 4 rounds (extra rounds no-op on the stable core)."""
+    from bert_namedentityrecognition_spark.operators.graph import kcore
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    path = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    blocks = ids.filter((F.col("id") % 10 == 0) & (F.col("id") + 3 < n))
+    c1 = blocks.select(F.col("id").alias("src"), (F.col("id") + 2).alias("dst"))
+    c2 = blocks.select(F.col("id").alias("src"), (F.col("id") + 3).alias("dst"))
+    c3 = blocks.select(
+        (F.col("id") + 1).alias("src"), (F.col("id") + 3).alias("dst")
+    )
+    tails = ids.filter((F.col("id") % 10 == 0) & (F.col("id") + 6 < n)).select(
+        (F.col("id") + 4).alias("src"), (F.col("id") + 6).alias("dst")
+    )
+    edges = path.union(c1).union(c2).union(c3).union(tails)
+    core = kcore(edges, k=KCORE_K, max_rounds=KCORE_SQL_ROUNDS)
+    return core.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
+def _kg_kcore_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import kcore_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+und AS (
+  SELECT a.i AS u, b.i AS v FROM ids a JOIN ids b ON b.i = a.i + 1
+  UNION ALL
+  SELECT a.i AS u, a.i + 2 AS v FROM ids a JOIN ids c ON c.i = a.i + 3
+  WHERE a.i % 10 = 0
+  UNION ALL
+  SELECT a.i AS u, a.i + 3 AS v FROM ids a JOIN ids c ON c.i = a.i + 3
+  WHERE a.i % 10 = 0
+  UNION ALL
+  SELECT a.i + 1 AS u, a.i + 3 AS v FROM ids a JOIN ids c ON c.i = a.i + 3
+  WHERE a.i % 10 = 0
+  UNION ALL
+  SELECT a.i + 4 AS u, a.i + 6 AS v FROM ids a JOIN ids c ON c.i = a.i + 6
+  WHERE a.i % 10 = 0
+),
+sym AS MATERIALIZED (SELECT u AS a, v AS b FROM und UNION SELECT v AS a, u AS b FROM und)
+"""
+    return kcore_sql(graph_ctes, k=KCORE_K, rounds=KCORE_SQL_ROUNDS)
+
+
 # --- WARC raw-source ingest under the gate (§2.1) ----------------------------
 
 
@@ -4655,6 +4725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alias_components": _kg_alias_components,
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_triangle_counts": _kg_triangle_counts,
+        "kg_kcore": _kg_kcore,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
 
@@ -4753,6 +4824,7 @@ def oracle_sql() -> dict[str, str]:
         # all-integer arithmetic, unrolled iterations, MATERIALIZED graph CTEs)
         "kg_entity_pagerank": _kg_entity_pagerank_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
+        "kg_kcore": _kg_kcore_sql(),
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)
         "streaming_windowed_triples": _STREAM_WT_SQL,

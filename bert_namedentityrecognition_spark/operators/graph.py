@@ -143,3 +143,54 @@ def triangle_counts_df(
         .union(tris.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """UNDIRECTED ``edges`` → the k-core: ``(node, core_degree)`` for every
+    node surviving iterative removal of degree-< k nodes (fixpoint is
+    peel-order independent — ``oracle.graph.kcore_nodes`` is the kernel).
+
+    Per round: one map-side-combined degree aggregation + two anti-joins
+    against the (typically tiny, AQE-broadcast) removal set, then
+    ``localCheckpoint`` so plan size stays O(1) in the round count (rule
+    23). Raises LOUDLY if the fixpoint is not reached within
+    ``max_rounds`` — the unrolled SQL twin covers a fixed round budget,
+    so running past it must fail, not silently diverge."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        bad = deg.filter(F.col("d") < k).select(F.col("a").alias("bn"))
+        bad = bad.localCheckpoint(eager=True)
+        if bad.limit(1).count() == 0:
+            return deg.select(
+                F.col("a").alias("node"),
+                F.col("d").cast("long").alias("core_degree"),
+            )
+        sym = (
+            sym.join(bad, sym.a == bad.bn, "left_anti")
+            .join(bad, F.col("b") == bad.bn, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore(k={k}) did not reach its fixpoint in {max_rounds} "
+        "simultaneous-peel rounds — raise max_rounds AND the SQL twin's "
+        "unroll budget together (they must cover the same round count)."
+    )

@@ -133,3 +133,75 @@ def pagerank_sql(
         f"CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}"
     )
     return "\n".join(parts)
+
+
+def kcore_nodes(
+    edges: Iterable[Tuple[int, int]], k: int
+) -> Dict[int, int]:
+    """k-core of an UNDIRECTED graph: iteratively peel nodes with degree
+    < k until fixpoint; returns ``{node: degree_within_core}`` for the
+    survivors. Deterministic — the fixpoint is independent of peel order."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: Dict[int, set] = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    alive = set(nbrs)
+    while True:
+        bad = {v for v in alive if sum(1 for u in nbrs[v] if u in alive) < k}
+        if not bad:
+            break
+        alive -= bad
+    return {
+        v: sum(1 for u in nbrs[v] if u in alive) for v in alive
+    }
+
+
+def kcore_peel_rounds(edges: Iterable[Tuple[int, int]], k: int) -> int:
+    """Number of simultaneous-peel rounds to reach the k-core fixpoint
+    (the quantity the unrolled SQL twin must cover)."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: Dict[int, set] = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    alive = set(nbrs)
+    rounds = 0
+    while True:
+        bad = {v for v in alive if sum(1 for u in nbrs[v] if u in alive) < k}
+        if not bad:
+            return rounds
+        alive -= bad
+        rounds += 1
+
+
+def kcore_sql(graph_ctes: str, k: int, rounds: int) -> str:
+    """Unrolled simultaneous-peel DuckDB twin of :func:`kcore_nodes`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` — the symmetrized edge list.
+    ``rounds`` must be ≥ the fixpoint peel-round count (extra rounds are
+    no-ops on the stable core; the Spark operator fails LOUDLY if the
+    graph needs more rounds than the twin unrolls, so divergence is
+    impossible to miss). Every survivor set ``a{r}`` and surviving edge
+    list ``s{r}`` is referenced twice downstream → MATERIALIZED (rule 30).
+    """
+    parts = ["WITH", graph_ctes.rstrip().rstrip(","), ","]
+    prev = "sym"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT a, COUNT(*) AS c FROM {prev} GROUP BY a),"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT a AS node FROM d{r} WHERE c >= {k}),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT s.a, s.b FROM {prev} s "
+            f"JOIN a{r} x ON x.node = s.a JOIN a{r} y ON y.node = s.b),"
+        )
+        prev = f"s{r}"
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(a AS BIGINT) AS node, "
+        f"CAST(COUNT(*) AS BIGINT) AS core_degree FROM {prev} GROUP BY a"
+    )
+    return "\n".join(parts)

@@ -120,3 +120,89 @@ sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edg
     sql = pagerank_sql(graph_ctes, iterations=6)
     got = {int(a): int(b) for a, b in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def _clique_path_edges(n):
+    e = [(i, i + 1) for i in range(n - 1)]
+    for b in range(0, n, 10):
+        if b + 3 <= n - 1:
+            e += [(b, b + 2), (b, b + 3), (b + 1, b + 3)]
+        if b + 6 <= n - 1:
+            e += [(b + 4, b + 6)]
+    return e
+
+
+def test_kcore_fixture_rounds():
+    """The gate fixture's peel fixpoint is 2 rounds at ANY n — the SQL
+    twin's 4-round unroll budget must always cover it."""
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        kcore_peel_rounds,
+    )
+
+    for n in (17, 37, 100, 1000, 10007):
+        assert kcore_peel_rounds(_clique_path_edges(n), 3) == 2, n
+
+
+def test_kcore_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import kcore
+    from bert_namedentityrecognition_spark.oracle.graph import kcore_nodes
+
+    edges = _clique_path_edges(97)
+    want = kcore_nodes(edges, 3)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert got == want
+    # the 3-core is exactly the K4 clique nodes, all at core degree 3
+    assert set(got) == {v for v in range(97) if v % 10 < 4}
+    assert set(got.values()) == {3}
+    # random graph too (may peel to empty — kernel decides)
+    rnd = _random_graph(40, 70, seed=5)
+    want2 = kcore_nodes(rnd, 3)
+    df2 = spark.createDataFrame(rnd, ["src", "dst"])
+    got2 = {r["node"]: r["core_degree"] for r in kcore(df2, k=3).collect()}
+    assert got2 == want2
+
+
+def test_kcore_raises_past_round_budget(spark):
+    """A long path 2-cores away one node per end per round — a 1-round
+    budget must fail LOUDLY, not return a wrong partial peel."""
+    import pytest
+
+    from bert_namedentityrecognition_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(7)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(df, k=2, max_rounds=1)
+
+
+def test_kcore_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        kcore_nodes,
+        kcore_sql,
+    )
+
+    n = 200
+    want = kcore_nodes(_clique_path_edges(n), 3)
+    graph_ctes = f"""
+ids AS MATERIALIZED (SELECT i FROM range({n}) t(i)),
+und AS (
+  SELECT a.i AS u, b.i AS v FROM ids a JOIN ids b ON b.i = a.i + 1
+  UNION ALL
+  SELECT a.i AS u, a.i + 2 AS v FROM ids a JOIN ids c ON c.i = a.i + 3 WHERE a.i % 10 = 0
+  UNION ALL
+  SELECT a.i AS u, a.i + 3 AS v FROM ids a JOIN ids c ON c.i = a.i + 3 WHERE a.i % 10 = 0
+  UNION ALL
+  SELECT a.i + 1 AS u, a.i + 3 AS v FROM ids a JOIN ids c ON c.i = a.i + 3 WHERE a.i % 10 = 0
+  UNION ALL
+  SELECT a.i + 4 AS u, a.i + 6 AS v FROM ids a JOIN ids c ON c.i = a.i + 6 WHERE a.i % 10 = 0
+),
+sym AS MATERIALIZED (SELECT u AS a, v AS b FROM und UNION SELECT v AS a, u AS b FROM und)
+"""
+    got = {
+        int(a): int(b)
+        for a, b in duckdb.sql(kcore_sql(graph_ctes, k=3, rounds=4)).fetchall()
+    }
+    assert got == want
