@@ -2431,6 +2431,54 @@ WHERE it.i / (sa.sz + sb.sz - it.i) >= 0.5
 """
 
 
+def _minhash_clusters(spark, sf):
+    """Fuzzy-dedup carried to its production conclusion: the verified LSH
+    pair graph collapsed transitively (large/small-star connected
+    components) into clusters, every corpus document assigned a cluster
+    id, size, and a min-doc-id ``keep`` flag. This is the shape a 100 TB
+    crawl dedup actually ships — pairs alone leave A≈B≈C keeping both A
+    and C. Oracle: the ``dedup_minhash_lsh_pairs`` SQL chain verbatim
+    (string-level reuse, zero drift) feeding a recursive-CTE reachability
+    closure with min-id aggregation — an independent formulation of
+    min-id components (the ``kg_alias_components`` recipe), then one
+    window over cluster_id for size + keeper.
+    Ref: reference has no corpus dedup (single-doc NER pipeline,
+    ``BERT/predict.py``); SURVEY §2.12 extension family."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        minhash_dedup_clusters,
+    )
+
+    return minhash_dedup_clusters(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+
+
+_MINHASH_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS MATERIALIZED (\n"
+    + _MINHASH_LSH_SQL.strip()
+    + "\n),\n"
+    + """
+sym AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.comp
+),
+comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+base AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+  doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS keep
+FROM base
+"""
+)
+
+
 def _ivf_ann(spark, sf):
     from bert_namedentityrecognition_spark.operators.similarity import ivf_cosine_topk
 
@@ -4725,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup_guarded": _embedding_neardup_guarded,
         "dedup_embedding_neardup_multiprobe": _embedding_neardup_multiprobe,
         "dedup_simhash_signatures": _simhash_sigs,
+        "dedup_minhash_clusters": _minhash_clusters,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "dedup_streaming_stateful": _streaming_dedup,
         "dedup_repeated_windows": _dedup_repeated_windows,
@@ -4798,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_candidates_topk": _KG_CANDIDATES_SQL,
         "kg_candidates_token_set": _kg_candidates_token_set_sql(),
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
+        "dedup_minhash_clusters": _MINHASH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),

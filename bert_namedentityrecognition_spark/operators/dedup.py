@@ -194,6 +194,69 @@ def verify_jaccard(
     )
 
 
+def minhash_dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    params: list[tuple[int, int]] | None = None,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_components: bool = True,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, keep) for EVERY document — the
+    production fuzzy-dedup shape (RefinedWeb/FineWeb style): LSH candidate
+    pairs verified by true Jaccard, collapsed transitively into clusters
+    via connected components, one canonical keeper (min doc_id) per
+    cluster. Transitivity is the point: A≈B and B≈C puts A and C in one
+    cluster even when their direct Jaccard is below threshold — pairwise
+    dedup alone would keep both.
+
+    Scale shape: the pair graph is banded (never all-pairs), components
+    use the alternating large/small-star O(log²) variant (diameter-safe
+    for duplicate chains), and the corpus-side mapback is one join on
+    doc_id plus ONE window shuffle on cluster_id (size + keeper from the
+    same partition — no corpus-sized join-back). ``broadcast_components``
+    hints the mapback join: components only contain docs that appear in a
+    verified near-dup pair, typically a small fraction of the corpus; at
+    a duplicate-heavy 100 TB crawl set it False and let AQE pick the
+    shuffle join.
+
+    Ref: the reference has no corpus dedup (single-document NER); this is
+    the SURVEY §2.12 training-data-pipeline extension family."""
+    from .canonicalize import connected_components_star
+
+    pairs = minhash_lsh_pairs(
+        docs,
+        n=n,
+        bands=bands,
+        params=params,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    comps = connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("node").alias("doc_id"), F.col("component"))
+    if broadcast_components:
+        comps = F.broadcast(comps)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return base.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
 def naive_join_blowup(
     sh: DataFrame, sample_mod: int = 64, id_col: str = "doc_id"
 ) -> float:

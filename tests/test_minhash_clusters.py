@@ -1,0 +1,96 @@
+"""Transitive fuzzy-dedup clusters (`minhash_dedup_clusters`) — the
+near-dup pair graph collapsed into components with one keeper per
+cluster. Handcrafted fixtures pin the property that distinguishes
+clustering from pairwise dedup: a chain A≈B≈C must land in ONE cluster
+even when A and C are not a direct LSH pair, and every corpus doc —
+including singletons and degenerate texts — must come back exactly once
+with a consistent (cluster_id, cluster_size, keep) triple."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from bert_namedentityrecognition_spark.operators.dedup import (
+    minhash_dedup_clusters,
+    minhash_lsh_pairs,
+)
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = minhash_dedup_clusters(df, **kw).collect()
+    assert len(out) == len(rows)  # every doc exactly once
+    return {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"]) for r in out}
+
+
+def test_identical_docs_one_cluster_min_keeper(spark):
+    rows = [(10, BASE), (3, BASE), (7, BASE), (99, "totally different words here now")]
+    got = _run(spark, rows)
+    assert got[3] == (3, 3, True)
+    assert got[7] == (3, 3, False)
+    assert got[10] == (3, 3, False)
+    assert got[99] == (99, 1, True)
+
+
+def test_transitive_chain_collapses_to_one_cluster(spark):
+    # A and C share nothing directly; both overlap B heavily. The pair
+    # graph has edges (A,B) and (B,C) only — clustering must still put
+    # all three in one component keyed by min id.
+    a_part = "one two three four five six seven eight nine ten"
+    c_part = "red green blue yellow purple orange pink brown black white"
+    rows = [
+        (1, a_part),
+        (2, a_part + " " + c_part),  # bridges both
+        (3, c_part),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.4).collect()
+    }
+    got = _run(spark, rows, jaccard_threshold=0.4)
+    if pairs == {(1, 2), (2, 3)}:  # the interesting regime: no direct A-C edge
+        assert got[1] == (1, 3, True)
+        assert got[2] == (1, 3, False)
+        assert got[3] == (1, 3, False)
+    # whatever the pair set, clusters must be consistent with it:
+    # every paired doc shares its neighbor's cluster id
+    for a, b in pairs:
+        assert got[a][0] == got[b][0]
+
+
+def test_singletons_and_degenerate_docs_survive(spark):
+    rows = [
+        (1, ""),  # no shingles
+        (2, "   "),  # whitespace only
+        (3, None),  # null text
+        (4, "short one"),  # < n tokens
+        (5, BASE),
+    ]
+    got = _run(spark, rows)
+    for i in (1, 2, 3, 4, 5):
+        assert got[i] == (i, 1, True)
+
+
+def test_exactly_one_keeper_per_cluster_and_drop_accounting(spark):
+    rows = [(i, BASE) for i in range(6)] + [
+        (i, "unrelated filler text number %d with padding words" % i)
+        for i in range(100, 104)
+    ]
+    got = _run(spark, rows)
+    by_cluster = {}
+    for doc, (cid, size, keep) in got.items():
+        by_cluster.setdefault(cid, []).append((doc, size, keep))
+    for cid, members in by_cluster.items():
+        assert sum(1 for _, _, k in members if k) == 1
+        assert all(s == len(members) for _, s, _ in members)
+        assert min(d for d, _, _ in members) == cid
+    kept = sum(1 for v in got.values() if v[2])
+    dropped = sum(1 for v in got.values() if not v[2])
+    assert kept + dropped == len(rows)
+    assert got[0] == (0, 6, True) and got[5] == (0, 6, False)
