@@ -946,6 +946,84 @@ FROM parts
 """
 
 
+def _quality_classifier_distill(spark, sf):
+    """Teacher→student quality-classifier distillation under the gate: the
+    composite heuristic's keep decision (the gated ``doc_quality_filter``
+    teacher, verbatim) trains a hashed-unigram Naive-Bayes-style linear
+    student whose integer score then filters the same corpus. Training is
+    one agg to ≤512 bucket rows (collected, bounded at any n) re-emitted
+    as a map literal; inference is a zero-shuffle codegen map stage. The
+    DuckDB twin is fully data-driven — it recomputes the class-conditional
+    bucket counts, the add-one fixed-point weights (floor division on
+    non-negatives ≡ Python ``//``), and the BIGINT score itself; zero
+    inlined constants, so the oracle holds at every sf. Ref: reference has
+    no corpus filtering; SURVEY §2.12 extension family."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        distill_quality_classifier,
+    )
+
+    return distill_quality_classifier(_t(spark, sf, "documents"))
+
+
+_QUALITY_DISTILL_SQL = """
+WITH s AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS rawt,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS t
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, t,
+    least(length(text) / 200.0, 1.0) AS length_ok,
+    1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0) AS punct_pen,
+    least((len(list_filter(rawt, x -> lower(x) IN ('the','a','of','and','to','in','is')))
+           / CAST(greatest(len(rawt), 1) AS DOUBLE)) * 4.0, 1.0) AS stop_ok,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(rawt, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+      / CAST(greatest(len(rawt), 1) AS DOUBLE) AS wl
+  FROM s
+),
+lab AS MATERIALIZED (
+  SELECT doc_id, t,
+    coalesce(round((length_ok + punct_pen + stop_ok +
+         CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6) >= 0.5, false) AS teacher_keep
+  FROM parts
+),
+feat AS MATERIALIZED (
+  SELECT l.doc_id, l.teacher_keep,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(u.tok, '.'), x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) % 512 AS b
+  FROM lab l, unnest(l.t) AS u(tok)
+),
+counts AS MATERIALIZED (
+  SELECT b,
+    sum(CASE WHEN teacher_keep THEN 1 ELSE 0 END) AS pos,
+    sum(CASE WHEN teacher_keep THEN 0 ELSE 1 END) AS neg
+  FROM feat GROUP BY b
+),
+tot AS MATERIALIZED (
+  SELECT coalesce(sum(pos), 0) AS p, coalesce(sum(neg), 0) AS n FROM counts
+),
+w AS MATERIALIZED (
+  SELECT b, ((pos + 1) * 1000000) // (p + 512) - ((neg + 1) * 1000000) // (n + 512) AS wt
+  FROM counts, tot
+),
+scored AS (
+  SELECT f.doc_id,
+    CAST(sum(coalesce(w.wt,
+      (1 * 1000000) // (t2.p + 512) - (1 * 1000000) // (t2.n + 512))) AS BIGINT) AS score
+  FROM feat f LEFT JOIN w ON w.b = f.b, tot t2
+  GROUP BY f.doc_id
+)
+SELECT l.doc_id,
+  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+  coalesce(sc.score, 0) > 0 AS student_keep,
+  l.teacher_keep
+FROM lab l LEFT JOIN scored sc ON sc.doc_id = l.doc_id
+"""
+
+
 def _doc_length_percentiles(spark, sf):  # exact discrete percentiles, rank-based
     """Integer-exact percentiles of document length: value at sorted rank
     ceil(p·n) — no interpolation, so Spark and DuckDB agree bit-for-bit.
@@ -4763,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline family
         "text_stats": _text_stats,
         "doc_quality_filter": _doc_quality_filter,
+        "quality_classifier_distill": _quality_classifier_distill,
         "doc_length_percentiles": _doc_length_percentiles,
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
@@ -4860,6 +4939,7 @@ def oracle_sql() -> dict[str, str]:
         "strict_prf_by_type": _STRICT_PRF_BY_TYPE_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "doc_quality_filter": _QUALITY_SQL,
+        "quality_classifier_distill": _QUALITY_DISTILL_SQL,
         "doc_length_percentiles": _PCTL_SQL,
         "relaxed_metrics": _RELAXED_SQL,
         "span_match_scores": _SPANMATCH_SQL,

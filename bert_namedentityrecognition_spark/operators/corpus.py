@@ -525,3 +525,103 @@ def lm_surprisal_filter(
             <= F.col("n_tokens") * F.lit(keep_thresh_micro)
         ).alias("keep"),
     )
+
+
+def distill_quality_classifier(
+    docs: DataFrame,
+    n_buckets: int = 512,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, student_keep, teacher_keep): distill the composite
+    quality heuristic into a hashed-feature linear classifier and apply it
+    corpus-wide — the FineWeb-Edu / DCLM pattern where an expensive
+    "teacher" judgment is compressed into a cheap linear student that the
+    full crawl can afford. Here the teacher is the engine-stable
+    ``quality_score`` keep decision; the student is a Naive-Bayes-style
+    likelihood-ratio scorer over hashed token unigrams.
+
+    Everything is integer-exact: per-bucket class counts (pos/neg token
+    occurrences under the teacher label) are plain distributed sums;
+    weights are add-one-smoothed fixed-point ratios
+    ``(pos+1)·scale // (P+B) − (neg+1)·scale // (N+B)`` (floor division on
+    non-negatives — identical in Python and DuckDB); a document's score is
+    the BIGINT sum of its tokens' weights, keep = score > 0. Weights are
+    bounded by ±``scale`` so scores never overflow BIGINT at any corpus
+    size — the normalization is what makes this 100 TB-safe, unlike raw
+    cross-products.
+
+    Scale shape: training is ONE map-side-combined aggregation down to
+    ≤``n_buckets`` rows (the only shuffle), collected driver-side
+    (bounded at any corpus size) and re-broadcast as a map literal;
+    inference is then a ZERO-shuffle map-only stage — a codegen
+    ``aggregate`` over the token array with a map lookup, no explode, no
+    join, no Python. Unseen buckets fall back to the smoothed-zero weight
+    so a trained model serves new documents.
+
+    Ref: the reference has no corpus filtering (hand-curated annotation
+    sets); SURVEY §2.12 training-data extension family."""
+    from ..functions.textstats import quality_score
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("t"),
+        # explicit null-text branch: quality_score(NULL) is 0.625 on Spark
+        # (a size(NULL) artifact) but NULL in the SQL formulation — unknown
+        # content is NOT kept, and both twins say so for the same reason
+        F.when(F.col(text_col).isNull(), F.lit(False))
+        .otherwise(F.round(quality_score(F.col(text_col)), 6) >= 0.5)
+        .alias("teacher_keep"),
+    )
+    counts = (
+        base.select("teacher_keep", F.explode("t").alias("tok"))
+        .withColumn("b", poly_hash(F.col("tok")) % n_buckets)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("teacher_keep"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("teacher_keep"), 0).otherwise(1)).alias("neg"),
+        )
+        .collect()  # ≤ n_buckets rows at ANY corpus size
+    )
+    p_tot = sum(int(r["pos"]) for r in counts)
+    n_tot = sum(int(r["neg"]) for r in counts)
+
+    def _w(pos: int, neg: int) -> int:
+        return (pos + 1) * scale // (p_tot + n_buckets) - (neg + 1) * scale // (
+            n_tot + n_buckets
+        )
+
+    weights = {int(r["b"]): _w(int(r["pos"]), int(r["neg"])) for r in counts}
+    w_oov = _w(0, 0)
+    if weights:
+        wmap = F.create_map(
+            *[
+                F.lit(x).cast("long")
+                for b, wt in sorted(weights.items())
+                for x in (b, wt)
+            ]
+        )
+
+        def _lookup(c):
+            return F.coalesce(wmap[c], F.lit(w_oov).cast("long"))
+
+    else:  # empty corpus: every token (there are none) would be OOV
+
+        def _lookup(c):
+            return F.lit(w_oov).cast("long")
+
+    score = F.aggregate(
+        F.col("t"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + _lookup(poly_hash(x) % n_buckets),
+    )
+    return base.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).alias("student_keep"),
+        "teacher_keep",
+    )
