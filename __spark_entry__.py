@@ -3477,6 +3477,55 @@ sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edg
     return pagerank_sql(graph_ctes, iterations=6)
 
 
+def _kg_bfs_levels(spark, sf):
+    """Bounded-hop BFS (k-hop neighborhood) over the SAME derived alias
+    graph as ``kg_alias_components``/``kg_entity_pagerank`` (chain-of-40 +
+    block heads from the ``events`` row count, symmetrized), seeds = every
+    node ≡ 0 (mod 400), max_hops = 8 — "entities within 8 joins of these
+    hubs", the neighborhood query a KG serving layer answers constantly.
+    Both exclusion branches are live at every sf: whole components without
+    a seed never appear, and seeded components keep nodes > 8 hops out
+    dark. Oracle: per-level unrolled min-fold CTEs
+    (``oracle/graph.py:bfs_sql`` — d{k} MATERIALIZED per rule 30); the
+    Spark side (``operators/graph.py:bfs_levels_df``) expands only the
+    frontier per level, the textbook distributed BFS."""
+    from bert_namedentityrecognition_spark.operators.graph import bfs_levels_df
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = ids.filter(F.col("id") % 400 == 0).select(F.col("id").alias("node"))
+    return bfs_levels_df(sym, seeds, max_hops=8)
+
+
+def _kg_bfs_levels_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+seeds AS (SELECT i AS node FROM ids WHERE i % 400 = 0)
+"""
+    return bfs_sql(graph_ctes, max_hops=8)
+
+
 def _kg_triangle_counts(spark, sf):
     """Per-node triangle participation over a derived co-mention graph —
     the clustering signal a KG quality pass computes over its edges table.
@@ -4887,6 +4936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
+        "kg_bfs_levels": _kg_bfs_levels,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
 
@@ -4989,6 +5039,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": _kg_entity_pagerank_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),
+        "kg_bfs_levels": _kg_bfs_levels_sql(),
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)
         "streaming_windowed_triples": _STREAM_WT_SQL,

@@ -194,3 +194,53 @@ def kcore(
         "simultaneous-peel rounds — raise max_rounds AND the SQL twin's "
         "unroll budget together (they must cover the same round count)."
     )
+
+
+def bfs_levels_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """DIRECTED ``edges(src, dst)`` + ``seeds(node)`` → ``(node, dist)``:
+    the bounded-hop BFS of ``oracle.graph.bfs_levels`` (pass both edge
+    directions for undirected graphs). Nodes unreached within ``max_hops``
+    are absent — the k-hop-neighborhood contract a KG serving layer uses
+    for "entities within k joins of these seeds".
+
+    Scale shape: per level ONE join of the current frontier (only nodes
+    first reached at the previous level, not the whole dist table) against
+    the edge list + one min-agg on node; the edge list is materialized
+    once and reused (rule 23), dist is localCheckpoint-ed per level so the
+    plan stays O(1) in ``max_hops``. Work per level is |frontier-adjacent
+    edges| — the textbook distributed BFS; for unbounded closure use
+    ``connected_components_star`` instead (O(log²) rounds)."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        u = (
+            frontier.join(e, frontier.node == e.a)
+            .select(F.col("b").alias("node"), F.lit(k).cast("long").alias("dist"))
+        )
+        dist = (
+            dist.unionByName(u)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist.filter(F.col("dist") == k).select("node")
+    return dist

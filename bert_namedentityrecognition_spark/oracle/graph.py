@@ -205,3 +205,66 @@ def kcore_sql(graph_ctes: str, k: int, rounds: int) -> str:
         f"CAST(COUNT(*) AS BIGINT) AS core_degree FROM {prev} GROUP BY a"
     )
     return "\n".join(parts)
+
+
+def bfs_levels(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int,
+) -> Dict[int, int]:
+    """Bounded-hop BFS over DIRECTED ``edges(a, b)`` (pass both directions
+    for undirected graphs): ``{node: min hops from any seed}`` for every
+    node reachable within ``max_hops``; unreachable nodes are ABSENT — the
+    k-hop-neighborhood contract. Seeds always appear at dist 0, even when
+    isolated. Deterministic: levels are simultaneous (a node's dist is the
+    first level that reaches it, which equals the min over all paths)."""
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+    dist = {int(s): 0 for s in seeds}
+    frontier = set(dist)
+    for k in range(1, max_hops + 1):
+        nxt = {b for a in frontier for b in nbrs.get(a, ())} - dist.keys()
+        for b in nxt:
+            dist[b] = k
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def bfs_sql(graph_ctes: str, max_hops: int) -> str:
+    """Unrolled-level DuckDB twin of :func:`bfs_levels`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` (the directed edge list,
+    symmetrized for undirected graphs) and ``seeds(node)``. Each level's
+    dist table ``d{k}`` is referenced twice (next level's union + the
+    frontier extraction) → MATERIALIZED (rule 30); frontiers ``f{k}`` are
+    referenced once and stay inline. min() over the union of the previous
+    dist table and the frontier expansion at level k equals first-reach
+    BFS — the kernel's loop — because re-reached nodes keep their smaller
+    earlier level."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),",
+        "f0 AS (SELECT node FROM d0),",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"u{k} AS (SELECT s.b AS node, CAST({k} AS BIGINT) AS dist "
+            f"FROM f{k - 1} f JOIN sym s ON s.a = f.node),"
+        )
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM "
+            f"(SELECT node, dist FROM d{k - 1} UNION ALL "
+            f"SELECT node, dist FROM u{k}) GROUP BY node),"
+        )
+        parts.append(f"f{k} AS (SELECT node FROM d{k} WHERE dist = {k}),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist "
+        f"FROM d{max_hops}"
+    )
+    return "\n".join(parts)

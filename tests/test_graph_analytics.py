@@ -251,3 +251,58 @@ def test_pmi_edges_counts_and_boundary(spark):
         for r in pmi_edges(df2, n_docs=4).collect()
     }
     assert got2[("aa", "ss")] is False  # 1*4 > 2*2 fails (strict)
+
+
+def test_bfs_spark_matches_kernel_random_graph(spark):
+    from bert_namedentityrecognition_spark.operators.graph import bfs_levels_df
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_levels
+
+    und = _random_graph(50, 90, seed=11)
+    directed = _sym(und)
+    seeds = [0, 7, 23]
+    want = bfs_levels(directed, seeds, max_hops=4)
+    e = spark.createDataFrame(directed, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["node"])
+    got = {
+        r["node"]: r["dist"] for r in bfs_levels_df(e, s, max_hops=4).collect()
+    }
+    assert got == want
+
+
+def test_bfs_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_levels, bfs_sql
+
+    und = _random_graph(40, 70, seed=3)
+    directed = _sym(und)
+    vals = ", ".join(f"({a},{b})" for a, b in directed)
+    ctes = (
+        f"sym AS MATERIALIZED (SELECT * FROM (VALUES {vals}) t(a, b)),\n"
+        "seeds AS (SELECT * FROM (VALUES (1), (5)) s(node))"
+    )
+    got = dict(duckdb.sql(bfs_sql(ctes, max_hops=3)).fetchall())
+    assert got == bfs_levels(directed, [1, 5], max_hops=3)
+
+
+def test_bfs_unreached_absent_isolated_seed_present(spark):
+    from bert_namedentityrecognition_spark.operators.graph import bfs_levels_df
+
+    # chain 0-1-2-3-4-5, plus far island 100-101; seed 0 and isolated 50
+    directed = _sym([(i, i + 1) for i in range(5)] + [(100, 101)])
+    e = spark.createDataFrame(directed, ["src", "dst"])
+    s = spark.createDataFrame([(0,), (50,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_levels_df(e, s, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 50: 0}  # 4,5 beyond hops; island dark
+
+
+def test_bfs_frontier_dies_early_and_empty_seeds(spark):
+    from bert_namedentityrecognition_spark.operators.graph import bfs_levels_df
+
+    directed = _sym([(0, 1)])
+    e = spark.createDataFrame(directed, ["src", "dst"])
+    s = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_levels_df(e, s, max_hops=8).collect()}
+    assert got == {0: 0, 1: 1}  # frontier empty after level 1, no-op levels safe
+    empty = spark.createDataFrame([], "node long")
+    assert bfs_levels_df(e, empty, max_hops=3).collect() == []
