@@ -2732,6 +2732,158 @@ def _ivf_ann_sql(
     )
 
 
+def _pq_ann(spark, sf):
+    """Product-quantization ANN under the gate: vectors compressed to 4
+    subspace codes (codebooks driver-trained on the bounded portable-hash
+    sample, Lloyd with squared-L2 — the replayable-fold recipe shared with
+    IVF), queries ranked by asymmetric distance (exact query-subvector →
+    centroid terms summed in fixed subspace order). The 100 TB memory
+    story: after encoding, candidates cost 4 small codes each instead of a
+    64-float vector — the compressed store a serving tier actually holds.
+    Oracle: the full per-subspace training unrolled as CTEs plus the same
+    first-argmin encode and ADC ranking (``_pq_ann_sql``); zero inlined
+    constants, both sides derive train_mod from count(*)."""
+    from bert_namedentityrecognition_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=5, m_subspaces=4, k_codes=16, rerank=50)
+
+
+def _pq_ann_sql(
+    dim: int = 64,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    lloyd_iterations: int = 2,
+    max_train_sample: int | None = None,
+    rerank: int | None = 50,
+) -> str:
+    """PQ ANN replayed exactly in SQL: per subspace, the driver-side Lloyd
+    training (same sample / seeding / fold conventions as ``_ivf_ann_sql``)
+    unrolled as CTEs over the subvector slice; encode = first-argmin
+    squared-L2 (ORDER BY d ASC, code ASC ≡ Spark's
+    array_position(array_min)); ADC = the four exact
+    query-subvector→centroid folds summed left-to-right. ``sample`` /
+    ``seedord`` feed every subspace and the final books/codes feed the
+    scored join → MATERIALIZED (rule 30)."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        ivf_train_hash_params,
+    )
+
+    a, b, mod = ivf_train_hash_params(seed)
+    target = max_train_sample if max_train_sample is not None else 256 * k_codes
+    sub = dim // m_subspaces
+    rng = f"range(1, {sub + 1})"
+    fold = "(a, b) -> a + b"
+
+    def sqd(vec_expr, lo, c):
+        term = f"(CAST({vec_expr}[{lo} + j] AS DOUBLE) - {c}[j])"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({rng}, j -> {term} * {term})), {fold})"
+        )
+
+    h = f"((vec_id % {mod}) * {a} + {b}) % {mod}"
+    ctes = [
+        f"params AS (SELECT greatest(1, (count(*) + {target - 1}) // {target}) AS tm FROM embeddings)",
+        f"sample AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings, params WHERE ({h}) % params.tm = 0)",
+        f"""seedord AS MATERIALIZED (
+  SELECT vec_id, embedding, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+  FROM sample
+)""",
+    ]
+    for m in range(m_subspaces):
+        lo = m * sub
+        ctes.append(f"""b{m}c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS code,
+         list_transform(embedding[{lo + 1}:{lo + sub}], x -> CAST(x AS DOUBLE)) AS c
+  FROM seedord WHERE rn <= {k_codes}
+)""")
+        prev = f"b{m}c0"
+        for it in range(1, lloyd_iterations + 1):
+            ctes.append(f"""b{m}assign{it} AS (
+  SELECT s.vec_id, s.embedding, c.code,
+    row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY {sqd('s.embedding', lo, 'c.c')} ASC, c.code ASC) AS rn
+  FROM sample s CROSS JOIN {prev} c
+)""")
+            ctes.append(f"""b{m}means{it} AS (
+  SELECT code,
+         list(list_transform(embedding[{lo + 1}:{lo + sub}], x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vs
+  FROM b{m}assign{it} WHERE rn = 1 GROUP BY code
+)""")
+            ctes.append(f"""b{m}c{it} AS (
+  SELECT p.code,
+    CASE WHEN mm.code IS NULL THEN p.c
+         ELSE list_transform({rng}, j ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_transform(mm.vs, v -> v[j])), {fold})
+           / len(mm.vs))
+    END AS c
+  FROM {prev} p LEFT JOIN b{m}means{it} mm USING (code)
+)""")
+            prev = f"b{m}c{it}"
+        ctes.append(f"book{m} AS MATERIALIZED (SELECT code, c FROM {prev})")
+        ctes.append(f"""enc{m} AS (
+  SELECT e.vec_id, c.code,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {sqd('e.embedding', lo, 'c.c')} ASC, c.code ASC) AS rn
+  FROM embeddings e CROSS JOIN book{m} c
+)""")
+        ctes.append(
+            f"code{m} AS MATERIALIZED (SELECT vec_id, code AS k{m} FROM enc{m} WHERE rn = 1)"
+        )
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3)"
+    )
+    joins = ["code0 v0"]
+    for m in range(1, m_subspaces):
+        joins.append(f"JOIN code{m} v{m} USING (vec_id)")
+    for m in range(m_subspaces):
+        joins.append(f"JOIN book{m} kb{m} ON kb{m}.code = v{m}.k{m}")
+    adc = " + ".join(
+        sqd("q.qvec", m * sub, f"kb{m}.c") for m in range(m_subspaces)
+    )
+    ctes.append(f"""scored AS (
+  SELECT q.query_id, q.qvec, v0.vec_id,
+    row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ({adc}) ASC, v0.vec_id ASC) AS rank
+  FROM {' '.join(joins)} CROSS JOIN q
+  WHERE v0.vec_id <> q.query_id
+)""")
+    if not rerank:
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + f"\nSELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= {k}"
+        )
+    # exact-rerank stage: full-dim promoted-double sequential fold, same
+    # shape as the Spark side's _sqdist64(qvec, cvec)
+    fullterm = "(CAST(c.qvec[j] AS DOUBLE) - CAST(e.embedding[j] AS DOUBLE))"
+    fulld = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), j -> {fullterm} * {fullterm})), {fold})"
+    )
+    ctes.append(
+        f"cand AS (SELECT query_id, qvec, vec_id FROM scored WHERE rank <= {rerank})"
+    )
+    ctes.append(f"""rer AS (
+  SELECT c.query_id, c.vec_id,
+    row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY {fulld} ASC, c.vec_id ASC) AS rank
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM rer WHERE rank <= {k}"
+    )
+
+
 def _lsh_ann_sql(multi_probe: int = 0) -> str:
     """LSH-bucketed ANN replayed exactly: the 4 seeded hyperplanes are
     inlined as literals and each sign bit's dot product uses the SAME
@@ -4921,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
         "ann_ivf_topk": _ivf_ann,
         "ann_ivf_persisted": _ivf_ann_persisted,
+        "ann_pq_topk": _pq_ann,
         "multimodal_features": _multimodal_features,
         "ner_model_mentions": _ner_model_mentions,
         "warc_ingest_mentions": _warc_ingest_mentions,
@@ -4983,6 +5136,7 @@ def oracle_sql() -> dict[str, str]:
         # one assembly, two queries: pruning must not change the twin
         "ann_ivf_topk": (_ivf_sql := _ivf_ann_sql()),
         "ann_ivf_persisted": _ivf_sql,
+        "ann_pq_topk": _pq_ann_sql(),
         "kg_e2e_triples": _kg_e2e_sql(),
         "kg_e2e_triples_lev": _KG_E2E_LEV_SQL,
         "strict_mention_prf": _STRICT_PRF_SQL,

@@ -64,3 +64,60 @@ def test_ann_recall_on_clustered_vectors(clustered):
     # hamming-1 multi-probe strictly widens the candidate set
     assert r_lsh_mp >= r_lsh, (r_lsh_mp, r_lsh)
     assert r_lsh_mp >= 0.85, r_lsh_mp
+
+
+def test_pq_recall_code_only_vs_reranked(clustered):
+    """PQ quality ladder on the clustered corpus: 4×4-bit codes alone are
+    cluster-grained (within-cluster ranking collapses to ADC ties → recall
+    ≈ k/cluster_size), and the exact-rerank stage recovers quality —
+    recall 1.0 once the candidate budget covers the cluster (C=100 =
+    cluster size). Measured 0.105 / 0.515 / 1.0; bounds leave jitter slack
+    only."""
+    import numpy as np
+
+    from bert_namedentityrecognition_spark.operators.similarity import pq_topk
+
+    queries = clustered.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    X = np.array([r["embedding"] for r in clustered.orderBy("vec_id").collect()])
+
+    def exact_l2(q, k=10):
+        d = ((X - X[q]) ** 2).sum(1)
+        d[q] = np.inf
+        return set(np.argsort(d, kind="stable")[:k].tolist())
+
+    def recall(df):
+        approx = _topk_sets(df)
+        return sum(
+            len(approx.get(q, set()) & exact_l2(q)) / 10 for q in range(40)
+        ) / 40
+
+    r_code = recall(pq_topk(clustered, queries, k=10, m_subspaces=4, k_codes=16))
+    r_c50 = recall(
+        pq_topk(clustered, queries, k=10, m_subspaces=4, k_codes=16, rerank=50)
+    )
+    r_c100 = recall(
+        pq_topk(clustered, queries, k=10, m_subspaces=4, k_codes=16, rerank=100)
+    )
+    assert r_code >= 0.08, r_code
+    assert r_c50 >= 0.45, r_c50
+    assert r_c100 >= 0.95, r_c100
+    assert r_code < r_c50 < r_c100  # the dial is monotone on this corpus
+
+
+def test_pq_train_shapes_and_errors(clustered):
+    import pytest as _pytest
+
+    from bert_namedentityrecognition_spark.operators.similarity import pq_train
+
+    books = pq_train(clustered, m_subspaces=4, k_codes=8, train_mod=7)
+    assert len(books) == 4
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    # deterministic: identical second run
+    assert books == pq_train(clustered, m_subspaces=4, k_codes=8, train_mod=7)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(clustered, m_subspaces=5, k_codes=8, train_mod=7)
+    with _pytest.raises(ValueError, match="smaller than k_codes"):
+        pq_train(clustered, m_subspaces=4, k_codes=16, train_mod=10**9)
