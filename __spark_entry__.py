@@ -605,6 +605,133 @@ FROM ab JOIN na USING (subj) JOIN nb USING (obj) CROSS JOIN params
 """
 
 
+def _kg_prox_edges(spark, sf):
+    """Token-proximity edge weighting — the precision upgrade over
+    co-document edges: a (drug, symptom) occurrence pair counts only when
+    the two tokens sit within 5 positions, and each edge carries the
+    close-pair count + the closest observed distance. Positions are
+    0-based indices of the shared whitespace split; distances BIGINT, so
+    the twin is arithmetic-exact. Spark
+    (``operators/triples.py:proximity_edges``): one map-side-filtered
+    posexplode (only dictionary hits survive the map), one doc-keyed
+    equi-join bounded by per-doc occurrences, one partial agg."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        proximity_edges,
+    )
+
+    return proximity_edges(
+        _t(spark, sf, "documents"), DOC_DRUG_TERMS, DOC_SYM_TERMS, window=5
+    )
+
+
+_DRUGS_IN = ", ".join(f"'{t}'" for t in DOC_DRUG_TERMS)
+_SYMS_IN = ", ".join(f"'{t}'" for t in DOC_SYM_TERMS)
+
+_KG_PROX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i + 1] AS tok, CAST(i AS BIGINT) AS p
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+),
+d AS (SELECT doc_id, tok AS subj, p AS p1 FROM pos WHERE tok IN ({_DRUGS_IN})),
+s AS (SELECT doc_id, tok AS obj, p AS p2 FROM pos WHERE tok IN ({_SYMS_IN}))
+SELECT subj, obj, CAST(count(*) AS BIGINT) AS n_close,
+       CAST(min(abs(p1 - p2)) AS BIGINT) AS min_dist
+FROM d JOIN s USING (doc_id)
+WHERE abs(p1 - p2) <= 5
+GROUP BY subj, obj
+"""
+
+
+def _kg_negative_samples(spark, sf):
+    """KG-embedding training prep under the gate: every positive
+    (drug, symptom) edge from the real tagger mentions gets 4
+    deterministic head- and 4 tail-corruptions from the entity table,
+    flagged ``usable`` per the filtered setting (corruptions that are
+    themselves positives are marked). Corruption ids are pure hash
+    arithmetic — ``(poly_hash(subj|obj|slot) + j) % V`` — so the twin
+    replays the sample bit-for-bit; the entity table here is derived
+    (distinct endpoints, row_number by name — 10 rows; production ships a
+    pre-assigned entity-id table, the operator takes it as input). Both
+    flag branches are live: tail-corruptions that land on a co-occurring
+    symptom are filtered, head-corruptions landing on symptoms (never a
+    positive head) are usable."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        negative_samples,
+    )
+
+    m = _doc_mentions(spark, sf)
+    base = (
+        m.select(
+            F.col("url").alias("_doc"),
+            F.trim(F.col("word")).alias("_term"),
+            F.col("type").alias("_kind"),
+        )
+        .filter(F.length(F.col("_term")) >= 2)
+        .localCheckpoint(eager=True)
+    )
+    drugs = (
+        base.filter(F.col("_kind") == "drug")
+        .select("_doc", F.col("_term").alias("subj"))
+        .distinct()
+    )
+    syms = (
+        base.filter(F.col("_kind") == "symptom")
+        .select("_doc", F.col("_term").alias("obj"))
+        .distinct()
+    )
+    pos = drugs.join(syms, "_doc").select("subj", "obj").distinct()
+    ents = (
+        pos.select(F.col("subj").alias("entity"))
+        .union(pos.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    w = Window.orderBy("entity")
+    ents = ents.select(
+        "entity", (F.row_number().over(w) - 1).cast("long").alias("entity_id")
+    )
+    return negative_samples(pos, ents, k=4)
+
+
+_POLY_STR = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all({expr}, '.'), x -> CAST(ascii(x) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+_KG_NEGSAMPLES_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+drugs AS (SELECT DISTINCT doc_id, trim(term) AS subj FROM occ WHERE kind = 'drug' AND length(trim(term)) >= 2),
+syms  AS (SELECT DISTINCT doc_id, trim(term) AS obj  FROM occ WHERE kind = 'symptom' AND length(trim(term)) >= 2),
+pos AS MATERIALIZED (SELECT DISTINCT subj, obj FROM drugs JOIN syms USING (doc_id)),
+ents AS (
+  SELECT entity, CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS entity_id
+  FROM (SELECT subj AS entity FROM pos UNION SELECT obj FROM pos)
+),
+params AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ents),
+gen AS (
+  SELECT p.subj, p.obj, sl.slot, CAST(u.j AS BIGINT) AS j
+  FROM pos p, (VALUES ('head'), ('tail')) sl(slot), unnest(range(0, 4)) u(j)
+),
+hashed AS (
+  SELECT subj, obj, slot, j,
+    ({_POLY_STR.format(expr="subj || '|' || obj || '|' || slot")} + j) % params.v AS neg_id
+  FROM gen, params
+),
+withneg AS (
+  SELECT h.subj, h.obj, h.slot, h.j, e.entity AS neg_entity
+  FROM hashed h JOIN ents e ON e.entity_id = h.neg_id
+)
+SELECT w.subj, w.obj, w.slot, w.j, w.neg_entity,
+  p2.subj IS NULL AS usable
+FROM withneg w LEFT JOIN pos p2
+  ON p2.subj = CASE WHEN w.slot = 'head' THEN w.neg_entity ELSE w.subj END
+ AND p2.obj  = CASE WHEN w.slot = 'tail' THEN w.neg_entity ELSE w.obj END
+"""
+
+
 # --- pattern-based predicates (north star: "pairing co-sentence entities
 # with pattern-based predicates") — ordered, first match wins, RE2-safe
 DOC_PRED_PATTERNS = [
@@ -5026,6 +5153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_codoc": _kg_triples,
         "kg_triples_patterned": _kg_triples_patterned,
         "kg_pmi_edges": _kg_pmi_edges,
+        "kg_prox_edges": _kg_prox_edges,
+        "kg_negative_samples": _kg_negative_samples,
         "kg_top_subjects": _kg_top_subjects,
         "ade_pivot": _ade_pivot,
         "mention_type_distribution": _mention_type_distribution,
@@ -5122,6 +5251,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_codoc": _KG_TRIPLES_SQL,
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
         "kg_pmi_edges": _KG_PMI_SQL,
+        "kg_prox_edges": _KG_PROX_SQL,
+        "kg_negative_samples": _KG_NEGSAMPLES_SQL,
         "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,
         "ade_pivot": _ADE_PIVOT_SQL,
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,

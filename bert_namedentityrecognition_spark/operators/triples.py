@@ -432,3 +432,145 @@ def pmi_edges(
         )
         .select("subj", "obj", "n_pair", "n_subj", "n_obj", "n_docs", "strong")
     )
+
+
+def proximity_edges(
+    docs: DataFrame,
+    subj_terms: list[str],
+    obj_terms: list[str],
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(subj, obj, n_close, min_dist): KG edges weighted by TOKEN PROXIMITY
+    instead of mere co-document presence — a (subj, obj) occurrence pair
+    counts only when the two tokens sit within ``window`` positions of
+    each other, and the edge carries how often that happens plus the
+    closest observed distance. Proximity is the classic precision upgrade
+    over co-occurrence edges: "spark … 400 tokens … slow" says nothing,
+    "spark slow" adjacent says a lot.
+
+    Scale shape: one token-position explode (map-side filtered to the two
+    term dictionaries — the exploded stream carries ONLY dictionary hits,
+    not the corpus), one doc-keyed equi-join whose per-doc blowup is
+    bounded by per-doc dictionary occurrences, one (subj, obj) partial
+    agg. Positions are 0-based token indices from the same whitespace
+    split both engines share; distances are BIGINTs.
+
+    Ref: the reference pairs drug×symptom per document
+    (``ade_table/generate_table.py``); the proximity refinement is this
+    repo's KG-scale extension (SURVEY §2.12)."""
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("p", "tok"),
+    )
+    d = pos.filter(F.col("tok").isin(subj_terms)).select(
+        "doc_id", F.col("tok").alias("subj"), F.col("p").cast("long").alias("p1")
+    )
+    s = pos.filter(F.col("tok").isin(obj_terms)).select(
+        "doc_id", F.col("tok").alias("obj"), F.col("p").cast("long").alias("p2")
+    )
+    return (
+        d.join(s, "doc_id")
+        .filter(F.abs(F.col("p1") - F.col("p2")) <= window)
+        .groupBy("subj", "obj")
+        .agg(
+            F.count("*").alias("n_close"),
+            F.min(F.abs(F.col("p1") - F.col("p2"))).alias("min_dist"),
+        )
+    )
+
+
+def negative_samples(
+    positives: DataFrame,
+    entities: DataFrame,
+    k: int = 4,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    entity_col: str = "entity",
+    entity_id_col: str = "entity_id",
+    broadcast_positives: bool = True,
+) -> DataFrame:
+    """KG-embedding training prep (TransE-style corruption): for every
+    positive edge, ``k`` deterministic head-corruptions and ``k``
+    tail-corruptions drawn from the entity table, each flagged ``usable``
+    = the corrupted triple is NOT itself a positive (the standard
+    "filtered setting" — training on a false negative teaches the model
+    the wrong thing). No RNG state: the corrupt entity id is
+    ``(poly_hash(subj|obj|slot) + j) % V``, a pure function of the edge,
+    so the sample set is reproducible on any cluster size / partitioning
+    and replayable in SQL.
+
+    ``entities`` must carry contiguous ids ``0..V-1`` (the entity table a
+    KG materialization already ships; V via one scalar count). Scale
+    shape: generation is a map-only explode over positives (×2k) with the
+    entity table joined on the derived id (broadcast — entity tables are
+    node-sized, edges dominate); the filtered-setting check is one join
+    against positives, broadcast when the positive set fits
+    (``broadcast_positives``), else a shuffle join on the corrupted key.
+
+    Ref: the reference stops at the triple table
+    (``ade_table/generate_table.py``); embedding-training prep is this
+    repo's KG-scale extension (SURVEY §2.12)."""
+    from ..functions.textstats import poly_hash
+
+    v = entities.count()
+    base = positives.select(
+        F.col(subj_col).alias("subj"), F.col(obj_col).alias("obj")
+    ).distinct()
+    if broadcast_positives:
+        base = base.localCheckpoint(eager=True)
+    gen = (
+        base.select(
+            "subj",
+            "obj",
+            F.explode(F.array(F.lit("head"), F.lit("tail"))).alias("slot"),
+        )
+        .select(
+            "subj",
+            "obj",
+            "slot",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        )
+        .withColumn(
+            "neg_id",
+            (
+                poly_hash(F.concat_ws("|", F.col("subj"), F.col("obj"), F.col("slot")))
+                + F.col("j").cast("long")
+            )
+            % F.lit(v),
+        )
+    )
+    ent = F.broadcast(
+        entities.select(
+            F.col(entity_id_col).alias("neg_id"),
+            F.col(entity_col).alias("neg_entity"),
+        )
+    )
+    withneg = gen.join(ent, "neg_id").select(
+        "subj", "obj", "slot", F.col("j").cast("long").alias("j"), "neg_entity"
+    )
+    corrupted_subj = F.when(
+        F.col("slot") == "head", F.col("neg_entity")
+    ).otherwise(F.col("subj"))
+    corrupted_obj = F.when(
+        F.col("slot") == "tail", F.col("neg_entity")
+    ).otherwise(F.col("obj"))
+    p = base.select(
+        F.col("subj").alias("_psubj"), F.col("obj").alias("_pobj")
+    )
+    if broadcast_positives:
+        p = F.broadcast(p)
+    flagged = withneg.join(
+        p,
+        (corrupted_subj == F.col("_psubj")) & (corrupted_obj == F.col("_pobj")),
+        "left",
+    )
+    return flagged.select(
+        "subj",
+        "obj",
+        "slot",
+        "j",
+        "neg_entity",
+        F.col("_psubj").isNull().alias("usable"),
+    )
