@@ -695,6 +695,40 @@ def _kg_negative_samples(spark, sf):
     return negative_samples(pos, ents, k=4)
 
 
+def _kg_mention_contexts(spark, sf):
+    """Entity-linking training-snippet extraction under the gate: every
+    dictionary-token occurrence with its 3-token left/right context —
+    mention + local context is exactly the (input, decision) pair an EL /
+    NER-distillation trainer consumes. Zero joins, zero shuffles: one
+    map-side-filtered posexplode carrying the token array, contexts
+    sliced from it in the same stage (the whole query is a codegen map).
+    Contexts clip at doc edges to empty strings on both engines."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        mention_contexts,
+    )
+
+    return mention_contexts(_t(spark, sf, "documents"), DOC_TERM_TYPES, ctx_tokens=3)
+
+
+_ALL_TERMS_IN = ", ".join(f"'{t}'" for t in DOC_TERM_TYPES)
+
+_KG_CONTEXTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t, t[i + 1] AS tok, CAST(i AS BIGINT) AS p
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+)
+SELECT doc_id, p, tok AS term,
+  CASE WHEN tok IN ({_DRUGS_IN}) THEN 'drug' ELSE 'symptom' END AS kind,
+  coalesce(array_to_string(t[CAST(greatest(p - 3, 0) + 1 AS BIGINT) : CAST(p AS BIGINT)], ' '), '') AS left_ctx,
+  coalesce(array_to_string(t[CAST(p + 2 AS BIGINT) : CAST(p + 4 AS BIGINT)], ' '), '') AS right_ctx
+FROM pos
+WHERE tok IN ({_ALL_TERMS_IN})
+"""
+
+
 _POLY_STR = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(regexp_extract_all({expr}, '.'), x -> CAST(ascii(x) AS BIGINT))), "
@@ -1351,10 +1385,10 @@ WITH h AS (
       list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(source, '.'), x -> CAST(ascii(x) AS BIGINT))),
       (a, b) -> (a * 31 + b) % 1000000007
     ) % 5 AS wb,
-    list_reduce(
+    (list_reduce(
       list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(source || ':' || CAST(doc_id AS VARCHAR), '.'), x -> CAST(ascii(x) AS BIGINT))),
       (a, b) -> (a * 31 + b) % 1000000007
-    ) % 1000000 AS bucket
+    ) * 2654435761) % 1000000 AS bucket
   FROM documents
 )
 SELECT doc_id, source,
@@ -1362,6 +1396,48 @@ SELECT doc_id, source,
   CAST(bucket AS BIGINT) AS bucket,
   bucket * 100 < ([10, 25, 50, 75, 100])[CAST(wb AS INT) + 1] * 1000000 AS sampled
 FROM h
+"""
+
+
+def _mixture_upsample(spark, sf):
+    """Deterministic FRACTIONAL replication (``corpus.mixture_upsample``)
+    — applying mixture weights, the other half of what
+    ``domain_weighted_sample`` (keep/drop) starts: rates above 1×10⁶ ppm
+    yield multiple copies, the fractional remainder is resolved by a pure
+    (source, doc_id) hash, rates below 1×10⁶ downsample to zero copies.
+    Gate rates are derived per source — ``500000 + poly_hash(source) %
+    2000001`` ∈ [0.5×, 2.5×] — so all three branches (drop, single,
+    multi-copy) are live; production passes a map literal of real weights
+    and the operator stays ONE zero-shuffle map + explode."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        mixture_upsample,
+    )
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+
+    # scramble before the small mod: the poly hash is near-affine in the
+    # trailing character, so consecutive srcN names would cluster into one
+    # rate band; the odd multiplier spreads them across the full range
+    # (max intermediate < 1e9·2.7e9 < 2^63 on both engines)
+    rate = (
+        F.lit(500000) + (poly_hash(F.col("source")) * 2654435761) % 2000001
+    ).cast("long")
+    return mixture_upsample(_t(spark, sf, "documents"), rate)
+
+
+_MIXTURE_UPSAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+    500000 + ({_POLY_STR.format(expr="source")} * 2654435761) % 2000001 AS rate,
+    ({_POLY_STR.format(expr="source || '|' || CAST(doc_id AS VARCHAR)")} * 2654435761) % 1000000 AS frac
+  FROM documents
+),
+nn AS (
+  SELECT doc_id, source,
+    rate // 1000000 + CASE WHEN frac < rate % 1000000 THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies, CAST(u.c AS BIGINT) AS copy
+FROM nn, unnest(range(1, n_copies + 1)) AS u(c)
 """
 
 
@@ -1762,7 +1838,7 @@ clean AS (
 samp AS (
   SELECT doc_id,
     {poly.format(arg="source")} % 5 AS wb,
-    {poly.format(arg="source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+    ({poly.format(arg="source || ':' || CAST(doc_id AS VARCHAR)")} * 2654435761) % 1000000 AS bucket
   FROM corpus
 ),
 kept AS (
@@ -5155,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pmi_edges": _kg_pmi_edges,
         "kg_prox_edges": _kg_prox_edges,
         "kg_negative_samples": _kg_negative_samples,
+        "kg_mention_contexts": _kg_mention_contexts,
         "kg_top_subjects": _kg_top_subjects,
         "ade_pivot": _ade_pivot,
         "mention_type_distribution": _mention_type_distribution,
@@ -5188,6 +5265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_windows": _dedup_repeated_windows,
         "decontaminate_ngram": _decontaminate_ngram,
         "domain_weighted_sample": _domain_weighted_sample,
+        "mixture_upsample": _mixture_upsample,
         "doc_repetition_signals": _doc_repetition_signals,
         "pii_scrub": _pii_scrub,
         "sequence_packing": _sequence_packing,
@@ -5253,6 +5331,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pmi_edges": _KG_PMI_SQL,
         "kg_prox_edges": _KG_PROX_SQL,
         "kg_negative_samples": _KG_NEGSAMPLES_SQL,
+        "kg_mention_contexts": _KG_CONTEXTS_SQL,
         "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,
         "ade_pivot": _ADE_PIVOT_SQL,
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,
@@ -5295,6 +5374,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_repeated_windows": _REPEATED_WINDOWS_SQL,
         "decontaminate_ngram": _DECONTAMINATE_SQL,
         "domain_weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "mixture_upsample": _MIXTURE_UPSAMPLE_SQL,
         "doc_repetition_signals": _REPETITION_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "sequence_packing": _sequence_packing_sql(),

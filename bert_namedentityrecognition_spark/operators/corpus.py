@@ -146,12 +146,16 @@ def sample_columns(
     rate_pct = F.element_at(
         rate_arr, (poly_hash(F.col(domain_col)) % len(rates) + 1).cast("int")
     )
+    # odd-multiplier scramble before the small mod: the raw polynomial
+    # hash is near-affine in trailing characters, so consecutive doc_ids
+    # would otherwise land in one narrow bucket band and whole id-runs
+    # would share the keep decision (see mixture_upsample)
     bucket = (
         poly_hash(
             F.concat(F.col(domain_col), F.lit(":"), F.col(id_col).cast("string"))
         )
-        % denom
-    )
+        * 2654435761
+    ) % denom
     sampled = bucket * 100 < rate_pct.cast("long") * denom
     return rate_pct, bucket, sampled
 
@@ -624,4 +628,56 @@ def distill_quality_classifier(
         score.alias("score"),
         (score > 0).alias("student_keep"),
         "teacher_keep",
+    )
+
+
+def mixture_upsample(
+    docs: DataFrame,
+    rate_ppm,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """(doc_id, source, n_copies, copy): deterministic FRACTIONAL
+    replication — the mixture-application step (DoReMi/Pile-style domain
+    weights) that ``weighted_sample`` (keep/drop only) cannot express. A
+    rate of 2.3×10⁶ ppm yields 2 copies always plus a 3rd for the 30 % of
+    docs whose fractional hash falls under the remainder; a rate under
+    1×10⁶ downsamples (0 copies drops the doc). Expected copy count over
+    any corpus equals the configured mixture weight exactly, and the
+    decision is a pure function of (source, doc_id) — reproducible on any
+    cluster size / partitioning, replayable bit-for-bit in SQL.
+
+    ``rate_ppm`` is a Column (map-literal lookup over driver-known
+    weights, or any derived expression) so the whole operator is ONE
+    zero-shuffle map + explode stage that composes with any scan.
+
+    Ref: the reference has no mixture machinery; SURVEY §2.12
+    training-data extension."""
+    # the odd-multiplier scramble matters: the raw polynomial hash is
+    # near-affine in trailing characters, so consecutive doc_ids of one
+    # source land in one narrow band and a bare ``% ppm`` would give whole
+    # id-runs the same fractional decision (measured: 100 consecutive ids
+    # span <9000 of the 10^6 buckets). After ×2654435761 consecutive
+    # hashes are ~434434 buckets apart. Max intermediate <2.7e18 < 2^63.
+    frac = (
+        poly_hash(
+            F.concat_ws(
+                "|", F.col(source_col), F.col(id_col).cast("string")
+            )
+        )
+        * 2654435761
+    ) % ppm
+    n = (
+        F.floor(rate_ppm / F.lit(ppm)).cast("long")
+        + (frac < rate_ppm % ppm).cast("long")
+    )
+    seq = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n.alias("n_copies"),
+        F.explode(seq).alias("copy"),
     )

@@ -574,3 +574,53 @@ def negative_samples(
         "neg_entity",
         F.col("_psubj").isNull().alias("usable"),
     )
+
+
+def mention_contexts(
+    docs: DataFrame,
+    term_types: dict[str, str],
+    ctx_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, p, term, kind, left_ctx, right_ctx): every dictionary-token
+    occurrence with its surrounding token window — the training-snippet
+    extraction an entity-linking / NER-distillation pipeline runs over the
+    corpus (mention + local context in, link decision out). ``p`` is the
+    0-based token index; contexts are space-joined token slices clipped at
+    document boundaries (empty string at the edge, never null).
+
+    Scale shape: one posexplode filtered map-side to dictionary hits (the
+    exploded stream carries only matches), context slices taken from the
+    SAME carried token array — zero joins, zero shuffles; composes with
+    any downstream groupBy. All-JVM slice/join expressions, no UDF.
+
+    Ref: the reference extracts mention strings only
+    (``BERT/predict.py``); context extraction is the SURVEY §2.12
+    training-data extension."""
+    terms = list(term_types)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).select(
+        "doc_id", "t", F.posexplode(F.col("t")).alias("p", "tok")
+    )
+    hits = toks.filter(F.col("tok").isin(terms))
+    kind_map = F.create_map(
+        *[F.lit(x) for t, k in term_types.items() for x in (t, k)]
+    )
+    left_start = F.greatest(F.col("p") - ctx_tokens, F.lit(0))
+    left = F.array_join(
+        F.slice(F.col("t"), left_start + 1, F.col("p") - left_start), " "
+    )
+    right = F.array_join(
+        F.slice(F.col("t"), F.col("p") + 2, ctx_tokens), " "
+    )
+    return hits.select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.col("tok").alias("term"),
+        kind_map[F.col("tok")].alias("kind"),
+        left.alias("left_ctx"),
+        right.alias("right_ctx"),
+    )

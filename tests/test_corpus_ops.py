@@ -77,7 +77,7 @@ def test_weighted_sample_replays_the_portable_hash(docs):
     assert len(out) == docs.count()
     for r in out:
         rate = SAMPLE_RATES_PCT[_poly(r["source"]) % len(SAMPLE_RATES_PCT)]
-        bucket = _poly(f"{r['source']}:{r['doc_id']}") % SAMPLE_DENOM
+        bucket = _poly(f"{r['source']}:{r['doc_id']}") * 2654435761 % SAMPLE_DENOM
         assert r["rate_pct"] == rate and r["bucket"] == bucket
         assert r["sampled"] == (bucket * 100 < rate * SAMPLE_DENOM)
 
