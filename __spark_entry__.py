@@ -30,6 +30,8 @@ from bert_namedentityrecognition_spark.oracle.bpe_sql import (
     bpe_encode_sql as _bpe_encode_sql,
     bpe_merges_sql as _bpe_merges_sql,
     bpe_vocab_sql as _bpe_vocab_sql,
+    wordpiece_merges_sql as _wp_merges_sql,
+    wordpiece_vocab_sql as _wp_vocab_sql,
 )
 
 
@@ -1621,6 +1623,34 @@ def _bpe_merges(spark, sf):
         F.col("right").alias("right_sym"),
         "pair_count",
     )
+
+
+def _wp_merges(spark, sf):
+    """WordPiece-likelihood merge training under the gate: the
+    Schuster-Nakajima criterion ``cnt/(sl·sr)`` replaces BPE's raw
+    frequency (measured to pick genuinely different merges on this
+    corpus), with the integer witnesses (pair/left/right counts) in the
+    output so the comparison stays integer-anchored; the score itself is
+    a DOUBLE division of exact BIGINTs — correctly rounded, hence
+    engine-identical ordering (the IVF/LSH ranking argument). Twin: the
+    proven unrolled-level BPE chain with a per-level symbol-count CTE
+    (``oracle/bpe_sql.wordpiece_merges_sql``)."""
+    from bert_namedentityrecognition_spark.operators.bpe import (
+        wordpiece_merge_table,
+    )
+
+    return wordpiece_merge_table(_t(spark, sf, "documents"), BPE_NUM_MERGES)
+
+
+def _wp_vocab(spark, sf):
+    """Corpus vocabulary segmented by the WordPiece-likelihood merges —
+    the broadcastable encode artifact, same schema as
+    bpe_vocab_segmentation so downstream encode composes unchanged."""
+    from bert_namedentityrecognition_spark.operators.bpe import (
+        wordpiece_segmented_vocab,
+    )
+
+    return wordpiece_segmented_vocab(_t(spark, sf, "documents"), BPE_NUM_MERGES)
 
 
 def _bpe_encode(spark, sf):
@@ -5273,6 +5303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_ratio": _vocab_oov_ratio,
         "bpe_vocab_segmentation": _bpe_vocab,
         "bpe_merge_table": _bpe_merges,
+        "wordpiece_merge_table": _wp_merges,
+        "wordpiece_vocab_segmentation": _wp_vocab,
         "bpe_encode_counts": _bpe_encode,
         "lm_surprisal_filter": _lm_surprisal,
         "ann_cosine_topk": _ann_topk,
@@ -5385,6 +5417,8 @@ def oracle_sql() -> dict[str, str]:
         # positions recipe; seq/best CTEs MATERIALIZED (else 2^k inlining)
         "bpe_vocab_segmentation": _bpe_vocab_sql(BPE_NUM_MERGES),
         "bpe_merge_table": _bpe_merges_sql(BPE_NUM_MERGES),
+        "wordpiece_merge_table": _wp_merges_sql(BPE_NUM_MERGES),
+        "wordpiece_vocab_segmentation": _wp_vocab_sql(BPE_NUM_MERGES),
         "bpe_encode_counts": _bpe_encode_sql(BPE_NUM_MERGES),
         "lm_surprisal_filter": _lm_surprisal_sql(),
         "ann_cosine_topk": _ANN_TOPK_SQL,

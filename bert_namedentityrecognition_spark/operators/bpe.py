@@ -257,3 +257,110 @@ def bpe_encode(
             .alias("n_pieces"),
         )
     )
+
+
+def _wp_scored_best(words: DataFrame) -> DataFrame:
+    """One-row DataFrame of the WordPiece-best pair at the current state:
+    likelihood score ``cnt/(sl·sr)`` (DOUBLE division of exact BIGINTs —
+    correctly rounded, so Spark / Python / DuckDB order candidates
+    identically), ties (l, r) ascending. Carries the integer witnesses
+    (pair_count, left_count, right_count)."""
+    pairs = _adjacent_pairs(words).groupBy("l", "r").agg(
+        F.sum("c").cast("long").alias("cnt")
+    )
+    scnt = (
+        words.select(F.explode("syms").alias("s"), "c")
+        .groupBy("s")
+        .agg(F.sum("c").cast("long").alias("sc"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(scnt.select(F.col("s").alias("l"), F.col("sc").alias("sl"))),
+            "l",
+        )
+        .join(
+            F.broadcast(scnt.select(F.col("s").alias("r"), F.col("sc").alias("sr"))),
+            "r",
+        )
+    )
+    score = F.col("cnt").cast("double") / (F.col("sl") * F.col("sr")).cast("double")
+    return scored.orderBy(
+        score.desc(), F.col("l").asc(), F.col("r").asc()
+    ).limit(1)
+
+
+def wordpiece_merge_table(
+    docs: DataFrame,
+    num_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(step, left, right, pair_count, left_count, right_count): WordPiece
+    likelihood-scored merge training — the Schuster-Nakajima criterion
+    ``cnt/(sl·sr)`` (prefer pairs whose parts rarely appear apart) where
+    BPE takes raw frequency; everything else (greedy leftmost fold,
+    per-iteration checkpoint, one map-side-combined pair agg + one
+    symbol-count agg per step, O(1) argmax collects) is the proven BPE
+    machinery. Like ``merge_table``, every value comes from the
+    distributed plan; the driver loop only steers.
+
+    Ref: the reference consumes a pre-trained WordPiece vocabulary
+    (``BERT/Model.py`` tokenizer); training it distributed is the SURVEY
+    §2.12 tokenizer extension, next to BPE."""
+    words = _init_symbols(corpus_words(docs, id_col=id_col, text_col=text_col))
+    words = words.localCheckpoint(eager=True)
+    steps: list[DataFrame] = []
+    for step in range(num_merges):
+        best = _wp_scored_best(words)
+        top = best.collect()
+        if not top:
+            break
+        steps.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+                F.col("sl").alias("left_count"),
+                F.col("sr").alias("right_count"),
+            )
+        )
+        words = words.withColumn(
+            "syms", _merge_fold(top[0]["l"], top[0]["r"])
+        ).localCheckpoint(eager=True)
+    if not steps:
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame(
+            [],
+            "step long, left_sym string, right_sym string, pair_count long,"
+            " left_count long, right_count long",
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def wordpiece_segmented_vocab(
+    docs: DataFrame,
+    num_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok, c, n_pieces, pieces): corpus vocabulary segmented by the
+    WordPiece-likelihood merges (the artifact an encode pass broadcasts)."""
+    words = _init_symbols(corpus_words(docs, id_col=id_col, text_col=text_col))
+    words = words.localCheckpoint(eager=True)
+    for _ in range(num_merges):
+        top = _wp_scored_best(words).collect()
+        if not top:
+            break
+        words = words.withColumn(
+            "syms", _merge_fold(top[0]["l"], top[0]["r"])
+        ).localCheckpoint(eager=True)
+    return words.select(
+        "tok",
+        "c",
+        F.size("syms").cast("long").alias("n_pieces"),
+        F.array_join("syms", " ").alias("pieces"),
+    )

@@ -89,3 +89,44 @@ def segment_word(word: str, merges: Iterable[tuple[str, str]]) -> list[str]:
     for left, right, *_ in merges:
         syms = apply_merge(syms, left, right)
     return syms
+
+
+def symbol_counts(vocab: Iterable[tuple[list[str], int]]) -> Counter:
+    """Per-symbol occurrence counts (within-word multiplicity × word
+    frequency) over (symbol-sequence, word-frequency) rows."""
+    cnt: Counter = Counter()
+    for syms, c in vocab:
+        for s in syms:
+            cnt[s] += c
+    return cnt
+
+
+def train_wordpiece(
+    word_counts: dict[str, int], num_merges: int
+) -> tuple[list[tuple[str, str, int, int, int]], dict[str, list[str]]]:
+    """WordPiece-style likelihood-scored merge training: per step, merge
+    the pair maximizing ``count(l,r) / (count(l)·count(r))`` — the
+    Schuster-Nakajima criterion that prefers pairs whose parts rarely
+    appear apart — instead of BPE's raw frequency. The score is a DOUBLE
+    division of exact BIGINTs (correctly rounded, so Python, Spark, and
+    DuckDB order candidates identically); ties break (l, r) ascending.
+    Returns merges as (left, right, pair_count, left_count, right_count)
+    plus the final segmentation. Greedy application is byte-identical to
+    BPE's (:func:`apply_merge`)."""
+    seg = {w: word_symbols(w) for w in word_counts}
+    merges: list[tuple[str, str, int, int, int]] = []
+    for _ in range(num_merges):
+        cnt = pair_counts((seg[w], c) for w, c in word_counts.items())
+        if not cnt:
+            break
+        sc = symbol_counts((seg[w], c) for w, c in word_counts.items())
+        best_key, best = None, None
+        for (l, r), c in cnt.items():
+            score = c / (sc[l] * sc[r])
+            key = (-score, l, r)
+            if best_key is None or key < best_key:
+                best_key, best = key, (l, r, c, sc[l], sc[r])
+        merges.append(best)
+        for w in seg:
+            seg[w] = apply_merge(seg[w], best[0], best[1])
+    return merges, seg

@@ -54,8 +54,30 @@ seq0 AS MATERIALIZED (
 )"""
 
 
-def _level(t: int) -> str:
-    """One unrolled merge level: seq{t} → best{t} → seq{t+1}."""
+def _level(t: int, likelihood: bool = False) -> str:
+    """One unrolled merge level: seq{t} → best{t} → seq{t+1}.
+
+    ``likelihood=True`` switches the argmax from BPE raw pair frequency
+    to the WordPiece criterion ``cnt/(sl·sr)`` — an extra per-level
+    symbol-count CTE joined onto the pair table, scored as a DOUBLE
+    division of exact BIGINTs (correctly rounded → engine-identical
+    order), ties (l, r) ascending; ``best{t}`` then also carries the
+    integer witnesses sl/sr."""
+    if likelihood:
+        best = f"""scnt{t} AS MATERIALIZED (
+  SELECT sym AS s, CAST(sum(c) AS BIGINT) AS sc FROM seq{t} GROUP BY sym
+),
+best{t} AS MATERIALIZED (
+  SELECT p.l, p.r, p.cnt, a.sc AS sl, b.sc AS sr
+  FROM pcnt{t} p JOIN scnt{t} a ON a.s = p.l JOIN scnt{t} b ON b.s = p.r
+  ORDER BY CAST(p.cnt AS DOUBLE) / CAST(a.sc * b.sc AS DOUBLE) DESC, p.l ASC, p.r ASC
+  LIMIT 1
+),"""
+    else:
+        best = (
+            f"best{t} AS MATERIALIZED (SELECT l, r, cnt FROM pcnt{t} "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),"
+        )
     return f"""
 pcnt{t} AS (
   SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt FROM (
@@ -63,7 +85,7 @@ pcnt{t} AS (
     FROM seq{t}
   ) WHERE r IS NOT NULL GROUP BY l, r
 ),
-best{t} AS MATERIALIZED (SELECT l, r, cnt FROM pcnt{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+{best}
 tk{t} AS (
   SELECT *, mt AND (row_number() OVER (PARTITION BY tok, mt, grp ORDER BY pos) % 2 = 1) AS taken
   FROM (
@@ -87,8 +109,8 @@ seq{t + 1} AS MATERIALIZED (
 )"""
 
 
-def _chain(num_merges: int) -> str:
-    levels = ",".join(_level(t) for t in range(num_merges))
+def _chain(num_merges: int, likelihood: bool = False) -> str:
+    levels = ",".join(_level(t, likelihood=likelihood) for t in range(num_merges))
     return "WITH " + _WORDS + ("," + levels if levels else "")
 
 
@@ -141,3 +163,29 @@ SELECT doc_id,
   CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces
 FROM (SELECT doc_id FROM documents) LEFT JOIN per_doc USING (doc_id)
 """
+
+
+def wordpiece_vocab_sql(num_merges: int) -> str:
+    """Twin of ``operators/bpe.wordpiece_segmented_vocab``."""
+    return f"""{_chain(num_merges, likelihood=True)}
+SELECT tok, c, CAST(count(*) AS BIGINT) AS n_pieces,
+       string_agg(sym, ' ' ORDER BY pos) AS pieces
+FROM seq{num_merges} GROUP BY tok, c
+"""
+
+
+def wordpiece_merges_sql(num_merges: int) -> str:
+    """Twin of ``operators/bpe.wordpiece_merge_table``."""
+    if num_merges == 0:
+        return (
+            "SELECT CAST(0 AS BIGINT) AS step, '' AS left_sym,"
+            " '' AS right_sym, CAST(0 AS BIGINT) AS pair_count,"
+            " CAST(0 AS BIGINT) AS left_count,"
+            " CAST(0 AS BIGINT) AS right_count WHERE FALSE"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count, sl AS left_count, sr AS right_count FROM best{t}"
+        for t in range(num_merges)
+    )
+    return f"{_chain(num_merges, likelihood=True)}\n{union}\n"

@@ -170,3 +170,74 @@ def test_spark_encode_unseen_word_falls_back_to_chars(spark):
         for r in bpe_encode(apply, seg).collect()
     }
     assert enc == {9: (2, 1 + 3), 10: (0, 0)}  # 'zzz' → 3 chars; null → 0
+
+
+def test_wordpiece_kernel_prefers_likelihood_over_frequency():
+    from bert_namedentityrecognition_spark.oracle.bpe import (
+        train_bpe,
+        train_wordpiece,
+    )
+
+    # (c,c) and (a,b) tie on frequency 5; WordPiece scores (a,b) higher
+    # because a and b occur less often apart: 5/(8·5) > 5/(10·5)
+    wc = {"aab": 3, "ab": 2, "ccd": 5}
+    wp, _ = train_wordpiece(wc, 1)
+    bp, _ = train_bpe(wc, 1)
+    assert wp[0][:2] == ("a", "b") and bp[0][:2] == ("a", "b")
+    wc2 = {"aab": 3, "ab": 2, "ccd": 5, "cc": 1}
+    wp2, _ = train_wordpiece(wc2, 1)
+    bp2, _ = train_bpe(wc2, 1)
+    assert bp2[0][:2] == ("c", "c")  # frequency 6 wins for BPE
+    assert wp2[0][:2] == ("a", "b")  # likelihood still prefers (a, b)
+
+
+@pytest.mark.parametrize("nm", [0, 3, 16])
+def test_wordpiece_sql_twin_matches_kernel(nm):
+    from bert_namedentityrecognition_spark.oracle.bpe import train_wordpiece
+    from bert_namedentityrecognition_spark.oracle.bpe_sql import (
+        wordpiece_merges_sql,
+        wordpiece_vocab_sql,
+    )
+
+    wc = _word_counts(DOCS)
+    merges, seg = train_wordpiece(wc, nm)
+    con = _duck(DOCS)
+    vocab = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(wordpiece_vocab_sql(nm)).fetchall()
+    }
+    assert vocab == {
+        w: (c, len(seg[w]), " ".join(seg[w])) for w, c in wc.items()
+    }
+    got = sorted(con.execute(wordpiece_merges_sql(nm)).fetchall())
+    assert got == [
+        (i, l, r, c, sl, sr) for i, (l, r, c, sl, sr) in enumerate(merges)
+    ]
+
+
+def test_wordpiece_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.bpe import (
+        wordpiece_merge_table,
+        wordpiece_segmented_vocab,
+    )
+    from bert_namedentityrecognition_spark.oracle.bpe import train_wordpiece
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    wc = _word_counts(DOCS)
+    kmerges, kseg = train_wordpiece(wc, 12)
+    mt = sorted(wordpiece_merge_table(docs, 12).collect(), key=lambda r: r["step"])
+    assert [
+        (
+            r["left_sym"],
+            r["right_sym"],
+            r["pair_count"],
+            r["left_count"],
+            r["right_count"],
+        )
+        for r in mt
+    ] == kmerges
+    seg = {
+        r["tok"]: (r["c"], r["n_pieces"], r["pieces"])
+        for r in wordpiece_segmented_vocab(docs, 12).collect()
+    }
+    assert seg == {w: (c, len(kseg[w]), " ".join(kseg[w])) for w, c in wc.items()}
