@@ -1443,6 +1443,60 @@ FROM nn, unnest(range(1, n_copies + 1)) AS u(c)
 """
 
 
+def _cms_heavy_hitters(spark, sf):
+    """Count-min sketch frequency estimation under the gate
+    (``corpus.cms_sketch`` / ``cms_heavy_hitters``): the bounded-memory
+    structure an open-vocabulary 100 TB corpus needs — aggregation state
+    is depth·width cells regardless of distinct-token count. Gated at a
+    deliberately SMALL sketch (width 16, depth 2) so hash collisions —
+    the property the estimator is defined by — are live: estimates
+    overshoot exactly where another token collides in every row, and the
+    ``overestimated`` flag splits (verified non-vacuous at every sf).
+    Production defaults are 1024×4. Twin: the same integer bucket
+    arithmetic (seeded affine over the portable hash, odd-multiplier
+    scrambled) and min-over-rows, fully data-driven."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(_t(spark, sf, "documents"), width=16, depth=2)
+
+
+_CMS_BUCKET = (
+    "((({h} * (2 * d.d + 3) + (7 * d.d + 10)) % 1000000007) * 2654435761)"
+    " % 1000000007 % 16"
+)
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT t.tok FROM (
+    SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS tok
+    FROM documents
+  ) t WHERE length(t.tok) > 0
+),
+tc AS MATERIALIZED (
+  SELECT tok AS token, CAST(count(*) AS BIGINT) AS true_count FROM toks GROUP BY tok
+),
+buck AS (
+  SELECT CAST(d.d AS BIGINT) AS d,
+         {_CMS_BUCKET.format(h=_POLY_STR.format(expr='tok'))} AS j
+  FROM toks, (VALUES (0), (1)) d(d)
+),
+sketch AS MATERIALIZED (
+  SELECT d, j, CAST(count(*) AS BIGINT) AS cnt FROM buck GROUP BY d, j
+),
+probes AS (
+  SELECT token, true_count, CAST(d.d AS BIGINT) AS d,
+         {_CMS_BUCKET.format(h=_POLY_STR.format(expr='token'))} AS j
+  FROM tc, (VALUES (0), (1)) d(d)
+)
+SELECT token, true_count, CAST(min(cnt) AS BIGINT) AS est_count,
+       min(cnt) > true_count AS overestimated
+FROM probes JOIN sketch USING (d, j)
+GROUP BY token, true_count
+"""
+
+
 def _doc_repetition_signals(spark, sf):
     """Gopher-style within-doc repetition quality signals
     (``operators/corpus.repetition_signals``): occurrence share of the top
@@ -5296,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": _decontaminate_ngram,
         "domain_weighted_sample": _domain_weighted_sample,
         "mixture_upsample": _mixture_upsample,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         "doc_repetition_signals": _doc_repetition_signals,
         "pii_scrub": _pii_scrub,
         "sequence_packing": _sequence_packing,
@@ -5407,6 +5462,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _DECONTAMINATE_SQL,
         "domain_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "mixture_upsample": _MIXTURE_UPSAMPLE_SQL,
+        "cms_heavy_hitters": _CMS_SQL,
         "doc_repetition_signals": _REPETITION_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "sequence_packing": _sequence_packing_sql(),

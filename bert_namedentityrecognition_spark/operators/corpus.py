@@ -681,3 +681,107 @@ def mixture_upsample(
         n.alias("n_copies"),
         F.explode(seq).alias("copy"),
     )
+
+
+# count-min sketch hash family: seeded affine transforms over the portable
+# polynomial hash, scrambled by the odd multiplier (see mixture_upsample)
+# so token-space locality cannot band rows into few counters
+_CMS_MOD = 1_000_000_007
+_CMS_SCRAMBLE = 2654435761
+
+
+def _cms_bucket(col, d: int, width: int):
+    h = (poly_hash(col) * (2 * d + 3) + (7 * d + 10)) % _CMS_MOD
+    return (h * _CMS_SCRAMBLE) % _CMS_MOD % width
+
+
+def cms_sketch(
+    docs: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(d, j, cnt): the count-min sketch of the corpus token stream —
+    ``depth`` hash rows × ``width`` counters, each cell the total count of
+    tokens landing there. THE bounded-memory frequency structure for open
+    vocabularies: the aggregation state is ``depth·width`` cells no
+    matter how many distinct tokens a 100 TB crawl holds (an exact
+    vocabulary count table is unbounded), map-side combined, one shuffle
+    of at most ``depth·width`` groups."""
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok")
+    )
+    rows = toks.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    )
+    return (
+        rows.select(
+            F.col("d").cast("long").alias("d"),
+            F.element_at(
+                F.array(
+                    *[_cms_bucket(F.col("tok"), d, width) for d in range(depth)]
+                ),
+                (F.col("d") + 1).cast("int"),
+            ).alias("j"),
+        )
+        .groupBy("d", "j")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, true_count, est_count, overestimated): every distinct token
+    with its exact count and its count-min estimate (min over the sketch's
+    depth rows). The CMS guarantee — estimate ≥ truth always, equality
+    unless another token collides in every row — is exposed as the
+    ``overestimated`` flag, so the gate verifies the sketch's defining
+    property value-for-value. At open-vocabulary scale the exact side of
+    this query is replaced by the candidate stream being filtered (the
+    sketch answers point queries from its ``depth·width`` cells); here the
+    closed gate vocabulary keeps the exact twin cheap."""
+    sketch = cms_sketch(docs, width=width, depth=depth, text_col=text_col)
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    true_counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    probes = true_counts.select(
+        "token",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        "token",
+        "true_count",
+        F.col("d").cast("long").alias("d"),
+        F.element_at(
+            F.array(*[_cms_bucket(F.col("token"), d, width) for d in range(depth)]),
+            (F.col("d") + 1).cast("int"),
+        ).alias("j"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "j"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    return est.select(
+        "token",
+        "true_count",
+        "est_count",
+        (F.col("est_count") > F.col("true_count")).alias("overestimated"),
+    )

@@ -1,0 +1,57 @@
+"""Count-min sketch (`cms_sketch` / `cms_heavy_hitters`) — the defining
+guarantees on handcrafted corpora: estimates never undershoot, collide
+exactly as the bucket arithmetic says, and a wide-enough sketch is exact."""
+
+from pyspark.sql import functions as F
+
+from bert_namedentityrecognition_spark.operators.corpus import (
+    cms_heavy_hitters,
+    cms_sketch,
+)
+
+DOCS = "doc_id long, text string"
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, DOCS)
+    return {
+        r["token"]: (r["true_count"], r["est_count"], r["overestimated"])
+        for r in cms_heavy_hitters(df, **kw).collect()
+    }
+
+
+def test_estimates_never_undershoot_and_wide_sketch_exact(spark):
+    rows = [(i, "alpha beta gamma delta " * (i + 1)) for i in range(5)]
+    tight = _run(spark, rows, width=2, depth=1)
+    wide = _run(spark, rows, width=4096, depth=4)
+    for tok, (t, e, over) in tight.items():
+        assert e >= t and over == (e > t)
+    # 4 tokens in 4096 buckets across 4 rows: no full-depth collision
+    for tok, (t, e, over) in wide.items():
+        assert (e, over) == (t, False)
+    # true counts identical under both sketches
+    assert {k: v[0] for k, v in tight.items()} == {k: v[0] for k, v in wide.items()}
+
+
+def test_deeper_sketch_never_worse(spark):
+    rows = [(1, "a b c d e f g h i j " * 10)]
+    d1 = _run(spark, rows, width=4, depth=1)
+    d3 = _run(spark, rows, width=4, depth=3)
+    for tok in d1:
+        assert d3[tok][1] <= d1[tok][1]  # min over more rows
+
+
+def test_sketch_mass_conservation(spark):
+    # every sketch row holds the full token stream: sum of cells == total
+    # token count, per depth row
+    rows = [(1, "x y z x y x"), (2, "p q")]
+    df = spark.createDataFrame(rows, DOCS)
+    cells = cms_sketch(df, width=8, depth=3).collect()
+    per_d = {}
+    for r in cells:
+        per_d[r["d"]] = per_d.get(r["d"], 0) + r["cnt"]
+    assert per_d == {0: 8, 1: 8, 2: 8}
+
+
+def test_degenerate_docs(spark):
+    assert _run(spark, [(1, ""), (2, None), (3, "   ")]) == {}
