@@ -1497,6 +1497,40 @@ GROUP BY token, true_count
 """
 
 
+def _hll_registers(spark, sf):
+    """Per-source HyperLogLog register state (``corpus.hll_registers``) —
+    the mergeable distinct-count sketch: shards union by one more max over
+    64 integers per group, so a 100 TB distinct-token census never
+    re-reads data. Only integer state is gated (j = h mod 64, rank =
+    leading-zero count of the 24-bit suffix via ``25 − len(bin(v))`` —
+    both engines' bin() drops leading zeros); the float harmonic estimate
+    is a driver-side formula over ≤64 rows, accuracy pinned in
+    tests/test_cms.py."""
+    from bert_namedentityrecognition_spark.operators.corpus import hll_registers
+
+    return hll_registers(_t(spark, sf, "documents"), m_registers=64, rank_bits=24)
+
+
+_HLL_SQL = f"""
+WITH toks AS (
+  SELECT t.source, t.tok FROM (
+    SELECT source, unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS tok
+    FROM documents
+  ) t WHERE length(t.tok) > 0
+),
+h AS (
+  SELECT source, ({_POLY_STR.format(expr='tok')} * 2654435761) % 1000000007 AS h
+  FROM toks
+),
+r AS (
+  SELECT source, CAST(h % 64 AS BIGINT) AS j, (h // 64) % 16777216 AS v FROM h
+)
+SELECT source, j,
+  CAST(max(CASE WHEN v > 0 THEN 25 - length(bin(v)) ELSE 25 END) AS BIGINT) AS max_rank
+FROM r GROUP BY source, j
+"""
+
+
 def _doc_repetition_signals(spark, sf):
     """Gopher-style within-doc repetition quality signals
     (``operators/corpus.repetition_signals``): occurrence share of the top
@@ -5351,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_weighted_sample": _domain_weighted_sample,
         "mixture_upsample": _mixture_upsample,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "hll_token_registers": _hll_registers,
         "doc_repetition_signals": _doc_repetition_signals,
         "pii_scrub": _pii_scrub,
         "sequence_packing": _sequence_packing,
@@ -5463,6 +5498,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "mixture_upsample": _MIXTURE_UPSAMPLE_SQL,
         "cms_heavy_hitters": _CMS_SQL,
+        "hll_token_registers": _HLL_SQL,
         "doc_repetition_signals": _REPETITION_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "sequence_packing": _sequence_packing_sql(),

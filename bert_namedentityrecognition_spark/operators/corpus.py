@@ -785,3 +785,44 @@ def cms_heavy_hitters(
         "est_count",
         (F.col("est_count") > F.col("true_count")).alias("overestimated"),
     )
+
+
+def hll_registers(
+    docs: DataFrame,
+    m_registers: int = 64,
+    rank_bits: int = 24,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, j, max_rank): per-group HyperLogLog register state over
+    the distinct-token stream — the MERGEABLE distinct-count sketch: a
+    100 TB corpus unions per-shard register tables with one more
+    ``max`` (never re-reading data), then estimates cardinality from
+    ``m`` integers per group. Only the integer state is emitted (the
+    float harmonic estimate is a driver-side formula over ≤``m`` rows —
+    see ``oracle`` tests); everything here is exact integer arithmetic:
+    ``j = h mod m``, ``rank`` = leading-zero count of the
+    ``rank_bits``-wide suffix + 1, computed as ``rank_bits + 1 −
+    len(bin(v))`` (both engines' ``bin()`` drops leading zeros), hash
+    scrambled by the odd multiplier so token-space locality cannot skew
+    registers."""
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    h = (poly_hash(F.col("tok")) * _CMS_SCRAMBLE) % _CMS_MOD
+    j = (h % m_registers).cast("long")
+    v = F.floor(h / m_registers).cast("long") % (2**rank_bits)
+    rank = F.when(v > 0, F.lit(rank_bits + 1) - F.length(F.bin(v))).otherwise(
+        F.lit(rank_bits + 1)
+    )
+    return (
+        toks.select("source", j.alias("j"), rank.cast("long").alias("rank"))
+        .groupBy("source", "j")
+        .agg(F.max("rank").alias("max_rank"))
+    )

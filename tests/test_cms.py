@@ -55,3 +55,47 @@ def test_sketch_mass_conservation(spark):
 
 def test_degenerate_docs(spark):
     assert _run(spark, [(1, ""), (2, None), (3, "   ")]) == {}
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    import math
+
+    from bert_namedentityrecognition_spark.operators.corpus import hll_registers
+
+    # one source, 2000 distinct tokens spread over 40 docs
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(i * 50, (i + 1) * 50)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame([(d, "s", t) for d, t in rows],
+                               "doc_id long, source string, text string")
+    regs = {r["j"]: r["max_rank"] for r in hll_registers(df).collect()}
+    m = 64
+    # standard HLL estimate from the integer register state
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / s
+    zeros = sum(1 for j in range(m) if j not in regs)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    # m=64 → 13% standard error; this draw measures 2521 (+26%, ~2σ).
+    # The bound pins structure (right order of magnitude, sane registers),
+    # not tight accuracy.
+    assert 1300 <= e <= 2800, e
+
+    # mergeability: registers of two halves combine by max to the whole
+    half1 = hll_registers(df.filter(F.col("doc_id") < 20))
+    half2 = hll_registers(df.filter(F.col("doc_id") >= 20))
+    merged = {}
+    for r in half1.collect() + half2.collect():
+        merged[r["j"]] = max(merged.get(r["j"], 0), r["max_rank"])
+    assert merged == regs
+
+
+def test_hll_degenerate(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import hll_registers
+
+    df = spark.createDataFrame(
+        [(1, "s", ""), (2, "s", None)], "doc_id long, source string, text string"
+    )
+    assert hll_registers(df).collect() == []
