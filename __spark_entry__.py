@@ -3999,6 +3999,50 @@ seeds AS (SELECT i AS node FROM ids WHERE i % 400 = 0)
     return bfs_sql(graph_ctes, max_hops=8)
 
 
+def _kg_random_walks(spark, sf):
+    """Embedding-corpus generation over the derived alias graph: 2
+    deterministic hash-driven walks of 4 steps from every node — the
+    DeepWalk/node2vec input a KG-embedding trainer consumes, with zero
+    RNG state (next hop = ``scramble(poly(start|walk|step|cur)) %
+    degree``, neighbors id-ordered), so walks are identical at any
+    cluster size and replay exactly in SQL (unrolled per-step joins,
+    ``oracle/graph.py:random_walks_sql``). Pairs with
+    ``kg_negative_samples`` to complete the embedding-training prep."""
+    from bert_namedentityrecognition_spark.operators.graph import random_walks
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(sym, length=4, n_walks=2)
+
+
+def _kg_random_walks_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import random_walks_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    return random_walks_sql(graph_ctes, length=4, n_walks=2)
+
+
 def _kg_triangle_counts(spark, sf):
     """Per-node triangle participation over a derived co-mention graph —
     the clustering signal a KG quality pass computes over its edges table.
@@ -5419,6 +5463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
         "kg_bfs_levels": _kg_bfs_levels,
+        "kg_random_walks": _kg_random_walks,
         "streaming_windowed_triples": _streaming_windowed_triples,
     }
 
@@ -5531,6 +5576,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),
         "kg_bfs_levels": _kg_bfs_levels_sql(),
+        "kg_random_walks": _kg_random_walks_sql(),
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)
         "streaming_windowed_triples": _STREAM_WT_SQL,

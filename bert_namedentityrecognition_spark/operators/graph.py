@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..oracle.graph import D_DEN, D_NUM, INIT
 
@@ -244,3 +245,82 @@ def bfs_levels_df(
         )
         frontier = dist.filter(F.col("dist") == k).select("node")
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 4,
+    n_walks: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(start, walk, step, node): ``n_walks`` deterministic walks of
+    ``length`` steps from every node of the DIRECTED edge list (pass both
+    directions for undirected graphs) — the corpus-generation pass a
+    DeepWalk/node2vec embedding trains on. No RNG state: step ``t`` of
+    walk ``w`` from ``s`` standing at ``cur`` moves to the neighbor whose
+    rank (1-based, neighbors ordered by id) is
+    ``scramble(poly_hash(s|w|t|cur)) % degree(cur) + 1`` — a pure
+    function of row values, so walks are identical at any cluster size /
+    partitioning and replayable in SQL.
+
+    Scale shape: the ranked adjacency (node, rank, dst) + degree table is
+    built ONCE and checkpoint-materialized; each step is one equi-join of
+    the frontier against it on the current node (shuffle on node id —
+    adjacency is graph-sized, not broadcastable at 10^12 edges), state
+    carried is (start, walk, cur) — O(nodes·n_walks) rows per step.
+
+    Ref: the reference has no graph stage; embedding-corpus generation is
+    the SURVEY §2.12 KG-scale extension (pairs with
+    ``triples.negative_samples``)."""
+    from ..functions.textstats import poly_hash
+
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).distinct()
+    w_rank = Window.partitionBy("a").orderBy("b")
+    adj = (
+        e.select("a", "b", F.row_number().over(w_rank).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("a").agg(F.max("rank").cast("long").alias("deg"))
+    adj = adj.join(deg, "a").localCheckpoint(eager=True)
+    starts = adj.select(F.col("a").alias("start")).distinct()
+    state = starts.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+    ).select(
+        "start",
+        F.col("walk").cast("long").alias("walk"),
+        F.col("start").alias("node"),
+    )
+    out = state.select(
+        "start", "walk", F.lit(0).cast("long").alias("step"), "node"
+    ).localCheckpoint(eager=True)
+    cur = state
+    for t in range(1, length + 1):
+        h = (
+            poly_hash(
+                F.concat_ws(
+                    "|",
+                    F.col("start").cast("string"),
+                    F.col("walk").cast("string"),
+                    F.lit(str(t)),
+                    F.col("node").cast("string"),
+                )
+            )
+            * 2654435761
+        ) % 1000000007
+        stepped = (
+            cur.join(adj, cur.node == adj.a)
+            .filter((h % F.col("deg") + 1) == F.col("rank"))
+            .select("start", "walk", F.col("b").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            stepped.select(
+                "start", "walk", F.lit(t).cast("long").alias("step"), "node"
+            )
+        )
+        cur = stepped
+    return out

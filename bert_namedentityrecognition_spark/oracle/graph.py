@@ -268,3 +268,85 @@ def bfs_sql(graph_ctes: str, max_hops: int) -> str:
         f"FROM d{max_hops}"
     )
     return "\n".join(parts)
+
+
+_WALK_MOD = 1_000_000_007
+_WALK_SCRAMBLE = 2654435761
+
+
+def _walk_poly(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % _WALK_MOD
+    return (h * _WALK_SCRAMBLE) % _WALK_MOD
+
+
+def random_walks_kernel(
+    edges: Iterable[Tuple[int, int]], length: int, n_walks: int
+) -> List[Tuple[int, int, int, int]]:
+    """Pure-Python twin of ``operators/graph.random_walks``: (start, walk,
+    step, node) rows for deterministic hash-driven walks (next hop =
+    ``scramble(poly(start|walk|step|cur)) % degree``, neighbors ordered
+    by id)."""
+    adj: Dict[int, List[int]] = defaultdict(list)
+    for a, b in sorted(set(edges)):
+        adj[a].append(b)
+    out: List[Tuple[int, int, int, int]] = []
+    for start in sorted(adj):
+        for w in range(n_walks):
+            cur = start
+            out.append((start, w, 0, cur))
+            for t in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = _walk_poly(f"{start}|{w}|{t}|{cur}")
+                cur = nbrs[h % len(nbrs)]
+                out.append((start, w, t, cur))
+    return out
+
+
+def random_walks_sql(graph_ctes: str, length: int, n_walks: int) -> str:
+    """Unrolled-step DuckDB twin of :func:`random_walks_kernel`.
+
+    ``graph_ctes`` must define ``sym(a, b)``. Each step is one join of
+    the frontier against the ranked adjacency on the hash-selected rank;
+    adjacency/degree feed every step → MATERIALIZED (rule 30)."""
+    poly = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all({expr}, '.'), "
+        "x -> CAST(ascii(x) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {_WALK_MOD}) * {_WALK_SCRAMBLE}) % {_WALK_MOD}"
+    )
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "adj AS MATERIALIZED (SELECT a, b, CAST(row_number() OVER "
+        "(PARTITION BY a ORDER BY b) AS BIGINT) AS rank "
+        "FROM (SELECT DISTINCT a, b FROM sym)),",
+        "dg AS MATERIALIZED (SELECT a, CAST(max(rank) AS BIGINT) AS deg "
+        "FROM adj GROUP BY a),",
+        f"s0 AS MATERIALIZED (SELECT start, CAST(w.w AS BIGINT) AS walk, "
+        f"start AS node FROM (SELECT DISTINCT a AS start FROM adj) st, "
+        f"unnest(range(0, {n_walks})) w(w)),",
+    ]
+    for t in range(1, length + 1):
+        expr = poly.format(
+            expr=(
+                "CAST(s.start AS VARCHAR) || '|' || CAST(s.walk AS VARCHAR)"
+                f" || '|{t}|' || CAST(s.node AS VARCHAR)"
+            )
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT s.start, s.walk, adj.b AS node "
+            f"FROM s{t - 1} s JOIN dg ON dg.a = s.node "
+            f"JOIN adj ON adj.a = s.node AND adj.rank = ({expr}) % dg.deg + 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({t} AS BIGINT) AS step, node FROM s{t}"
+        for t in range(length + 1)
+    )
+    parts.append(selects)
+    return "\n".join(parts)

@@ -306,3 +306,45 @@ def test_bfs_frontier_dies_early_and_empty_seeds(spark):
     assert got == {0: 0, 1: 1}  # frontier empty after level 1, no-op levels safe
     empty = spark.createDataFrame([], "node long")
     assert bfs_levels_df(e, empty, max_hops=3).collect() == []
+
+
+def test_random_walks_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import random_walks
+    from bert_namedentityrecognition_spark.oracle.graph import random_walks_kernel
+
+    und = _random_graph(30, 50, seed=9)
+    directed = _sym(und)
+    want = sorted(random_walks_kernel(directed, length=3, n_walks=2))
+    e = spark.createDataFrame(directed, ["src", "dst"])
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in random_walks(e, length=3, n_walks=2).collect()
+    )
+    assert got == want
+
+
+def test_random_walks_deterministic_and_partitioning_invariant(spark):
+    from bert_namedentityrecognition_spark.operators.graph import random_walks
+
+    directed = _sym([(i, i + 1) for i in range(20)])
+    e1 = spark.createDataFrame(directed, ["src", "dst"])
+    e2 = spark.createDataFrame(directed, ["src", "dst"]).repartition(7)
+    a = sorted(map(tuple, random_walks(e1, length=4, n_walks=1).collect()))
+    b = sorted(map(tuple, random_walks(e2, length=4, n_walks=1).collect()))
+    assert a == b and len(a) == 21 * 5  # every node, full length (no dead ends)
+
+
+def test_random_walks_dead_end_truncates(spark):
+    from bert_namedentityrecognition_spark.operators.graph import random_walks
+    from bert_namedentityrecognition_spark.oracle.graph import random_walks_kernel
+
+    directed = [(0, 1), (1, 2)]  # 2 has no out-edge: walks stop there
+    e = spark.createDataFrame(directed, ["src", "dst"])
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in random_walks(e, length=5, n_walks=1).collect()
+    )
+    assert got == sorted(random_walks_kernel(directed, length=5, n_walks=1))
+    # walk from 0 is 0→1→2 then truncation: steps 0..2 only
+    from_zero = [r for r in got if r[0] == 0]
+    assert [r[3] for r in sorted(from_zero, key=lambda r: r[2])] == [0, 1, 2]
