@@ -1401,6 +1401,72 @@ FROM h
 """
 
 
+def _bloom_decontaminate(spark, sf):
+    """Decontamination through a Bloom filter of the eval shingle set
+    (``corpus.bloom_decontaminate``) — the scale path when the exact set
+    outgrows a broadcast: the filter is a fixed 16384-bit artifact
+    regardless of benchmark size, OR-mergeable across suites, and hits
+    can only OVERSHOOT exact overlap (no false negatives). Both the
+    exact and bloom counts/flags are in the output, so the gate verifies
+    the containment guarantee row-by-row and the false-positive overshoot
+    is live at 16384 bits (verified non-zero at every sf)."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        bloom_decontaminate,
+    )
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 23 == 0)
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    return bloom_decontaminate(train, ev, m_bits=16384, k=3)
+
+
+_BLOOM_BUCKET = (
+    "((({h} * (2 * d.d + 3) + (7 * d.d + 10)) % 1000000007) * 2654435761)"
+    " % 1000000007 % 16384"
+)
+
+_BLOOM_DECON_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+ev AS MATERIALIZED (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+train AS MATERIALIZED (SELECT doc_id, shingle FROM sh WHERE doc_id % 23 <> 0),
+bits AS MATERIALIZED (
+  SELECT DISTINCT {_BLOOM_BUCKET.format(h=_POLY_STR.format(expr='shingle'))} AS p
+  FROM ev, (VALUES (0), (1), (2)) d(d)
+),
+probes AS (
+  SELECT t.doc_id, t.shingle,
+         {_BLOOM_BUCKET.format(h=_POLY_STR.format(expr='t.shingle'))} AS p
+  FROM train t, (VALUES (0), (1), (2)) d(d)
+),
+hits AS (
+  SELECT pr.doc_id, pr.shingle, count(b.p) = 3 AS hit
+  FROM probes pr LEFT JOIN bits b ON b.p = pr.p
+  GROUP BY pr.doc_id, pr.shingle
+),
+perdoc AS (
+  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS ns,
+    CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ov,
+    CAST(sum(CASE WHEN h.hit THEN 1 ELSE 0 END) AS BIGINT) AS bh
+  FROM hits h LEFT JOIN ev e ON e.shingle = h.shingle
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(ns, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(ov, 0) AS BIGINT) AS n_overlap,
+  CAST(coalesce(bh, 0) AS BIGINT) AS n_bloom_hits,
+  coalesce(ns, 0) > 0 AND coalesce(ov, 0) * 10 >= coalesce(ns, 0) * 1 AS contaminated_exact,
+  coalesce(ns, 0) > 0 AND coalesce(bh, 0) * 10 >= coalesce(ns, 0) * 1 AS contaminated_bloom
+FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+LEFT JOIN perdoc USING (doc_id)
+"""
+
+
 def _mixture_upsample(spark, sf):
     """Deterministic FRACTIONAL replication (``corpus.mixture_upsample``)
     — applying mixture weights, the other half of what
@@ -5430,6 +5496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_upsample": _mixture_upsample,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "hll_token_registers": _hll_registers,
+        "bloom_decontaminate": _bloom_decontaminate,
         "doc_repetition_signals": _doc_repetition_signals,
         "pii_scrub": _pii_scrub,
         "sequence_packing": _sequence_packing,
@@ -5544,6 +5611,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_upsample": _MIXTURE_UPSAMPLE_SQL,
         "cms_heavy_hitters": _CMS_SQL,
         "hll_token_registers": _HLL_SQL,
+        "bloom_decontaminate": _BLOOM_DECON_SQL,
         "doc_repetition_signals": _REPETITION_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "sequence_packing": _sequence_packing_sql(),

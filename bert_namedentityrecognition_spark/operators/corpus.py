@@ -826,3 +826,95 @@ def hll_registers(
         .groupBy("source", "j")
         .agg(F.max("rank").alias("max_rank"))
     )
+
+
+def _bloom_positions(col, k: int, m_bits: int):
+    """Array of the k seeded bloom bit positions of a string column —
+    the CMS hash family over the portable polynomial hash."""
+    return F.array(*[_cms_bucket(col, i, m_bits) for i in range(k)])
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    m_bits: int = 16384,
+    k: int = 3,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_overlap, n_bloom_hits, contaminated_exact,
+    contaminated_bloom): decontamination through a BLOOM FILTER of the
+    eval shingle set — the scale path when the exact set outgrows a
+    broadcast: the filter is a fixed ``m_bits``-bound artifact no matter
+    how many benchmark shingles exist, mergeable across eval suites by
+    OR. A shingle "hits" iff ALL ``k`` seeded positions are set; bloom
+    hits can only OVERSHOOT exact overlap (no false negatives — the
+    guarantee the exact columns verify row-by-row), so the bloom flag is
+    a conservative superset of the exact flag at the same threshold.
+
+    Scale shape: the set-bit table (≤ ``m_bits`` rows) is broadcast; the
+    corpus side is one distinct-shingle stream exploded ×k, one
+    (doc, shingle) hit reduction, one doc-keyed aggregation."""
+    sh = (
+        token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    ev = (
+        token_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    bits = (
+        ev.select(
+            F.explode(_bloom_positions(F.col("shingle"), k, m_bits)).alias("p")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(_bloom_positions(F.col("shingle"), k, m_bits)).alias("p"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "p", "left")
+        .groupBy("doc_id", "shingle")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias("_hit"))
+    )
+    exact = ev.withColumn("_ov", F.lit(1))
+    per_doc = (
+        hits.join(F.broadcast(exact), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_ov"), F.lit(0))).cast("long").alias("n_overlap"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_shingles") > 0)
+            & (F.col("n_overlap") * threshold_den >= F.col("n_shingles") * threshold_num)
+        ).alias("contaminated_exact"),
+        (
+            (F.col("n_shingles") > 0)
+            & (
+                F.col("n_bloom_hits") * threshold_den
+                >= F.col("n_shingles") * threshold_num
+            )
+        ).alias("contaminated_bloom"),
+    )

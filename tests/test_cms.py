@@ -99,3 +99,47 @@ def test_hll_degenerate(spark):
         [(1, "s", ""), (2, "s", None)], "doc_id long, source string, text string"
     )
     assert hll_registers(df).collect() == []
+
+
+def test_bloom_decontaminate_containment_and_fp(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        bloom_decontaminate,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base), (2, base + " extra tokens here now"),
+            (3, "completely different words in this training document okay"),
+            (4, "xy"), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bloom_decontaminate(docs, ev, m_bits=4096).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        # the defining guarantee: no false negatives
+        assert r["n_bloom_hits"] >= r["n_overlap"]
+        if r["contaminated_exact"]:
+            assert r["contaminated_bloom"]
+    assert out[1]["n_overlap"] == out[1]["n_shingles"] > 0  # fully contained
+    assert out[1]["contaminated_exact"] and out[1]["contaminated_bloom"]
+    assert out[3]["n_shingles"] > 0 and out[3]["n_overlap"] == 0  # disjoint doc
+    assert out[4]["n_shingles"] == 0 and not out[4]["contaminated_bloom"]
+    assert out[5]["n_shingles"] == 0
+
+
+def test_bloom_tiny_filter_forces_false_positives(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        bloom_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6 q7 q8")], "doc_id long, text string"
+    )
+    # m=8 bits, k=3, 6 eval shingles: nearly every bit set → disjoint
+    # corpora still "hit" — the overshoot branch must fire
+    out = bloom_decontaminate(docs, ev, m_bits=8, k=3).collect()
+    assert all(r["n_overlap"] == 0 for r in out)
+    assert sum(r["n_bloom_hits"] for r in out) > 0
