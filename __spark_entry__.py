@@ -575,6 +575,39 @@ FROM pairs GROUP BY subj, obj
 """
 
 
+def _kg_incremental_merge(spark, sf):
+    """Incremental KG maintenance under the gate: docs with doc_id % 10
+    == 0 play the new crawl batch, the rest the existing corpus; each
+    side builds its triples independently and
+    ``triples.merge_triple_counts`` folds the delta in by full-outer
+    key-summed join. The ORACLE IS A FULL RECOUNT over all documents
+    (``_KG_TRIPLES_SQL`` verbatim) — the hash equality is the
+    incremental-view-maintenance invariant itself: merge(old, delta) ==
+    recount, which holds because the ADE counts (including the per-doc
+    "No Symptoms" fallback) are doc-additive."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        build_triples,
+        merge_triple_counts,
+    )
+
+    m = _doc_mentions(spark, sf)
+    existing = build_triples(
+        m.filter(F.col("url").cast("long") % 10 != 0),
+        scope="document",
+        remove_duplicates=True,
+        use_canonical=False,
+    )
+    delta = build_triples(
+        m.filter(F.col("url").cast("long") % 10 == 0),
+        scope="document",
+        remove_duplicates=True,
+        use_canonical=False,
+    )
+    return merge_triple_counts(existing, delta).select(
+        "subj", "pred", "obj", F.col("count").cast("long").alias("count")
+    )
+
+
 def _kg_pmi_edges(spark, sf):
     """PMI-weighted co-occurrence edges over the REAL tagger mentions (not
     a derived graph): document frequencies n_subj/n_obj/n_pair per
@@ -5455,6 +5488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _kg_mentions,
         "kg_bucketed_join": _kg_bucketed_join,
         "kg_triples_codoc": _kg_triples,
+        "kg_incremental_merge": _kg_incremental_merge,
         "kg_triples_patterned": _kg_triples_patterned,
         "kg_pmi_edges": _kg_pmi_edges,
         "kg_prox_edges": _kg_prox_edges,
@@ -5561,6 +5595,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_bucketed_join": _KG_BUCKETED_JOIN_SQL,
         "kg_triples_codoc": _KG_TRIPLES_SQL,
+        "kg_incremental_merge": _KG_TRIPLES_SQL,
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
         "kg_pmi_edges": _KG_PMI_SQL,
         "kg_prox_edges": _KG_PROX_SQL,

@@ -624,3 +624,32 @@ def mention_contexts(
         left.alias("left_ctx"),
         right.alias("right_ctx"),
     )
+
+
+def merge_triple_counts(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+    count_col: str = "count",
+) -> DataFrame:
+    """Incremental KG maintenance: fold a delta batch's triple counts into
+    the existing edges table by full-outer key join + coalesced sum. The
+    count aggregates are doc-additive (every document contributes its
+    pairs independently, including the per-doc "No Symptoms" fallback),
+    so merge(existing, delta) over a doc partition EQUALS a full recount
+    — the incremental-view-maintenance invariant the gate enforces
+    value-for-value against a recount oracle.
+
+    Scale shape: one shuffle on the triple key of two already-aggregated
+    (edge-sized, not corpus-sized) tables; at 100 TB this is the nightly
+    crawl-increment job that replaces re-reading the whole corpus."""
+    e = existing.select(*keys, F.col(count_col).alias("_ce"))
+    d = delta.select(*keys, F.col(count_col).alias("_cd"))
+    return e.join(d, list(keys), "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col("_ce"), F.lit(0)) + F.coalesce(F.col("_cd"), F.lit(0))
+        )
+        .cast("long")
+        .alias(count_col),
+    )

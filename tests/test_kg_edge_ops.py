@@ -97,3 +97,63 @@ def test_negative_samples_empty_positives(spark):
     pos = spark.createDataFrame([], POS_SCHEMA)
     ents = _ents(spark, ["a"])
     assert negative_samples(pos, ents, k=2).collect() == []
+
+
+def test_merge_triple_counts_full_outer_sum(spark):
+    from bert_namedentityrecognition_spark.operators.triples import (
+        merge_triple_counts,
+    )
+
+    S = "subj string, pred string, obj string, count long"
+    old = spark.createDataFrame(
+        [("a", "P", "x", 5), ("b", "P", "y", 2)], S
+    )
+    delta = spark.createDataFrame(
+        [("a", "P", "x", 3), ("c", "P", "z", 7)], S
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["count"]
+        for r in merge_triple_counts(old, delta).collect()
+    }
+    assert got == {("a", "P", "x"): 8, ("b", "P", "y"): 2, ("c", "P", "z"): 7}
+    # empty delta is the identity
+    empty = spark.createDataFrame([], S)
+    same = {
+        (r["subj"], r["pred"], r["obj"]): r["count"]
+        for r in merge_triple_counts(old, empty).collect()
+    }
+    assert same == {("a", "P", "x"): 5, ("b", "P", "y"): 2}
+
+
+def test_merge_equals_recount_on_partitioned_docs(spark):
+    # the incremental-maintenance invariant on a local corpus: triples of
+    # two disjoint doc subsets merged == triples of the union
+    from bert_namedentityrecognition_spark.operators.tagger import tag_sentences
+    from bert_namedentityrecognition_spark.operators.triples import (
+        build_triples,
+        merge_triple_counts,
+    )
+
+    rows = [
+        (i, f"spark slow text {i} merge fast batch dup") for i in range(10)
+    ] + [(i, f"window small stream {i}") for i in range(10, 16)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("sent_id"),
+        F.col("text").alias("sent"),
+    )
+    terms = {"spark": "drug", "merge": "drug", "window": "drug",
+             "slow": "symptom", "fast": "symptom", "small": "symptom"}
+    m = tag_sentences(docs, terms, normalize=False)
+    full = build_triples(m, scope="document", remove_duplicates=True,
+                         use_canonical=False)
+    old = build_triples(m.filter(F.col("url").cast("long") % 3 != 0),
+                        scope="document", remove_duplicates=True,
+                        use_canonical=False)
+    delta = build_triples(m.filter(F.col("url").cast("long") % 3 == 0),
+                          scope="document", remove_duplicates=True,
+                          use_canonical=False)
+    key = lambda df: {
+        (r["subj"], r["pred"], r["obj"]): r["count"] for r in df.collect()
+    }
+    assert key(merge_triple_counts(old, delta)) == key(full)
