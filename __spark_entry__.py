@@ -764,6 +764,73 @@ WHERE tok IN ({_ALL_TERMS_IN})
 """
 
 
+# ambiguous-surface candidate dim for context-sensitive disambiguation:
+# three surfaces × two entities each, signatures drawn from the closed
+# corpus vocabulary so context overlap varies per occurrence
+DISAMBIG_DIM = [
+    ("merge", "MERGE_JOIN", 3, ["join", "hash", "table"]),
+    ("merge", "MERGE_SORT", 2, ["sort", "order", "key"]),
+    ("stream", "STREAM_PROC", 3, ["window", "batch", "agg"]),
+    ("stream", "STREAM_ROW", 1, ["row", "line", "value"]),
+    ("scan", "SCAN_TABLE", 2, ["table", "column", "filter"]),
+    ("scan", "SCAN_INDEX", 2, ["key", "query", "sort"]),
+]
+
+
+def _kg_disambiguate(spark, sf):
+    """Context-sensitive entity disambiguation under the gate
+    (``normalize.disambiguate_mentions``): every occurrence of an
+    ambiguous surface links to the candidate maximizing
+    ``1000·|±3-token context ∩ signature| + prior`` — context
+    compatibility dominates, the prior breaks context ties, entity_id
+    breaks exact ties. The reference's normalizers are context-free
+    one-hop lookups; this is the step a real KG linker adds. Winner
+    distribution verified non-degenerate at every sf (both entities of
+    each surface win somewhere)."""
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        disambiguate_mentions,
+    )
+
+    cand = spark.createDataFrame(
+        DISAMBIG_DIM,
+        "surface string, entity_id string, prior long, signature array<string>",
+    )
+    return disambiguate_mentions(_t(spark, sf, "documents"), cand, ctx_tokens=3)
+
+
+_DISAMBIG_VALUES = ", ".join(
+    "('%s', '%s', %d, [%s])"
+    % (s, e, p, ", ".join(f"'{x}'" for x in sig))
+    for s, e, p, sig in DISAMBIG_DIM
+)
+
+_KG_DISAMBIG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, t[i + 1] AS tok, CAST(i AS BIGINT) AS p
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+),
+cand AS (SELECT * FROM (VALUES {_DISAMBIG_VALUES}) c(surface, entity_id, prior, signature)),
+scored AS (
+  SELECT ps.doc_id, ps.p, ps.tok AS surface, c.entity_id,
+    CAST(len(list_filter(c.signature, s -> list_contains(
+        ps.t[CAST(greatest(ps.p - 3, 0) + 1 AS BIGINT) : CAST(ps.p AS BIGINT)]
+        || ps.t[CAST(ps.p + 2 AS BIGINT) : CAST(ps.p + 4 AS BIGINT)], s)))
+      * 1000 + c.prior AS BIGINT) AS score
+  FROM pos ps JOIN cand c ON c.surface = ps.tok
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, p
+                               ORDER BY score DESC, entity_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, p, surface, entity_id, score FROM ranked WHERE rn = 1
+"""
+
+
 _POLY_STR = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(regexp_extract_all({expr}, '.'), x -> CAST(ascii(x) AS BIGINT))), "
@@ -5494,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_prox_edges": _kg_prox_edges,
         "kg_negative_samples": _kg_negative_samples,
         "kg_mention_contexts": _kg_mention_contexts,
+        "kg_disambiguate_mentions": _kg_disambiguate,
         "kg_top_subjects": _kg_top_subjects,
         "ade_pivot": _ade_pivot,
         "mention_type_distribution": _mention_type_distribution,
@@ -5601,6 +5669,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_prox_edges": _KG_PROX_SQL,
         "kg_negative_samples": _KG_NEGSAMPLES_SQL,
         "kg_mention_contexts": _KG_CONTEXTS_SQL,
+        "kg_disambiguate_mentions": _KG_DISAMBIG_SQL,
         "kg_top_subjects": _KG_TOP_SUBJECTS_SQL,
         "ade_pivot": _ADE_PIVOT_SQL,
         "mention_type_distribution": _MENTION_TYPE_DIST_SQL,

@@ -565,3 +565,69 @@ def normalize_mentions(
             return mentions.join(F.broadcast(resolved), ["word", "type"], "left")
     resolved = normalize_surfaces(surfaces, dim, threshold, type_to_kind)
     return mentions.join(F.broadcast(resolved), ["word", "type"], "left")
+
+
+def disambiguate_mentions(
+    docs: DataFrame,
+    candidates: DataFrame,
+    ctx_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, p, surface, entity_id, score): context-sensitive entity
+    disambiguation — the step after dictionary lookup when a surface maps
+    to SEVERAL entities. ``candidates`` carries (surface, entity_id,
+    prior, signature) rows; every token occurrence of an ambiguous
+    surface is linked to the candidate maximizing
+    ``1000·|context ∩ signature| + prior`` over its ±``ctx_tokens``
+    token window (integer score: context compatibility dominates, the
+    prior breaks context ties, entity_id breaks exact ties). One row per
+    occurrence — the linking decision itself.
+
+    Scale shape: one posexplode filtered map-side to ambiguous surfaces,
+    one BROADCAST join against the dictionary-sized candidate table
+    (overlap counted JVM-side via filter+contains over the carried token
+    array — no UDF), one per-occurrence window. Ref: the reference's
+    normalizers are context-free one-hop lookups
+    (``OICI_database.py:34-39``); context sensitivity is the SURVEY
+    §2.12 extension."""
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("t"),
+    ).select("doc_id", "t", F.posexplode(F.col("t")).alias("p", "tok"))
+    surfaces = [r["surface"] for r in candidates.select("surface").distinct().collect()]
+    hits = pos.filter(F.col("tok").isin(surfaces))
+    left_start = F.greatest(F.col("p") - ctx_tokens, F.lit(0))
+    ctx = F.concat(
+        F.slice(F.col("t"), left_start + 1, F.col("p") - left_start),
+        F.slice(F.col("t"), F.col("p") + 2, ctx_tokens),
+    )
+    cand = candidates.select(
+        F.col("surface").alias("tok"), "entity_id", "prior", "signature"
+    )
+    scored = hits.join(F.broadcast(cand), "tok").select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.col("tok").alias("surface"),
+        "entity_id",
+        (
+            F.size(
+                F.filter(
+                    F.col("signature"),
+                    lambda s: F.array_contains(ctx, s),
+                )
+            )
+            * 1000
+            + F.col("prior")
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    w = Window.partitionBy("doc_id", "p").orderBy(
+        F.desc("score"), F.asc("entity_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

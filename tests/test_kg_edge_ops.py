@@ -157,3 +157,47 @@ def test_merge_equals_recount_on_partitioned_docs(spark):
         (r["subj"], r["pred"], r["obj"]): r["count"] for r in df.collect()
     }
     assert key(merge_triple_counts(old, delta)) == key(full)
+
+
+def test_disambiguation_context_beats_prior(spark):
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        disambiguate_mentions,
+    )
+
+    cand = spark.createDataFrame(
+        [("merge", "MERGE_JOIN", 3, ["join", "hash"]),
+         ("merge", "MERGE_SORT", 1, ["sort", "order"])],
+        "surface string, entity_id string, prior long, signature array<string>",
+    )
+    rows = [
+        (1, "sort order merge now done"),   # context → MERGE_SORT despite prior
+        (2, "hash join merge table x"),     # context → MERGE_JOIN
+        (3, "nothing relevant merge here"), # no context → prior → MERGE_JOIN
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["entity_id"], r["score"])
+           for r in disambiguate_mentions(docs, cand).collect()}
+    assert got[1] == ("MERGE_SORT", 2001)   # 2 signature hits + prior 1
+    assert got[2] == ("MERGE_JOIN", 2003)
+    assert got[3] == ("MERGE_JOIN", 3)      # prior only
+
+
+def test_disambiguation_window_clips_and_every_occurrence_linked(spark):
+    from bert_namedentityrecognition_spark.operators.normalize import (
+        disambiguate_mentions,
+    )
+
+    cand = spark.createDataFrame(
+        [("x", "A", 1, ["left"]), ("x", "B", 0, ["right"])],
+        "surface string, entity_id string, prior long, signature array<string>",
+    )
+    docs = spark.createDataFrame(
+        [(1, "x right"), (2, "left x"), (3, "x x")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["p"]): r["entity_id"]
+           for r in disambiguate_mentions(docs, cand, ctx_tokens=1).collect()}
+    assert got == {
+        (1, 0): "B",   # right-context only (left clipped at doc start)
+        (2, 1): "A",   # left-context only
+        (3, 0): "A", (3, 1): "A",  # no signal → prior, both occurrences linked
+    }
