@@ -1977,6 +1977,89 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def _lm_bigram_surprisal(spark, sf):
+    """Bigram-LM quality filter with stupid backoff
+    (``corpus.lm_bigram_surprisal_filter``) — the n-gram step past the
+    unigram filter toward CCNet's KenLM: conditional surprisal
+    ln(c(w1)/c(w1,w2)) for tabled bigrams, ln(2) penalty + unigram
+    backoff otherwise, first token at its unigram score. Rule-20 recipe
+    throughout: the only transcendentals run driver-side over the two
+    bounded capped tables; the twin recomputes everything data-driven
+    with the same double division + libm ln."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_bigram_surprisal_filter,
+    )
+
+    return lm_bigram_surprisal_filter(_t(spark, sf, "documents"))
+
+
+def _lm_bigram_sql() -> str:
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        LM2_BIGRAM_CAP,
+        LM2_KEEP_THRESH_MICRO,
+        LM2_VOCAB_CAP,
+    )
+    from bert_namedentityrecognition_spark.oracle.lm import backoff_penalty_micro
+
+    oov = (
+        "(SELECT CAST(floor(ln(CAST(2 * n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        " FROM params)"
+    )
+    return f"""
+WITH tarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+toks AS (SELECT doc_id, u.tok FROM tarr, unnest(t) AS u(tok)),
+vc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+params AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+lp1 AS MATERIALIZED (
+  SELECT tok AS w2,
+         CAST(floor(ln(CAST((SELECT n FROM params) AS DOUBLE) / CAST(c AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS lp1
+  FROM (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM vc)
+  WHERE rk <= {LM2_VOCAB_CAP}
+),
+bgs AS MATERIALIZED (
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS bg
+  FROM tarr, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+),
+bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bgs GROUP BY bg),
+lp2 AS MATERIALIZED (
+  SELECT b.bg,
+         CAST(floor(ln(CAST(v.c AS DOUBLE) / CAST(b.c AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS lp2
+  FROM (SELECT bg, c, row_number() OVER (ORDER BY c DESC, bg ASC) AS rk FROM bc) b
+  JOIN vc v ON v.tok = string_split(b.bg, ' ')[1]
+  WHERE b.rk <= {LM2_BIGRAM_CAP}
+),
+firstlp AS (
+  SELECT f.doc_id, coalesce(l.lp1, {oov}) AS lp
+  FROM (SELECT doc_id, t[1] AS w2 FROM tarr WHERE len(t) >= 1) f
+  LEFT JOIN lp1 l USING (w2)
+),
+pairlp AS (
+  SELECT g.doc_id,
+    coalesce(l2.lp2, {backoff_penalty_micro()} + coalesce(l1.lp1, {oov})) AS lp
+  FROM bgs g LEFT JOIN lp2 l2 USING (bg)
+  LEFT JOIN lp1 l1 ON l1.w2 = string_split(g.bg, ' ')[2]
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lp) AS BIGINT) AS surprisal_micro
+  FROM (SELECT * FROM firstlp UNION ALL SELECT * FROM pairlp)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(surprisal_micro, 0) AS BIGINT) AS surprisal_micro,
+  coalesce(surprisal_micro, 0) <= coalesce(n_tokens, 0) * {LM2_KEEP_THRESH_MICRO} AS keep
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 PACK_BUDGET = 64
 PACK_GROUPS = 8
 
@@ -5610,6 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_vocab_segmentation": _wp_vocab,
         "bpe_encode_counts": _bpe_encode,
         "lm_surprisal_filter": _lm_surprisal,
+        "lm_bigram_surprisal": _lm_bigram_surprisal,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
@@ -5730,6 +5814,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_vocab_segmentation": _wp_vocab_sql(BPE_NUM_MERGES),
         "bpe_encode_counts": _bpe_encode_sql(BPE_NUM_MERGES),
         "lm_surprisal_filter": _lm_surprisal_sql(),
+        "lm_bigram_surprisal": _lm_bigram_sql(),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),

@@ -918,3 +918,136 @@ def bloom_decontaminate(
             )
         ).alias("contaminated_bloom"),
     )
+
+
+LM2_VOCAB_CAP = 64
+LM2_BIGRAM_CAP = 1024
+# mean ≤ 3.42 nats/token under the bigram LM: splits the gate corpus
+# 73/72/57 % kept at sf0.001/0.01/0.1 — both branches live everywhere
+LM2_KEEP_THRESH_MICRO = 3_420_000
+
+
+def lm_bigram_surprisal_filter(
+    docs: DataFrame,
+    vocab_cap: int = LM2_VOCAB_CAP,
+    bigram_cap: int = LM2_BIGRAM_CAP,
+    keep_thresh_micro: int = LM2_KEEP_THRESH_MICRO,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, surprisal_micro, keep): bigram-LM quality filter
+    with stupid backoff — the n-gram step past ``lm_surprisal_filter``
+    toward CCNet's KenLM: the first token pays its unigram surprisal,
+    every later token pays the CONDITIONAL surprisal ln(c(w1)/c(w1,w2))
+    when its bigram is tabled, else ln(2) backoff penalty + the unigram
+    surprisal of w2. Same engine-exactness recipe (rule 20): both capped
+    tables (top-``vocab_cap`` unigrams, top-``bigram_cap`` bigrams) are
+    built from two map-side-combined counts, the only transcendentals run
+    driver-side over those bounded tables and ship as literal broadcast
+    dims, executors and the twin only add BIGINTs, keep is integer
+    cross-multiplication.
+
+    Scale shape: two count aggs (word-table- and bigram-table-sized
+    after combine — Zipf-compressed, not corpus-sized), two bounded
+    collects, then ONE corpus pass: scan → pair/first explode →
+    broadcast joins → one doc_id aggregation. No Python on executors."""
+    from ..oracle.lm import (
+        backoff_penalty_micro,
+        bigram_table,
+        oov_lp_micro,
+        vocab_table,
+    )
+    from .dedup import shingle_array
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("t"),
+    )
+    toks = base.select("doc_id", F.explode("t").alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    if n_total == 0:
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("surprisal_micro"),
+            F.lit(True).alias("keep"),
+        )
+    top1 = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_cap)
+        .collect()
+    )
+    uni_full = {r["tok"]: int(r["c"]) for r in top1}
+    bg_counts = (
+        base.select(F.explode(shingle_array(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top2 = (
+        bg_counts.orderBy(F.col("c").desc(), F.col("bg").asc())
+        .limit(bigram_cap)
+        .collect()
+    )
+    # c(w1) for tabled bigrams: w1 is at least as frequent as its bigram,
+    # but may still rank past vocab_cap — fetch the exact counts for the
+    # ≤bigram_cap distinct w1 values (bounded driver action)
+    w1s = sorted({r["bg"].split(" ")[0] for r in top2})
+    w1_counts = {
+        r["tok"]: int(r["c"])
+        for r in counts.filter(F.col("tok").isin(w1s)).collect()
+    }
+    tbl1 = vocab_table({t: c for t, c in uni_full.items()}, vocab_cap, n_total=n_total)
+    tbl2 = bigram_table({r["bg"]: int(r["c"]) for r in top2}, w1_counts, bigram_cap)
+    oov = oov_lp_micro(n_total)
+    pen = backoff_penalty_micro()
+    spark = docs.sparkSession
+    dim1 = F.broadcast(spark.createDataFrame(list(tbl1.items()), "w2 string, lp1 long"))
+    dim2 = F.broadcast(spark.createDataFrame(list(tbl2.items()), "bg string, lp2 long"))
+    first = base.filter(F.size("t") >= 1).select(
+        "doc_id", F.element_at(F.col("t"), 1).alias("w2")
+    )
+    first_lp = first.join(dim1, "w2", "left").select(
+        "doc_id", F.coalesce(F.col("lp1"), F.lit(oov)).alias("lp")
+    )
+    pairs = base.select(
+        "doc_id", F.explode(shingle_array(F.col("t"), 2)).alias("bg")
+    ).withColumn("w2", F.element_at(F.split(F.col("bg"), " "), 2))
+    pair_lp = (
+        pairs.join(dim2, "bg", "left")
+        .join(dim1, "w2", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("lp2"),
+                F.lit(pen) + F.coalesce(F.col("lp1"), F.lit(oov)),
+            ).alias("lp"),
+        )
+    )
+    per_doc = (
+        first_lp.unionByName(pair_lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp").cast("long").alias("surprisal_micro"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal_micro", F.lit(0))
+            .cast("long")
+            .alias("surprisal_micro"),
+            (
+                F.coalesce(F.col("surprisal_micro"), F.lit(0))
+                <= F.coalesce(F.col("n_tokens"), F.lit(0))
+                * F.lit(keep_thresh_micro)
+            ).alias("keep"),
+        )
+    )

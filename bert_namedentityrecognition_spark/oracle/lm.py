@@ -63,3 +63,33 @@ def doc_surprisal(
 ) -> tuple[int, int]:
     """(n_tokens, surprisal_micro) of one document under the table."""
     return len(tokens), sum(table.get(t, oov_lp) for t in tokens)
+
+
+def backoff_penalty_micro() -> int:
+    """Fixed-point stupid-backoff penalty: floor(ln(2)·1e6 + 0.5) — the
+    factor-0.5 discount a bigram miss pays before its unigram score."""
+    return int(math.floor(math.log(2.0) * FIXED_SCALE + 0.5))
+
+
+def bigram_lp_micro(c1: int, c12: int) -> int:
+    """Fixed-point conditional surprisal of a tabled bigram:
+    floor(ln(c(w1)/c(w1,w2))·1e6 + 0.5) — the SAME double division +
+    libm ln + IEEE tail as :func:`lp_micro`, so DuckDB replays it
+    bit-for-bit."""
+    return int(math.floor(math.log(c1 / c12) * FIXED_SCALE + 0.5))
+
+
+def bigram_table(
+    bigram_counts: dict[str, int],
+    unigram_counts: dict[str, int],
+    cap: int,
+) -> dict[str, int]:
+    """"w1 w2" → conditional lp_micro for the top-``cap`` bigrams by
+    (count desc, bigram asc). ``unigram_counts`` must be the FULL count
+    table (w1 of any tabled bigram is by construction at least as
+    frequent as the bigram itself)."""
+    ranked = sorted(bigram_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    return {
+        bg: bigram_lp_micro(unigram_counts[bg.split(" ")[0]], c)
+        for bg, c in ranked
+    }

@@ -395,3 +395,55 @@ def test_lm_surprisal_filter_empty_corpus(spark):
         for r in lm_surprisal_filter(docs).collect()
     }
     assert got == {1: (0, 0, True), 2: (0, 0, True)}
+
+
+def test_lm_bigram_rewards_predictable_sequences(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_bigram_surprisal_filter,
+        lm_surprisal_filter,
+    )
+
+    # corpus where "a b" always follows: bigram model scores the repeated
+    # sequence far below the unigram model (c(a b) == c(a) → conditional
+    # surprisal ~0), while scrambled docs pay the backoff penalty
+    rows = [(i, "a b " * 10) for i in range(8)] + [
+        (100 + i, f"x{i} a y{i} b z{i} c{i}") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bi = {r["doc_id"]: r for r in lm_bigram_surprisal_filter(docs, keep_thresh_micro=1_000_000).collect()}
+    uni = {r["doc_id"]: r for r in lm_surprisal_filter(docs).collect()}
+    assert len(bi) == len(rows)
+    for i in range(8):
+        per_tok_bi = bi[i]["surprisal_micro"] / bi[i]["n_tokens"]
+        per_tok_uni = uni[i]["surprisal_micro"] / uni[i]["n_tokens"]
+        assert per_tok_bi < per_tok_uni  # conditioning helps on repeats
+        assert bi[i]["keep"]  # mean well under 1.0 nats
+    for i in range(4):
+        # scrambled docs: rare bigrams -> backoff + rare unigrams -> high
+        assert bi[100 + i]["surprisal_micro"] / bi[100 + i]["n_tokens"] > 2_000_000
+        assert not bi[100 + i]["keep"]
+
+
+def test_lm_bigram_token_accounting_and_degenerates(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_bigram_surprisal_filter,
+    )
+
+    rows = [(1, "a b c"), (2, "solo"), (3, ""), (4, None), (5, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_bigram_surprisal_filter(docs).collect()}
+    assert got[1]["n_tokens"] == 3  # first + two bigram transitions
+    assert got[2]["n_tokens"] == 1 and got[2]["surprisal_micro"] > 0
+    for i in (3, 4, 5):
+        assert got[i]["n_tokens"] == 0 and got[i]["surprisal_micro"] == 0
+        assert got[i]["keep"]  # vacuous
+
+
+def test_lm_bigram_empty_corpus(spark):
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        lm_bigram_surprisal_filter,
+    )
+
+    docs = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_bigram_surprisal_filter(docs).collect()}
+    assert all(r["n_tokens"] == 0 and r["keep"] for r in got.values())
