@@ -449,6 +449,109 @@ FROM events GROUP BY event_type
 """
 
 
+def _events_asof_join(spark, sf):
+    """As-of join each event to the user's most recent PRIOR purchase
+    (inclusive at equal timestamps) — the temporal-dimension lookup Spark
+    has no native operator for, re-expressed as the union + ordered-window
+    merge in ``operators/temporal.py:asof_join`` (ONE shuffle on user_id,
+    zero joins).  The oracle is DuckDB's native ``ASOF LEFT JOIN``, so the
+    tie rule and left semantics are checked against an independent
+    implementation, not a twin of our own construction.  Timestamps compare
+    as BIGINT epoch-microseconds (rule 11: integer-exact, no float
+    rounding); the payload lag is exact integer arithmetic.  Dim rows are
+    pre-aggregated per (user_id, ts) so the carried version is pinned."""
+    from bert_namedentityrecognition_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    ep = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    fact = e.select("event_id", "user_id", ep.alias("ts_us"))
+    dim = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", ep.alias("ts_us"), "event_id")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .withColumn("purchase_ts_us", F.col("ts_us"))
+    )
+    out = asof_join(
+        fact, dim, ["user_id"], "ts_us", ["purchase_event_id", "purchase_ts_us"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_event_id").alias("last_purchase_event_id"),
+        (F.col("ts_us") - F.col("purchase_ts_us"))
+        .cast("long")
+        .alias("us_since_purchase"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+dim AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT f.event_id, f.user_id,
+       dim.purchase_event_id AS last_purchase_event_id,
+       CAST(f.ts_us - dim.ts_us AS BIGINT) AS us_since_purchase
+FROM f ASOF LEFT JOIN dim
+  ON f.user_id = dim.user_id AND f.ts_us >= dim.ts_us
+"""
+
+
+def _events_range_join(spark, sf):
+    """Range (interval-containment) join: every error event opens a
+    10-minute incident window; count the same user's events inside it.
+    A theta-join here cross-products per user; the scalable re-expression
+    (``operators/temporal.py:range_join_buckets``) explodes each interval
+    to the <=2 fixed-width buckets it covers and equi-joins on
+    (user_id, bucket) with an exact BETWEEN refinement — bounded 2x
+    blow-up at any corpus size.  The oracle is the plain inequality join
+    DuckDB can afford at gate scale.  Bounds are inclusive; the error
+    event itself falls in its own window, so every group is non-empty and
+    both the matched and unmatched-neighbor branches are live at every
+    sf.  Epoch-microsecond BIGINTs per rule 11."""
+    from bert_namedentityrecognition_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    e = _t(spark, sf, "events")
+    ep = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    pts = e.select("user_id", ep.alias("p_us"))
+    ivs = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        ep.alias("lo_us"),
+        (ep + F.lit(600_000_000)).alias("hi_us"),
+        F.col("event_id").alias("incident_id"),
+    )
+    joined = range_join_buckets(
+        pts, ivs, ["user_id"], "p_us", "lo_us", "hi_us", 600_000_000
+    )
+    return joined.groupBy("incident_id", "user_id").agg(
+        F.count("*").alias("n_events_in_window")
+    )
+
+
+_EVENTS_RANGE_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+),
+iv AS (
+  SELECT user_id, ts_us AS lo_us, ts_us + 600000000 AS hi_us,
+         event_id AS incident_id
+  FROM ev WHERE event_type = 'error'
+)
+SELECT iv.incident_id, iv.user_id,
+       CAST(count(*) AS BIGINT) AS n_events_in_window
+FROM iv JOIN ev ON ev.user_id = iv.user_id
+                AND ev.ts_us BETWEEN iv.lo_us AND iv.hi_us
+GROUP BY 1, 2
+"""
+
+
 def _kg_mentions(spark, sf):  # gazetteer NER (§2.8 containment join)
     m = _doc_mentions(spark, sf)
     return m.groupBy(
@@ -5718,6 +5821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_levels": _kg_bfs_levels,
         "kg_random_walks": _kg_random_walks,
         "streaming_windowed_triples": _streaming_windowed_triples,
+        "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
     }
 
 
@@ -5837,4 +5942,6 @@ def oracle_sql() -> dict[str, str]:
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)
         "streaming_windowed_triples": _STREAM_WT_SQL,
+        "events_asof_join": _EVENTS_ASOF_SQL,
+        "events_range_join": _EVENTS_RANGE_SQL,
     }

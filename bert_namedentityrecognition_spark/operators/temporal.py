@@ -1,0 +1,154 @@
+"""Temporal join operators: distributed as-of join and bucketized range join.
+
+Spark has no built-in as-of or inequality-range join; the naive encodings
+are a per-row correlated subquery (driver-killing) or a key-only equi-join
+followed by a window over ALL dim versions per fact row (memory blow-up on
+hot keys).  These are the two scalable re-expressions:
+
+- **asof_join**: the classic *union + ordered window* merge.  Tag dim rows
+  and fact rows, union them, and run ONE window per key ordered by
+  timestamp where ``last(payload, ignoreNulls=True)`` carries the most
+  recent dim version forward onto every fact row.  Cost: a single shuffle
+  on the key (the window sort), zero joins, state per key = one payload
+  struct — the same plan shape a hand-written merge join would produce.
+  Semantics match DuckDB's ``ASOF [LEFT] JOIN ... ON f.k = d.k AND
+  f.ts >= d.ts`` (a dim row effective AT the fact timestamp wins;
+  ``strict=True`` gives the ``>`` variant).
+
+- **range_join_buckets**: equi-join re-expression of
+  ``point BETWEEN lo AND hi``.  Intervals explode to the fixed-width
+  buckets they cover (``sequence()`` — JVM-side, no Python), points map to
+  exactly one bucket, and the join is a plain equi-join on
+  ``(key, bucket)`` refined by the exact BETWEEN predicate.  With
+  ``bucket_width >= (hi - lo)`` every interval covers at most 2 buckets,
+  so the blow-up factor is bounded by 2 regardless of corpus size — the
+  property that keeps this join safe at 100 TB where a theta-join would
+  cross-product per key.
+
+100 TB notes: asof_join is one exchange; skewed keys are bounded by the
+window's external sort (no per-key materialization of all versions).
+range_join_buckets shuffles both sides once on (key, bucket); bucket
+granularity is the skew dial.  No Python runners on either path.
+
+Reference parity: beyond-reference (the reference has no temporal joins);
+requested by the build brief's custom-operator list (as-of join, range
+join).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_IS_DIM = "__asof_is_dim"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join ``fact`` to the most recent ``dim`` row per key.
+
+    For every fact row, attaches ``payload_cols`` from the dim row with the
+    greatest ``ts_col`` satisfying ``dim.ts <= fact.ts`` (``<`` when
+    ``strict``) within the same ``key_cols`` group; facts with no prior dim
+    version keep NULL payloads (left-join semantics).
+
+    ``dim`` must be unique per ``(key_cols, ts_col)`` — with duplicates the
+    carried version among the ties is unspecified; pre-aggregate (e.g.
+    ``groupBy(key, ts).agg(max(...))``) to pin it.  Payloads are carried
+    inside one struct, so a dim version whose payload *fields* are NULL
+    still shadows older versions (ignoreNulls skips missing rows, not
+    missing values).
+    """
+    key_cols = list(key_cols)
+    payload_cols = list(payload_cols)
+    fact_cols = fact.columns
+
+    dim_tagged = dim.select(
+        *key_cols,
+        F.col(ts_col).alias(ts_col),
+        F.lit(1).alias(_IS_DIM),
+        F.struct(*payload_cols).alias(_PAYLOAD),
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(c)
+          for c in fact_cols if c not in key_cols and c != ts_col],
+    )
+    fact_tagged = fact.select(
+        *key_cols,
+        F.col(ts_col).alias(ts_col),
+        F.lit(0).alias(_IS_DIM),
+        F.lit(None).cast(dim_tagged.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[c for c in fact_cols if c not in key_cols and c != ts_col],
+    )
+    # column order must match for unionByName-free union; use unionByName
+    merged = dim_tagged.unionByName(fact_tagged)
+
+    # At equal ts a dim row sorts BEFORE the fact row for `<=` semantics
+    # (is_dim desc) and AFTER it for strict `<` (is_dim asc).
+    dim_rank = F.col(_IS_DIM).desc() if not strict else F.col(_IS_DIM).asc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), dim_rank)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    out = carried.filter(F.col(_IS_DIM) == 0).select(
+        *fact_cols,
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join each point row to every interval row containing it.
+
+    ``point_col``/``lo_col``/``hi_col`` are integral (cast your timestamps
+    to epoch units first).  Intervals are inclusive on both ends
+    (``lo <= point <= hi``).  Returns the full cross of matching
+    (point, interval) column sets; name-collisions must be resolved by the
+    caller beforehand.
+
+    Pick ``bucket_width`` of the order of the typical interval length: the
+    exploded interval side grows by ``ceil(len/width) + 1`` buckets per
+    row (2 when ``width >= len``), and each point lands in exactly one
+    bucket, so no pair is ever produced twice and no refinement dedup is
+    needed.
+    """
+    key_cols = list(key_cols)
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+
+    bucket = "__range_bucket"
+    iv = intervals.withColumn(
+        bucket,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        bucket, F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    joined = pt.join(iv, on=key_cols + [bucket], how="inner").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return joined.drop(bucket)
