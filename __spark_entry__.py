@@ -552,6 +552,79 @@ GROUP BY 1, 2
 """
 
 
+def _url_host_stats(spark, sf):
+    """Web-crawl URL canonicalization + per-host dup stats (the CCNet /
+    RefinedWeb pre-content pass).  Messy URLs are synthesized
+    deterministically per doc_id (mixed case, www., default ports,
+    tracking params, fragments, trailing slashes) so every
+    canonicalization rule is live at every sf; the canonical transform is
+    pure JVM regexp chains (``functions/urltools.py``) whose DuckDB twin
+    is GENERATED from the same pattern constants — the engines share one
+    source of truth, and ``tests/test_urltools.py`` asserts parity on a
+    fuzz set beyond the synthesis below.  One shuffle (host agg)."""
+    from bert_namedentityrecognition_spark.functions.urltools import (
+        url_host_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), s(i % 37), F.lit(".Example.COM"),
+        F.when(i % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"), s(i % 11),
+        F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), s(i % 7),
+                     F.lit("&utm_campaign=x")),
+        ).when(
+            i % 4 == 1,
+            F.concat(F.lit("?id="), s(i % 7), F.lit("&fbclid=abc")),
+        ).otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return url_host_stats(d.select(url.alias("url")))
+
+
+def _url_host_stats_sql() -> str:
+    from bert_namedentityrecognition_spark.functions.urltools import (
+        canonical_url_sql,
+    )
+
+    exprs = canonical_url_sql("url")
+    return f"""
+WITH raw AS (
+  SELECT 'HTTPS://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+    || 'Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.COM'
+    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+    || '/Path/' || CAST(doc_id % 11 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+            WHEN doc_id % 4 = 1
+            THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=abc'
+            ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT {exprs['canonical_url']} AS canonical_url,
+         {exprs['host']} AS host,
+         {exprs['registered_domain']} AS registered_domain
+  FROM raw
+)
+SELECT host, registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT) AS n_url_dups
+FROM canon GROUP BY host, registered_domain
+"""
+
+
 def _kg_mentions(spark, sf):  # gazetteer NER (§2.8 containment join)
     m = _doc_mentions(spark, sf)
     return m.groupBy(
@@ -5823,6 +5896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_triples": _streaming_windowed_triples,
         "events_asof_join": _events_asof_join,
         "events_range_join": _events_range_join,
+        "url_host_stats": _url_host_stats,
     }
 
 
@@ -5944,4 +6018,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_triples": _STREAM_WT_SQL,
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_SQL,
+        "url_host_stats": _url_host_stats_sql(),
     }
