@@ -3358,27 +3358,22 @@ def _lsh_ann(spark, sf):
     )
 
 
-def _ivf_ann_sql(
+def _ivf_vassign_ctes(
     dim: int = 64,
     n_centroids: int = 16,
-    n_probe: int = 4,
-    k: int = 5,
     seed: int = 42,
     max_train_sample: int | None = None,
     lloyd_iterations: int = 2,
-) -> str:
-    """IVF ANN replayed exactly in SQL: the driver-side k-means training
-    (portable-hash sample → (hash, vec_id)-ordered seeding → Lloyd rounds
-    with vec_id-ordered sequential-mean folds) is unrolled as CTEs using the
-    SAME arithmetic as the Python/Spark side — every dot/norm/mean is a
-    sequential left fold in DOUBLE, so centroids, list assignments, and
-    probe sets are bit-identical. The sampling modulus is no longer a fixed
-    literal: both sides derive ``train_mod = ceil(n / (256·n_centroids))``
-    with integer arithmetic (Spark via one count(), here via a params CTE
-    over count(*)), so the driver collect stays bounded at any corpus size
-    and the twins still agree exactly. Final in-list ranking reuses the
-    proven ``list_cosine_similarity`` ordering (only ids/ranks are
-    projected)."""
+) -> tuple[list[str], Callable[[str, str], str], str]:
+    """Shared CTE builder for every query that replays the driver-side IVF
+    k-means in SQL (``ann_ivf_topk``, ``ann_ivf_persisted``,
+    ``semdedup_flags``): portable-hash sample → (hash, vec_id)-ordered
+    seeding → Lloyd rounds with vec_id-ordered sequential-mean folds —
+    every dot/norm/mean a sequential left fold in DOUBLE, so centroids and
+    list assignments are bit-identical to the Python/Spark side.  Returns
+    (ctes, score_fn, final_centroid_cte): the CTE list ends with
+    ``v(vec_id, embedding, list_id)`` — the full corpus assigned to its
+    nearest centroid."""
     from bert_namedentityrecognition_spark.operators.similarity import (
         ivf_train_hash_params,
     )
@@ -3407,7 +3402,12 @@ def _ivf_ann_sql(
         )
 
     def score(e, c):
-        return f"({dot(e, c)} / ({vnorm(e)} * {cnorm(c)}))"
+        # rule 24: same zero-norm guard as _centroid_scores / ivf_train —
+        # degenerate vectors score -1.0 in every engine instead of diverging
+        return (
+            f"(CASE WHEN ({vnorm(e)} * {cnorm(c)}) > 0 "
+            f"THEN {dot(e, c)} / ({vnorm(e)} * {cnorm(c)}) ELSE -1.0 END)"
+        )
 
     h = f"((vec_id % {mod}) * {a} + {b}) % {mod}"
     ctes = [
@@ -3455,6 +3455,25 @@ def _ivf_ann_sql(
   FROM embeddings e CROSS JOIN {prev} c
 )""")
     ctes.append("v AS (SELECT vec_id, embedding, list_id FROM vassign WHERE rn = 1)")
+    return ctes, score, prev
+
+
+def _ivf_ann_sql(
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    seed: int = 42,
+    max_train_sample: int | None = None,
+    lloyd_iterations: int = 2,
+) -> str:
+    """IVF ANN replayed exactly in SQL (training/assignment CTEs shared via
+    ``_ivf_vassign_ctes``; see its docstring for the exactness argument).
+    Final in-list ranking reuses the proven ``list_cosine_similarity``
+    ordering (only ids/ranks are projected)."""
+    ctes, score, prev = _ivf_vassign_ctes(
+        dim, n_centroids, seed, max_train_sample, lloyd_iterations
+    )
     # probe-set tie order (score DESC, list_id DESC) mirrors the Spark side's
     # reverse(array_sort(struct(score, idx))) exactly
     ctes.append(f"""qs AS (
@@ -3475,6 +3494,67 @@ def _ivf_ann_sql(
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM scored WHERE rank <= {k}"
+    )
+
+
+def _semdedup(spark, sf):
+    """SemDeDup under the gate: k-means-cluster the embedding space (the
+    SAME driver-side Lloyd the IVF family replays — sampling, seeding, and
+    fold order all shared), then flag rows whose cluster holds a lower-id
+    member above cosine 0.4; ``dup_of`` pins the deterministic keeper.
+    Confining pairs to clusters is what makes semantic dedup affordable at
+    web scale (n²/k, dial = n_centroids); the twin reuses
+    ``_ivf_vassign_ctes`` verbatim plus the portable threshold predicate,
+    so cluster membership AND the flag replay bit-for-bit. Both branches
+    live at every sf (21 dups / 500 rows at sf0.001)."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        semdedup_flags,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return semdedup_flags(emb, n_centroids=16, threshold=0.4).select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        "dup_of",
+        "is_dup",
+    )
+
+
+def _semdedup_sql(
+    dim: int = 64,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    seed: int = 42,
+    max_train_sample: int | None = None,
+    lloyd_iterations: int = 2,
+) -> str:
+    """SQL twin of ``_semdedup``: IVF training/assignment CTEs shared with
+    the ANN twins, then the within-cluster pair join and the exact
+    dot² ≥ t²·Σa²·Σb² predicate with the Spark side's operand order."""
+    ctes, _score, _prev = _ivf_vassign_ctes(
+        dim, n_centroids, seed, max_train_sample, lloyd_iterations
+    )
+    dot = _fold_dot("va", "vb", dim)
+    sqa, sqb = _fold_sq("va", dim), _fold_sq("vb", dim)
+    t2 = float(threshold) * float(threshold)
+    ctes.append("""pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM v a JOIN v b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+)""")
+    ctes.append(f"""dups AS (
+  SELECT vec_b, min(vec_a) AS dup_of FROM pairs
+  WHERE {sqa} > 0 AND {sqb} > 0
+    AND {dot} >= 0 AND {dot} * {dot} >= {t2!r} * {sqa} * {sqb}
+  GROUP BY vec_b
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT v.vec_id, CAST(v.list_id AS INT) AS list_id,
+       d.dup_of, d.dup_of IS NOT NULL AS is_dup
+FROM v LEFT JOIN dups d ON v.vec_id = d.vec_b"""
     )
 
 
@@ -5897,6 +5977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _events_asof_join,
         "events_range_join": _events_range_join,
         "url_host_stats": _url_host_stats,
+        "dedup_semantic_clusters": _semdedup,
     }
 
 
@@ -6019,4 +6100,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_SQL,
         "url_host_stats": _url_host_stats_sql(),
+        "dedup_semantic_clusters": _semdedup_sql(),
     }

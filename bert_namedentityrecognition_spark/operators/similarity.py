@@ -339,16 +339,20 @@ def ivf_train(
 def _centroid_scores(vec_col_name: str, cents: list[list[float]]):
     """Array of cosine scores vs literal centroids, all-double arithmetic
     (norm of each centroid precomputed driver-side with the same sequential
-    fold the SQL oracle uses)."""
-    return F.array(
-        *[
-            (
-                _dot64(F.col(vec_col_name), F.array(*[F.lit(float(x)) for x in c]))
-                / (_norm64(F.col(vec_col_name)) * F.lit(_seq_norm(c)))
-            ).alias(f"s{i}")
-            for i, c in enumerate(cents)
-        ]
-    )
+    fold the SQL oracle uses). Zero-norm vectors (or centroids) score -1.0
+    instead of dividing by zero — rule 24: the SQL twin carries the SAME
+    guard, so degenerate rows assign identically (first list wins the
+    all--1 tie) rather than diverging or failing the stage under ANSI."""
+
+    def score(i, c):
+        cn = _seq_norm(c)
+        if cn == 0.0:
+            return F.lit(-1.0).alias(f"s{i}")
+        dot = _dot64(F.col(vec_col_name), F.array(*[F.lit(float(x)) for x in c]))
+        denom = _norm64(F.col(vec_col_name)) * F.lit(cn)
+        return F.when(denom > 0, dot / denom).otherwise(F.lit(-1.0)).alias(f"s{i}")
+
+    return F.array(*[score(i, c) for i, c in enumerate(cents)])
 
 
 def ivf_build(
@@ -858,6 +862,82 @@ def _seq_sqdist(a: list[float], b: list[float]) -> float:
         d = x - y
         acc += d * d
     return acc
+
+
+def semdedup_flags(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.8,
+    lloyd_iterations: int = 2,
+    seed: int = 42,
+    train_mod: int | None = None,
+    max_train_sample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by k-means
+    clustering the embedding space and comparing pairs ONLY within a
+    cluster. A row is a semantic duplicate when some lower-id member of
+    its cluster clears the cosine threshold; ``dup_of`` is the smallest
+    such partner (deterministic keeper = min id, the convention shared by
+    the whole dedup family).
+
+    Returns (id, list_id, dup_of, is_dup) for every input row.
+
+    Scale shape: clustering reuses the IVF machinery — driver-side Lloyd
+    on a bounded portable-hash sample (collect stays ~256·k rows at ANY
+    corpus size), JVM-side assignment against literal centroids — so the
+    all-pairs stage is confined to n²/k per cluster instead of n² global;
+    ``n_centroids`` is the blow-up dial (SemDeDup runs ~100k clusters at
+    web scale). For a cluster that still explodes (a near-identical blob),
+    compose with :func:`embedding_near_dup_pairs`'s hot-bucket guard as a
+    prefilter; this operator keeps the exact form because the gate needs
+    bit-replayable semantics. The threshold predicate is the
+    oracle-portable one (``dot ≥ 0 AND dot² ≥ t²·Σa²·Σb²`` with
+    norm-positivity guards, identical operand order in both engines).
+
+    Assignment is localCheckpoint-materialized once (CLAUDE.md rule 23:
+    it feeds both join sides AND the final left join — without it Spark
+    re-derives the scan + centroid scores three times).
+    """
+    assigned, _cents = ivf_build(
+        vectors,
+        n_centroids=n_centroids,
+        lloyd_iterations=lloyd_iterations,
+        seed=seed,
+        train_mod=train_mod,
+        max_train_sample=max_train_sample,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        "list_id", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "list_id", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    t2 = float(threshold) * float(threshold)
+    dot = _dot64(F.col("va"), F.col("vb"))
+    sa, sb = _sq64(F.col("va")), _sq64(F.col("vb"))
+    keep = (sa > 0) & (sb > 0) & (dot >= 0) & (dot * dot >= F.lit(t2) * sa * sb)
+    dups = (
+        a.join(b, "list_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(keep)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, "list_id")
+        .join(dups, F.col(id_col) == F.col("vec_b"), "left")
+        .select(
+            id_col,
+            "list_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
 
 
 def pq_train(
