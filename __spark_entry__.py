@@ -3558,6 +3558,186 @@ FROM v LEFT JOIN dups d ON v.vec_id = d.vec_b"""
     )
 
 
+def _knn_graph(spark, sf):
+    """Mutual k-NN graph over the embeddings table — exact cosine top-3 per
+    vector confined to its IVF cell (cells = the shared driver-Lloyd
+    k-means), plus the mutual-edge flag (reverse edge also in the
+    destination's top-k). The graph-based-curation building block: kNN-graph
+    dedup, quality label propagation, local-density outlier filtering all
+    start from exactly this edge list. Twin: the shared IVF vassign CTEs +
+    the same guarded sqrt-fold cosine + the same (score DESC, dst ASC)
+    window — rank AND mutual replay bit-for-bit."""
+    from bert_namedentityrecognition_spark.operators.similarity import (
+        knn_within_clusters,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return knn_within_clusters(emb, k=3, n_centroids=16)
+
+
+def _knn_graph_sql(
+    dim: int = 64,
+    n_centroids: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    max_train_sample: int | None = None,
+    lloyd_iterations: int = 2,
+) -> str:
+    """SQL twin of ``_knn_graph``: IVF assignment CTEs shared with the ANN/
+    SemDeDup twins, guarded cosine with the Spark side's operand order
+    (dot/(sqrt(Σa²)·sqrt(Σb²)), -1.0 when the norm product is not > 0),
+    per-src row_number window, and the reversed-pair LEFT JOIN for
+    ``mutual``."""
+    ctes, _score, _prev = _ivf_vassign_ctes(
+        dim, n_centroids, seed, max_train_sample, lloyd_iterations
+    )
+    dot = _fold_dot("va", "vb", dim)
+    na = f"sqrt({_fold_sq('va', dim)})"
+    nb = f"sqrt({_fold_sq('vb', dim)})"
+    ctes.append("""pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         a.embedding AS va, b.embedding AS vb
+  FROM v a JOIN v b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+)""")
+    ctes.append(f"""edges AS (
+  SELECT src_id, dst_id,
+    (CASE WHEN ({na} * {nb}) > 0 THEN {dot} / ({na} * {nb}) ELSE -1.0 END) AS score
+  FROM pairs
+)""")
+    ctes.append(f"""topk AS (
+  SELECT src_id, CAST(rank AS BIGINT) AS rank, dst_id FROM (
+    SELECT src_id, dst_id,
+      row_number() OVER (PARTITION BY src_id ORDER BY score DESC, dst_id ASC) AS rank
+    FROM edges) WHERE rank <= {k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT t.src_id, t.rank, t.dst_id, (b.src_id IS NOT NULL) AS mutual
+FROM topk t LEFT JOIN topk b ON b.src_id = t.dst_id AND b.dst_id = t.src_id"""
+    )
+
+
+_BM25_TERMS = ["merge", "window", "customer"]
+
+
+def _bm25_ranking(spark, sf):
+    """Log-free BM25 ranked retrieval over the sf-scaled documents table:
+    top-10 docs for a 3-term query, idf = the raw Robertson–Sparck-Jones
+    odds ratio (N-df+0.5)/(df+0.5) so every step is IEEE +,-,*,/ in DOUBLE
+    and the twin replays the score bit-for-bit (the kg_pmi_edges log-free
+    precedent). Corpus stats are one map-side-combined aggregate broadcast
+    back; the top-N is TakeOrderedAndProject (partial top-k, no global
+    sort); only 10 rows cross the rank window."""
+    from bert_namedentityrecognition_spark.operators.retrieval import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf, "documents"), _BM25_TERMS, k1=1.2, b=0.75, top_n=10
+    )
+
+
+def _bm25_sql(
+    terms: list[str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> str:
+    """SQL twin of ``_bm25_ranking`` — identical tokenization
+    (string_split_regex ↔ split), identical double fold order (idf, denom,
+    per-term score, left-assoc term sum), rank over the same (score DESC,
+    doc_id ASC) ordering of bit-identical doubles."""
+    terms = _BM25_TERMS if terms is None else terms
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n    ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+
+    def term_score(i: int) -> str:
+        tf = f"CAST(f.tf{i} AS DOUBLE)"
+        df = f"CAST(s.df{i} AS DOUBLE)"
+        idf = f"(((CAST(s.n_docs AS DOUBLE) - {df}) + 0.5) / ({df} + 0.5))"
+        denom = (
+            f"({tf} + ({k1!r} * ((1.0 - {b!r}) + "
+            f"({b!r} * (CAST(f.dl AS DOUBLE) / {avgdl})))))"
+        )
+        return f"(({idf} * ({tf} * {k1 + 1.0!r})) / {denom})"
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = f"({score} + {term_score(i)})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id, len(t) AS dl,
+    {tf_cols}
+  FROM base
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+    {df_cols}
+  FROM feat
+),
+scored AS (
+  SELECT f.doc_id, {score} AS score
+  FROM feat f CROSS JOIN stats s
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, round(score, 6) AS bm25_score
+FROM (
+  SELECT doc_id, score,
+    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {top_n}
+"""
+
+
+def _orc_roundtrip(spark, sf):
+    """ORC format boundary under the gate (beyond-reference §2.1/§2.2
+    breadth — Spark's other first-class columnar format, jar-less): the
+    sf-scaled documents table is written to ORC (4 part files, overwrite)
+    and read back, and the gate aggregates the ROUNDTRIPPED rows —
+    count/Σchars/Σpoly_hash(text)/min/max per (source, lang) — against the
+    same aggregate over the original parquet in DuckDB. A lossy roundtrip
+    of any row (text bytes, nulls, encodings) shifts Σpoly and
+    hash-mismatches. Scratch path via ``_writable_base()`` (zip-safe)."""
+    import os
+    import shutil
+
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+
+    d = _t(spark, sf, "documents")
+    path = os.path.join(_writable_base(), "var", "orc_docs")
+    shutil.rmtree(path, ignore_errors=True)  # stale parts would duplicate rows
+    d.repartition(4).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(poly_hash(F.col("text"))).alias("sum_text_poly"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT source, lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(text, '.'), x -> CAST(ascii(x) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007
+  ) AS BIGINT)) AS BIGINT) AS sum_text_poly,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY source, lang
+"""
+
+
 def _pq_ann(spark, sf):
     """Product-quantization ANN under the gate: vectors compressed to 4
     subspace codes (codebooks driver-trained on the bounded portable-hash
@@ -5978,6 +6158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _events_range_join,
         "url_host_stats": _url_host_stats,
         "dedup_semantic_clusters": _semdedup,
+        "knn_graph_mutual": _knn_graph,
+        "bm25_doc_ranking": _bm25_ranking,
+        "orc_roundtrip_stats": _orc_roundtrip,
     }
 
 
@@ -6101,4 +6284,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _EVENTS_RANGE_SQL,
         "url_host_stats": _url_host_stats_sql(),
         "dedup_semantic_clusters": _semdedup_sql(),
+        "knn_graph_mutual": _knn_graph_sql(),
+        "bm25_doc_ranking": _bm25_sql(),
+        "orc_roundtrip_stats": _ORC_ROUNDTRIP_SQL,
     }

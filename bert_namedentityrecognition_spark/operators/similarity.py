@@ -940,6 +940,79 @@ def semdedup_flags(
     )
 
 
+def knn_within_clusters(
+    vectors: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    seed: int = 42,
+    train_mod: int | None = None,
+    max_train_sample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN graph construction with a mutual-edge flag — the building block
+    for graph-based curation (kNN-graph dedup/quality propagation, SemDeDup
+    follow-ups, local-density filtering). Exact cosine top-k per vector,
+    confined to its IVF cell (the same driver-side Lloyd + JVM assignment
+    the ANN/SemDeDup family shares), so candidate work is n²/c per cell
+    instead of n² global; ``mutual`` marks edges whose reverse edge is also
+    in the destination's top-k (mutual-kNN is the usual graph sparsifier).
+
+    Returns (src_id, rank, dst_id, mutual) — ranks 1..k by cosine DESC with
+    dst_id ASC ties; zero-norm vectors score -1.0 (norm guard shared with
+    :func:`_centroid_scores`). Cells with a single member emit no edges.
+
+    Scale shape: assignment is one map over literal centroids; the within-
+    cell pairing shuffles on list_id; the mutual check is a self-join of the
+    (n·k)-row edge list on the reversed pair key — never touches the full
+    n²/c candidate stream. The assignment is localCheckpoint-materialized
+    once (CLAUDE.md rule 23: it feeds both pairing sides).
+    """
+    assigned, _cents = ivf_build(
+        vectors,
+        n_centroids=n_centroids,
+        lloyd_iterations=lloyd_iterations,
+        seed=seed,
+        train_mod=train_mod,
+        max_train_sample=max_train_sample,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        "list_id", F.col(id_col).alias("src_id"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "list_id", F.col(id_col).alias("dst_id"), F.col(vec_col).alias("vb")
+    )
+    denom = _norm64(F.col("va")) * _norm64(F.col("vb"))
+    score = F.when(denom > 0, _dot64(F.col("va"), F.col("vb")) / denom).otherwise(
+        F.lit(-1.0)
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("score").desc(), F.col("dst_id").asc()
+    )
+    edges = (
+        a.join(b, "list_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", F.col("rank").cast("long").alias("rank"), "dst_id")
+    )
+    back = edges.select(
+        F.col("src_id").alias("b_src"), F.col("dst_id").alias("b_dst")
+    )
+    return edges.join(
+        back,
+        (F.col("src_id") == F.col("b_dst")) & (F.col("dst_id") == F.col("b_src")),
+        "left",
+    ).select(
+        "src_id", "rank", "dst_id", F.col("b_src").isNotNull().alias("mutual")
+    )
+
+
 def pq_train(
     vectors: DataFrame,
     m_subspaces: int = 4,
