@@ -910,16 +910,27 @@ def semdedup_flags(
         id_col=id_col,
         vec_col=vec_col,
     )
-    assigned = assigned.localCheckpoint(eager=True)
+    # per-VECTOR Σv² is computed once here, not once per pair — at n²/c
+    # pairs that saves two 64-element folds per candidate; the fold over
+    # the same array yields the same double, so the SQL twin is unchanged
+    assigned = assigned.withColumn("sq", _sq64(F.col(vec_col))).localCheckpoint(
+        eager=True
+    )
     a = assigned.select(
-        "list_id", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+        "list_id",
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("sq").alias("sqa"),
     )
     b = assigned.select(
-        "list_id", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+        "list_id",
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("sq").alias("sqb"),
     )
     t2 = float(threshold) * float(threshold)
     dot = _dot64(F.col("va"), F.col("vb"))
-    sa, sb = _sq64(F.col("va")), _sq64(F.col("vb"))
+    sa, sb = F.col("sqa"), F.col("sqb")
     keep = (sa > 0) & (sb > 0) & (dot >= 0) & (dot * dot >= F.lit(t2) * sa * sb)
     dups = (
         a.join(b, "list_id")
@@ -979,14 +990,25 @@ def knn_within_clusters(
         id_col=id_col,
         vec_col=vec_col,
     )
-    assigned = assigned.localCheckpoint(eager=True)
+    # per-VECTOR norm computed once, not once per pair (two 64-element
+    # folds saved per candidate at n²/c pairs); sqrt of the same fold is
+    # the same double, so rank order and the SQL twin are unchanged
+    assigned = assigned.withColumn(
+        "nrm", _norm64(F.col(vec_col))
+    ).localCheckpoint(eager=True)
     a = assigned.select(
-        "list_id", F.col(id_col).alias("src_id"), F.col(vec_col).alias("va")
+        "list_id",
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        "list_id", F.col(id_col).alias("dst_id"), F.col(vec_col).alias("vb")
+        "list_id",
+        F.col(id_col).alias("dst_id"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    denom = _norm64(F.col("va")) * _norm64(F.col("vb"))
+    denom = F.col("na") * F.col("nb")
     score = F.when(denom > 0, _dot64(F.col("va"), F.col("vb")) / denom).otherwise(
         F.lit(-1.0)
     )
