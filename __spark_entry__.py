@@ -4635,6 +4635,61 @@ sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edg
     return pagerank_sql(graph_ctes, iterations=6)
 
 
+def _kg_label_propagation(spark, sf):
+    """Deterministic synchronous label propagation (community detection)
+    over the SAME derived alias graph as ``kg_alias_components``/
+    ``kg_entity_pagerank`` (chain-of-40 + block heads from the ``events``
+    row count — sf-scaled 1k/10k/100k nodes, symmetrized), 6 rounds.
+    Community ids over the canonicalized alias graph are the grouping a
+    KG materialization ships next to PageRank scores; the reference has
+    no graph stage (one-hop alias resolution, ``OICI_database.py:34-39``).
+
+    Exactness: votes are integer counts; the per-node pick is the argmin
+    of ``(-count, label)`` (most votes, ties → smallest label) — Spark
+    computes it as a struct-min aggregate, the DuckDB twin
+    (``oracle/graph.py:label_prop_sql`` — unrolled per-round CTEs, label
+    tables MATERIALIZED per rule 30) as a ``row_number`` pick; both
+    replay ``oracle.graph.label_prop`` bit-for-bit at any corpus size.
+    Convergence is NOT required — the gate pins the round-6 state. Per
+    round: 1 label/edge co-location shuffle + 1 vote agg + 1 argmin agg;
+    the edge list is localCheckpoint-materialized once (rule 23)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        label_propagation,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return label_propagation(sym, rounds=6)
+
+
+def _kg_label_propagation_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import label_prop_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    return label_prop_sql(graph_ctes, rounds=6)
+
+
 def _kg_bfs_levels(spark, sf):
     """Bounded-hop BFS (k-hop neighborhood) over the SAME derived alias
     graph as ``kg_alias_components``/``kg_entity_pagerank`` (chain-of-40 +
@@ -6149,6 +6204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textprep_scalars": _textprep_scalars,
         "kg_alias_components": _kg_alias_components,
         "kg_entity_pagerank": _kg_entity_pagerank,
+        "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
         "kg_bfs_levels": _kg_bfs_levels,
@@ -6273,6 +6329,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact graph analytics over derived graphs (rule 20 family:
         # all-integer arithmetic, unrolled iterations, MATERIALIZED graph CTEs)
         "kg_entity_pagerank": _kg_entity_pagerank_sql(),
+        "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),
         "kg_bfs_levels": _kg_bfs_levels_sql(),

@@ -247,6 +247,63 @@ def bfs_levels_df(
     return dist
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DIRECTED ``edges(src, dst)`` → ``(node, community)``: the exact
+    round-``rounds`` state of ``oracle.graph.label_prop`` — deterministic
+    synchronous label propagation (most-voted in-neighbor label + one
+    self-vote, ties → smallest label; pass both directions for undirected
+    graphs).
+
+    Scale shape: per round ONE shuffle to co-locate labels with the edge
+    list's ``a`` side, one partially-aggregated ``groupBy(node, lab)``
+    vote count, and one struct-min argmin per node — all integer, no
+    window sort over the full vote table. The edge list is
+    ``localCheckpoint``-materialized once and reused every round; labels
+    are checkpointed per round so plan size stays O(1) in ``rounds``
+    (rule 23). State carried is one (node, label) long pair per node —
+    the same cardinality as PageRank's rank table, so the 10**12-node
+    bound is identical."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).repartition("a").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e.a == labels.node)
+            .select(F.col("b").alias("node"), F.col("lab"))
+            .unionByName(labels.select("node", "lab"))
+        )
+        counts = votes.groupBy("node", "lab").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lab").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "node", F.col("lab").cast("long").alias("community")
+    )
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 4,

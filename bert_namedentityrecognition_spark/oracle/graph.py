@@ -306,6 +306,91 @@ def random_walks_kernel(
     return out
 
 
+def label_prop(
+    edges: Iterable[Tuple[int, int]], rounds: int
+) -> Dict[int, int]:
+    """Deterministic synchronous label propagation (community detection)
+    over DIRECTED ``edges(a, b)`` (pass both directions for undirected
+    graphs). Returns ``{node: community_label}`` after exactly ``rounds``
+    synchronous updates.
+
+    Update rule: every node starts labeled with its own id; each round,
+    node ``v`` adopts the label with the highest vote count among its
+    in-neighbors' labels PLUS ONE self-vote for its current label, ties
+    broken by the SMALLEST label — a pure integer argmin over
+    ``(-count, label)``, so the result is independent of iteration order,
+    partitioning, and engine. The self-vote damps the 2-cycle oscillation
+    classic synchronous LPA exhibits on bipartite structures; with a fixed
+    round budget the output is simply the round-``rounds`` state, which
+    both twins replay exactly (convergence is NOT required for
+    correctness).
+
+    Ref: the reference has no graph stage (one-hop alias resolution,
+    ``OICI_database.py:34-39``); community detection over the alias/
+    co-mention graph is this repo's KG-scale extension (SURVEY §2.12),
+    pairing with ``pagerank_int``/``kcore_nodes`` over the same edges.
+    """
+    in_nbrs: Dict[int, List[int]] = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        in_nbrs[b].append(a)
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            cnt: Dict[int, int] = defaultdict(int)
+            for u in in_nbrs.get(v, ()):
+                cnt[lab[u]] += 1
+            cnt[lab[v]] += 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+def label_prop_sql(graph_ctes: str, rounds: int) -> str:
+    """Unrolled-round DuckDB twin of :func:`label_prop`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` — the directed edge list
+    (symmetrized for undirected graphs). Each label table ``l{k}`` is
+    referenced twice by round ``k+1`` (the neighbor-vote join and the
+    self-vote union) → MATERIALIZED (rule 30). The per-round pick is
+    ``row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1`` —
+    the same integer ``(-count, label)`` argmin the kernel and the Spark
+    struct-min compute."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT a AS node FROM sym UNION ALL SELECT b AS node FROM sym)),",
+        "l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"v{k} AS (SELECT s.b AS node, l.lab "
+            f"FROM l{k - 1} l JOIN sym s ON s.a = l.node "
+            f"UNION ALL SELECT node, lab FROM l{k - 1}),"
+        )
+        parts.append(
+            f"c{k} AS (SELECT node, lab, COUNT(*) AS c FROM v{k} "
+            f"GROUP BY node, lab),"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT node, lab FROM ("
+            f"SELECT node, lab, row_number() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c{k}"
+            f") WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(lab AS BIGINT) AS community FROM l{rounds}"
+    )
+    return "\n".join(parts)
+
+
 def random_walks_sql(graph_ctes: str, length: int, n_walks: int) -> str:
     """Unrolled-step DuckDB twin of :func:`random_walks_kernel`.
 

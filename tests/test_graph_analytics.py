@@ -348,3 +348,75 @@ def test_random_walks_dead_end_truncates(spark):
     # walk from 0 is 0→1→2 then truncation: steps 0..2 only
     from_zero = [r for r in got if r[0] == 0]
     assert [r[3] for r in sorted(from_zero, key=lambda r: r[2])] == [0, 1, 2]
+
+
+def test_label_prop_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        label_propagation,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import label_prop
+
+    und = _random_graph(60, 140, seed=23)
+    directed = _sym(und)
+    want = label_prop(directed, rounds=5)
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, rounds=5).collect()
+    }
+    assert got == want
+
+
+def test_label_prop_tie_breaks_to_smallest_label(spark):
+    """Node 2 hears labels {0, 1} once each plus its own self-vote for 2 —
+    three-way tie → smallest label 0 wins; and the self-vote keeps an
+    isolated pair from swapping forever (round-2 state is stable)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        label_propagation,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import label_prop
+
+    directed = [(0, 2), (1, 2), (2, 0), (2, 1), (5, 6), (6, 5)]
+    want1 = label_prop(directed, rounds=1)
+    assert want1[2] == 0  # (-1, 0) < (-1, 1) < (-1, 2)
+    assert want1[6] == 5 and want1[5] == 5  # pair collapses, no swap
+    assert label_prop(directed, rounds=2)[5] == 5  # stable thereafter
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, rounds=1).collect()
+    }
+    assert got == want1
+
+
+def test_label_prop_sql_twin_matches_kernel():
+    """The unrolled DuckDB twin reproduces the kernel bit-for-bit on the
+    gate's derived graph shape (chain-of-40 + block heads, symmetrized)."""
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        label_prop,
+        label_prop_sql,
+    )
+
+    n = 200
+    chain = [(i, i - 1) for i in range(1, n) if i % 40 != 0]
+    heads = [
+        (i, i - 40) for i in range(1, n) if i % 40 == 0 and (i // 40) % 3 != 0
+    ]
+    directed = _sym(chain + heads)
+    want = label_prop(directed, rounds=6)
+
+    graph_ctes = f"""
+ids AS MATERIALIZED (SELECT i FROM range({n}) t(i)),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    sql = label_prop_sql(graph_ctes, rounds=6)
+    got = {int(a): int(b) for a, b in duckdb.sql(sql).fetchall()}
+    assert got == want
