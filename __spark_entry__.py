@@ -6111,6 +6111,282 @@ FROM per_sent
 """
 
 
+def _scd2_entity_history(spark, sf):
+    """SCD type-2 history build over the per-user event-type update stream
+    — the temporal-dimension materialization (Kimball SCD2) the north
+    rule's resumable KG maintenance ships next to its as-of lookup
+    (``events_asof_join`` serves FROM a table of exactly this shape).
+    ``operators/temporal.py:scd2_history``: ONE window shuffle — ordered
+    lag change-suppression (null-safe), lead() validity intervals, a
+    version counter.  Exactness: epoch-microsecond BIGINTs and equality
+    only (rule 11); the (ts, event_id) tiebreak pins ordering, so the
+    DuckDB twin (the same lag/lead recipe) matches bit-for-bit at any
+    corpus size.  The open current version keeps valid_to NULL — live in
+    every key group.  Beyond-reference (the reference rebuilds dicts from
+    scratch, ``OICI_database.py``)."""
+    from bert_namedentityrecognition_spark.operators.temporal import scd2_history
+
+    e = _t(spark, sf, "events")
+    ep = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    upd = e.select(
+        "user_id", ep.alias("ts_us"), "event_id",
+        F.col("event_type").alias("status"),
+    )
+    out = scd2_history(upd, ["user_id"], "ts_us", ["status"], ["event_id"])
+    return out.select(
+        "user_id",
+        "status",
+        F.col("valid_from").cast("long").alias("valid_from_us"),
+        F.col("valid_to").cast("long").alias("valid_to_us"),
+        "version",
+    )
+
+
+_SCD2_SQL = """
+WITH upd AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS status
+  FROM events
+),
+lagged AS (
+  SELECT user_id, ts_us, event_id, status,
+         lag(status) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_status,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS rn
+  FROM upd
+),
+kept AS (
+  SELECT user_id, ts_us, event_id, status FROM lagged
+  WHERE rn = 1 OR NOT (status IS NOT DISTINCT FROM prev_status)
+)
+SELECT user_id, status,
+       CAST(ts_us AS BIGINT) AS valid_from_us,
+       CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            AS BIGINT) AS valid_to_us,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            AS BIGINT) AS version
+FROM kept
+"""
+
+
+def _events_funnel(spark, sf):
+    """Strictly-ordered 3-step funnel (view → click → purchase) per user —
+    the conversion query an events warehouse answers constantly, and the
+    provenance-staging shape (ingested → linked → materialized) of the
+    north rule's per-partition lineage counters.
+    ``operators/temporal.py:funnel_steps``: all three step minima are
+    windows over ONE ``partitionBy(user_id)`` exchange (no N-way
+    self-join), step i+1 counting only events strictly after step i.
+    Step events are thinned deterministically by event_id modulus so all
+    four terminal stages (0..3) are live at every sf (verified 2/2/2/9 at
+    sf0.001 .. 227/328/215/730 at sf0.1).  Exactness: integral epoch
+    micros + deterministic predicates (rule 11); ties ON a timestamp
+    don't chain (strict >) — the same rule in both twins."""
+    from bert_namedentityrecognition_spark.operators.temporal import funnel_steps
+
+    e = _t(spark, sf, "events")
+    ep = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    d = e.select("user_id", ep.alias("ts_us"), "event_type", "event_id")
+    preds = [
+        (F.col("event_type") == "view") & (F.col("event_id") % 7 == 0),
+        (F.col("event_type") == "click") & (F.col("event_id") % 5 == 0),
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0),
+    ]
+    out = funnel_steps(d, ["user_id"], "ts_us", preds)
+    return out.select(
+        "user_id",
+        F.col("t1").cast("long").alias("t1_us"),
+        F.col("t2").cast("long").alias("t2_us"),
+        F.col("t3").cast("long").alias("t3_us"),
+        "max_stage",
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND event_id % 7 = 0
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM d
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND event_id % 5 = 0
+                          AND t1 IS NOT NULL AND ts_us > t1
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND event_id % 3 = 0
+                          AND t2 IS NOT NULL AND ts_us > t2
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+)
+SELECT user_id,
+       CAST(min(t1) AS BIGINT) AS t1_us,
+       CAST(min(t2) AS BIGINT) AS t2_us,
+       CAST(min(t3) AS BIGINT) AS t3_us,
+       CAST((CASE WHEN min(t1) IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN min(t2) IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN min(t3) IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS max_stage
+FROM s3 GROUP BY user_id
+"""
+
+
+def _kg_link_prediction(spark, sf):
+    """Common-neighbor link prediction over the SAME derived co-mention
+    graph as ``kg_triangle_counts`` (path + skip edges from the ``events``
+    row count — sf-scaled 1k/10k/100k nodes): propose the missing edges a
+    KG quality loop queues for review, scored by integer-scaled Jaccard
+    of the endpoint neighborhoods, top-2 per left node.  The reference
+    resolves aliases one-hop only (``OICI_database.py:34-39``); proposing
+    NEW edges is this repo's KG-scale extension (SURVEY §2.12).
+
+    ``operators/graph.py:link_prediction_cn``: wedge join (full
+    neighborhoods — orientation would undercount cn), anti-join against
+    the existing edge set, map-side-combined degree join, bounded top-k
+    window (WindowGroupLimit).  Exactness: counts and ``(10^6·cn) DIV
+    (deg_u+deg_v−cn)`` are all-integer (rule 11) and the rank order
+    (jaccard desc, cn desc, v asc) is total, so the DuckDB twin matches
+    bit-for-bit at any corpus size."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        link_prediction_cn,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    e1 = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e2 = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    return link_prediction_cn(e1.union(e2), min_cn=1, top_k=2)
+
+
+_KG_LINK_PREDICTION_SQL = """
+WITH
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS n FROM ids),
+e AS (
+  SELECT i AS a, i + 1 AS b FROM ids, params WHERE i + 1 < n
+  UNION ALL
+  SELECT i AS a, i + 2 AS b FROM ids, params WHERE i % 3 <> 0 AND i + 2 < n
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e WHERE a <> b
+),
+adj AS MATERIALIZED (
+  SELECT a AS n_, b AS m FROM und UNION ALL SELECT b AS n_, a AS m FROM und
+),
+deg AS MATERIALIZED (SELECT n_, count(*) AS deg FROM adj GROUP BY n_),
+pairs AS (
+  SELECT l.n_ AS u, r.n_ AS v, count(*) AS cn
+  FROM adj l JOIN adj r ON l.m = r.m AND l.n_ < r.n_
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.u, p.v, p.cn, du.deg AS deg_u, dv.deg AS deg_v,
+         (1000000 * p.cn) // (du.deg + dv.deg - p.cn) AS jaccard_scaled
+  FROM pairs p
+  JOIN deg du ON du.n_ = p.u
+  JOIN deg dv ON dv.n_ = p.v
+  WHERE p.cn >= 1
+    AND NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.u AND und.b = p.v)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY u ORDER BY jaccard_scaled DESC, cn DESC, v ASC) AS rank
+  FROM cand
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(cn AS BIGINT) AS cn,
+       CAST(deg_u AS BIGINT) AS deg_u, CAST(deg_v AS BIGINT) AS deg_v,
+       CAST(jaccard_scaled AS BIGINT) AS jaccard_scaled,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 2
+"""
+
+
+def _zorder_layout(spark, sf):
+    """Z-order layout audit: per-file min/max clustering stats + the
+    manifest-pruning decision for a 2-D range predicate, under a Morton
+    z-value layout vs a single-key clustering of the SAME rows — the
+    evidence a 100 TB table owner needs before paying for an ``OPTIMIZE
+    ZORDER BY`` rewrite (the read-side companion of
+    ``write_outputs_bucketed``'s join story).  Keys: x = event_id % 1024
+    (an entity-hash bucket, uniform at every sf), y = minute-of-day; box
+    x∈[128,383], y∈[300,555].  Measured: z-order opens 4 of ~24 files
+    (rows_read 17.6%) where x-clustering opens 16 of 64 (25%) — both hit
+    and pruned branches live at every sf.
+
+    ``operators/layout.py``: file ids are VALUE-RANGE bins of each
+    layout's sort key (deterministic manifest math — no sampled range
+    partitioner, no global row_number), so the whole query is one
+    map-side-combined groupBy per layout; the z-value is a flat integer
+    sum inside whole-stage codegen, generated from the SAME
+    ``oracle/layout.py:zorder_sql_expr`` the DuckDB twin uses (rules 6 +
+    11 — bit-identical by construction)."""
+    from bert_namedentityrecognition_spark.operators.layout import (
+        layout_file_stats,
+        with_zvalue,
+    )
+
+    e = _t(spark, sf, "events")
+    d = e.select(
+        (F.col("event_id") % 1024).cast("long").alias("x"),
+        F.expr(
+            "CAST((unix_micros(cast(ts as timestamp_ltz)) DIV 60000000)"
+            " % 1440 AS BIGINT)"
+        ).alias("y"),
+    )
+    box = (128, 383, 300, 555)
+    zs = layout_file_stats(
+        with_zvalue(d, "x", "y", 11),
+        F.expr("zval DIV 65536"),
+        "x", "y", box, "zorder",
+    )
+    ls = layout_file_stats(d, F.expr("x DIV 16"), "x", "y", box, "xcluster")
+    return zs.unionByName(ls)
+
+
+def _zorder_layout_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.layout import zorder_sql_expr
+
+    z = zorder_sql_expr("x", "y", 11, "//")
+    return f"""
+WITH d AS (
+  SELECT CAST(event_id % 1024 AS BIGINT) AS x,
+         CAST((epoch_us(ts) // 60000000) % 1440 AS BIGINT) AS y
+  FROM events
+),
+zt AS (SELECT x, y, {z} AS zval FROM d),
+stats AS (
+  SELECT 'zorder' AS layout, CAST(zval // 65536 AS BIGINT) AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+  FROM zt GROUP BY 2
+  UNION ALL
+  SELECT 'xcluster' AS layout, CAST(x // 16 AS BIGINT) AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+  FROM d GROUP BY 2
+)
+SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+       CAST(CASE WHEN min_x <= 383 AND max_x >= 128
+                  AND min_y <= 555 AND max_y >= 300
+            THEN 1 ELSE 0 END AS BIGINT) AS hit
+FROM stats
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -6212,6 +6488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_triples": _streaming_windowed_triples,
         "events_asof_join": _events_asof_join,
         "events_range_join": _events_range_join,
+        "events_funnel": _events_funnel,
+        "scd2_entity_history": _scd2_entity_history,
+        "kg_link_prediction": _kg_link_prediction,
+        "zorder_layout": _zorder_layout,
         "url_host_stats": _url_host_stats,
         "dedup_semantic_clusters": _semdedup,
         "knn_graph_mutual": _knn_graph,
@@ -6338,6 +6618,10 @@ def oracle_sql() -> dict[str, str]:
         # twin replays the validated filter/eviction model (see _sw_schedule)
         "streaming_windowed_triples": _STREAM_WT_SQL,
         "events_asof_join": _EVENTS_ASOF_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "scd2_entity_history": _SCD2_SQL,
+        "kg_link_prediction": _KG_LINK_PREDICTION_SQL,
+        "zorder_layout": _zorder_layout_sql(),
         "events_range_join": _EVENTS_RANGE_SQL,
         "url_host_stats": _url_host_stats_sql(),
         "dedup_semantic_clusters": _semdedup_sql(),

@@ -152,3 +152,115 @@ def range_join_buckets(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     )
     return joined.drop(bucket)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a per-key update stream into SCD type-2 validity intervals.
+
+    Orders each key's rows by ``(ts_col, *tiebreak_cols)``, suppresses rows
+    whose ``value_cols`` equal the previous row's (no-op updates), and emits
+    one row per surviving change with ``valid_from`` (= its ``ts_col``),
+    ``valid_to`` (= the NEXT change's ``ts_col``; NULL on the open current
+    version) and a 1-based ``version`` counter.  This is the temporal-
+    dimension build step (Kimball SCD2) a KG maintenance pass runs to turn
+    the incremental entity-update ledger into queryable as-of history —
+    the table ``asof_join`` then serves lookups from.
+
+    Exactness: pure window arithmetic over integral/equality-comparable
+    columns — no floats, so any SQL engine replaying the same lag/lead
+    recipe matches bit-for-bit.  NULL values compare as distinct-from-
+    everything EXCEPT another NULL (change detection uses null-safe
+    equality), matching the SQL twin's ``IS NOT DISTINCT FROM``.
+
+    100 TB notes: ONE shuffle (the per-key window sort); state per key is
+    one row — identical plan shape to ``asof_join``.  Ties inside
+    ``(ts, tiebreak)`` must be made unique by the caller (e.g. a ledger
+    sequence number) or the kept row among exact ties is unspecified.
+
+    Reference parity: beyond-reference (the reference rebuilds its
+    normalization dictionaries from scratch, ``OICI_database.py``); this is
+    the incremental-history variant the north rule's resumable KG
+    materialization needs.
+    """
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    changed = F.lit(False)
+    for c in value_cols:
+        prev = F.lag(F.col(c)).over(w)
+        # null-safe inequality: a change iff NOT (v <=> lag(v)); the very
+        # first row per key has lag NULL on EVERY value col — force-keep it
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    first_row = F.row_number().over(w) == 1
+    kept = df.withColumn("__keep", first_row | changed).filter(F.col("__keep"))
+
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return kept.select(
+        *key_cols,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    step_predicates: Sequence[Column],
+) -> DataFrame:
+    """Strictly-ordered funnel: per key, the earliest timestamp at which
+    each step completes, where step *i+1* only counts from events strictly
+    AFTER step *i*'s completion timestamp.
+
+    Returns one row per key with ``t1..tN`` (NULL once the funnel stalls)
+    and ``max_stage`` (number of completed steps, 0..N).  This is the
+    conversion/behavioral query an events warehouse answers constantly;
+    at KG scale it doubles as provenance staging (ingested → linked →
+    materialized per document).
+
+    Exactness: integral timestamps + deterministic predicates ⇒ every
+    min() is order-independent; ties ON the same timestamp between a step-i
+    completion and a step-i+1 candidate do NOT chain (strict ``>``) — a
+    deterministic rule both twins share.
+
+    100 TB notes: ONE shuffle — all N step minima are windows over the
+    same ``partitionBy(key)`` exchange (Spark reuses the sort), then one
+    map-side-combinable groupBy on the already-partitioned key.  No
+    self-joins: the naive encoding joins events N times; this is the
+    window re-expression.
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols)
+    out = df
+    prev_t: Optional[str] = None
+    t_names = []
+    for i, pred in enumerate(step_predicates, start=1):
+        name = f"t{i}"
+        cond = pred
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() & (
+                F.col(ts_col) > F.col(prev_t)
+            )
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = name
+        t_names.append(name)
+
+    stage = sum((F.col(t).isNotNull().cast("int") for t in t_names), F.lit(0))
+    return (
+        out.withColumn("max_stage", stage.cast("long"))
+        .groupBy(*key_cols)
+        .agg(
+            *[F.first(t).alias(t) for t in t_names],
+            F.first("max_stage").alias("max_stage"),
+        )
+    )
