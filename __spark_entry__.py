@@ -6313,6 +6313,180 @@ FROM ranked WHERE rank <= 2
 """
 
 
+def _kg_weighted_sssp(spark, sf):
+    """Bounded-round weighted shortest paths (Bellman-Ford, 6 rounds) over
+    the SAME derived alias graph as ``kg_bfs_levels`` (chain-of-40 + block
+    heads from the ``events`` row count, symmetrized), integer edge
+    weights ``1 + (a+b) % 5`` (relation traversal cost), seeds = every
+    node ≡ 0 (mod 400) — the weighted counterpart of the k-hop
+    neighborhood query a served KG answers (cheapest relation path, not
+    fewest hops).  The round-6 state IS the ≤6-hop shortest distance, so
+    the gate is exact whether or not the fixpoint was reached (the
+    ``bfs_levels``/LPA recipe).  Spark
+    (``operators/graph.py:sssp_bellman_ford``): per round one
+    changed-frontier join against the once-materialized edge list + one
+    min-agg, localCheckpoint per round (rule 23).  Oracle
+    (``oracle/graph.py:sssp_sql``): unrolled per-round relax/min CTEs,
+    d{k} MATERIALIZED (rule 30) — relaxes ALL dists, same minima.
+    All-integer (rule 11): bit-exact at any corpus size."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        sssp_bellman_ford,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    wedges = sym.withColumn(
+        "weight", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("long")
+    )
+    seeds = ids.filter(F.col("id") % 400 == 0).select(F.col("id").alias("node"))
+    return sssp_bellman_ford(wedges, seeds, rounds=6)
+
+
+def _kg_weighted_sssp_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import sssp_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+wedges AS MATERIALIZED (SELECT a, b, 1 + (a + b) % 5 AS w FROM sym),
+seeds AS (SELECT i AS node FROM ids WHERE i % 400 = 0)
+"""
+    return sssp_sql(graph_ctes, rounds=6)
+
+
+def _kg_incremental_components(spark, sf):
+    """Incremental connected components: fold a delta edge batch into the
+    previous min-id assignment WITHOUT re-running CC on the full graph —
+    the per-ingest maintenance pass the north rule's resumable KG needs
+    at 10^12 nodes (complementing ``kg_incremental_merge``, which
+    maintains the triples; this maintains the canonicalization).  Base =
+    the standard derived alias graph (chain-of-40 + heads); delta = for
+    every i ≡ 0 (mod 400), a bridge (i, i−130) merging two existing
+    components AND an edge (i, n + i/400) attaching a BRAND-NEW node —
+    both incremental branches (label merge, unseen node) live at every
+    sf.  Spark (``operators/graph.py:incremental_components``): contract
+    previous components to labels, star-CC over the |delta|-sized
+    contracted graph only, ONE broadcast merge-map join back — the big
+    assignment is never shuffled.  Oracle: a FULL recursive-CTE min-id
+    recompute over base ∪ delta — an independent implementation of the
+    thing the incremental path avoids doing, so equality here is the
+    strongest possible gate for the shortcut."""
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+    from bert_namedentityrecognition_spark.operators.graph import (
+        incremental_components,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    prev = connected_components_star(chain.union(heads))
+
+    deltas = ids.filter((F.col("id") % 400 == 0) & (F.col("id") >= 400))
+    bridges = deltas.select(
+        F.col("id").alias("src"), (F.col("id") - 130).alias("dst")
+    )
+    attach = deltas.select(
+        F.col("id").alias("src"),
+        (F.lit(n) + (F.col("id") / 400).cast("long")).alias("dst"),
+    )
+    out = incremental_components(prev, bridges.union(attach))
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+_KG_INCREMENTAL_COMPONENTS_SQL = """
+WITH RECURSIVE
+ids AS (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS n FROM ids),
+base AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+delta AS (
+  SELECT i AS a, i - 130 AS b FROM ids WHERE i % 400 = 0 AND i >= 400
+  UNION ALL
+  SELECT i AS a, n + i // 400 AS b FROM ids, params
+  WHERE i % 400 = 0 AND i >= 400
+),
+alledges AS (SELECT a, b FROM base UNION ALL SELECT a, b FROM delta),
+sym AS (SELECT a, b FROM alledges UNION SELECT b AS a, a AS b FROM alledges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.comp
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
+def _inverted_index_postings(spark, sf):
+    """Inverted-index build over the documents corpus: the postings table
+    (token, doc_id, tf, first 1-based position) behind ``bm25_doc_ranking``
+    — the write-once index a served retrieval deployment pays for instead
+    of re-scanning text per query.  Engine-wide whitespace tokenization
+    (identical twin recipe as bm25/vocab/sketch queries); ONE
+    map-side-combined groupBy after a JVM-side posexplode — no Python.
+    At 100 TB the output is bucketed BY TOKEN (single-bucket per-term
+    lookups); tf/positions are all-integer (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.retrieval import (
+        inverted_postings,
+    )
+
+    return inverted_postings(_t(spark, sf, "documents"))
+
+
+_INVERTED_POSTINGS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(l) AS token,
+         unnest(generate_series(1, len(l))) AS tok_pos
+  FROM t
+)
+SELECT token, doc_id,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(tok_pos) AS BIGINT) AS first_pos
+FROM e GROUP BY 1, 2
+"""
+
+
 def _zorder_layout(spark, sf):
     """Z-order layout audit: per-file min/max clustering stats + the
     manifest-pruning decision for a 2-D range predicate, under a Morton
@@ -6491,6 +6665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _events_funnel,
         "scd2_entity_history": _scd2_entity_history,
         "kg_link_prediction": _kg_link_prediction,
+        "kg_weighted_sssp": _kg_weighted_sssp,
+        "kg_incremental_components": _kg_incremental_components,
+        "inverted_index_postings": _inverted_index_postings,
         "zorder_layout": _zorder_layout,
         "url_host_stats": _url_host_stats,
         "dedup_semantic_clusters": _semdedup,
@@ -6621,6 +6798,9 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "scd2_entity_history": _SCD2_SQL,
         "kg_link_prediction": _KG_LINK_PREDICTION_SQL,
+        "kg_weighted_sssp": _kg_weighted_sssp_sql(),
+        "kg_incremental_components": _KG_INCREMENTAL_COMPONENTS_SQL,
+        "inverted_index_postings": _INVERTED_POSTINGS_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "events_range_join": _EVENTS_RANGE_SQL,
         "url_host_stats": _url_host_stats_sql(),

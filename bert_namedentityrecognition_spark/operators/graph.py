@@ -467,3 +467,137 @@ def link_prediction_cn(
             F.col("rank").cast("long"),
         )
     )
+
+
+def sssp_bellman_ford(
+    wedges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-round distributed Bellman-Ford: ``(node, dist)`` = min cost
+    over paths of <= ``rounds`` hops from any seed, over DIRECTED
+    integer-weighted ``wedges`` (pass both directions for undirected).
+    Nodes unreached within the budget are absent — the weighted
+    counterpart of ``bfs_levels_df`` (edge weights = relation confidence
+    / traversal cost in a served KG).
+
+    Scale shape: per round ONE join of the CHANGED frontier (only nodes
+    whose dist improved last round — delta-stepping-lite, not the whole
+    dist table) against the once-materialized edge list + one min-agg;
+    dist is localCheckpoint-ed per round (rule 23) so the plan stays O(1)
+    in ``rounds``.  All-integer mins ⇒ the round-K state is bit-identical
+    on any cluster size and in the DuckDB twin
+    (``oracle/graph.py:sssp_sql``, which relaxes all dists — same minima,
+    see its docstring)."""
+    e = (
+        wedges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        relaxed = frontier.join(e, frontier.node == e.a).select(
+            F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        nxt = (
+            dist.withColumn("__old", F.lit(1))
+            .unionByName(relaxed.withColumn("__old", F.lit(0)))
+            .groupBy("node")
+            .agg(
+                F.min("dist").alias("dist"),
+                # improved iff the winning dist beats every carried old one
+                (
+                    F.min("dist")
+                    < F.coalesce(
+                        F.min(F.when(F.col("__old") == 1, F.col("dist"))),
+                        F.lit(None),
+                    )
+                ).alias("__improved_vs_old"),
+                F.max("__old").alias("__had_old"),
+            )
+            .withColumn(
+                "__changed",
+                (F.col("__had_old") == 0)
+                | F.coalesce(F.col("__improved_vs_old"), F.lit(False)),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt.filter(F.col("__changed")).select("node", "dist")
+        dist = nxt.select("node", "dist").localCheckpoint(eager=True)
+    return dist
+
+
+def incremental_components(
+    prev_assign: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incremental connected components: fold ``delta_edges`` into a
+    previous min-id component assignment WITHOUT re-running CC over the
+    full graph — the maintenance pass a 10^12-node KG runs per ingest
+    batch (full recompute is the thing you cannot afford; the driver gate
+    proves equality against exactly that full recompute).
+
+    Correctness: each previous component is CONTRACTED to its (min-id)
+    label; delta edges are remapped to labels (endpoints unseen before
+    keep their own id); CC runs on that contracted graph — |delta|-sized,
+    NOT corpus-sized — and the resulting label→label merges broadcast-join
+    back onto the assignment.  Min-of-mins = global min, so labels stay
+    the same min-id labels a full recompute produces.
+
+    Scale shape: 2 bounded joins to remap delta endpoints, star-CC over a
+    delta-sized graph, then ONE broadcast join (merge map is at most
+    2·|delta| rows) + a union of the untouched assignment — no shuffle of
+    the big table at all."""
+    new_nodes = (
+        delta_edges.select(F.col(src).cast("long").alias("node"))
+        .union(delta_edges.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+        .join(prev_assign.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    base = prev_assign.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    ).unionByName(new_nodes)
+
+    lab = base.select("node", F.col("component").alias("__lab"))
+    contracted = (
+        delta_edges.select(
+            F.col(src).cast("long").alias("su"), F.col(dst).cast("long").alias("sv")
+        )
+        .join(lab.withColumnRenamed("node", "su"), "su")
+        .withColumnRenamed("__lab", "lu")
+        .join(lab.withColumnRenamed("node", "sv"), "sv")
+        .withColumnRenamed("__lab", "lv")
+        .select(F.col("lu").alias("src"), F.col("lv").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    from .canonicalize import connected_components_star
+
+    merges = connected_components_star(contracted).select(
+        F.col("node").alias("__old_comp"), F.col("component").alias("__new_comp")
+    )
+    out = base.join(
+        F.broadcast(merges), base.component == merges.__old_comp, "left"
+    )
+    return out.select(
+        "node",
+        F.coalesce(F.col("__new_comp"), F.col("component")).alias("component"),
+    )

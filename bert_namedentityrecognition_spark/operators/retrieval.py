@@ -93,3 +93,37 @@ def bm25_rank(
             F.round("score", 6).alias("bm25_score"),
         )
     )
+
+
+def inverted_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize the inverted index postings table: one row per
+    (token, doc) with the term frequency and the token's first position
+    (1-based rank among the doc's tokens) — the build step behind
+    ``bm25_rank`` (which recomputes tf per query; a serving deployment
+    pays this once and range-partitions by token instead).
+
+    Tokenization is the engine-wide whitespace convention
+    (``split(trim(text), '\\s+')`` ↔ ``regexp_split_to_array``), empties
+    filtered, so the twin matches bit-for-bit; positions are ranks among
+    KEPT tokens, invariant to either engine's empty-element placement.
+
+    Scale shape: posexplode (JVM-side, no Python) → ONE map-side-combined
+    groupBy on (token, doc_id).  At 100 TB the output is written
+    partitioned/bucketed BY TOKEN so per-term lookups are single-bucket
+    scans; df/idf roll up from this table with one more partial agg."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(toks))
+        .filter(F.col("col") != "")
+        .select(
+            "doc_id",
+            F.col("col").alias("token"),
+            (F.col("pos") + 1).cast("long").alias("tok_pos"),
+        )
+    )
+    return exploded.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.min("tok_pos").cast("long").alias("first_pos"),
+    )

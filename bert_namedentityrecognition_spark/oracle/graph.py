@@ -435,3 +435,69 @@ def random_walks_sql(graph_ctes: str, length: int, n_walks: int) -> str:
     )
     parts.append(selects)
     return "\n".join(parts)
+
+
+def sssp_weighted(
+    wedges: Iterable[Tuple[int, int, int]],
+    seeds: Iterable[int],
+    rounds: int,
+) -> Dict[int, int]:
+    """Bounded-round Bellman-Ford over DIRECTED integer-weighted
+    ``wedges(a, b, w)``: ``{node: min cost over paths of <= rounds hops
+    from any seed}``; nodes unreachable within the round budget are
+    ABSENT.  Like :func:`bfs_levels` the round-K state is well-defined
+    whether or not the fixpoint is reached (it is exactly the <=K-hop
+    shortest distance), so a gate may pin any K.  All-integer arithmetic
+    — order-independent mins, bit-exact on any partitioning."""
+    adj: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
+    for a, b, w in wedges:
+        adj[a].append((b, w))
+    dist = {int(s): 0 for s in seeds}
+    changed = set(dist)
+    for _ in range(rounds):
+        upd: Dict[int, int] = {}
+        for a in changed:
+            da = dist[a]
+            for b, w in adj.get(a, ()):
+                nd = da + w
+                if nd < dist.get(b, nd + 1) and nd < upd.get(b, nd + 1):
+                    upd[b] = nd
+        changed = set()
+        for b, nd in upd.items():
+            if nd < dist.get(b, nd + 1):
+                dist[b] = nd
+                changed.add(b)
+        if not changed:
+            break
+    return dist
+
+
+def sssp_sql(graph_ctes: str, rounds: int) -> str:
+    """Unrolled-round DuckDB twin of :func:`sssp_weighted`.
+
+    ``graph_ctes`` must define ``wedges(a, b, w)`` (directed, integer
+    weights) and ``seeds(node)``.  Each round's dist table ``d{k}`` is
+    referenced twice (relax + carry) → MATERIALIZED (rule 30).  Unlike
+    BFS there is no frontier extraction in SQL — relaxing ALL current
+    dists every round computes the same <=K-hop minima (extra
+    relaxations re-derive existing minima); the Spark operator's
+    changed-only frontier is a pure work optimization."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1} UNION ALL "
+            f"SELECT e.b AS node, d.dist + e.w AS dist "
+            f"FROM d{k - 1} d JOIN wedges e ON e.a = d.node) GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist "
+        f"FROM d{rounds}"
+    )
+    return "\n".join(parts)
