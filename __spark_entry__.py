@@ -6313,6 +6313,67 @@ FROM ranked WHERE rank <= 2
 """
 
 
+def _kg_clustering_coefficients(spark, sf):
+    """Per-node local clustering coefficient over the SAME derived
+    co-mention graph as ``kg_triangle_counts`` (path + skip edges from the
+    ``events`` row count) — integer-scaled ``(2·10⁶·T) DIV (deg·(deg−1))``
+    for every node with deg ≥ 2, 0 for triangle-free nodes (both branches
+    live at every sf: skip gaps at i ≡ 0 (mod 3) leave deg-2 nodes with no
+    closing edge).  Completes the graph-cohesion family (components →
+    ranking → triangles → k-core → communities → coefficient).
+    ``operators/graph.py:clustering_coefficients`` reuses the
+    degree-based-orientation triangle enumeration; all-integer (rule 11),
+    so the DuckDB twin (triangle CTEs + a degree join) matches bit-for-bit
+    at any corpus size."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    e1 = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e2 = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    return clustering_coefficients(e1.union(e2))
+
+
+_KG_CLUSTERING_COEFF_SQL = """
+WITH
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+und AS MATERIALIZED (
+  SELECT a.i AS u, b.i AS v FROM ids a JOIN ids b ON b.i = a.i + 1
+  UNION ALL
+  SELECT a.i AS u, b.i AS v FROM ids a JOIN ids b ON b.i = a.i + 2
+  WHERE a.i % 3 <> 0
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node HAVING count(*) >= 2
+),
+tri AS MATERIALIZED (
+  SELECT w1.u AS a, w1.v AS b, w2.v AS c
+  FROM und w1
+  JOIN und w2 ON w2.u = w1.v
+  JOIN und w3 ON w3.u = w1.u AND w3.v = w2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node)
+SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+       CAST((2 * 1000000 * coalesce(tc.triangles, 0))
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_scaled
+FROM deg d LEFT JOIN tc ON tc.node = d.node
+"""
+
+
 def _kg_weighted_sssp(spark, sf):
     """Bounded-round weighted shortest paths (Bellman-Ford, 6 rounds) over
     the SAME derived alias graph as ``kg_bfs_levels`` (chain-of-40 + block
@@ -6666,6 +6727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_entity_history": _scd2_entity_history,
         "kg_link_prediction": _kg_link_prediction,
         "kg_weighted_sssp": _kg_weighted_sssp,
+        "kg_clustering_coefficients": _kg_clustering_coefficients,
         "kg_incremental_components": _kg_incremental_components,
         "inverted_index_postings": _inverted_index_postings,
         "zorder_layout": _zorder_layout,
@@ -6799,6 +6861,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_entity_history": _SCD2_SQL,
         "kg_link_prediction": _KG_LINK_PREDICTION_SQL,
         "kg_weighted_sssp": _kg_weighted_sssp_sql(),
+        "kg_clustering_coefficients": _KG_CLUSTERING_COEFF_SQL,
         "kg_incremental_components": _KG_INCREMENTAL_COMPONENTS_SQL,
         "inverted_index_postings": _INVERTED_POSTINGS_SQL,
         "zorder_layout": _zorder_layout_sql(),

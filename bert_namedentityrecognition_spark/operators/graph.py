@@ -601,3 +601,49 @@ def incremental_components(
         "node",
         F.coalesce(F.col("__new_comp"), F.col("component")).alias("component"),
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient over an UNDIRECTED graph,
+    integer-scaled: ``cc_scaled = (2·scale·triangles) DIV (deg·(deg−1))``
+    for every node with degree ≥ 2 (the coefficient is undefined below
+    that).  Nodes in no triangle report 0 — the cohesion score a KG
+    quality pass ships per entity next to ``kg_kcore``'s membership.
+
+    Scale shape: triangle counts come from the degree-based-orientation
+    enumeration (``triangle_counts_df`` — O(m^1.5) worst case); degrees
+    are one map-side-combined aggregate; the stitch is a left join on
+    node.  All-integer (rule 11) — bit-exact in any engine."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    tris = triangle_counts_df(und, src="u", dst="v")
+    return (
+        deg.join(tris, "node", "left")
+        .select(
+            F.col("node").cast("long"),
+            F.col("deg").cast("long"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                f"CAST(2 * {int(scale)} * coalesce(triangles, 0) AS BIGINT)"
+                " DIV (deg * (deg - 1))"
+            ).alias("cc_scaled"),
+        )
+    )

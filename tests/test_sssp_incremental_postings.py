@@ -122,3 +122,29 @@ def test_new_queries_registered_with_oracles(q):
 
     assert q in e.queries()
     assert q in e.oracle_sql()
+
+
+def test_clustering_coefficients_k4_and_path(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # K4 on 0..3 (every node cc=1.0) + path 4-5-6 (deg-2 center, cc=0)
+    # + pendant 6-7 (node 7 deg 1 -> excluded)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.deg, r.triangles, r.cc_scaled)
+           for r in clustering_coefficients(df).collect()}
+    assert got == {
+        0: (3, 3, 1_000_000), 1: (3, 3, 1_000_000),
+        2: (3, 3, 1_000_000), 3: (3, 3, 1_000_000),
+        5: (2, 0, 0), 6: (2, 0, 0),
+    }
+
+
+def test_clustering_coefficients_registered():
+    import __spark_entry__ as e
+
+    assert "kg_clustering_coefficients" in e.queries()
+    assert "kg_clustering_coefficients" in e.oracle_sql()
