@@ -560,31 +560,49 @@ def incremental_components(
     back onto the assignment.  Min-of-mins = global min, so labels stay
     the same min-id labels a full recompute produces.
 
-    Scale shape: 2 bounded joins to remap delta endpoints, star-CC over a
-    delta-sized graph, then ONE broadcast join (merge map is at most
-    2·|delta| rows) + a union of the untouched assignment — no shuffle of
-    the big table at all."""
-    new_nodes = (
+    Scale shape: the corpus-sized assignment is touched exactly twice —
+    ONE label lookup of the (distinct, delta-sized) endpoint set against
+    it (in a bucketed deployment this is a bucket-pruned join; the big
+    side is never shuffled for it when stored partitioned by node), and
+    ONE broadcast join applying the merge map (≤ 2·|delta| rows).
+    Everything in between — endpoint remap, star-CC — runs on delta-sized
+    frames, the remaps via broadcast."""
+    dn = (
         delta_edges.select(F.col(src).cast("long").alias("node"))
         .union(delta_edges.select(F.col(dst).cast("long").alias("node")))
         .distinct()
-        .join(prev_assign.select("node"), "node", "left_anti")
-        .select("node", F.col("node").alias("component"))
     )
-    base = prev_assign.select(
-        F.col("node").cast("long").alias("node"),
-        F.col("component").cast("long").alias("component"),
-    ).unionByName(new_nodes)
-
-    lab = base.select("node", F.col("component").alias("__lab"))
+    # the single big-side lookup: label-or-NULL per delta endpoint
+    looked = (
+        dn.join(
+            prev_assign.select(
+                F.col("node").cast("long").alias("node"),
+                F.col("component").cast("long").alias("__prev_comp"),
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("__prev_comp"), F.col("node")).alias("__lab"),
+            F.col("__prev_comp").isNull().alias("__is_new"),
+        )
+        .localCheckpoint(eager=True)  # feeds 2 remaps + the new-node arm
+    )
     contracted = (
         delta_edges.select(
             F.col(src).cast("long").alias("su"), F.col(dst).cast("long").alias("sv")
         )
-        .join(lab.withColumnRenamed("node", "su"), "su")
-        .withColumnRenamed("__lab", "lu")
-        .join(lab.withColumnRenamed("node", "sv"), "sv")
-        .withColumnRenamed("__lab", "lv")
+        .join(
+            F.broadcast(looked.select(F.col("node").alias("su"),
+                                      F.col("__lab").alias("lu"))),
+            "su",
+        )
+        .join(
+            F.broadcast(looked.select(F.col("node").alias("sv"),
+                                      F.col("__lab").alias("lv"))),
+            "sv",
+        )
         .select(F.col("lu").alias("src"), F.col("lv").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -593,6 +611,14 @@ def incremental_components(
 
     merges = connected_components_star(contracted).select(
         F.col("node").alias("__old_comp"), F.col("component").alias("__new_comp")
+    )
+    base = prev_assign.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    ).unionByName(
+        looked.filter(F.col("__is_new")).select(
+            "node", F.col("node").alias("component")
+        )
     )
     out = base.join(
         F.broadcast(merges), base.component == merges.__old_comp, "left"
