@@ -6313,6 +6313,255 @@ FROM ranked WHERE rank <= 2
 """
 
 
+def _kg_integrity_audit(spark, sf):
+    """Referential-integrity audit of a materialized KG edge list — the
+    pre-publish quality gate a nodes/edges table ships with (the north
+    rule's "graph materialize" step): self-loops, duplicate edge rows,
+    orphan edges (an endpoint absent from the nodes table), isolated
+    nodes, and the total — each count sf-scaled and ≥ 1 at every sf so
+    all five branches are live.  Both twins inject the SAME deterministic
+    defects into the canonical derived alias graph: self-loops at
+    i ≡ 0 (mod 500), a duplicate copy of chain edge (i, i−1) at
+    i ≡ 0 (mod 300), orphan edges (i, n+i) at i ≡ 0 (mod 700), i ≥ 700,
+    and 5 registered-but-unreferenced nodes n..n+4.  Shape: anti-joins
+    against the nodes table + map-side-combined aggs — one bounded pass;
+    no windows, no Python.  All-integer (rule 11)."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    loops = ids.filter(F.col("id") % 500 == 0).select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
+    dups = ids.filter(
+        (F.col("id") > 0) & (F.col("id") % 300 == 0) & (F.col("id") % 40 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 1).alias("dst"))
+    orphans = ids.filter((F.col("id") % 700 == 0) & (F.col("id") >= 700)).select(
+        F.col("id").alias("src"), (F.col("id") + F.lit(n)).alias("dst")
+    )
+    # edges feeds all five metric arms, nodes feeds two — materialize once
+    # (rule 23: exchange reuse does not dedup near-identical subtrees)
+    edges = (
+        chain.union(heads).union(loops).union(dups).union(orphans)
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        spark.range(n + 5).select(F.col("id").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _m(name, df):
+        return df.agg(F.count(F.lit(1)).alias("value")).select(
+            F.lit(name).alias("metric"), F.col("value").cast("long")
+        )
+
+    flagged = edges.join(
+        nodes.select(F.col("node").alias("src"), F.lit(1).alias("__src_ok")),
+        "src",
+        "left",
+    ).join(
+        nodes.select(F.col("node").alias("dst"), F.lit(1).alias("__dst_ok")),
+        "dst",
+        "left",
+    )
+    endpoints = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return (
+        _m("n_edges_total", edges)
+        .unionByName(_m("n_self_loops", edges.filter(F.col("src") == F.col("dst"))))
+        .unionByName(
+            _m(
+                "n_duplicate_pairs",
+                edges.groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") > 1),
+            )
+        )
+        .unionByName(
+            _m(
+                "n_orphan_edges",
+                flagged.filter(
+                    F.col("__src_ok").isNull() | F.col("__dst_ok").isNull()
+                ),
+            )
+        )
+        .unionByName(
+            _m(
+                "n_isolated_nodes",
+                nodes.join(endpoints.distinct(), "node", "left_anti"),
+            )
+        )
+    )
+
+
+_KG_INTEGRITY_AUDIT_SQL = """
+WITH
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS n FROM ids),
+edges AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+  UNION ALL
+  SELECT i AS a, i AS b FROM ids WHERE i % 500 = 0
+  UNION ALL
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 300 = 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i + n AS b FROM ids, params WHERE i % 700 = 0 AND i >= 700
+),
+nodes AS MATERIALIZED (
+  SELECT i AS node FROM ids
+  UNION ALL
+  SELECT n + x AS node FROM params, unnest(generate_series(0, 4)) AS t(x)
+)
+SELECT 'n_edges_total' AS metric, CAST(count(*) AS BIGINT) AS value FROM edges
+UNION ALL
+SELECT 'n_self_loops', CAST(count(*) AS BIGINT) FROM edges WHERE a = b
+UNION ALL
+SELECT 'n_duplicate_pairs', CAST(count(*) AS BIGINT) FROM (
+  SELECT a, b FROM edges GROUP BY a, b HAVING count(*) > 1)
+UNION ALL
+SELECT 'n_orphan_edges', CAST(count(*) AS BIGINT) FROM edges
+WHERE NOT EXISTS (SELECT 1 FROM nodes WHERE node = edges.a)
+   OR NOT EXISTS (SELECT 1 FROM nodes WHERE node = edges.b)
+UNION ALL
+SELECT 'n_isolated_nodes', CAST(count(*) AS BIGINT) FROM nodes
+WHERE NOT EXISTS (SELECT 1 FROM edges WHERE edges.a = nodes.node)
+  AND NOT EXISTS (SELECT 1 FROM edges WHERE edges.b = nodes.node)
+"""
+
+
+def _dataset_split_hash(spark, sf):
+    """Deterministic train/val/test split by portable content hash — the
+    leakage-safe dataset partitioning a training pipeline applies before
+    anything else (hash of the TEXT, not the id, so re-ingested
+    duplicates land in the same split).  Reuses the engine's portable
+    polynomial hash (the ``doc_fingerprint`` kernel, identical lambda in
+    DuckDB): split = fp_poly % 100 → <80 train, <90 val, else test.
+    Output: per-split doc count, total chars, distinct langs, id range —
+    one map + one map-side-combined agg, no Python, no shuffle beyond
+    the 3-group agg (rule 11: all-integer)."""
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+
+    d = _t(spark, sf, "documents")
+    h = poly_hash(F.col("text")) % 100
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_DATASET_SPLIT_SQL = """
+WITH h AS (
+  SELECT *,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all(text, '.'),
+                       x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) AS BIGINT) % 100 AS hp
+  FROM documents
+)
+SELECT CASE WHEN hp < 80 THEN 'train' WHEN hp < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM h GROUP BY 1
+"""
+
+
+def _kg_snapshot_asof(spark, sf):
+    """Temporal-KG snapshot: the entity state table AS OF the corpus
+    midpoint — compose ``scd2_entity_history``'s validity intervals with
+    the standard as-of predicate (valid_from ≤ T < valid_to, open
+    current version included).  Exactly one row per user at any T inside
+    the corpus span, so row count pins the predicate and values pin the
+    interval build.  T is a DERIVED scalar (rule 24): both twins compute
+    ``(min(ts_us) + max(ts_us)) // 2`` with the same integer arithmetic
+    — a params CTE in SQL, one bounded scalar agg on the Spark side.
+    Shape: the SCD2 single window shuffle + a pure filter; nothing else."""
+    from bert_namedentityrecognition_spark.operators.temporal import scd2_history
+
+    e = _t(spark, sf, "events")
+    ep = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    row = e.agg(
+        F.min(ep).alias("mn"), F.max(ep).alias("mx")
+    ).collect()[0]
+    t_mid = (int(row["mn"]) + int(row["mx"])) // 2
+    upd = e.select(
+        "user_id", ep.alias("ts_us"), "event_id",
+        F.col("event_type").alias("status"),
+    )
+    scd = scd2_history(upd, ["user_id"], "ts_us", ["status"], ["event_id"])
+    return scd.filter(
+        (F.col("valid_from") <= t_mid)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t_mid))
+    ).select(
+        "user_id",
+        "status",
+        "version",
+        F.lit(t_mid).cast("long").alias("as_of_us"),
+    )
+
+
+_KG_SNAPSHOT_ASOF_SQL = """
+WITH params AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_mid FROM events
+),
+upd AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS status
+  FROM events
+),
+lagged AS (
+  SELECT user_id, ts_us, event_id, status,
+         lag(status) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_status,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS rn
+  FROM upd
+),
+kept AS (
+  SELECT user_id, ts_us, event_id, status FROM lagged
+  WHERE rn = 1 OR NOT (status IS NOT DISTINCT FROM prev_status)
+),
+scd AS (
+  SELECT user_id, status, ts_us AS valid_from,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS version
+  FROM kept
+)
+SELECT user_id, status, CAST(version AS BIGINT) AS version,
+       CAST(t_mid AS BIGINT) AS as_of_us
+FROM scd, params
+WHERE valid_from <= t_mid AND (valid_to IS NULL OR valid_to > t_mid)
+"""
+
+
 def _kg_clustering_coefficients(spark, sf):
     """Per-node local clustering coefficient over the SAME derived
     co-mention graph as ``kg_triangle_counts`` (path + skip edges from the
@@ -6728,6 +6977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": _kg_link_prediction,
         "kg_weighted_sssp": _kg_weighted_sssp,
         "kg_clustering_coefficients": _kg_clustering_coefficients,
+        "kg_integrity_audit": _kg_integrity_audit,
+        "kg_snapshot_asof": _kg_snapshot_asof,
+        "dataset_split_hash": _dataset_split_hash,
         "kg_incremental_components": _kg_incremental_components,
         "inverted_index_postings": _inverted_index_postings,
         "zorder_layout": _zorder_layout,
@@ -6862,6 +7114,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_prediction": _KG_LINK_PREDICTION_SQL,
         "kg_weighted_sssp": _kg_weighted_sssp_sql(),
         "kg_clustering_coefficients": _KG_CLUSTERING_COEFF_SQL,
+        "kg_integrity_audit": _KG_INTEGRITY_AUDIT_SQL,
+        "kg_snapshot_asof": _KG_SNAPSHOT_ASOF_SQL,
+        "dataset_split_hash": _DATASET_SPLIT_SQL,
         "kg_incremental_components": _KG_INCREMENTAL_COMPONENTS_SQL,
         "inverted_index_postings": _INVERTED_POSTINGS_SQL,
         "zorder_layout": _zorder_layout_sql(),
