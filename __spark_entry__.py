@@ -4635,6 +4635,53 @@ sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edg
     return pagerank_sql(graph_ctes, iterations=6)
 
 
+def _kg_hits_scores(spark, sf):
+    """Unnormalized integer HITS (Kleinberg hubs-and-authorities) over a
+    DIRECTED citation-style graph derived from the ``events`` row count
+    (sf-scaled 1k/10k/100k nodes): chain edges i→i−1 plus skip edges
+    i→i−2 for i ≢ 0 (mod 3) — the directed counterpart of the
+    ``kg_clustering_coefficients`` fixture, so hub/authority asymmetry is
+    live at every sf (later nodes cite earlier ones; PageRank's symmetric
+    twin can't see the direction).  Hub/authority scores are the SECOND
+    centrality a KG materialization ships next to PageRank — on a web
+    link graph they separate index pages from cited content.  The
+    reference has no graph stage (``OICI_database.py:34-39``).
+
+    Exactness: per-step L2 normalization is dropped (a monotone rescale
+    that never reorders scores), so every score is an exact BIGINT sum
+    (rule 11) and the DuckDB twin (``oracle/graph.py:hits_sql`` —
+    unrolled half-step CTEs, MATERIALIZED per rule 30) matches
+    bit-for-bit at any corpus size.  Overflow bound carried in the
+    operator docstring: (in_deg·out_deg)^iterations ≤ 2⁶ here.  3
+    iterations = 12 shuffles; edge list localCheckpoint-materialized once
+    (rule 23)."""
+    from bert_namedentityrecognition_spark.operators.graph import hits_integer
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 2).alias("dst")
+    )
+    return hits_integer(chain.union(skip), iterations=3)
+
+
+def _kg_hits_scores_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import hits_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+dedges AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0
+  UNION
+  SELECT i AS a, i - 2 AS b FROM ids WHERE i > 1 AND i % 3 <> 0
+)
+"""
+    return hits_sql(graph_ctes, iterations=3)
+
+
 def _kg_label_propagation(spark, sf):
     """Deterministic synchronous label propagation (community detection)
     over the SAME derived alias graph as ``kg_alias_components``/
@@ -6964,6 +7011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textprep_scalars": _textprep_scalars,
         "kg_alias_components": _kg_alias_components,
         "kg_entity_pagerank": _kg_entity_pagerank,
+        "kg_hits_scores": _kg_hits_scores,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -7100,6 +7148,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact graph analytics over derived graphs (rule 20 family:
         # all-integer arithmetic, unrolled iterations, MATERIALIZED graph CTEs)
         "kg_entity_pagerank": _kg_entity_pagerank_sql(),
+        "kg_hits_scores": _kg_hits_scores_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

@@ -673,3 +673,70 @@ def clustering_coefficients(
             ).alias("cc_scaled"),
         )
     )
+
+
+def hits_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DIRECTED ``edges(src, dst)`` (dups dropped) → ``(node, hub_scaled,
+    auth_scaled)`` — the exact unnormalized integer HITS of
+    ``oracle.graph.hits_int``.  Per iteration: one join+agg to push hub
+    mass forward onto authorities, one to pull authority mass back onto
+    hubs — 4 shuffles/iteration, same shape as ``pagerank_integer``.  The
+    distinct edge list is ``localCheckpoint``-materialized once and reused
+    by every half-step (rule 23), and each score table is checkpointed per
+    level so plan size stays O(1) in ``iterations``.
+
+    Caller bound (int64 overflow): scores grow at most
+    ``(in_deg_max * out_deg_max)**iterations`` — at web-graph degrees
+    (10^5) keep iterations <= 3 or pre-scale to decimal(38,0); the gate
+    fixture's degree cap of 2 keeps everything below 2**6."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("ea"),
+            F.col(dst).cast("long").alias("eb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("ea").alias("node"))
+        .union(e.select(F.col("eb").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iterations):
+        fwd = (
+            e.join(hub, e.ea == hub.node)
+            .groupBy("eb")
+            .agg(F.sum("hub").alias("v"))
+        )
+        auth = (
+            nodes.join(fwd, nodes.node == fwd.eb, "left")
+            .select(
+                "node", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("auth")
+            )
+            .localCheckpoint(eager=True)
+        )
+        bwd = (
+            e.join(auth, e.eb == auth.node)
+            .groupBy("ea")
+            .agg(F.sum("auth").alias("v"))
+        )
+        hub = (
+            nodes.join(bwd, nodes.node == bwd.ea, "left")
+            .select(
+                "node", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("hub")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node").select(
+        "node",
+        F.col("hub").alias("hub_scaled"),
+        F.col("auth").alias("auth_scaled"),
+    )

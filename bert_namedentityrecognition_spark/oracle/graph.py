@@ -501,3 +501,78 @@ def sssp_sql(graph_ctes: str, rounds: int) -> str:
         f"FROM d{rounds}"
     )
     return "\n".join(parts)
+
+
+def hits_int(
+    edges: Iterable[Tuple[int, int]], iterations: int = 3
+) -> Dict[int, Tuple[int, int]]:
+    """Unnormalized integer HITS over DIRECTED, DISTINCT ``edges`` —
+    Kleinberg's hubs-and-authorities power iteration with the per-step
+    normalization dropped so every value stays an exact BIGINT (the
+    RANKING is what a KG consumer reads; the usual L2 normalization is a
+    monotone per-step rescale that never reorders scores).  Returns
+    ``{node: (hub, auth)}`` after ``iterations`` full (auth-then-hub)
+    half-step pairs from ``hub0 = 1``::
+
+        auth_t(v) = sum_{u->v} hub_{t-1}(u)
+        hub_t(u)  = sum_{u->v} auth_t(v)
+
+    Growth bound: ``max_t <= (in_deg_max * out_deg_max)^t`` — with the
+    gate fixture's degree cap of 2 and 3 iterations the scores stay below
+    2**6, astronomically inside int64 (the operator docstring carries the
+    general bound a caller must check)."""
+    out: Dict[int, List[int]] = defaultdict(list)
+    inn: Dict[int, List[int]] = defaultdict(list)
+    nodes = set()
+    for a, b in set(edges):
+        nodes.add(a)
+        nodes.add(b)
+        out[a].append(b)
+        inn[b].append(a)
+    hub = {v: 1 for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        auth = {v: sum(hub[u] for u in inn.get(v, ())) for v in nodes}
+        hub = {u: sum(auth[v] for v in out.get(u, ())) for u in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def hits_sql(graph_ctes: str, iterations: int = 3) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`hits_int`.
+
+    ``graph_ctes`` must define ``dedges(a, b)`` — the DISTINCT directed
+    edge list.  ``dedges``/``nodes`` are referenced at every level and
+    each ``a{k}``/``h{k}`` feeds both the next half-step and (at the top)
+    the final join, so all are MATERIALIZED (rule 30: DuckDB inlines
+    non-materialized CTEs per reference — the plan would double per
+    half-step otherwise)."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "nodes AS MATERIALIZED (SELECT a AS node FROM dedges "
+        "UNION SELECT b FROM dedges),",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT n.node, "
+            f"CAST(COALESCE(s.v, 0) AS BIGINT) AS auth FROM nodes n "
+            f"LEFT JOIN (SELECT e.b AS node, SUM(h.hub) AS v "
+            f"FROM dedges e JOIN h{k - 1} h ON h.node = e.a "
+            f"GROUP BY e.b) s ON s.node = n.node),"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT n.node, "
+            f"CAST(COALESCE(s.v, 0) AS BIGINT) AS hub FROM nodes n "
+            f"LEFT JOIN (SELECT e.a AS node, SUM(a.auth) AS v "
+            f"FROM dedges e JOIN a{k} a ON a.node = e.b "
+            f"GROUP BY e.a) s ON s.node = n.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(h.node AS BIGINT) AS node, h.hub AS hub_scaled, "
+        f"a.auth AS auth_scaled FROM h{iterations} h "
+        f"JOIN a{iterations} a ON a.node = h.node"
+    )
+    return "\n".join(parts)

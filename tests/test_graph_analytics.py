@@ -420,3 +420,57 @@ sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edg
     sql = label_prop_sql(graph_ctes, rounds=6)
     got = {int(a): int(b) for a, b in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_hits_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import hits_integer
+    from bert_namedentityrecognition_spark.oracle.graph import hits_int
+
+    random.seed(11)
+    directed = list(
+        {(random.randrange(25), random.randrange(25)) for _ in range(70)}
+    )
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_integer(df, iterations=3).collect()
+    }
+    assert got == hits_int(directed, iterations=3)
+
+
+def test_hits_known_graph(spark):
+    """Star u->{1,2,3}: u is the sole hub, leaves are pure authorities."""
+    from bert_namedentityrecognition_spark.operators.graph import hits_integer
+    from bert_namedentityrecognition_spark.oracle.graph import hits_int
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    want = hits_int(edges, iterations=2)
+    # hand check: auth1(v)=1 each, hub1(0)=3; auth2(v)=3, hub2(0)=9
+    assert want[0] == (9, 0)
+    assert want[1] == want[2] == want[3] == (0, 3)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_integer(df, iterations=2).collect()
+    }
+    assert got == want
+
+
+def test_hits_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        hits_int,
+        hits_sql,
+    )
+
+    random.seed(13)
+    directed = list(
+        {(random.randrange(20), random.randrange(20)) for _ in range(50)}
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", directed)
+    sql = hits_sql("dedges AS MATERIALIZED (SELECT DISTINCT a, b FROM e)", 3)
+    got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == hits_int(directed, iterations=3)
