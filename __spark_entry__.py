@@ -6609,6 +6609,210 @@ WHERE valid_from <= t_mid AND (valid_to IS NULL OR valid_to > t_mid)
 """
 
 
+def _kg_snapshot_diff(spark, sf):
+    """CDC changefeed between two as-of points of the SCD2 entity history
+    — the incremental-consumption complement of ``kg_snapshot_asof``: a
+    consumer holding the t1 state applies exactly these insert / update /
+    delete rows to reach t2 instead of re-reading the world (Iceberg/Delta
+    CDC semantics; the north rule's resumable materialization consumes
+    this shape).  ``status = 'purchase'`` versions are soft-delete
+    tombstones (absent from their snapshot), which keeps ALL THREE change
+    types live at every sf from an append-only ledger (verified in
+    ``tests/test_temporal_cdc.py``).  Entities are sharded
+    ``user_id·8 + event_id%8`` (the ``events_funnel`` thinning dial:
+    sf0.001 has only 15 raw users — too coarse for three live branches).
+    t1/t2 are DERIVED scalars (rule 24):
+    both twins compute the span quartiles with the same integer
+    arithmetic.  Shape: the SCD2 single window shuffle, two pure filters,
+    ONE full-outer shuffle join (full-outer cannot broadcast — both sides
+    are entity-sized by design).  Beyond-reference (the reference rebuilds
+    dictionaries from scratch, ``OICI_database.py``)."""
+    from bert_namedentityrecognition_spark.operators.temporal import (
+        scd2_history,
+        snapshot_diff,
+    )
+
+    e = _t(spark, sf, "events")
+    ep = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    row = e.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx")).collect()[0]
+    mn, mx = int(row["mn"]), int(row["mx"])
+    t1 = mn + (mx - mn) // 4
+    t2 = mn + (3 * (mx - mn)) // 4
+    upd = e.select(
+        (F.col("user_id") * 8 + F.col("event_id") % 8).alias("entity_id"),
+        ep.alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("status"),
+    )
+    scd = scd2_history(upd, ["entity_id"], "ts_us", ["status"], ["event_id"])
+    return snapshot_diff(
+        scd,
+        ["entity_id"],
+        ["status"],
+        t1,
+        t2,
+        tombstone=F.col("status") == "purchase",
+    )
+
+
+_KG_SNAPSHOT_DIFF_SQL = """
+WITH params AS MATERIALIZED (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 4
+           AS t1,
+         min(epoch_us(ts)) + (3 * (max(epoch_us(ts)) - min(epoch_us(ts)))) // 4
+           AS t2
+  FROM events
+),
+upd AS (
+  SELECT user_id * 8 + event_id % 8 AS entity_id, epoch_us(ts) AS ts_us,
+         event_id, event_type AS status
+  FROM events
+),
+lagged AS (
+  SELECT entity_id, ts_us, event_id, status,
+         lag(status) OVER (PARTITION BY entity_id ORDER BY ts_us, event_id)
+           AS prev_status,
+         row_number() OVER (PARTITION BY entity_id ORDER BY ts_us, event_id)
+           AS rn
+  FROM upd
+),
+kept AS (
+  SELECT entity_id, ts_us, event_id, status FROM lagged
+  WHERE rn = 1 OR NOT (status IS NOT DISTINCT FROM prev_status)
+),
+scd AS MATERIALIZED (
+  SELECT entity_id, status, ts_us AS valid_from,
+         lead(ts_us) OVER (PARTITION BY entity_id ORDER BY ts_us, event_id)
+           AS valid_to
+  FROM kept
+),
+s1 AS (
+  SELECT entity_id, status FROM scd, params
+  WHERE valid_from <= t1 AND (valid_to IS NULL OR valid_to > t1)
+    AND status <> 'purchase'
+),
+s2 AS (
+  SELECT entity_id, status FROM scd, params
+  WHERE valid_from <= t2 AND (valid_to IS NULL OR valid_to > t2)
+    AND status <> 'purchase'
+)
+SELECT COALESCE(s1.entity_id, s2.entity_id) AS entity_id,
+       CASE WHEN s1.status IS NULL THEN 'insert'
+            WHEN s2.status IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       s1.status AS old_status,
+       s2.status AS new_status
+FROM s1 FULL OUTER JOIN s2 ON s1.entity_id = s2.entity_id
+WHERE s1.status IS NULL OR s2.status IS NULL OR s1.status <> s2.status
+"""
+
+
+def _events_retention_cohorts(spark, sf):
+    """Weekly cohort/retention matrix over the event stream — the
+    product-analytics staple next to ``events_funnel``, and at KG scale
+    the freshness audit of an incremental materialization (which ingest
+    cohort of entities still receives updates k weeks on).  Periods are
+    pure integer arithmetic (``epoch_day DIV 7`` — no calendar functions,
+    rule 11), so the twin replays bit-for-bit; ``retention_ppm`` is the
+    BIGINT ratio, with offset 0 pinned at 10⁶ by construction.
+    ``operators/temporal.py:retention_cohorts``: window min on ONE
+    user_id exchange (no second pass over raw events), dedup on the finer
+    (user, cohort, offset) key, map-side-combined agg, BROADCAST cohort-
+    size join (one row per cohort week).  Beyond-reference."""
+    from bert_namedentityrecognition_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    e = _t(spark, sf, "events")
+    d = e.select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp_ltz)) div 86400000000"
+        ).alias("day"),
+    )
+    return retention_cohorts(d, ["user_id"], "day", period_days=7)
+
+
+_EVENTS_RETENTION_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+f AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS first_day
+  FROM d
+),
+base AS MATERIALIZED (
+  SELECT DISTINCT user_id, first_day // 7 AS cohort_period,
+         day // 7 - first_day // 7 AS period_offset
+  FROM f
+),
+active AS (
+  SELECT cohort_period, period_offset, count(*) AS n_active
+  FROM base GROUP BY cohort_period, period_offset
+),
+sizes AS (
+  SELECT cohort_period, count(*) AS cohort_size
+  FROM base WHERE period_offset = 0 GROUP BY cohort_period
+)
+SELECT a.cohort_period, a.period_offset,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST((1000000 * a.n_active) // s.cohort_size AS BIGINT)
+         AS retention_ppm
+FROM active a JOIN sizes s USING (cohort_period)
+"""
+
+
+def _compaction_binpack(spark, sf):
+    """Small-files compaction planner over the ``documents`` manifest
+    (file_id = doc_id, size = n_chars): next-fit-decreasing bin
+    assignment ``(running_total − size) DIV target`` with per-bin stats —
+    the decision table an OPTIMIZE/rewrite-data-files pass consumes, and
+    the write-side complement of ``zorder_layout``'s read-side audit.
+    The running total comes from ``operators/layout.py:
+    distributed_prefix_sum`` — a TWO-PASS parallel prefix sum
+    (repartitionByRange tiling + per-partition windows + a one-row-per-
+    partition offset collect), NOT a single-partition ``Window.orderBy``:
+    a 100 TB table's manifest is millions of rows and the naive window
+    funnels them through one task.  ``target`` is a DERIVED scalar
+    (rule 24: ``total DIV 32 + 1``, same integer arithmetic in the params
+    CTE).  All-BIGINT (rule 11).  Beyond-reference."""
+    from bert_namedentityrecognition_spark.operators.layout import (
+        compaction_binpack,
+    )
+
+    d = _t(spark, sf, "documents")
+    total = int(
+        d.agg(F.sum(F.col("n_chars").cast("long")).alias("s"))
+        .collect()[0]["s"]
+    )
+    target = total // 32 + 1
+    return compaction_binpack(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", target
+    )
+
+
+_COMPACTION_BINPACK_SQL = """
+WITH params AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) // 32 + 1 AS target FROM documents
+),
+cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM documents
+)
+SELECT CAST((c - sz) // target AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       CAST(min(sz) AS BIGINT) AS min_bytes,
+       CAST(max(sz) AS BIGINT) AS max_bytes
+FROM cum, params GROUP BY 1
+"""
+
+
 def _kg_clustering_coefficients(spark, sf):
     """Per-node local clustering coefficient over the SAME derived
     co-mention graph as ``kg_triangle_counts`` (path + skip edges from the
@@ -7027,6 +7231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering_coefficients": _kg_clustering_coefficients,
         "kg_integrity_audit": _kg_integrity_audit,
         "kg_snapshot_asof": _kg_snapshot_asof,
+        "kg_snapshot_diff": _kg_snapshot_diff,
+        "events_retention_cohorts": _events_retention_cohorts,
+        "compaction_binpack": _compaction_binpack,
         "dataset_split_hash": _dataset_split_hash,
         "kg_incremental_components": _kg_incremental_components,
         "inverted_index_postings": _inverted_index_postings,
@@ -7165,6 +7372,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering_coefficients": _KG_CLUSTERING_COEFF_SQL,
         "kg_integrity_audit": _KG_INTEGRITY_AUDIT_SQL,
         "kg_snapshot_asof": _KG_SNAPSHOT_ASOF_SQL,
+        "kg_snapshot_diff": _KG_SNAPSHOT_DIFF_SQL,
+        "events_retention_cohorts": _EVENTS_RETENTION_SQL,
+        "compaction_binpack": _COMPACTION_BINPACK_SQL,
         "dataset_split_hash": _DATASET_SPLIT_SQL,
         "kg_incremental_components": _KG_INCREMENTAL_COMPONENTS_SQL,
         "inverted_index_postings": _INVERTED_POSTINGS_SQL,

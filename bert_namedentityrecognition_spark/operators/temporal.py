@@ -264,3 +264,143 @@ def funnel_steps(
             F.first("max_stage").alias("max_stage"),
         )
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort/retention matrix over an activity stream: each key's cohort
+    is the period (integer ``day_col DIV period_days`` — pure integer
+    arithmetic, no calendar functions, so any SQL engine replays it
+    bit-for-bit) of its FIRST active day; the output counts, per
+    ``(cohort_period, period_offset)``, how many distinct keys were active
+    again ``offset`` periods later, plus the parts-per-million retention
+    ratio against the cohort size (offset 0 ⇒ ppm = 10^6 by construction —
+    a built-in self-check).
+
+    This is the product-analytics staple next to ``funnel_steps``, and at
+    KG scale the freshness audit of an incremental materialization: which
+    ingest cohort of entities is still receiving updates k weeks on.
+
+    Exactness: min/DIV/count on integers only (rule 11); retention_ppm is
+    BIGINT ``(10^6 * n_active) DIV cohort_size``.
+
+    100 TB notes: first-day is a window min over ONE ``partitionBy(key)``
+    exchange; the per-(key, cohort, offset) dedup then re-shuffles on a
+    strictly finer key (no second pass over raw events), the final agg is
+    map-side combinable, and cohort sizes join back via BROADCAST (one row
+    per cohort period — thousands at most for decades of data).  No
+    Python runners.
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols)
+    day = F.col(day_col).cast("long")
+    # true integer division (div), not float division — truncation
+    # semantics must match the SQL twin's // on BIGINTs
+    base = (
+        df.withColumn("__first_day", F.min(day).over(w))
+        .select(
+            *key_cols,
+            F.expr(f"__first_day div {int(period_days)}").alias(
+                "cohort_period"
+            ),
+            (
+                F.expr(f"{day_col} div {int(period_days)}")
+                - F.expr(f"__first_day div {int(period_days)}")
+            ).cast("long").alias("period_offset"),
+        )
+        .distinct()
+    )
+    active = base.groupBy("cohort_period", "period_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    sizes = (
+        base.filter(F.col("period_offset") == 0)
+        .groupBy("cohort_period")
+        .agg(F.count("*").cast("long").alias("cohort_size"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        F.expr("(1000000 * n_active) div cohort_size").alias(
+            "retention_ppm"
+        ),
+    )
+
+
+def snapshot_diff(
+    scd: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    t1: int,
+    t2: int,
+    tombstone: Optional[Column] = None,
+) -> DataFrame:
+    """CDC changefeed between two as-of snapshots of an SCD2 history
+    (``scd2_history`` output: ``valid_from``/``valid_to`` with NULL = open
+    current version): emit one row per key whose state DIFFERS between
+    ``t1`` and ``t2``, classified ``insert`` / ``update`` / ``delete``,
+    with ``old_*`` / ``new_*`` value columns.  ``tombstone`` (a boolean
+    Column over the version's value columns) marks soft-deleted versions:
+    a tombstoned version is ABSENT from its snapshot, which is what makes
+    ``delete`` (live at t1, tombstoned by t2) and re-activation
+    (``insert`` after a tombstone) reachable from an append-only ledger.
+
+    This is the incremental-consumption face of the temporal family:
+    ``kg_snapshot_asof`` reads ONE point in time; a downstream consumer
+    that already holds the t1 state applies exactly this diff to reach t2
+    (Iceberg/Delta CDC semantics) instead of re-reading the world —
+    the 100 TB reason this operator exists.
+
+    Exactness: equality-only predicates over integral timestamps and
+    null-safe value comparison (rule 11) — unchanged keys are dropped by
+    ``NOT (old <=> new)`` per value column.
+
+    100 TB notes: both snapshots are pure filters over the SAME SCD2
+    dataframe (one upstream window shuffle, evaluated twice); the diff is
+    a single full-outer shuffle join on the key (full-outer cannot
+    broadcast — both sides are entity-sized by design).  State per key is
+    one row per side.
+    """
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+
+    def snap(t: int, pfx: str) -> DataFrame:
+        s = scd.filter(
+            (F.col("valid_from") <= F.lit(t))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(t)))
+        )
+        if tombstone is not None:
+            s = s.filter(~tombstone)
+        return s.select(
+            *key_cols, *[F.col(c).alias(f"{pfx}{c}") for c in value_cols]
+        )
+
+    s1 = snap(t1, "old_")
+    s2 = snap(t2, "new_")
+    j = s1.join(s2, key_cols, "full_outer")
+    probe_old = F.col(f"old_{value_cols[0]}")
+    probe_new = F.col(f"new_{value_cols[0]}")
+    # presence probes: value_cols[0] must be non-null in live versions
+    # (snapshots emit at most one row per key, so a NULL probe == no row)
+    change = (
+        F.when(probe_old.isNull(), F.lit("insert"))
+        .when(probe_new.isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    unchanged = F.lit(True)
+    for c in value_cols:
+        unchanged = unchanged & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    return j.filter(
+        probe_old.isNull() | probe_new.isNull() | ~unchanged
+    ).select(
+        *key_cols,
+        change.alias("change_type"),
+        *[F.col(f"old_{c}") for c in value_cols],
+        *[F.col(f"new_{c}") for c in value_cols],
+    )
