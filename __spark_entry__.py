@@ -4635,6 +4635,59 @@ sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edg
     return pagerank_sql(graph_ctes, iterations=6)
 
 
+def _kg_personalized_pagerank(spark, sf):
+    """Integer-exact PERSONALIZED PageRank (topic-sensitive restart) over
+    the SAME derived alias graph as ``kg_entity_pagerank`` — teleport
+    mass restricted to the seed entities ``node % 97 = 0`` (the
+    "related to THIS entity set" ranking a KG serves next to global
+    PageRank; the blocked fixture leaves whole components seedless, so
+    the exact-0 locality branch is live at every sf).  The seed predicate
+    is ONE template string evaluated by both engines
+    (``operators/graph.py:personalized_pagerank_integer`` via F.expr,
+    ``oracle/graph.py:ppr_sql`` inlined in the CTEs — rule 6 by
+    construction).  Exactness: all-BIGINT (rule 11), 85/100 damping via
+    DIV; same 2-shuffles/iteration plan as the global variant, edge list
+    materialized once (rule 23).  The reference has no graph stage
+    (``OICI_database.py:34-39``)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return personalized_pagerank_integer(
+        sym, "{node} % 97 = 0", iterations=6
+    )
+
+
+def _kg_personalized_pagerank_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import ppr_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    return ppr_sql(graph_ctes, "{node} % 97 = 0", iterations=6)
+
+
 def _kg_hits_scores(spark, sf):
     """Unnormalized integer HITS (Kleinberg hubs-and-authorities) over a
     DIRECTED citation-style graph derived from the ``events`` row count
@@ -7215,6 +7268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textprep_scalars": _textprep_scalars,
         "kg_alias_components": _kg_alias_components,
         "kg_entity_pagerank": _kg_entity_pagerank,
+        "kg_personalized_pagerank": _kg_personalized_pagerank,
         "kg_hits_scores": _kg_hits_scores,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
@@ -7355,6 +7409,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact graph analytics over derived graphs (rule 20 family:
         # all-integer arithmetic, unrolled iterations, MATERIALIZED graph CTEs)
         "kg_entity_pagerank": _kg_entity_pagerank_sql(),
+        "kg_personalized_pagerank": _kg_personalized_pagerank_sql(),
         "kg_hits_scores": _kg_hits_scores_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,

@@ -740,3 +740,64 @@ def hits_integer(
         F.col("hub").alias("hub_scaled"),
         F.col("auth").alias("auth_scaled"),
     )
+
+
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seed_pred: str,
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DIRECTED ``edges(src, dst)`` → ``(node, rank_scaled)`` — the exact
+    integer PERSONALIZED PageRank of ``oracle.graph.ppr_int``: teleport
+    mass restricted to the seed set.  ``seed_pred`` is a SQL boolean
+    template over the ``{node}`` placeholder (e.g. ``"{node} % 97 = 0"``)
+    — the SAME string ``oracle.graph.ppr_sql`` embeds in the DuckDB twin,
+    so both engines evaluate one predicate source (rule 6 by
+    construction).  Plan shape identical to ``pagerank_integer`` (the
+    seed test is a codegen'd CASE, not a join): 2 shuffles/iteration,
+    edge list + out-degrees localCheckpoint-materialized once (rule 23).
+    Nodes unreachable from every seed hold rank exactly 0 at any scale —
+    the locality property that makes PPR the 'related entities' query."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    e = e.join(deg, "a").repartition("a").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = ((d_den - d_num) * init) // d_den
+    is_seed = F.expr(seed_pred.format(node="node"))
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(init)).otherwise(F.lit(0))
+        .cast("long").alias("rank_scaled"),
+    )
+    for _ in range(iterations):
+        inc = (
+            e.join(ranks, e.a == ranks.node)
+            .select(F.col("b"), F.expr("rank_scaled DIV deg").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, nodes.node == inc.b, "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(f"({d_num} * coalesce(inc, 0L)) DIV {d_den}")
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

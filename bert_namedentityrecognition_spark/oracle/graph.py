@@ -576,3 +576,94 @@ def hits_sql(graph_ctes: str, iterations: int = 3) -> str:
         f"JOIN a{iterations} a ON a.node = h.node"
     )
     return "\n".join(parts)
+
+
+def ppr_int(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> Dict[int, int]:
+    """Integer PERSONALIZED PageRank over DIRECTED ``edges``: identical to
+    :func:`pagerank_int` except the teleport mass lands only on ``seeds``
+    (topic-sensitive restart) — the "entities related to THIS entity set"
+    ranking a KG serves next to global PageRank.  All arithmetic integer::
+
+        rank0(v)  = init                      if v in seeds else 0
+        rank'(v)  = [v in seeds] * base  +  (d_num * sum(contrib)) // d_den
+
+    with ``base = ((d_den - d_num) * init) // d_den`` and the same
+    floor-div contributions as the global variant.  Non-seed nodes
+    unreachable from any seed stay exactly 0 — a built-in locality check.
+    """
+    out: Dict[int, List[int]] = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        out[a].append(b)
+    seed_set = set(seeds) & nodes
+    base = ((d_den - d_num) * init) // d_den
+    rank = {v: (init if v in seed_set else 0) for v in nodes}
+    for _ in range(iterations):
+        inc: Dict[int, int] = defaultdict(int)
+        for u, nbrs in out.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                inc[v] += c
+        rank = {
+            v: (base if v in seed_set else 0)
+            + (d_num * inc.get(v, 0)) // d_den
+            for v in nodes
+        }
+    return rank
+
+
+def ppr_sql(
+    graph_ctes: str,
+    seed_pred: str,
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`ppr_int`.
+
+    ``graph_ctes`` must define ``sym(a, b)``; ``seed_pred`` is a SQL
+    boolean template over the placeholder ``{node}`` (e.g.
+    ``"{node} % 97 = 0"``) — the SAME template string the Spark operator
+    evaluates via ``F.expr``, so the two engines share one predicate
+    source (rule 6 by construction).  MATERIALIZED per rule 30, levels
+    referenced once each so the plan grows linearly in ``iterations``.
+    """
+    base = ((d_den - d_num) * init) // d_den
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "deg AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),",
+        f"r0 AS (SELECT node, CAST(CASE WHEN {seed_pred.format(node='node')} "
+        f"THEN {init} ELSE 0 END AS BIGINT) AS r FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"inc{k} AS (SELECT s.b AS node, SUM(r.r // deg.d) AS inc "
+            f"FROM r{k - 1} r JOIN sym s ON s.a = r.node "
+            f"JOIN deg ON deg.a = r.node GROUP BY s.b),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.node, "
+            f"CAST(CASE WHEN {seed_pred.format(node='n.node')} THEN {base} "
+            f"ELSE 0 END AS BIGINT) + "
+            f"({d_num} * COALESCE(i.inc, 0)) // {d_den} AS r "
+            f"FROM nodes n LEFT JOIN inc{k} i ON i.node = n.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}"
+    )
+    return "\n".join(parts)

@@ -474,3 +474,72 @@ def test_hits_sql_twin_matches_kernel():
     sql = hits_sql("dedges AS MATERIALIZED (SELECT DISTINCT a, b FROM e)", 3)
     got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
     assert got == hits_int(directed, iterations=3)
+
+
+def test_ppr_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import ppr_int
+
+    random.seed(17)
+    directed = list(
+        {(random.randrange(30), random.randrange(30)) for _ in range(90)}
+    )
+    # symmetrize so no node dangles (the gate fixture's convention)
+    sym = list({*directed, *[(b, a) for a, b in directed]})
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in personalized_pagerank_integer(
+            df, "{node} % 5 = 0", iterations=4
+        ).collect()
+    }
+    seeds = [v for v in range(30) if v % 5 == 0]
+    assert got == ppr_int(sym, seeds, iterations=4)
+
+
+def test_ppr_seedless_component_is_exactly_zero(spark):
+    """Locality: a component with no seed holds rank 0 — the property
+    that distinguishes PPR from global PageRank."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    # component A: 0-1-2 (0 is a seed); component B: 10-11 (no seed)
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (10, 11), (11, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in personalized_pagerank_integer(
+            df, "{node} = 0", iterations=3
+        ).collect()
+    }
+    assert got[10] == 0 and got[11] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+def test_ppr_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        ppr_int,
+        ppr_sql,
+    )
+
+    random.seed(19)
+    directed = list(
+        {(random.randrange(25), random.randrange(25)) for _ in range(70)}
+    )
+    sym = list({*directed, *[(b, a) for a, b in directed]})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", sym)
+    sql = ppr_sql(
+        "sym AS MATERIALIZED (SELECT DISTINCT a, b FROM e)",
+        "{node} % 4 = 1",
+        iterations=4,
+    )
+    got = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    seeds = [v for v in range(25) if v % 4 == 1]
+    assert got == ppr_int(sym, seeds, iterations=4)
