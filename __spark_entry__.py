@@ -1087,6 +1087,36 @@ FROM pairs GROUP BY subj, pred, obj
 """
 
 
+def _kg_void_summary(spark, sf):
+    """VoID-style dataset description of the patterned triple store — the
+    per-predicate schema summary (n_triples, total occurrence mass,
+    distinct subjects/objects) a KG materialization publishes next to its
+    nodes/edges tables so consumers can plan queries without scanning the
+    data (W3C VoID property partitions).  Composes the REAL
+    ``kg_triples_patterned`` dataflow (tagger mentions + regex predicates
+    — already hash-proven under the gate), then ONE map-side-combinable
+    agg on pred; distinct counts shuffle once on the same key.  All
+    counts BIGINT (rule 11).  Beyond-reference (the reference emits a
+    single fixed relation, ``ade_table/generate_table.py``)."""
+    t = _kg_triples_patterned(spark, sf)
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.sum("count").cast("long").alias("n_occurrences"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+    )
+
+
+_KG_VOID_SUMMARY_SQL = f"""
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(count) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+FROM ({_KG_TRIPLES_PATTERNED_SQL}) GROUP BY pred
+"""
+
+
 def _kg_top_subjects(spark, sf):  # row-sum ordering + top-k (§2.9/2.10)
     t = _kg_triples(spark, sf)
     return (
@@ -7195,6 +7225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_codoc": _kg_triples,
         "kg_incremental_merge": _kg_incremental_merge,
         "kg_triples_patterned": _kg_triples_patterned,
+        "kg_void_summary": _kg_void_summary,
         "kg_pmi_edges": _kg_pmi_edges,
         "kg_prox_edges": _kg_prox_edges,
         "kg_negative_samples": _kg_negative_samples,
@@ -7328,6 +7359,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_codoc": _KG_TRIPLES_SQL,
         "kg_incremental_merge": _KG_TRIPLES_SQL,
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
+        "kg_void_summary": _KG_VOID_SUMMARY_SQL,
         "kg_pmi_edges": _KG_PMI_SQL,
         "kg_prox_edges": _KG_PROX_SQL,
         "kg_negative_samples": _KG_NEGSAMPLES_SQL,
