@@ -432,6 +432,47 @@ FROM g GROUP BY user_id
 """
 
 
+def _events_rollup(spark, sf):
+    """Multi-level aggregation via Spark's native ``rollup`` operator
+    (GROUPING SETS): per-(event_type, day) totals PLUS per-event_type
+    subtotals PLUS the grand total in ONE pass — the OLAP cube face a KG
+    materialization serves next to its flat aggregates (the reference
+    pivots one fixed matrix, ``ade_table/generate_table.py:67-97``; rollup
+    levels are this repo's engine extension, SURVEY §2.9).
+
+    ``grouping_id(event_type, day)`` disambiguates natural NULLs from
+    rolled-up levels (0 = leaf, 1 = per-type subtotal, 3 = grand total) —
+    Spark's bit order (first listed column = MSB) matches DuckDB's
+    ``GROUPING(a, b)``, verified at the gate.  Scale shape: Spark expands
+    rollup as a single Expand + ONE hash aggregate (map-side combined) —
+    one shuffle for all three levels, not one scan per level.  Money sums
+    go through decimal(18,4) then round (numeric-compare policy)."""
+    e = _t(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        e.select("event_type", day, "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+_EVENTS_ROLLUP_SQL = f"""
+SELECT event_type,
+  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+"""
+
+
 def _events_json(spark, sf):  # semi-structured projection
     e = _t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -4765,6 +4806,93 @@ dedges AS MATERIALIZED (
     return hits_sql(graph_ctes, iterations=3)
 
 
+def _kg_rdfs_closure(spark, sf):
+    """RDFS ``subClassOf*`` type inference — the ontology-entailment pass a
+    KG construction runs before publishing typed entities: materialize the
+    reflexive-transitive subclass closure of a class hierarchy, then count
+    per class how many entities are DIRECTLY asserted vs ENTAILED
+    (asserted under any descendant).  The hierarchy is a 3-ary tree over
+    ``C = max(13, n_events DIV 10)`` classes (sf-scaled 100/1k/10k classes,
+    depth grows with sf) with ``parent(c) = (c-1) DIV 3``; entity ``i``
+    asserts class ``i % C`` — every class has direct instances and the
+    root's entailed count is exactly ``n``.
+
+    Scale shape: the closure runs on the DIM-SIZED class graph via path
+    doubling (``operators/graph.py:transitive_closure_doubling`` —
+    ⌈log2 depth⌉ self-join rounds, loud failure on cycles), then
+    BROADCASTS to the assertion scan — the 100 TB assertion table is never
+    shuffled for inference, only map-side-combine aggregated.  All counts
+    BIGINT (rule 11); ``C`` is derived from the row count with the SAME
+    integer arithmetic in both engines (rule 24 params-CTE).  The DuckDB
+    twin materializes the closure as a recursive CTE
+    (``oracle/graph.py:closure_sql`` documents the equivalence).  The
+    reference has no ontology stage (one-hop alias resolution,
+    ``OICI_database.py:34-39``) — SURVEY §2.12 KG-scale extension."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        transitive_closure_doubling,
+    )
+
+    n = _t(spark, sf, "events").count()
+    c = max(13, n // 10)
+    cls = spark.range(c)
+    edges = cls.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), F.expr("(id - 1) DIV 3").alias("dst")
+    )
+    closure = transitive_closure_doubling(edges)  # (node, anc), dim-sized
+    depth = closure.groupBy("node").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("depth")
+    )
+    assertions = spark.range(n).select((F.col("id") % c).alias("cls"))
+    direct = assertions.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct")
+    )
+    entailed = (
+        assertions.join(F.broadcast(closure), assertions.cls == closure.node)
+        .groupBy("anc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entailed"))
+    )
+    out = (
+        cls.select(F.col("id").alias("class_id"))
+        .join(depth, F.col("class_id") == depth.node, "left")
+        .join(direct, F.col("class_id") == direct.cls, "left")
+        .join(entailed, F.col("class_id") == entailed.anc, "left")
+    )
+    return out.select(
+        "class_id",
+        F.coalesce(F.col("depth"), F.lit(0)).cast("long").alias("depth"),
+        F.coalesce(F.col("n_direct"), F.lit(0)).cast("long").alias("n_direct"),
+        F.coalesce(F.col("n_entailed"), F.lit(0)).cast("long").alias("n_entailed"),
+    )
+
+
+_KG_RDFS_CLOSURE_SQL = """
+WITH RECURSIVE
+params AS (SELECT count(*) AS n, GREATEST(13, count(*) // 10) AS c FROM events),
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+cls AS MATERIALIZED (SELECT i AS cid FROM ids WHERE i < (SELECT c FROM params)),
+cedges AS MATERIALIZED (SELECT cid AS a, (cid - 1) // 3 AS b FROM cls WHERE cid > 0),
+cnodes AS MATERIALIZED (SELECT a AS node FROM cedges UNION SELECT b FROM cedges),
+anc AS (
+  SELECT node, node AS anc FROM cnodes
+  UNION
+  SELECT x.node, e.b AS anc FROM anc x JOIN cedges e ON e.a = x.anc
+),
+ancm AS MATERIALIZED (SELECT node, anc FROM anc),
+depth AS (SELECT node, count(*) - 1 AS depth FROM ancm GROUP BY node),
+assertions AS MATERIALIZED (SELECT i % (SELECT c FROM params) AS cls FROM ids),
+direct AS (SELECT cls, count(*) AS n_direct FROM assertions GROUP BY cls),
+entailed AS (SELECT a.anc, count(*) AS n_entailed
+             FROM assertions s JOIN ancm a ON a.node = s.cls GROUP BY a.anc)
+SELECT CAST(cls.cid AS BIGINT) AS class_id,
+       CAST(coalesce(d.depth, 0) AS BIGINT) AS depth,
+       CAST(coalesce(di.n_direct, 0) AS BIGINT) AS n_direct,
+       CAST(coalesce(e.n_entailed, 0) AS BIGINT) AS n_entailed
+FROM cls LEFT JOIN depth d ON d.node = cls.cid
+LEFT JOIN direct di ON di.cls = cls.cid
+LEFT JOIN entailed e ON e.anc = cls.cid
+"""
+
+
 def _kg_label_propagation(spark, sf):
     """Deterministic synchronous label propagation (community detection)
     over the SAME derived alias graph as ``kg_alias_components``/
@@ -7218,6 +7346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": _part_brand_stats,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
+        "events_rollup": _events_rollup,
         "events_json_extract": _events_json,
         # KG construction family (SURVEY §2 core)
         "kg_mentions": _kg_mentions,
@@ -7301,6 +7430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_personalized_pagerank": _kg_personalized_pagerank,
         "kg_hits_scores": _kg_hits_scores,
+        "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -7353,6 +7483,7 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": _PART_BRAND_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_bucketed_join": _KG_BUCKETED_JOIN_SQL,
@@ -7443,6 +7574,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": _kg_entity_pagerank_sql(),
         "kg_personalized_pagerank": _kg_personalized_pagerank_sql(),
         "kg_hits_scores": _kg_hits_scores_sql(),
+        "kg_rdfs_closure": _KG_RDFS_CLOSURE_SQL,
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

@@ -503,6 +503,64 @@ def sssp_sql(graph_ctes: str, rounds: int) -> str:
     return "\n".join(parts)
 
 
+def closure_pairs(
+    edges: Iterable[Tuple[int, int]]
+) -> set:
+    """Reflexive-transitive closure of a DIRECTED ACYCLIC edge list:
+    ``{(node, anc)}`` for every node and every ancestor reachable along
+    edges (each node is its own ancestor) — the ``subClassOf*`` kernel.
+    Raises on cycles (entailment over a cyclic subclass graph is a data
+    bug the distributed operator also refuses)."""
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        nbrs[a].append(b)
+    out = set()
+    for start in nodes:
+        seen = {start}
+        stack = [start]
+        while stack:
+            cur = stack.pop()
+            out.add((start, cur))
+            for nxt in nbrs.get(cur, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+    for a, b in out:
+        if a != b and (b, a) in out:
+            raise RuntimeError(
+                "cycle detected in subclass edges (mutually-reachable pair "
+                f"{a}<->{b}) — entailment over a cyclic hierarchy refused"
+            )
+    return out
+
+
+def closure_sql(graph_ctes: str) -> str:
+    """Recursive-CTE DuckDB twin of :func:`closure_pairs`.
+
+    ``graph_ctes`` must define ``cedges(a, b)`` — the directed (child →
+    parent) edge list.  UNION (not UNION ALL) deduplicates per step, so
+    the recursion terminates on any DAG; the result is the same
+    reflexive-transitive pair set the doubling operator materializes.
+    Returns a query whose output is ``(node, anc)``."""
+    return (
+        "WITH RECURSIVE\n"
+        + graph_ctes.rstrip().rstrip(",")
+        + """,
+cnodes AS MATERIALIZED (SELECT a AS node FROM cedges UNION SELECT b FROM cedges),
+anc AS (
+  SELECT node, node AS anc FROM cnodes
+  UNION
+  SELECT x.node, e.b AS anc FROM anc x JOIN cedges e ON e.a = x.anc
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS anc FROM anc"""
+    )
+
+
 def hits_int(
     edges: Iterable[Tuple[int, int]], iterations: int = 3
 ) -> Dict[int, Tuple[int, int]]:

@@ -1,0 +1,94 @@
+"""RDFS subclass-closure type inference + rollup levels — kernel vs
+distributed operator vs recursive-CTE twin, loud-cycle failure, and the
+grouping_id bit-order contract events_rollup relies on."""
+
+import duckdb
+import pytest
+from pyspark.sql.types import LongType, StructField, StructType
+
+from bert_namedentityrecognition_spark.operators.graph import (
+    transitive_closure_doubling,
+)
+from bert_namedentityrecognition_spark.oracle.graph import (
+    closure_pairs,
+    closure_sql,
+)
+
+EDGE = StructType(
+    [StructField("src", LongType()), StructField("dst", LongType())]
+)
+
+
+def _spark_closure(spark, edges):
+    df = spark.createDataFrame(edges, EDGE)
+    return {
+        (r["node"], r["anc"])
+        for r in transitive_closure_doubling(df).collect()
+    }
+
+
+def test_closure_matches_kernel_on_tree(spark):
+    # 3-ary tree over 40 classes — the gate fixture's shape
+    edges = [(c, (c - 1) // 3) for c in range(1, 40)]
+    assert _spark_closure(spark, edges) == closure_pairs(edges)
+
+
+def test_closure_matches_kernel_on_dag(spark):
+    # diamond DAG: multiple paths to the same ancestor must dedup
+    edges = [(3, 1), (3, 2), (1, 0), (2, 0), (5, 3), (4, 3)]
+    got = _spark_closure(spark, edges)
+    assert got == closure_pairs(edges)
+    assert (5, 0) in got and (5, 5) in got  # transitive + reflexive
+
+
+def test_closure_cycle_fails_loudly(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], EDGE)
+    with pytest.raises(RuntimeError, match="CYCLE|converge"):
+        transitive_closure_doubling(df, max_doublings=4)
+    with pytest.raises(RuntimeError, match="cycle"):
+        closure_pairs([(0, 1), (1, 2), (2, 0)])
+
+
+def test_closure_sql_twin_matches_kernel():
+    edges = [(c, (c - 1) // 2) for c in range(1, 25)] + [(24, 0), (23, 1)]
+    sql = closure_sql(
+        "cedges AS MATERIALIZED (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in edges)
+        + ") t(a, b))"
+    )
+    got = {(r[0], r[1]) for r in duckdb.sql(sql).fetchall()}
+    assert got == closure_pairs(edges)
+
+
+def test_rdfs_gate_invariants(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = {
+        r["class_id"]: r
+        for r in E.queries()["kg_rdfs_closure"](spark, sf_dir).collect()
+    }
+    n = sum(r["n_direct"] for r in rows.values())
+    # root entails every entity; its depth is 0
+    assert rows[0]["n_entailed"] == n
+    assert rows[0]["depth"] == 0
+    # entailed >= direct everywhere; a leaf's entailed == its direct
+    assert all(r["n_entailed"] >= r["n_direct"] for r in rows.values())
+    leaf = max(rows)  # highest id is a leaf of the 3-ary tree
+    assert rows[leaf]["n_entailed"] == rows[leaf]["n_direct"]
+    # parent's entailed covers each child's
+    assert rows[(leaf - 1) // 3]["n_entailed"] >= rows[leaf]["n_entailed"]
+
+
+def test_rollup_levels_are_consistent(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["events_rollup"](spark, sf_dir).collect()
+    leaves = [r for r in rows if r["gid"] == 0]
+    subtotals = {r["event_type"]: r["n"] for r in rows if r["gid"] == 1}
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1 and grand[0]["event_type"] is None
+    assert grand[0]["n"] == sum(subtotals.values())
+    per_type = {}
+    for r in leaves:
+        per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + r["n"]
+    assert per_type == subtotals
