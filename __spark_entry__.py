@@ -1158,6 +1158,50 @@ FROM ({_KG_TRIPLES_PATTERNED_SQL}) GROUP BY pred
 """
 
 
+def _kg_shacl_validation(spark, sf):
+    """SHACL-style shape-constraint report over the REAL patterned-triples
+    dataflow (``operators/triples.py:shape_violations``): max-fanout
+    cardinality (distinct objects per (subj, pred) > 3), closed-shape
+    predicate whitelist ({DEGRADES, SPEEDS_UP} — the CO_OCCURS_WITH
+    default fires as a warning), min evidence support (count < 2), and
+    object min-length 4 ('dup'/'big' fire) — every branch live at every
+    sf by construction.  Complements ``kg_integrity_audit`` (graph
+    defects) with SHAPE defects; triples are localCheckpoint-materialized
+    once and fan into four map-side-combined branches (rule 23)."""
+    from bert_namedentityrecognition_spark.operators.triples import (
+        shape_violations,
+    )
+
+    t = _kg_triples_patterned(spark, sf)
+    return shape_violations(
+        t,
+        allowed_preds=["DEGRADES", "SPEEDS_UP"],
+        max_fanout=3,
+        min_support=2,
+        obj_min_len=4,
+    )
+
+
+_KG_SHACL_VALIDATION_SQL = f"""
+WITH t AS MATERIALIZED ({_KG_TRIPLES_PATTERNED_SQL})
+SELECT 'max_fanout' AS constraint_id, 'error' AS severity,
+       subj, pred, CAST(NULL AS VARCHAR) AS obj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS measured
+FROM t GROUP BY subj, pred HAVING count(DISTINCT obj) > 3
+UNION ALL
+SELECT 'closed_shape', 'warning', subj, pred, CAST(NULL AS VARCHAR),
+       CAST(count(*) AS BIGINT)
+FROM t WHERE pred NOT IN ('DEGRADES', 'SPEEDS_UP') GROUP BY subj, pred
+UNION ALL
+SELECT 'min_support', 'warning', subj, pred, obj, CAST(count AS BIGINT)
+FROM t WHERE count < 2
+UNION ALL
+SELECT 'obj_min_length', 'error', subj, pred, obj,
+       CAST(length(obj) AS BIGINT)
+FROM (SELECT DISTINCT subj, pred, obj FROM t WHERE length(obj) < 4)
+"""
+
+
 def _kg_top_subjects(spark, sf):  # row-sum ordering + top-k (§2.9/2.10)
     t = _kg_triples(spark, sf)
     return (
@@ -7355,6 +7399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_merge": _kg_incremental_merge,
         "kg_triples_patterned": _kg_triples_patterned,
         "kg_void_summary": _kg_void_summary,
+        "kg_shacl_validation": _kg_shacl_validation,
         "kg_pmi_edges": _kg_pmi_edges,
         "kg_prox_edges": _kg_prox_edges,
         "kg_negative_samples": _kg_negative_samples,
@@ -7491,6 +7536,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental_merge": _KG_TRIPLES_SQL,
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
         "kg_void_summary": _KG_VOID_SUMMARY_SQL,
+        "kg_shacl_validation": _KG_SHACL_VALIDATION_SQL,
         "kg_pmi_edges": _KG_PMI_SQL,
         "kg_prox_edges": _KG_PROX_SQL,
         "kg_negative_samples": _KG_NEGSAMPLES_SQL,

@@ -653,3 +653,86 @@ def merge_triple_counts(
         .cast("long")
         .alias(count_col),
     )
+
+
+def shape_violations(
+    triples: DataFrame,
+    allowed_preds: list,
+    max_fanout: int,
+    min_support: int,
+    obj_min_len: int,
+) -> DataFrame:
+    """SHACL-style shape validation over a ``(subj, pred, obj, count)``
+    triple store — the constraint report a KG publishes next to its
+    integrity audit (that one checks GRAPH defects: orphans, dups,
+    self-loops; this one checks SHAPE constraints: cardinality, closed
+    predicates, evidence support, object form).  One row per violation::
+
+        constraint_id  severity  subj  pred  obj   measured
+        max_fanout     error     s     p     NULL  distinct-obj count
+        closed_shape   warning   s     p     NULL  triple count
+        min_support    warning   s     p     o     evidence count
+        obj_min_length error     s     p     o     length(obj)
+
+    Scale shape: the triple store is ``localCheckpoint``-materialized ONCE
+    and fans into the four constraint branches (rule 23 — unmaterialized,
+    each branch would re-run the full upstream dataflow); every branch is
+    a map-side-combinable aggregate or a pure filter, and the union is
+    column-aligned so Spark plans one job.  All measures BIGINT (rule 11).
+
+    Ref: the reference ships no constraint layer (fixed single relation,
+    ``ade_table/generate_table.py``) — SURVEY §2.12 KG-scale extension;
+    constraint vocabulary after W3C SHACL (sh:maxCount, sh:closed,
+    sh:minLength).
+    """
+    t = triples.select(
+        "subj", "pred", "obj", F.col("count").cast("long").alias("count")
+    ).localCheckpoint(eager=True)
+    fanout = (
+        t.groupBy("subj", "pred")
+        .agg(F.countDistinct("obj").cast("long").alias("measured"))
+        .filter(F.col("measured") > int(max_fanout))
+        .select(
+            F.lit("max_fanout").alias("constraint_id"),
+            F.lit("error").alias("severity"),
+            "subj",
+            "pred",
+            F.lit(None).cast("string").alias("obj"),
+            "measured",
+        )
+    )
+    closed = (
+        t.filter(~F.col("pred").isin([str(p) for p in allowed_preds]))
+        .groupBy("subj", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("measured"))
+        .select(
+            F.lit("closed_shape").alias("constraint_id"),
+            F.lit("warning").alias("severity"),
+            "subj",
+            "pred",
+            F.lit(None).cast("string").alias("obj"),
+            "measured",
+        )
+    )
+    support = t.filter(F.col("count") < int(min_support)).select(
+        F.lit("min_support").alias("constraint_id"),
+        F.lit("warning").alias("severity"),
+        "subj",
+        "pred",
+        "obj",
+        F.col("count").alias("measured"),
+    )
+    objlen = (
+        t.filter(F.length("obj") < int(obj_min_len))
+        .select("subj", "pred", "obj")
+        .distinct()
+        .select(
+            F.lit("obj_min_length").alias("constraint_id"),
+            F.lit("error").alias("severity"),
+            "subj",
+            "pred",
+            "obj",
+            F.length("obj").cast("long").alias("measured"),
+        )
+    )
+    return fanout.unionByName(closed).unionByName(support).unionByName(objlen)

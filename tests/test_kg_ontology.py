@@ -92,3 +92,54 @@ def test_rollup_levels_are_consistent(spark, sf_dir):
     for r in leaves:
         per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + r["n"]
     assert per_type == subtotals
+
+
+def test_shape_violations_hand_fixture(spark):
+    from pyspark.sql.types import StringType
+
+    from bert_namedentityrecognition_spark.operators.triples import (
+        shape_violations,
+    )
+
+    schema = StructType(
+        [
+            StructField("subj", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj", StringType()),
+            StructField("count", LongType()),
+        ]
+    )
+    rows = [
+        # subj 'a' fans out to 3 distinct objs under P (> max_fanout=2)
+        ("a", "P", "x1", 5), ("a", "P", "x2", 5), ("a", "P", "x3", 5),
+        # unknown predicate -> closed_shape warning
+        ("b", "UNKNOWN", "x1", 5),
+        # weak evidence -> min_support
+        ("c", "P", "x1", 1),
+        # short object -> obj_min_length (twice, deduped)
+        ("d", "P", "z", 5), ("d", "P", "z", 5),
+    ]
+    out = shape_violations(
+        spark.createDataFrame(rows, schema),
+        allowed_preds=["P"],
+        max_fanout=2,
+        min_support=2,
+        obj_min_len=2,
+    ).collect()
+    got = {(r["constraint_id"], r["subj"], r["obj"], r["measured"]) for r in out}
+    assert ("max_fanout", "a", None, 3) in got
+    assert ("closed_shape", "b", None, 1) in got
+    assert ("min_support", "c", "x1", 1) in got
+    assert ("obj_min_length", "d", "z", 1) in got
+    # exactly one violation per fixture row-group: no spurious extras
+    assert len(out) == 4
+
+
+def test_shacl_gate_branches_live(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.queries()["kg_shacl_validation"](spark, sf_dir).collect()
+    kinds = {r["constraint_id"] for r in out}
+    assert kinds == {"max_fanout", "closed_shape", "min_support", "obj_min_length"}
+    sev = {r["constraint_id"]: r["severity"] for r in out}
+    assert sev["max_fanout"] == "error" and sev["min_support"] == "warning"
