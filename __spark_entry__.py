@@ -4850,6 +4850,51 @@ dedges AS MATERIALIZED (
     return hits_sql(graph_ctes, iterations=3)
 
 
+def _kg_shortest_path_counts(spark, sf):
+    """Bounded-hop BFS with SHORTEST-PATH COUNTING (the σ table of
+    Brandes' betweenness centrality) over the directed chain+skip
+    citation fixture shared with ``kg_hits_scores`` (edges i→i−1 and
+    i→i−2 for i ≢ 0 mod 3; sf-scaled 1k/10k/100k nodes), seeded every
+    251st node — sigma counts the distinct shortest routes tying each
+    node to the seed set, the redundancy signal a KG serves next to plain
+    k-hop distance.  8 hops; skip edges make dist < hop-index and sigma
+    > 1 both live (tilings of 1- and 2-steps).  All-integer (rule 11):
+    sigma ≤ 2^8 at degree ≤ 2.  Per level: one frontier join + one
+    partial-agg SUM + one anti-join (first-reach rule); the DuckDB twin
+    (``oracle/graph.py:bfs_sigma_sql``) unrolls the levels with
+    MATERIALIZED carries (rule 30).  The reference has no graph stage
+    (``OICI_database.py:34-39``)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        bfs_path_counts_df,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 2).alias("dst")
+    )
+    seeds = ids.filter(F.col("id") % 251 == 0).select(F.col("id").alias("node"))
+    return bfs_path_counts_df(chain.union(skip), seeds, max_hops=8)
+
+
+def _kg_shortest_path_counts_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_sigma_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+sym AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0
+  UNION ALL
+  SELECT i AS a, i - 2 AS b FROM ids WHERE i > 1 AND i % 3 <> 0
+),
+seeds AS (SELECT i AS node FROM ids WHERE i % 251 = 0)
+"""
+    return bfs_sigma_sql(graph_ctes, max_hops=8)
+
+
 def _kg_rdfs_closure(spark, sf):
     """RDFS ``subClassOf*`` type inference — the ontology-entailment pass a
     KG construction runs before publishing typed entities: materialize the
@@ -7476,6 +7521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_personalized_pagerank": _kg_personalized_pagerank,
         "kg_hits_scores": _kg_hits_scores,
         "kg_rdfs_closure": _kg_rdfs_closure,
+        "kg_shortest_path_counts": _kg_shortest_path_counts,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -7621,6 +7667,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_personalized_pagerank": _kg_personalized_pagerank_sql(),
         "kg_hits_scores": _kg_hits_scores_sql(),
         "kg_rdfs_closure": _KG_RDFS_CLOSURE_SQL,
+        "kg_shortest_path_counts": _kg_shortest_path_counts_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

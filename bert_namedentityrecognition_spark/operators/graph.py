@@ -247,6 +247,66 @@ def bfs_levels_df(
     return dist
 
 
+def bfs_path_counts_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """DIRECTED ``edges(src, dst)`` + ``seeds(node)`` → ``(node, dist,
+    sigma)``: bounded-hop BFS carrying SHORTEST-PATH COUNTS — the exact σ
+    table of ``oracle.graph.bfs_path_counts`` (Brandes' betweenness
+    building block; sigma = how many distinct shortest routes tie the
+    node to the seed set).
+
+    Scale shape: identical to ``bfs_levels_df`` plus one SUM — per level
+    ONE join of the (node, sigma) frontier against the once-materialized
+    edge list, one partial-aggregated sigma sum on the target, and one
+    anti-join admitting only first-reached nodes; dist is
+    localCheckpoint-ed per level (rule 23) so the plan stays O(1) in
+    ``max_hops``.  All-integer (rule 11) — the caller owns the
+    ``out_deg_max^max_hops`` int64 bound (see kernel docstring)."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node", "sig")
+    for k in range(1, max_hops + 1):
+        pushed = (
+            frontier.join(e, frontier.node == e.a)
+            .groupBy(F.col("b").alias("nnode"))
+            .agg(F.sum("sig").alias("sig"))
+        )
+        fresh = (
+            pushed.join(dist, pushed.nnode == dist.node, "left_anti")
+            .select(
+                F.col("nnode").alias("node"),
+                F.lit(k).cast("long").alias("dist"),
+                F.col("sig").cast("long").alias("sig"),
+            )
+        )
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("dist") == k).select("node", "sig")
+    return dist.select(
+        "node", "dist", F.col("sig").alias("sigma")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 6,

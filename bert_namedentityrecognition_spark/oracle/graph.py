@@ -503,6 +503,84 @@ def sssp_sql(graph_ctes: str, rounds: int) -> str:
     return "\n".join(parts)
 
 
+def bfs_path_counts(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int,
+) -> Dict[int, Tuple[int, int]]:
+    """Level-synchronous BFS with SHORTEST-PATH COUNTING over DIRECTED
+    ``edges(a, b)``: ``{node: (dist, sigma)}`` where ``dist`` is the min
+    hop count from the seed set and ``sigma`` the number of distinct
+    shortest paths from any seed (each seed roots sigma 1 at dist 0) —
+    the σ table of Brandes' betweenness algorithm, and per se the
+    "how redundantly is this entity connected to the seed set" signal a
+    KG serves next to plain k-hop distance.  Nodes unreached within
+    ``max_hops`` are ABSENT.  All-integer: sums over a fixed level
+    structure are order-independent, so the value is engine-exact.
+
+    Growth bound: sigma ≤ out_deg_max^dist — callers must keep
+    ``max_hops`` small enough that the bound stays inside int64 (the gate
+    fixture: degree ≤ 2, 8 hops → ≤ 2^8)."""
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+    dist: Dict[int, int] = {int(s): 0 for s in seeds}
+    sigma: Dict[int, int] = {int(s): 1 for s in seeds}
+    frontier = set(dist)
+    for k in range(1, max_hops + 1):
+        acc: Dict[int, int] = defaultdict(int)
+        for a in frontier:
+            for b in nbrs.get(a, ()):
+                acc[b] += sigma[a]
+        nxt = set()
+        for b, s in acc.items():
+            if b not in dist:
+                dist[b] = k
+                sigma[b] = s
+                nxt.add(b)
+        frontier = nxt
+        if not frontier:
+            break
+    return {v: (dist[v], sigma[v]) for v in dist}
+
+
+def bfs_sigma_sql(graph_ctes: str, max_hops: int) -> str:
+    """Unrolled-level DuckDB twin of :func:`bfs_path_counts`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` (directed edge list) and
+    ``seeds(node)``.  Per level: the frontier's sigma mass is pushed one
+    hop (join + SUM group), then only NOT-YET-REACHED nodes are admitted
+    (anti-join against the previous dist table) — exactly the kernel's
+    first-reach rule; already-reached nodes never change, so each level's
+    table ``d{k}`` is append-only.  ``d{k}`` is referenced twice (carry +
+    anti-join) → MATERIALIZED (rule 30)."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist, "
+        "CAST(1 AS BIGINT) AS sig FROM seeds),",
+        "f0 AS (SELECT node, sig FROM d0),",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"u{k} AS (SELECT s.b AS node, SUM(f.sig) AS sig "
+            f"FROM f{k - 1} f JOIN sym s ON s.a = f.node GROUP BY s.b),"
+        )
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, dist, sig FROM d{k - 1} "
+            f"UNION ALL SELECT u.node, CAST({k} AS BIGINT), u.sig FROM u{k} u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM d{k - 1} x WHERE x.node = u.node)),"
+        )
+        parts.append(f"f{k} AS (SELECT node, sig FROM d{k} WHERE dist = {k}),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist, "
+        f"CAST(sig AS BIGINT) AS sigma FROM d{max_hops}"
+    )
+    return "\n".join(parts)
+
+
 def closure_pairs(
     edges: Iterable[Tuple[int, int]]
 ) -> set:

@@ -543,3 +543,57 @@ def test_ppr_sql_twin_matches_kernel():
     got = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     seeds = [v for v in range(25) if v % 4 == 1]
     assert got == ppr_int(sym, seeds, iterations=4)
+
+
+def test_bfs_path_counts_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        bfs_path_counts_df,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_path_counts
+
+    rng = random.Random(11)
+    edges = sorted(
+        {(rng.randrange(50), rng.randrange(50)) for _ in range(160)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [0, 7, 23]
+    want = bfs_path_counts(edges, seeds, max_hops=4)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["node"]: (r["dist"], r["sigma"])
+        for r in bfs_path_counts_df(df, sdf, max_hops=4).collect()
+    }
+    assert got == want
+
+
+def test_bfs_path_counts_diamond():
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_path_counts
+
+    # 0->1, 0->2, 1->3, 2->3: two shortest paths to node 3
+    got = bfs_path_counts([(0, 1), (0, 2), (1, 3), (2, 3)], [0], 3)
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2)}
+
+
+def test_bfs_sigma_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        bfs_path_counts,
+        bfs_sigma_sql,
+    )
+
+    # chain + skip segment: tilings of 1- and 2-steps give sigma > 1
+    edges = [(i, i - 1) for i in range(1, 20)] + [
+        (i, i - 2) for i in range(2, 20) if i % 3
+    ]
+    sql = bfs_sigma_sql(
+        "sym AS MATERIALIZED (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in edges)
+        + ") t(a, b)),\nseeds AS (SELECT 19 AS node)",
+        max_hops=6,
+    )
+    got = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    want = bfs_path_counts(edges, [19], 6)
+    assert got == want
+    assert max(s for _, s in got.values()) > 1  # sigma branch live
