@@ -4850,6 +4850,55 @@ dedges AS MATERIALIZED (
     return hits_sql(graph_ctes, iterations=3)
 
 
+def _kg_maximal_independent_set(spark, sf):
+    """Deterministic Luby MAXIMAL INDEPENDENT SET over the derived alias
+    graph shared with ``kg_entity_pagerank``/``kg_alias_components``
+    (chain-of-40 + block heads, symmetrized; sf-scaled 1k/10k/100k nodes)
+    — the conflict-free scheduling primitive an entity-merge pipeline
+    uses: merge the MIS wave in parallel (no two picked merges share a
+    node), repeat.  Output = (node, mis_round 1-based).
+
+    Determinism without RNG state: priorities are the injective integer
+    scramble ``(node * 2654435761) % 1000000007`` (distinct below the
+    prime, so no tie-break) — a codegen'd expression both engines
+    evaluate identically (rule 11).  The fixture decides in 2 rounds at
+    every sf (measured by the kernel); budget 6, overrun raises LOUDLY in
+    BOTH twins (kcore's contract).  Per round: one join+MIN agg + two
+    anti-joins, localCheckpoint each (rule 23).  The reference has no
+    graph stage (``OICI_database.py:34-39``)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    return maximal_independent_set(chain.union(heads), max_rounds=6)
+
+
+def _kg_maximal_independent_set_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import mis_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    return mis_sql(graph_ctes, rounds=6)
+
+
 def _kg_shortest_path_counts(spark, sf):
     """Bounded-hop BFS with SHORTEST-PATH COUNTING (the σ table of
     Brandes' betweenness centrality) over the directed chain+skip
@@ -7522,6 +7571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits_scores": _kg_hits_scores,
         "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_shortest_path_counts": _kg_shortest_path_counts,
+        "kg_maximal_independent_set": _kg_maximal_independent_set,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -7668,6 +7718,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits_scores": _kg_hits_scores_sql(),
         "kg_rdfs_closure": _KG_RDFS_CLOSURE_SQL,
         "kg_shortest_path_counts": _kg_shortest_path_counts_sql(),
+        "kg_maximal_independent_set": _kg_maximal_independent_set_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

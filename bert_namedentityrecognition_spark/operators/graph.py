@@ -802,6 +802,92 @@ def hits_integer(
     )
 
 
+def maximal_independent_set(
+    edges: DataFrame,
+    max_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """UNDIRECTED ``edges`` → ``(node, mis_round)``: the deterministic
+    Luby maximal independent set of ``oracle.graph.mis_luby`` — the
+    conflict-free scheduling primitive a KG merge pipeline uses to pick a
+    maximal set of entity merges no two of which share a node (merge the
+    MIS in one parallel wave, repeat).
+
+    Per round: one join+MIN-agg for each undecided node's minimum
+    undecided-neighbor priority (priorities are the injective integer
+    scramble ``mis_priority`` — a codegen'd expression, no RNG state, so
+    the result is partition- and engine-independent), a filter for strict
+    local minima, and two anti-joins shrinking the undecided set; every
+    frame is ``localCheckpoint``-ed per round (rule 23).  Scrambled
+    priorities give the O(log n) expected round count (id-ordered would
+    serialize a chain); overrunning ``max_rounds`` raises LOUDLY — the
+    unrolled SQL twin covers the same fixed budget (kcore's contract)."""
+    from ..oracle.graph import MIS_MOD, MIS_MUL
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+
+    def pri(col):
+        return (F.col(col) * F.lit(MIS_MUL)) % F.lit(MIS_MOD)
+
+    undecided = (
+        sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    # empty-schema accumulator so an edgeless input returns 0 rows, not None
+    mis = undecided.select(
+        "node", F.lit(0).cast("long").alias("mis_round")
+    ).limit(0)
+    for r in range(1, max_rounds + 1):
+        if undecided.limit(1).count() == 0:
+            break
+        ua = undecided.select(F.col("node").alias("a"))
+        ub = undecided.select(F.col("node").alias("b"))
+        minnbr = (
+            sym.join(ua, "a")
+            .join(ub, "b")
+            .groupBy("a")
+            .agg(F.min(pri("b")).alias("minp"))
+        )
+        winners = (
+            undecided.join(minnbr, undecided.node == minnbr.a, "left")
+            .filter(F.col("a").isNull() | (pri("node") < F.col("minp")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        mis = mis.unionByName(
+            winners.select("node", F.lit(r).cast("long").alias("mis_round"))
+        )
+        nbrs_of_winners = sym.join(
+            winners.select(F.col("node").alias("a")), "a"
+        ).select(F.col("b").alias("node"))
+        undecided = (
+            undecided.join(winners, "node", "left_anti")
+            .join(nbrs_of_winners, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if undecided.limit(1).count() > 0:
+        raise RuntimeError(
+            f"maximal_independent_set did not decide every node in "
+            f"{max_rounds} rounds — raise max_rounds AND the SQL twin's "
+            "unroll budget together (they must cover the same count)."
+        )
+    return mis.select(
+        F.col("node").cast("long"), F.col("mis_round").cast("long")
+    )
+
+
 def transitive_closure_doubling(
     edges: DataFrame,
     max_doublings: int = 8,

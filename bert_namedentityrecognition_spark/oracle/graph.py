@@ -639,6 +639,115 @@ SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS anc FROM anc"""
     )
 
 
+MIS_MUL = 2654435761
+MIS_MOD = 1_000_000_007
+
+
+def mis_priority(v: int) -> int:
+    """Deterministic scrambled priority for Luby-style MIS: ``(v * MUL) %
+    MOD`` — injective for node ids below MOD (MUL is invertible mod the
+    prime), so priorities are DISTINCT and no tie-break is needed.  Pure
+    integer arithmetic, bit-identical in any engine (rule 11)."""
+    return (v * MIS_MUL) % MIS_MOD
+
+
+def mis_luby(
+    edges: Iterable[Tuple[int, int]], max_rounds: int = 32
+) -> Dict[int, int]:
+    """Deterministic Luby maximal independent set over an UNDIRECTED graph
+    (edges in any orientation; self-loops dropped): ``{node: round}`` for
+    every MIS member, where ``round`` (1-based) is the simultaneous round
+    it joined.  Per round every undecided node whose priority is a strict
+    local minimum among UNDECIDED neighbors joins; it and its neighbors
+    leave the undecided set.  Scrambled priorities make the expected round
+    count O(log n) (id-ordered priorities would serialize a chain to O(n));
+    determinism: priorities are a pure function of the id, rounds are
+    simultaneous, so the result is partition- and engine-independent.
+    Raises if the undecided set is non-empty after ``max_rounds`` — the
+    unrolled SQL twin covers a fixed budget, so overrunning it must fail
+    loudly, not silently truncate (kcore's contract)."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: Dict[int, set] = defaultdict(set)
+    nodes = set()
+    for a, b in und:
+        nodes.add(a)
+        nodes.add(b)
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    undecided = set(nodes)
+    out: Dict[int, int] = {}
+    for r in range(1, max_rounds + 1):
+        if not undecided:
+            return out
+        winners = {
+            v
+            for v in undecided
+            if all(
+                mis_priority(v) < mis_priority(u)
+                for u in nbrs[v]
+                if u in undecided
+            )
+        }
+        for v in winners:
+            out[v] = r
+        undecided -= winners
+        for v in winners:
+            undecided -= nbrs[v]
+    if undecided:
+        raise RuntimeError(
+            f"mis_luby did not decide every node in {max_rounds} rounds"
+        )
+    return out
+
+
+def mis_sql(graph_ctes: str, rounds: int) -> str:
+    """Unrolled-round DuckDB twin of :func:`mis_luby`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` — the SYMMETRIZED edge list.
+    Per round: the min undecided-neighbor priority per undecided node
+    (join + MIN group), winners = strict local minima (or no undecided
+    neighbor at all), then winners and their neighbors leave the
+    undecided set.  Undecided sets and winner sets are referenced
+    multiple times → MATERIALIZED (rule 30).  Extra rounds past the
+    fixpoint are no-ops (empty undecided set), so the budget only needs
+    to be ≥ the true round count — the Spark operator raises if the graph
+    needs more."""
+    pri = f"(({{v}}) * {MIS_MUL}) % {MIS_MOD}"
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "u0 AS MATERIALIZED (SELECT a AS node FROM sym "
+        "UNION SELECT b FROM sym),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS (SELECT s.a AS node, "
+            f"MIN({pri.format(v='s.b')}) AS minp "
+            f"FROM sym s JOIN u{r - 1} ub ON ub.node = s.b "
+            f"JOIN u{r - 1} ua ON ua.node = s.a GROUP BY s.a),"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT u.node FROM u{r - 1} u "
+            f"LEFT JOIN m{r} m ON m.node = u.node "
+            f"WHERE m.node IS NULL OR {pri.format(v='u.node')} < m.minp),"
+        )
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT node FROM u{r - 1} "
+            f"WHERE node NOT IN (SELECT node FROM w{r}) "
+            f"AND node NOT IN (SELECT s.b FROM sym s "
+            f"JOIN w{r} w ON w.node = s.a)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(node AS BIGINT) AS node, "
+        f"CAST({r} AS BIGINT) AS mis_round FROM w{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(selects)
+    return "\n".join(parts)
+
+
 def hits_int(
     edges: Iterable[Tuple[int, int]], iterations: int = 3
 ) -> Dict[int, Tuple[int, int]]:

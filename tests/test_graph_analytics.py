@@ -597,3 +597,82 @@ def test_bfs_sigma_sql_twin_matches_kernel():
     want = bfs_path_counts(edges, [19], 6)
     assert got == want
     assert max(s for _, s in got.values()) > 1  # sigma branch live
+
+
+def test_mis_spark_matches_kernel_and_is_valid(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        maximal_independent_set,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import mis_luby
+
+    und = _random_graph(60, 150, seed=3)
+    want = mis_luby(und, max_rounds=32)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    got = {
+        r["node"]: r["mis_round"]
+        for r in maximal_independent_set(df, max_rounds=32).collect()
+    }
+    assert got == want
+    # independence: no edge inside the MIS; maximality: every non-member
+    # has a member neighbor
+    nbrs = {}
+    nodes = set()
+    for a, b in und:
+        nodes |= {a, b}
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    mis = set(got)
+    assert not any(b in mis for a in mis for b in nbrs[a])
+    assert all(v in mis or (nbrs[v] & mis) for v in nodes)
+
+
+def test_mis_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import mis_luby, mis_sql
+
+    und = _random_graph(40, 80, seed=9)
+    sql = mis_sql(
+        "e0 AS (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in und)
+        + ") t(a, b)),\n"
+        "sym AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        rounds=32,
+    )
+    got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == mis_luby(und, max_rounds=32)
+
+
+def test_mis_overrun_fails_loudly(spark):
+    import pytest
+
+    from bert_namedentityrecognition_spark.operators.graph import (
+        maximal_independent_set,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import mis_luby
+
+    und = _random_graph(60, 150, seed=5)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not decide"):
+        maximal_independent_set(df, max_rounds=1)
+    with pytest.raises(RuntimeError, match="did not decide"):
+        mis_luby(und, max_rounds=1)
+
+
+def test_mis_empty_and_single_edge(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        maximal_independent_set,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("src", LongType()), StructField("dst", LongType())]
+    )
+    assert maximal_independent_set(spark.createDataFrame([], schema)).count() == 0
+    got = {
+        r["node"]: r["mis_round"]
+        for r in maximal_independent_set(
+            spark.createDataFrame([(5, 9)], schema)
+        ).collect()
+    }
+    assert len(got) == 1 and set(got) <= {5, 9}
