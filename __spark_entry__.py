@@ -4850,6 +4850,105 @@ dedges AS MATERIALIZED (
     return hits_sql(graph_ctes, iterations=3)
 
 
+def _textrank_keywords(spark, sf):
+    """TextRank keyword scoring — integer PageRank over the token
+    CO-OCCURRENCE graph (consecutive kept tokens per document, engine-wide
+    whitespace tokenization, symmetrized distinct adjacency): the
+    unsupervised keyword extractor of Mihalcea & Tarau (2004), re-expressed
+    on the SAME exact-integer PageRank kernel as ``kg_entity_pagerank``
+    (rule 6: one semantics source, two graph families).  Output =
+    (token, rank_scaled).
+
+    Scale shape: tokenization + adjacency are one JVM-side posexplode +
+    one per-doc window (shuffle on doc_id); the vocabulary is
+    DIMENSION-sized (distinct tokens ≪ corpus — here the closed 31-word
+    vocab; at web scale ~10^7) so the id map is a broadcast join and the
+    row_number id assignment runs on a dim-sized frame; the PageRank
+    levels run on the vocab-sized graph — the 100 TB cost is the token
+    scan, not the iteration.  All-integer (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    e = (
+        docs.select("doc_id", F.posexplode(toks))
+        .filter(F.col("col") != "")
+        .select("doc_id", F.col("col").alias("tok"), F.col("pos").alias("p"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    pr = e.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt"))
+    vocab = (
+        e.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy("tok"))
+            .cast("long")
+            .alias("id"),
+        )
+        .localCheckpoint(eager=True)  # dim-sized; feeds two edge joins + output
+    )
+    v1 = vocab.select(F.col("tok").alias("tok"), F.col("id").alias("a"))
+    v2 = vocab.select(F.col("tok").alias("nxt"), F.col("id").alias("b"))
+    rawp = (
+        pr.filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+        .join(F.broadcast(v1), "tok")
+        .join(F.broadcast(v2), "nxt")
+        .select("a", "b")
+    )
+    sym = rawp.union(
+        rawp.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    ranks = pagerank_integer(sym, iterations=6, src="a", dst="b")
+    return ranks.join(
+        F.broadcast(vocab), ranks.node == vocab.id
+    ).select(F.col("tok").alias("token"), F.col("rank_scaled").cast("long"))
+
+
+def _textrank_keywords_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import pagerank_sql
+
+    tok_ctes = r"""
+tl AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '') AS l FROM documents),
+e AS (SELECT doc_id, unnest(l) AS tok,
+             unnest(generate_series(1, len(l))) AS p FROM tl),
+vocab AS MATERIALIZED (SELECT tok, row_number() OVER (ORDER BY tok) AS id
+                       FROM (SELECT DISTINCT tok FROM e) dt)"""
+    graph_ctes = (
+        tok_ctes
+        + r""",
+prs AS (SELECT doc_id, tok,
+              lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt FROM e),
+rawp AS (SELECT v1.id AS a, v2.id AS b
+         FROM prs JOIN vocab v1 ON v1.tok = prs.tok
+                  JOIN vocab v2 ON v2.tok = prs.nxt
+         WHERE prs.nxt IS NOT NULL AND prs.tok <> prs.nxt),
+sym AS MATERIALIZED (SELECT a, b FROM rawp UNION SELECT b AS a, a AS b FROM rawp)
+"""
+    )
+    inner = pagerank_sql(graph_ctes, iterations=6)
+    # outer query recomputes the (deterministic) token→id map to label the
+    # inner pagerank's integer nodes with their token strings; the inner
+    # WITH re-defines the same CTE names in its own scope (legal, shadowed)
+    outer_vocab = r"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> x <> '') AS l FROM documents),
+e AS (SELECT unnest(l) AS tok FROM tl),
+vocab2 AS (SELECT tok, row_number() OVER (ORDER BY tok) AS id
+           FROM (SELECT DISTINCT tok FROM e) dt)"""
+    return (
+        outer_vocab
+        + f"""
+SELECT v.tok AS token, CAST(p.rank_scaled AS BIGINT) AS rank_scaled
+FROM ({inner}) p JOIN vocab2 v ON v.id = p.node
+"""
+    )
+
+
 def _kg_maximal_independent_set(spark, sf):
     """Deterministic Luby MAXIMAL INDEPENDENT SET over the derived alias
     graph shared with ``kg_entity_pagerank``/``kg_alias_components``
@@ -7572,6 +7671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_shortest_path_counts": _kg_shortest_path_counts,
         "kg_maximal_independent_set": _kg_maximal_independent_set,
+        "textrank_keywords": _textrank_keywords,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -7719,6 +7819,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_closure": _KG_RDFS_CLOSURE_SQL,
         "kg_shortest_path_counts": _kg_shortest_path_counts_sql(),
         "kg_maximal_independent_set": _kg_maximal_independent_set_sql(),
+        "textrank_keywords": _textrank_keywords_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

@@ -143,3 +143,40 @@ def test_shacl_gate_branches_live(spark, sf_dir):
     assert kinds == {"max_fanout", "closed_shape", "min_support", "obj_min_length"}
     sev = {r["constraint_id"]: r["severity"] for r in out}
     assert sev["max_fanout"] == "error" and sev["min_support"] == "warning"
+
+
+def test_textrank_matches_kernel_on_hand_corpus(spark, tmp_path):
+    """TextRank gate query == pure-Python PageRank over the same token
+    co-occurrence graph built by hand from the corpus text."""
+    import __spark_entry__ as E
+    from bert_namedentityrecognition_spark.oracle.graph import pagerank_int
+
+    docs = [
+        (0, "spark joins spark streams", "en", "s", 1),
+        (1, "streams window spark", "en", "s", 1),
+        (2, "solo", "en", "s", 1),  # single-token doc: no edges
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["token"]: r["rank_scaled"]
+        for r in E.queries()["textrank_keywords"](spark, sf).collect()
+    }
+    # hand-build: consecutive kept tokens, a != b, distinct, symmetric
+    pairs = set()
+    for _, text, *_ in docs:
+        t = [x for x in text.strip().split() if x]
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                pairs.add((a, b))
+                pairs.add((b, a))
+    vocab = {t: i + 1 for i, t in enumerate(sorted({x for _, tx, *_ in docs for x in tx.split()}))}
+    ids = {(vocab[a], vocab[b]) for a, b in pairs}
+    want_ids = pagerank_int(sorted(ids), iterations=6)
+    want = {t: want_ids[i] for t, i in vocab.items() if i in want_ids}
+    assert got == want
+    assert "solo" not in got  # edgeless tokens are absent, both engines
+    # hub token outranks the leaf: 'spark' touches everything
+    assert got["spark"] > got["window"]
