@@ -1202,6 +1202,102 @@ FROM (SELECT DISTINCT subj, pred, obj FROM t WHERE length(obj) < 4)
 """
 
 
+def _kg_bgp_match(spark, sf):
+    """SPARQL-style BASIC GRAPH PATTERN match over the patterned triple
+    store — the query face of the KG: ``?a DEGRADES ?sym . ?b
+    SPEEDS_UP ?sym . FILTER(?a != ?b)`` → for each (a, b) subject pair,
+    how many symptom objects they disagree on (one degrades it, the other
+    speeds it up) and the total co-evidence.  A star join on the shared
+    object variable — the canonical SPARQL execution shape (each triple
+    pattern = one filtered scan; the join variable is the shuffle key).
+
+    Scale shape: both pattern legs are pushed-down predicate filters over
+    ONE materialized triple store (rule 23: localCheckpoint before the
+    fan-out); the star join shuffles on obj (the join variable), then one
+    map-side-combined agg on the pair.  All counts BIGINT (rule 11).  The
+    reference has no query layer (fixed single relation,
+    ``ade_table/generate_table.py``) — SURVEY §2.12 extension."""
+    t = _kg_triples_patterned(spark, sf).localCheckpoint(eager=True)
+    d = t.filter(F.col("pred") == "DEGRADES").select(
+        F.col("subj").alias("a"), "obj", F.col("count").alias("ca")
+    )
+    s = t.filter(F.col("pred") == "SPEEDS_UP").select(
+        F.col("subj").alias("b"), "obj", F.col("count").alias("cb")
+    )
+    return (
+        d.join(s, "obj")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.countDistinct("obj").cast("long").alias("n_shared_objs"),
+            F.sum(F.col("ca") + F.col("cb")).cast("long").alias("evidence"),
+        )
+    )
+
+
+_KG_BGP_MATCH_SQL = f"""
+WITH t AS MATERIALIZED ({_KG_TRIPLES_PATTERNED_SQL})
+SELECT d.subj AS a, s.subj AS b,
+       CAST(count(DISTINCT d.obj) AS BIGINT) AS n_shared_objs,
+       CAST(sum(d.count + s.count) AS BIGINT) AS evidence
+FROM (SELECT subj, obj, count FROM t WHERE pred = 'DEGRADES') d
+JOIN (SELECT subj, obj, count FROM t WHERE pred = 'SPEEDS_UP') s
+  ON s.obj = d.obj
+WHERE d.subj <> s.subj
+GROUP BY d.subj, s.subj
+"""
+
+
+def _kg_degree_histogram(spark, sf):
+    """Graph-profiling degree distribution over the DIRECTED chain+skip
+    citation fixture (shared with ``kg_hits_scores``): per (direction,
+    degree) the number of nodes with exactly that in-/out-degree — the
+    first summary a KG publisher ships about its edge table (power-law
+    check, skew planning, join-strategy sizing).  Two map-side-combined
+    aggs over one materialized edge list (rule 23); all BIGINT."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 2).alias("dst")
+    )
+    e = chain.union(skip).localCheckpoint(eager=True)
+
+    def hist(col, direction):
+        return (
+            e.groupBy(F.col(col).alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .select(
+                F.lit(direction).alias("direction"),
+                F.col("degree").cast("long"),
+                "n_nodes",
+            )
+        )
+
+    return hist("src", "out").unionByName(hist("dst", "in"))
+
+
+_KG_DEGREE_HISTOGRAM_SQL = """
+WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+e AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0
+  UNION ALL
+  SELECT i AS a, i - 2 AS b FROM ids WHERE i > 1 AND i % 3 <> 0
+),
+outd AS (SELECT a, count(*) AS degree FROM e GROUP BY a),
+ind AS (SELECT b, count(*) AS degree FROM e GROUP BY b)
+SELECT 'out' AS direction, CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes FROM outd GROUP BY degree
+UNION ALL
+SELECT 'in', CAST(degree AS BIGINT), CAST(count(*) AS BIGINT)
+FROM ind GROUP BY degree
+"""
+
+
 def _kg_top_subjects(spark, sf):  # row-sum ordering + top-k (§2.9/2.10)
     t = _kg_triples(spark, sf)
     return (
@@ -7593,6 +7689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_patterned": _kg_triples_patterned,
         "kg_void_summary": _kg_void_summary,
         "kg_shacl_validation": _kg_shacl_validation,
+        "kg_bgp_match": _kg_bgp_match,
+        "kg_degree_histogram": _kg_degree_histogram,
         "kg_pmi_edges": _kg_pmi_edges,
         "kg_prox_edges": _kg_prox_edges,
         "kg_negative_samples": _kg_negative_samples,
@@ -7733,6 +7831,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
         "kg_void_summary": _KG_VOID_SUMMARY_SQL,
         "kg_shacl_validation": _KG_SHACL_VALIDATION_SQL,
+        "kg_bgp_match": _KG_BGP_MATCH_SQL,
+        "kg_degree_histogram": _KG_DEGREE_HISTOGRAM_SQL,
         "kg_pmi_edges": _KG_PMI_SQL,
         "kg_prox_edges": _KG_PROX_SQL,
         "kg_negative_samples": _KG_NEGSAMPLES_SQL,

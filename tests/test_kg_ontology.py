@@ -180,3 +180,45 @@ def test_textrank_matches_kernel_on_hand_corpus(spark, tmp_path):
     assert "solo" not in got  # edgeless tokens are absent, both engines
     # hub token outranks the leaf: 'spark' touches everything
     assert got["spark"] > got["window"]
+
+
+def test_bgp_match_hand_check(spark, sf_dir):
+    """BGP join result == manual recomputation from the patterned triples."""
+    import __spark_entry__ as E
+
+    t = E._kg_triples_patterned(spark, sf_dir).collect()
+    d = [(r["subj"], r["obj"], r["count"]) for r in t if r["pred"] == "DEGRADES"]
+    s = [(r["subj"], r["obj"], r["count"]) for r in t if r["pred"] == "SPEEDS_UP"]
+    want = {}
+    for ds, do, dc in d:
+        for ss, so, sc in s:
+            if do == so and ds != ss:
+                k = (ds, ss)
+                objs, ev = want.get(k, (set(), 0))
+                objs.add(do)
+                want[k] = (objs, ev + dc + sc)
+    got = {
+        (r["a"], r["b"]): (r["n_shared_objs"], r["evidence"])
+        for r in E.queries()["kg_bgp_match"](spark, sf_dir).collect()
+    }
+    assert got == {k: (len(o), e) for k, (o, e) in want.items()}
+    assert got  # pattern live at the smallest sf
+
+
+def test_degree_histogram_conservation(spark, sf_dir):
+    """Sum(degree * n_nodes) over each direction == edge count; node
+    totals match the fixture's construction."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["kg_degree_histogram"](spark, sf_dir).collect()
+    out_mass = sum(r["degree"] * r["n_nodes"] for r in rows if r["direction"] == "out")
+    in_mass = sum(r["degree"] * r["n_nodes"] for r in rows if r["direction"] == "in")
+    assert out_mass == in_mass  # every edge has one source and one target
+    # chain+skip at n nodes: n-1 chain + |{1<i<n, i%3!=0}| skip edges
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    n_skip = sum(1 for i in range(2, n) if i % 3)
+    assert out_mass == (n - 1) + n_skip
