@@ -1202,6 +1202,22 @@ FROM (SELECT DISTINCT subj, pred, obj FROM t WHERE length(obj) < 4)
 """
 
 
+def _contrastive_pairs(spark, sf):
+    """Contrastive training-pair mining over the LSH candidate stream
+    (``operators/dedup.py:contrastive_pairs``): band-colliding doc pairs
+    labeled ``positive`` (shingle Jaccard >= 1/2 — embed close) vs
+    ``hard_negative`` (collided in a minhash band yet NOT near-dup — the
+    lexically-confusable negatives contrastive embedding training needs;
+    random negatives are trivially separable).  Integer-exact label
+    (rule 11): ``2*inter >= union`` — no float crosses the engine
+    boundary; candidates are the banded equi-join (never all-pairs)."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        contrastive_pairs,
+    )
+
+    return contrastive_pairs(_t(spark, sf, "documents"))
+
+
 def _kg_bgp_match(spark, sf):
     """SPARQL-style BASIC GRAPH PATTERN match over the patterned triple
     store — the query face of the KG: ``?a DEGRADES ?sym . ?b
@@ -3417,7 +3433,7 @@ def _minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
 
 
-_MINHASH_LSH_SQL = """
+_MINHASH_CAND_CTES = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
@@ -3458,11 +3474,24 @@ inter AS (
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY c.doc_a, c.doc_b
 )
-SELECT it.doc_a, it.doc_b, it.i / (sa.sz + sb.sz - it.i) AS jaccard
+"""
+
+_MINHASH_LSH_SQL = _MINHASH_CAND_CTES + """SELECT it.doc_a, it.doc_b, it.i / (sa.sz + sb.sz - it.i) AS jaccard
 FROM inter it
 JOIN sizes sa ON sa.doc_id = it.doc_a
 JOIN sizes sb ON sb.doc_id = it.doc_b
 WHERE it.i / (sa.sz + sb.sz - it.i) >= 0.5
+"""
+
+_CONTRASTIVE_PAIRS_SQL = _MINHASH_CAND_CTES + """
+SELECT it.doc_a, it.doc_b,
+       CAST(it.i AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - it.i AS BIGINT) AS uni,
+       CASE WHEN 2 * it.i >= (sa.sz + sb.sz - it.i)
+            THEN 'positive' ELSE 'hard_negative' END AS label
+FROM inter it
+JOIN sizes sa ON sa.doc_id = it.doc_a
+JOIN sizes sb ON sb.doc_id = it.doc_b
 """
 
 
@@ -7725,6 +7754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_clusters": _minhash_clusters,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
+        "contrastive_pairs": _contrastive_pairs,
         "dedup_streaming_stateful": _streaming_dedup,
         "dedup_repeated_windows": _dedup_repeated_windows,
         "decontaminate_ngram": _decontaminate_ngram,
@@ -7847,6 +7877,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
         "dedup_minhash_clusters": _MINHASH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),
         # one assembly, two queries: pruning must not change the twin

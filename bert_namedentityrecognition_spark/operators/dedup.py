@@ -139,6 +139,27 @@ def minhash_lsh_pairs(
     """(doc_a, doc_b, jaccard): LSH candidates verified by true shingle
     Jaccard. Only docs sharing a full band of minhashes are compared."""
     params = params or MINHASH_PARAMS
+    cand = lsh_band_candidates(
+        docs, n=n, bands=bands, params=params, id_col=id_col, text_col=text_col
+    )
+    return verify_jaccard(cand, docs, n=n, id_col=id_col, text_col=text_col).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def lsh_band_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    params: list[tuple[int, int]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b): the distinct LSH candidate pairs — docs sharing at
+    least one full band of minhashes (the banded equi-join, never
+    all-pairs).  Shared by ``minhash_lsh_pairs`` and
+    ``contrastive_pairs``."""
+    params = params or MINHASH_PARAMS
     rows_per_band = len(params) // bands
     sig = minhash_signatures(docs, n=n, params=params, id_col=id_col, text_col=text_col)
     banded = (
@@ -154,7 +175,7 @@ def minhash_lsh_pairs(
             ).alias("band_sig")
         )
     )
-    cand = (
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_sig"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -163,15 +184,15 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return verify_jaccard(cand, docs, n=n, id_col=id_col, text_col=text_col).filter(
-        F.col("jaccard") >= jaccard_threshold
-    )
 
 
-def verify_jaccard(
+def candidate_overlap(
     pairs: DataFrame, docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """True shingle-set Jaccard for candidate pairs."""
+    """(doc_a, doc_b, inter, sz_a, sz_b): exact integer shingle-set
+    overlap for candidate pairs — the shared stage behind
+    ``verify_jaccard`` (float ratio) and ``contrastive_pairs``
+    (integer-exact threshold label)."""
     sh = token_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
@@ -186,11 +207,63 @@ def verify_jaccard(
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """True shingle-set Jaccard for candidate pairs."""
+    return candidate_overlap(
+        pairs, docs, n=n, id_col=id_col, text_col=text_col
+    ).select(
+        "doc_a",
+        "doc_b",
+        (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+    )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    params: list[tuple[int, int]] | None = None,
+    pos_num: int = 1,
+    pos_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, inter, uni, label): contrastive TRAINING-PAIR mining
+    for embedding models over the LSH candidate stream — ``positive`` when
+    shingle Jaccard ≥ pos_num/pos_den (a true near-duplicate: the pair an
+    embedding should map close), ``hard_negative`` otherwise (the pair
+    COLLIDED in a minhash band yet is not a near-dup — lexically confusable,
+    exactly the negatives contrastive training needs; random negatives are
+    trivially separable).
+
+    Integer-exact label (rule 11): ``pos_den·inter ≥ pos_num·(sz_a+sz_b−
+    inter)`` — no float ratio crosses an engine boundary.  Scale shape:
+    candidates come from the banded equi-join (never all-pairs); overlap is
+    one shingle join + map-side-combined count; the label is codegen'd
+    arithmetic.  The mined table feeds a (doc_a, doc_b, label) training
+    manifest — at 100 TB it is written bucketed by doc_a for the
+    per-anchor batch sampler."""
+    cand = lsh_band_candidates(
+        docs, n=n, bands=bands, params=params, id_col=id_col, text_col=text_col
+    )
+    ov = candidate_overlap(cand, docs, n=n, id_col=id_col, text_col=text_col)
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return ov.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        uni.cast("long").alias("uni"),
+        F.when(
+            F.lit(int(pos_den)) * F.col("inter") >= F.lit(int(pos_num)) * uni,
+            F.lit("positive"),
         )
+        .otherwise(F.lit("hard_negative"))
+        .alias("label"),
     )
 
 

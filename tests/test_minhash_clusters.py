@@ -94,3 +94,35 @@ def test_exactly_one_keeper_per_cluster_and_drop_accounting(spark):
     dropped = sum(1 for v in got.values() if not v[2])
     assert kept + dropped == len(rows)
     assert got[0] == (0, 6, True) and got[5] == (0, 6, False)
+
+
+def test_contrastive_pairs_labels(spark):
+    """Positives are true near-dups, hard negatives are band collisions
+    below the Jaccard bar; the label is the exact integer predicate."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        contrastive_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base + " tail"),              # near-dup of 0 -> positive
+        (2, base.replace("dog", "cat")),  # still very close -> positive
+        (3, "completely different words everywhere nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = contrastive_pairs(df).collect()
+    labels = {(r["doc_a"], r["doc_b"]): r["label"] for r in out}
+    assert labels.get((0, 1)) == "positive"
+    for r in out:
+        uni_ok = 2 * r["inter"] >= r["uni"]
+        assert (r["label"] == "positive") == uni_ok
+        assert r["inter"] <= r["uni"]
+
+
+def test_contrastive_pairs_gate_both_labels_live(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.queries()["contrastive_pairs"](spark, sf_dir).collect()
+    kinds = {r["label"] for r in out}
+    assert kinds == {"positive", "hard_negative"}
