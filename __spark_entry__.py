@@ -473,6 +473,44 @@ GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 """
 
 
+def _lineitem_unpivot(spark, sf):
+    """Wide→long UNPIVOT (melt) of the four lineitem measures into
+    (metric, val) rows, then per-metric stats — the schema-normalization
+    operator feeding generic metric stores / feature pipelines (Spark's
+    native ``unpivot``; DuckDB twin uses the portable UNION ALL
+    expansion).  Spark plans unpivot as a single Expand (one scan, no
+    join-of-four-scans); stats go through decimal(18,4) then round per
+    the numeric-compare policy."""
+    li = _t(spark, sf, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("val").cast(_DEC)).cast("double"), 2).alias("total"),
+        F.round(F.min(F.col("val").cast(_DEC)).cast("double"), 2).alias("lo"),
+        F.round(F.max(F.col("val").cast(_DEC)).cast("double"), 2).alias("hi"),
+    )
+
+
+_LINEITEM_UNPIVOT_SQL = f"""
+WITH long AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(CAST(val AS {_DEC})) AS DOUBLE), 2) AS total,
+  round(CAST(min(CAST(val AS {_DEC})) AS DOUBLE), 2) AS lo,
+  round(CAST(max(CAST(val AS {_DEC})) AS DOUBLE), 2) AS hi
+FROM long GROUP BY metric
+"""
+
+
 def _events_json(spark, sf):  # semi-structured projection
     e = _t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -5074,6 +5112,96 @@ FROM ({inner}) p JOIN vocab2 v ON v.id = p.node
     )
 
 
+def _alias_graph(spark, sf):
+    """The shared chain-of-40 + block-heads alias graph (symmetrized) used
+    by the pagerank / LPA / alias-components / MIS gate fixtures."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+_ALIAS_GRAPH_CTES = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+
+
+def _kg_community_profile(spark, sf):
+    """Community PROFILE — the roll-up a KG serves once communities and
+    centralities exist: join label-propagation communities (4 rounds) with
+    integer PageRank (4 iterations) over the SAME alias graph and
+    aggregate per community (size, total/max rank, and the LEADER — the
+    argmin of (-rank, node), i.e. highest-rank member, ties to the
+    smallest id).  Composes two iterative results the gate already pins
+    individually — this query pins their JOIN semantics.
+
+    Scale shape: both iterative jobs run on the (node, value) scale of
+    the graph; the stitch is one equi-join on node + one struct-min agg
+    per community (no window sort over the full membership).  All-integer
+    (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        label_propagation,
+        pagerank_integer,
+    )
+
+    sym = _alias_graph(spark, sf).localCheckpoint(eager=True)
+    com = label_propagation(sym, rounds=4)
+    pr = pagerank_integer(sym, iterations=4)
+    j = com.join(pr, "node")
+    return (
+        j.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("rank_scaled").cast("long").alias("total_rank"),
+            F.max("rank_scaled").cast("long").alias("max_rank"),
+            F.min(
+                F.struct(
+                    (-F.col("rank_scaled")).alias("nr"),
+                    F.col("node").alias("n"),
+                )
+            )["n"]
+            .cast("long")
+            .alias("leader"),
+        )
+    )
+
+
+def _kg_community_profile_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        label_prop_sql,
+        pagerank_sql,
+    )
+
+    lp = label_prop_sql(_ALIAS_GRAPH_CTES, rounds=4)
+    pr = pagerank_sql(_ALIAS_GRAPH_CTES, iterations=4)
+    return f"""
+SELECT c.community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(p.rank_scaled) AS BIGINT) AS total_rank,
+       CAST(max(p.rank_scaled) AS BIGINT) AS max_rank,
+       CAST(min((-p.rank_scaled, p.node))[2] AS BIGINT) AS leader
+FROM ({lp}) c JOIN ({pr}) p ON p.node = c.node
+GROUP BY c.community
+"""
+
+
 def _kg_maximal_independent_set(spark, sf):
     """Deterministic Luby MAXIMAL INDEPENDENT SET over the derived alias
     graph shared with ``kg_entity_pagerank``/``kg_alias_components``
@@ -7709,6 +7837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_rollup": _events_rollup,
+        "lineitem_unpivot": _lineitem_unpivot,
         "events_json_extract": _events_json,
         # KG construction family (SURVEY §2 core)
         "kg_mentions": _kg_mentions,
@@ -7800,6 +7929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shortest_path_counts": _kg_shortest_path_counts,
         "kg_maximal_independent_set": _kg_maximal_independent_set,
         "textrank_keywords": _textrank_keywords,
+        "kg_community_profile": _kg_community_profile,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -7853,6 +7983,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
+        "lineitem_unpivot": _LINEITEM_UNPIVOT_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_bucketed_join": _KG_BUCKETED_JOIN_SQL,
@@ -7951,6 +8082,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shortest_path_counts": _kg_shortest_path_counts_sql(),
         "kg_maximal_independent_set": _kg_maximal_independent_set_sql(),
         "textrank_keywords": _textrank_keywords_sql(),
+        "kg_community_profile": _kg_community_profile_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

@@ -4,6 +4,7 @@ grouping_id bit-order contract events_rollup relies on."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from bert_namedentityrecognition_spark.operators.graph import (
@@ -222,3 +223,36 @@ def test_degree_histogram_conservation(spark, sf_dir):
     ).fetchone()[0]
     n_skip = sum(1 for i in range(2, n) if i % 3)
     assert out_mass == (n - 1) + n_skip
+
+
+def test_unpivot_stats_match_wide_scan(spark, sf_dir):
+    """Long-form per-metric n equals the wide row count, and totals match
+    a direct per-column aggregate."""
+    import __spark_entry__ as E
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    rows = {r["metric"]: r for r in E.queries()["lineitem_unpivot"](spark, sf_dir).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    assert all(r["n"] == n for r in rows.values())
+    direct = li.agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2)).first()[0]
+    assert rows["l_quantity"]["total"] == direct
+
+
+def test_community_profile_invariants(spark, sf_dir):
+    """Leader belongs to its community and holds its max rank; member
+    counts conserve the node total."""
+    import __spark_entry__ as E
+    from bert_namedentityrecognition_spark.operators.graph import (
+        label_propagation,
+        pagerank_integer,
+    )
+
+    sym = E._alias_graph(spark, sf_dir).localCheckpoint(eager=True)
+    com = {r["node"]: r["community"] for r in label_propagation(sym, rounds=4).collect()}
+    pr = {r["node"]: r["rank_scaled"] for r in pagerank_integer(sym, iterations=4).collect()}
+    prof = E.queries()["kg_community_profile"](spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in prof) == len(com)
+    for r in prof:
+        assert com[r["leader"]] == r["community"]
+        assert pr[r["leader"]] == r["max_rank"]
