@@ -5657,6 +5657,93 @@ sym AS MATERIALIZED (SELECT u AS a, v AS b FROM und UNION SELECT v AS a, u AS b 
     return kcore_sql(graph_ctes, k=KCORE_K, rounds=KCORE_SQL_ROUNDS)
 
 
+def _kg_ntriples_roundtrip(spark, sf):
+    """§2.2 sink + §2.1 scan under one gate: a deterministic hostile-literal
+    triple fixture (every ECHAR escape branch live — quote, backslash,
+    newline, CR, tab, CJK — cycling per row, sf-scaled via the events row
+    count) is pushed through the REAL ``write_ntriples`` sink (JVM-side
+    chained-replace escaping, no Python) to ``_writable_base()``, read
+    back with the REAL ``read_ntriples`` scan (left-to-right kernel
+    unescape — chained replaces would corrupt escaped-backslash-then-n),
+    and the ROUNDTRIPPED rows are hash-compared against the ground-truth
+    strings the SQL twin generates arithmetically.  What the hash pins:
+    the full escape/unescape cycle through an actual partitioned text
+    file, byte-for-byte, at three scale factors.  Kernel:
+    ``oracle/ntriples.py`` (rule 6).  Ref: the reference exports an Excel
+    matrix (``ade_table/generate_table.py:67-97``); the W3C-format export
+    is this repo's extension."""
+    import os
+    import shutil
+
+    from bert_namedentityrecognition_spark.oracle.ntriples import (
+        HOSTILE_LITERALS,
+    )
+    from bert_namedentityrecognition_spark.sources.readers import (
+        read_ntriples,
+        write_ntriples,
+    )
+
+    n = _t(spark, sf, "events").count()
+    lits = F.array(*[F.lit(t) for t in HOSTILE_LITERALS])
+    src = spark.range(n).select(
+        F.concat(F.lit("http://kg/e/"), (F.col("id") % 97).cast("string")).alias("subj"),
+        F.concat(F.lit("http://kg/p/"), (F.col("id") % 3).cast("string")).alias("pred"),
+        F.concat(
+            F.element_at(lits, (F.col("id") % 5 + 1).cast("int")),
+            F.col("id").cast("string"),
+        ).alias("obj"),
+    )
+    d = os.path.join(_writable_base(), "var", f"ntriples_fixture_{n}")
+    shutil.rmtree(d, ignore_errors=True)  # stale parts would duplicate rows
+    write_ntriples(src.repartition(4), d)
+    return read_ntriples(spark, d)
+
+
+@functools.lru_cache(maxsize=1)
+def _kg_ntriples_sql() -> str:
+    """SQL twin built from the GROUND-TRUTH strings, never from the scan's
+    output.  Generation-time assertion (rule 14): the kernel's
+    format_line→parse_line cycle must reproduce every hostile template
+    verbatim — so the inlined literals are pinned to the real kernels,
+    loudly, at twin-build time."""
+    from bert_namedentityrecognition_spark.oracle.ntriples import (
+        HOSTILE_LITERALS,
+        format_line,
+        parse_line,
+    )
+
+    for i, t in enumerate(HOSTILE_LITERALS):
+        s, p, o = f"http://kg/e/{i % 97}", f"http://kg/p/{i % 3}", t + str(i)
+        assert parse_line(format_line(s, p, o)) == (s, p, o), t
+
+    def sql_str(s: str) -> str:
+        parts, buf = [], []
+        for ch in s:
+            if ch in "\n\r\t":
+                if buf:
+                    parts.append("'" + "".join(buf).replace("'", "''") + "'")
+                    buf = []
+                parts.append(f"chr({ord(ch)})")
+            else:
+                buf.append(ch)
+        if buf:
+            parts.append("'" + "".join(buf).replace("'", "''") + "'")
+        return " || ".join(parts) if parts else "''"
+
+    arms = "\n    ".join(
+        f"WHEN {i} THEN {sql_str(t)}" for i, t in enumerate(HOSTILE_LITERALS)
+    )
+    return f"""
+WITH ids AS (SELECT row_number() OVER () - 1 AS i FROM events)
+SELECT 'http://kg/e/' || CAST(i % 97 AS VARCHAR) AS subj,
+       'http://kg/p/' || CAST(i % 3 AS VARCHAR) AS pred,
+       (CASE i % 5
+    {arms}
+    END) || CAST(i AS VARCHAR) AS obj
+FROM ids
+"""
+
+
 # --- WARC raw-source ingest under the gate (§2.1) ----------------------------
 
 
@@ -7914,6 +8001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_model_mentions": _ner_model_mentions,
         "warc_ingest_mentions": _warc_ingest_mentions,
         "xml_articles_roundtrip": _xml_articles_roundtrip,
+        "kg_ntriples_roundtrip": _kg_ntriples_roundtrip,
         "meddra_two_hop_normalize": _meddra_two_hop,
         "conll_roundtrip": _conll_roundtrip,
         "oici_excel_normalize": _oici_excel_normalize,
@@ -8065,6 +8153,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_model_mentions": _ner_model_sql(),
         "warc_ingest_mentions": _warc_ingest_sql(),
         "xml_articles_roundtrip": _xml_articles_sql(),
+        "kg_ntriples_roundtrip": _kg_ntriples_sql(),
         "meddra_two_hop_normalize": _meddra_two_hop_sql(),
         "conll_roundtrip": _conll_roundtrip_sql(),
         "oici_excel_normalize": _oici_excel_sql(),

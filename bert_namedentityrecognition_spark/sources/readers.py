@@ -330,3 +330,64 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(run, schema=_PAGES_SCHEMA)
+
+
+def write_ntriples(
+    triples: DataFrame,
+    path: str,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> None:
+    """N-Triples sink: one ``<subj> <pred> "literal" .`` line per row
+    (W3C RDF 1.1) — the standards-format KG export next to the Excel
+    pivot (SURVEY §2.2; kernel: ``oracle/ntriples.py``).
+
+    The ECHAR escape runs as a JVM-side chained ``replace`` (backslash
+    FIRST — later replacements only introduce backslashes that are
+    already escaped), inside whole-stage codegen: no Python in the sink.
+    Escape-direction chaining is exact; only UNESCAPE needs a real
+    scanner (see ``read_ntriples``).  Partitioned text write — one part
+    file per task, safe at any scale."""
+    esc = F.col(obj).cast("string")
+    for raw, rep in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+    ):
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    line = F.concat(
+        F.lit("<"), F.col(subj), F.lit("> <"), F.col(pred),
+        F.lit('> "'), esc, F.lit('" .'),
+    )
+    triples.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+_NT_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+    ]
+)
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """N-Triples scan: text lines → (subj, pred, obj) with the literal
+    UNESCAPED by the left-to-right kernel scanner (chained replaces would
+    corrupt ``\\\\n`` — escaped backslash then letter n; rule 6: the
+    kernel in ``oracle/ntriples.py`` is the one semantics source).  Blank
+    lines and ``#`` comments are skipped; malformed lines raise — a
+    truncated export fails loudly.  ONE ``mapInPandas`` stage (rule 1)."""
+    from ..oracle.ntriples import parse_line
+
+    raw = spark.read.text(path)
+
+    def parse(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in chunks:
+            rows = [p for p in (parse_line(v) for v in pdf["value"]) if p]
+            yield pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+
+    return raw.mapInPandas(parse, schema=_NT_SCHEMA)
