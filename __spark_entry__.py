@@ -1871,6 +1871,58 @@ FROM documents
 """
 
 
+def _record_fusion(spark, sf):
+    """Survivorship-rule record fusion over the minhash near-dup clusters
+    (``operators/canonicalize.py:fuse_records``) — the MDM merge step a KG
+    runs after dedup: per cluster, the canonical id (min), member count,
+    majority source/lang (ties → lexicographically smallest — a
+    deterministic struct-min argmin, never first()/row order), and the
+    longest-text n_chars.  Clusters come from the REAL
+    ``minhash_dedup_clusters`` dataflow (banded LSH → verified Jaccard →
+    connected components) already hash-proven under the gate; multi-member
+    clusters with divergent source/lang exist at every sf, so every
+    survivorship rule is live."""
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        fuse_records,
+    )
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        minhash_dedup_clusters,
+    )
+
+    docs = _t(spark, sf, "documents")
+    assign = minhash_dedup_clusters(docs).select("doc_id", "cluster_id")
+    return fuse_records(assign, docs.select("doc_id", "source", "lang", "n_chars"))
+
+
+def _record_fusion_sql() -> str:
+    return f"""
+WITH c AS MATERIALIZED ({_MINHASH_CLUSTERS_SQL}),
+base AS MATERIALIZED (
+  SELECT c.cluster_id, d.doc_id, d.source, d.lang, d.n_chars
+  FROM c JOIN documents d USING (doc_id)
+),
+core AS (
+  SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS n_merged,
+         CAST(max(n_chars) AS BIGINT) AS max_n_chars
+  FROM base GROUP BY cluster_id
+),
+src AS (
+  SELECT cluster_id, min((-cnt, source))[2] AS fused_source
+  FROM (SELECT cluster_id, source, count(*) AS cnt FROM base GROUP BY 1, 2)
+  GROUP BY cluster_id
+),
+lng AS (
+  SELECT cluster_id, min((-cnt, lang))[2] AS fused_lang
+  FROM (SELECT cluster_id, lang, count(*) AS cnt FROM base GROUP BY 1, 2)
+  GROUP BY cluster_id
+)
+SELECT core.cluster_id, core.canonical_id, core.n_merged, core.max_n_chars,
+       src.fused_source, lng.fused_lang
+FROM core JOIN src USING (cluster_id) JOIN lng USING (cluster_id)
+"""
+
+
 def _decontaminate_ngram(spark, sf):
     """Benchmark n-gram decontamination (``operators/corpus.decontaminate``):
     docs with doc_id % 23 == 0 play the benchmark/eval set, the rest are the
@@ -7969,6 +8021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup_multiprobe": _embedding_neardup_multiprobe,
         "dedup_simhash_signatures": _simhash_sigs,
         "dedup_minhash_clusters": _minhash_clusters,
+        "record_fusion": _record_fusion,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "contrastive_pairs": _contrastive_pairs,
         "dedup_streaming_stateful": _streaming_dedup,
@@ -8095,6 +8148,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_candidates_token_set": _kg_candidates_token_set_sql(),
         "kg_normalize_fuzzy_indel": _fuzzy_indel_sql(),
         "dedup_minhash_clusters": _MINHASH_CLUSTERS_SQL,
+        "record_fusion": _record_fusion_sql(),
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),

@@ -299,3 +299,58 @@ def apply_alias_map(
     return out.withColumn(col, F.coalesce("canonical_surface", F.col(col))).drop(
         "canonical_surface"
     )
+
+
+def fuse_records(
+    assign: DataFrame,
+    records: DataFrame,
+    group_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    majority_cols: tuple = ("source", "lang"),
+    max_cols: tuple = ("n_chars",),
+) -> DataFrame:
+    """Survivorship-rule RECORD FUSION — the MDM merge step after dedup
+    clustering: given a cluster assignment (``id_col``, ``group_col``) and
+    the record attributes, emit ONE fused row per cluster::
+
+        group_col, canonical_id (min id), n_merged,
+        fused_<c>  per majority col  (most frequent value, ties → smallest
+                                      — an integer/lex argmin, engine-exact),
+        max_<c>    per max col       (longest/largest-value rule)
+
+    Scale shape: the assignment⋈records join shuffles once on ``id_col``
+    and the joined frame is ``localCheckpoint``-materialized (rule 23 —
+    it fans into 1 + len(majority_cols) aggregations); each majority rule
+    is a two-level map-side-combined aggregate + struct-min argmin (never
+    a window sort over the full membership); stitches are per-cluster
+    joins.  Deterministic: every pick is a struct-min over values, no
+    first()/row-order dependence (the r4 ADVICE class).
+
+    Ref: the reference keeps the first surface form it sees
+    (``OICI_database.py:34-39``, order-dependent); value-deterministic
+    fusion is this repo's KG-scale extension (SURVEY §2.12)."""
+    base = (
+        assign.select(
+            F.col(id_col).alias("__id"), F.col(group_col).alias("__g")
+        )
+        .join(records.withColumnRenamed(id_col, "__id"), "__id")
+        .localCheckpoint(eager=True)
+    )
+    aggs = [
+        F.min("__id").cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    ] + [F.max(c).cast("long").alias(f"max_{c}") for c in max_cols]
+    out = base.groupBy(F.col("__g").alias(group_col)).agg(*aggs)
+    for c in majority_cols:
+        counts = base.groupBy("__g", c).agg(F.count(F.lit(1)).alias("__c"))
+        pick = (
+            counts.groupBy("__g")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("nc"), F.col(c).alias("v"))
+                )["v"].alias(f"fused_{c}")
+            )
+            .withColumnRenamed("__g", group_col)
+        )
+        out = out.join(pick, group_col)
+    return out

@@ -256,3 +256,73 @@ def test_community_profile_invariants(spark, sf_dir):
     for r in prof:
         assert com[r["leader"]] == r["community"]
         assert pr[r["leader"]] == r["max_rank"]
+
+
+def test_fuse_records_hand_fixture(spark):
+    from pyspark.sql.types import StringType
+
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        fuse_records,
+    )
+
+    assign = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (9, 200)], ["doc_id", "cluster_id"]
+    )
+    rec_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    records = spark.createDataFrame(
+        [
+            (1, "web", "en", 10),
+            (2, "web", "ja", 30),   # majority source=web
+            (3, "feed", "en", 20),  # majority lang=en
+            (9, "pdf", "de", 5),
+        ],
+        rec_schema,
+    )
+    out = {r["cluster_id"]: r for r in fuse_records(assign, records).collect()}
+    r = out[100]
+    assert (r["canonical_id"], r["n_merged"], r["max_n_chars"]) == (1, 3, 30)
+    assert r["fused_source"] == "web" and r["fused_lang"] == "en"
+    s = out[200]
+    assert (s["canonical_id"], s["n_merged"], s["fused_source"]) == (9, 1, "pdf")
+
+
+def test_fuse_records_tie_breaks_smallest(spark):
+    from pyspark.sql.types import StringType
+
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        fuse_records,
+    )
+
+    assign = spark.createDataFrame([(1, 7), (2, 7)], ["doc_id", "cluster_id"])
+    rec_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    records = spark.createDataFrame(
+        [(1, "zeta", "ja", 1), (2, "alpha", "en", 1)], rec_schema
+    )
+    r = fuse_records(assign, records).collect()[0]
+    # 1-1 tie in both majority columns -> lexicographically smallest value
+    assert r["fused_source"] == "alpha" and r["fused_lang"] == "en"
+
+
+def test_record_fusion_gate_conservation(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.queries()["record_fusion"](spark, sf_dir).collect()
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    assert sum(r["n_merged"] for r in out) == n  # every doc fused exactly once
+    assert any(r["n_merged"] > 1 for r in out)  # real merges live
