@@ -432,6 +432,55 @@ FROM g GROUP BY user_id
 """
 
 
+def _q4_priority_exists(spark, sf):
+    """TPC-H Q4-style EXISTS/NOT-EXISTS pair: per order priority, how many
+    orders have at least one lineitem shipped > 60 days after the order
+    date (the semi-join branch) vs none (the anti-join branch) — the two
+    subquery-decorrelation shapes an OLAP engine must plan as
+    LeftSemi/LeftAnti joins, NOT per-row subqueries.  One distinct
+    late-orderkey set (map-side-combined), one semi + one anti join
+    against it, one agg; counts BIGINT."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60)
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    has = (
+        o.join(late, o.o_orderkey == late.k, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_with_late"))
+    )
+    without = (
+        o.join(late, o.o_orderkey == late.k, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_without_late"))
+    )
+    return (
+        has.join(without, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("n_with_late"), F.lit(0)).cast("long").alias("n_with_late"),
+            F.coalesce(F.col("n_without_late"), F.lit(0)).cast("long").alias("n_without_late"),
+        )
+    )
+
+
+_Q4_PRIORITY_EXISTS_SQL = """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey AS k
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+)
+SELECT o_orderpriority,
+  CAST(count(*) FILTER (WHERE EXISTS (SELECT 1 FROM late WHERE k = o_orderkey)) AS BIGINT) AS n_with_late,
+  CAST(count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM late WHERE k = o_orderkey)) AS BIGINT) AS n_without_late
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def _events_rollup(spark, sf):
     """Multi-level aggregation via Spark's native ``rollup`` operator
     (GROUPING SETS): per-(event_type, day) totals PLUS per-event_type
@@ -5254,6 +5303,63 @@ GROUP BY c.community
 """
 
 
+def _kg_quotient_graph(spark, sf):
+    """Community QUOTIENT graph (graph coarsening): contract every
+    label-propagation community (4 rounds, same alias graph as
+    ``kg_community_profile``) to one super-node and count the edges
+    between / within community pairs — the coarse summary a KG serves for
+    navigation and the input to multilevel partitioning.  Output =
+    (comm_a <= comm_b normalized, n_edges) over the distinct undirected
+    edge set; intra-community rows (comm_a == comm_b) carry the cohesion
+    mass.
+
+    Scale shape: the community map is graph-sized (not broadcastable at
+    10^12 nodes), so both endpoint lookups are shuffle equi-joins on node
+    — the standard contraction; the pair count is one map-side-combined
+    agg.  All-integer (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        label_propagation,
+    )
+
+    sym = _alias_graph(spark, sf).localCheckpoint(eager=True)
+    com = label_propagation(sym, rounds=4)
+    und = sym.filter(F.col("src") < F.col("dst"))  # one row per undirected edge
+    ca = com.select(F.col("node").alias("src"), F.col("community").alias("cu"))
+    cb = com.select(F.col("node").alias("dst"), F.col("community").alias("cv"))
+    return (
+        und.join(ca, "src")
+        .join(cb, "dst")
+        .select(
+            F.least("cu", "cv").cast("long").alias("comm_a"),
+            F.greatest("cu", "cv").cast("long").alias("comm_b"),
+        )
+        .groupBy("comm_a", "comm_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+
+
+def _kg_quotient_graph_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import label_prop_sql
+
+    lp = label_prop_sql(_ALIAS_GRAPH_CTES, rounds=4)
+    return f"""
+WITH com AS MATERIALIZED ({lp}),
+gids AS (SELECT row_number() OVER () - 1 AS i FROM events),
+gedges AS (
+  SELECT i AS a, i - 1 AS b FROM gids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM gids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM gedges)
+SELECT CAST(least(ca.community, cb.community) AS BIGINT) AS comm_a,
+       CAST(greatest(ca.community, cb.community) AS BIGINT) AS comm_b,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM und JOIN com ca ON ca.node = und.u JOIN com cb ON cb.node = und.v
+GROUP BY 1, 2
+"""
+
+
 def _kg_maximal_independent_set(spark, sf):
     """Deterministic Luby MAXIMAL INDEPENDENT SET over the derived alias
     graph shared with ``kg_entity_pagerank``/``kg_alias_components``
@@ -7969,6 +8075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6,
         "q12_priority_class": _q12,
         "q3_shipping_priority": _q3,
+        "q4_priority_exists": _q4_priority_exists,
         "q5_nation_revenue": _q5,
         "top_customers": _top_customers,
         "order_priority_count": _order_priority,
@@ -8071,6 +8178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_maximal_independent_set": _kg_maximal_independent_set,
         "textrank_keywords": _textrank_keywords,
         "kg_community_profile": _kg_community_profile,
+        "kg_quotient_graph": _kg_quotient_graph,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -8117,6 +8225,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _Q6_SQL,
         "q12_priority_class": _Q12_SQL,
         "q3_shipping_priority": _Q3_SQL,
+        "q4_priority_exists": _Q4_PRIORITY_EXISTS_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
         "order_priority_count": _ORDER_PRIORITY_SQL,
@@ -8226,6 +8335,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_maximal_independent_set": _kg_maximal_independent_set_sql(),
         "textrank_keywords": _textrank_keywords_sql(),
         "kg_community_profile": _kg_community_profile_sql(),
+        "kg_quotient_graph": _kg_quotient_graph_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

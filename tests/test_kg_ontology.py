@@ -326,3 +326,35 @@ def test_record_fusion_gate_conservation(spark, sf_dir):
     n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
     assert sum(r["n_merged"] for r in out) == n  # every doc fused exactly once
     assert any(r["n_merged"] > 1 for r in out)  # real merges live
+
+
+def test_q4_exists_branches_partition_orders(spark, sf_dir):
+    """Semi + anti branches partition the orders table exactly."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["q4_priority_exists"](spark, sf_dir).collect()
+    import duckdb
+
+    per_prio = dict(
+        duckdb.sql(
+            f"SELECT o_orderpriority, count(*) FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r["n_with_late"] + r["n_without_late"] == per_prio[r["o_orderpriority"]]
+    assert any(r["n_with_late"] > 0 for r in rows)
+    assert any(r["n_without_late"] > 0 for r in rows)
+
+
+def test_quotient_graph_conserves_edges(spark, sf_dir):
+    """Quotient edge mass == undirected edge count; intra rows exist (a
+    community's internal cohesion) and the quotient is far smaller than
+    the graph."""
+    import __spark_entry__ as E
+
+    sym = E._alias_graph(spark, sf_dir)
+    n_und = sym.filter(F.col("src") < F.col("dst")).count()
+    rows = E.queries()["kg_quotient_graph"](spark, sf_dir).collect()
+    assert sum(r["n_edges"] for r in rows) == n_und
+    assert any(r["comm_a"] == r["comm_b"] for r in rows)
+    assert len(rows) < n_und
