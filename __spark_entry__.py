@@ -5303,6 +5303,37 @@ GROUP BY c.community
 """
 
 
+def _kg_nearest_seed(spark, sf):
+    """Graph VORONOI partition (``operators/graph.py:nearest_seed_df``)
+    over the symmetrized alias graph: every node within 8 hops routed to
+    its NEAREST hub (seeds = every 12th node; ties at equal distance →
+    min seed id, live by construction at the even mid-points between
+    adjacent seeds) — the shard-assignment pass a served KG partitions
+    entities by.  Unreached nodes absent.  All-integer; the DuckDB twin
+    (``oracle/graph.py:nearest_seed_sql``) unrolls the levels with
+    first-reach anti-joins (rule 30 MATERIALIZED carries)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        nearest_seed_df,
+    )
+
+    sym = _alias_graph(spark, sf)
+    n = _t(spark, sf, "events").count()
+    seeds = spark.range(n).filter(F.col("id") % 12 == 0).select(
+        F.col("id").alias("node")
+    )
+    return nearest_seed_df(sym, seeds, max_hops=8)
+
+
+def _kg_nearest_seed_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import nearest_seed_sql
+
+    graph_ctes = (
+        _ALIAS_GRAPH_CTES.rstrip().rstrip(",")
+        + ",\nseeds AS (SELECT i AS node FROM ids WHERE i % 12 = 0)"
+    )
+    return nearest_seed_sql(graph_ctes, max_hops=8)
+
+
 def _kg_quotient_graph(spark, sf):
     """Community QUOTIENT graph (graph coarsening): contract every
     label-propagation community (4 rounds, same alias graph as
@@ -8179,6 +8210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _textrank_keywords,
         "kg_community_profile": _kg_community_profile,
         "kg_quotient_graph": _kg_quotient_graph,
+        "kg_nearest_seed": _kg_nearest_seed,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -8336,6 +8368,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_keywords_sql(),
         "kg_community_profile": _kg_community_profile_sql(),
         "kg_quotient_graph": _kg_quotient_graph_sql(),
+        "kg_nearest_seed": _kg_nearest_seed_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

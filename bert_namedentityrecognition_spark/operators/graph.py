@@ -307,6 +307,55 @@ def bfs_path_counts_df(
     )
 
 
+def nearest_seed_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """DIRECTED ``edges(src, dst)`` + ``seeds(node)`` → ``(node, dist,
+    seed)``: the graph-Voronoi assignment of ``oracle.graph.
+    bfs_nearest_seed`` — each node routed to its nearest seed (ties at
+    first reach → min seed id), the hub/shard assignment a served KG
+    partitions by.  Same scale shape as ``bfs_path_counts_df``: per level
+    ONE frontier join + one MIN agg + one first-reach anti-join, dist
+    localCheckpoint-ed per level (rule 23)."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit(0).cast("long").alias("dist"),
+            F.col("node").alias("seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node", "seed")
+    for k in range(1, max_hops + 1):
+        pushed = (
+            frontier.join(e, frontier.node == e.a)
+            .groupBy(F.col("b").alias("nnode"))
+            .agg(F.min("seed").alias("seed"))
+        )
+        fresh = pushed.join(dist, pushed.nnode == dist.node, "left_anti").select(
+            F.col("nnode").alias("node"),
+            F.lit(k).cast("long").alias("dist"),
+            F.col("seed").cast("long").alias("seed"),
+        )
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("dist") == k).select("node", "seed")
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 6,

@@ -581,6 +581,80 @@ def bfs_sigma_sql(graph_ctes: str, max_hops: int) -> str:
     return "\n".join(parts)
 
 
+def bfs_nearest_seed(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int,
+) -> Dict[int, Tuple[int, int]]:
+    """Graph VORONOI assignment over DIRECTED ``edges(a, b)``:
+    ``{node: (dist, seed)}`` — each node labeled with its NEAREST seed
+    (min hop count; ties at equal distance → the smallest seed id among
+    the winners AT FIRST REACH, propagated forward).  Nodes unreached
+    within ``max_hops`` are ABSENT — the hub-assignment partitioning a KG
+    uses to route entities to their serving shard.  Deterministic: levels
+    are simultaneous and the per-level pick is an integer min, so the
+    result is partition- and engine-exact.
+
+    Tie semantics (both twins implement exactly this): a node first
+    reached at level k takes the MIN over the seeds carried by its
+    level-(k-1) in-neighbors; the chosen seed is what propagates — i.e.
+    the label is the min-id seed along a shortest path frontier, the
+    standard deterministic multi-source BFS labeling."""
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+    best: Dict[int, Tuple[int, int]] = {int(s): (0, int(s)) for s in seeds}
+    frontier = {v: s for v, (_, s) in best.items()}
+    for k in range(1, max_hops + 1):
+        acc: Dict[int, int] = {}
+        for a, s in frontier.items():
+            for b in nbrs.get(a, ()):
+                if b not in best:
+                    acc[b] = min(acc.get(b, s), s)
+        frontier = {}
+        for b, s in acc.items():
+            best[b] = (k, s)
+            frontier[b] = s
+        if not frontier:
+            break
+    return best
+
+
+def nearest_seed_sql(graph_ctes: str, max_hops: int) -> str:
+    """Unrolled-level DuckDB twin of :func:`bfs_nearest_seed`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` and ``seeds(node)``.  Per
+    level: the frontier's seed labels push one hop (join + MIN group),
+    then only NOT-YET-REACHED nodes are admitted (anti-join) — first
+    reach wins, min seed breaks level ties.  ``d{k}`` carries + anti-joins
+    → MATERIALIZED (rule 30)."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist, "
+        "CAST(node AS BIGINT) AS seed FROM seeds),",
+        "f0 AS (SELECT node, seed FROM d0),",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"u{k} AS (SELECT s.b AS node, MIN(f.seed) AS seed "
+            f"FROM f{k - 1} f JOIN sym s ON s.a = f.node GROUP BY s.b),"
+        )
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, dist, seed FROM d{k - 1} "
+            f"UNION ALL SELECT u.node, CAST({k} AS BIGINT), u.seed FROM u{k} u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM d{k - 1} x WHERE x.node = u.node)),"
+        )
+        parts.append(f"f{k} AS (SELECT node, seed FROM d{k} WHERE dist = {k}),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist, "
+        f"CAST(seed AS BIGINT) AS seed FROM d{max_hops}"
+    )
+    return "\n".join(parts)
+
+
 def closure_pairs(
     edges: Iterable[Tuple[int, int]]
 ) -> set:

@@ -676,3 +676,53 @@ def test_mis_empty_and_single_edge(spark):
         ).collect()
     }
     assert len(got) == 1 and set(got) <= {5, 9}
+
+
+def test_nearest_seed_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import nearest_seed_df
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_nearest_seed
+
+    rng = random.Random(17)
+    edges = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [3, 20, 41]
+    want = bfs_nearest_seed(edges, seeds, max_hops=4)
+    got = {
+        r["node"]: (r["dist"], r["seed"])
+        for r in nearest_seed_df(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            spark.createDataFrame([(s,) for s in seeds], ["node"]),
+            max_hops=4,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_nearest_seed_tie_takes_min_seed():
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_nearest_seed
+
+    # path 0-1-2-3-4, seeds 0 and 4: node 2 is equidistant -> seed 0 wins
+    e = [(i, i + 1) for i in range(4)] + [(i + 1, i) for i in range(4)]
+    got = bfs_nearest_seed(e, [0, 4], 4)
+    assert got[2] == (2, 0)
+    assert got[1] == (1, 0) and got[3] == (1, 4)
+
+
+def test_nearest_seed_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        bfs_nearest_seed,
+        nearest_seed_sql,
+    )
+
+    e = [(i, i + 1) for i in range(30)] + [(i + 1, i) for i in range(30)]
+    sql = nearest_seed_sql(
+        "sym AS MATERIALIZED (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in e)
+        + ") t(a, b)),\nseeds AS (SELECT unnest([0, 12, 24]) AS node)",
+        max_hops=6,
+    )
+    got = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    assert got == bfs_nearest_seed(e, [0, 12, 24], 6)
+    assert got[6] == (6, 0)  # equidistant from 0 and 12 -> min seed
