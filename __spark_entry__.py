@@ -5303,6 +5303,55 @@ GROUP BY c.community
 """
 
 
+def _kg_temporal_reachability(spark, sf):
+    """Time-respecting EARLIEST-ARRIVAL reachability over the directed
+    chain+skip citation graph with pseudo-random integer edge times
+    (chain i→i−1 at (i·13)%251, skip i→i−2 at (i·29)%251; seeds every
+    251st node at arrival 0, 8 rounds) — the influence-cone query of a
+    versioned KG: paths must have NON-DECREASING edge times, so the
+    reachable set is a strict subset of the static BFS cone (some chains
+    break where times run backwards — live at every sf by the modular
+    time pattern).  All-integer mins (rule 11); the DuckDB twin
+    (``oracle/graph.py:temporal_reachability_sql``) relaxes ALL arrivals
+    per unrolled round — same minima as the changed-frontier operator."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        temporal_reachability_df,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"),
+        (F.col("id") - 1).alias("dst"),
+        ((F.col("id") * 13) % 251).alias("t"),
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"),
+        (F.col("id") - 2).alias("dst"),
+        ((F.col("id") * 29) % 251).alias("t"),
+    )
+    seeds = ids.filter(F.col("id") % 251 == 0).select(F.col("id").alias("node"))
+    return temporal_reachability_df(chain.union(skip), seeds, rounds=8)
+
+
+def _kg_temporal_reachability_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        temporal_reachability_sql,
+    )
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+tedges AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b, (i * 13) % 251 AS t FROM ids WHERE i > 0
+  UNION ALL
+  SELECT i AS a, i - 2 AS b, (i * 29) % 251 AS t FROM ids
+  WHERE i > 1 AND i % 3 <> 0
+),
+seeds AS (SELECT i AS node FROM ids WHERE i % 251 = 0)
+"""
+    return temporal_reachability_sql(graph_ctes, rounds=8)
+
+
 def _kg_nearest_seed(spark, sf):
     """Graph VORONOI partition (``operators/graph.py:nearest_seed_df``)
     over the symmetrized alias graph: every node within 8 hops routed to
@@ -8211,6 +8260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_profile": _kg_community_profile,
         "kg_quotient_graph": _kg_quotient_graph,
         "kg_nearest_seed": _kg_nearest_seed,
+        "kg_temporal_reachability": _kg_temporal_reachability,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_kcore": _kg_kcore,
@@ -8369,6 +8419,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_community_profile": _kg_community_profile_sql(),
         "kg_quotient_graph": _kg_quotient_graph_sql(),
         "kg_nearest_seed": _kg_nearest_seed_sql(),
+        "kg_temporal_reachability": _kg_temporal_reachability_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,
         "kg_kcore": _kg_kcore_sql(),

@@ -650,6 +650,76 @@ def sssp_bellman_ford(
     return dist
 
 
+def temporal_reachability_df(
+    tedges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    time: str = "t",
+    node: str = "node",
+) -> DataFrame:
+    """TIME-RESPECTING earliest-arrival reachability: ``(node, arrival)``
+    = the exact round-``rounds`` state of ``oracle.graph.
+    temporal_reachability`` over DIRECTED timestamped edges — paths must
+    have non-decreasing edge times (a static BFS overcounts by traveling
+    backwards in time; this is the influence-cone query of a versioned /
+    event KG).
+
+    Scale shape: identical to ``sssp_bellman_ford`` — per round ONE join
+    of the CHANGED frontier against the once-materialized edge list (the
+    usability predicate ``e.t >= arrival`` rides the join), one min-agg,
+    localCheckpoint per round (rule 23).  Arrival shrinking only ever
+    WIDENS edge usability, so the changed-only frontier converges to the
+    same minima the twin's relax-all computes (kernel docstring carries
+    the argument)."""
+    e = (
+        tedges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+            F.col(time).cast("long").alias("t"),
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    arr = (
+        seeds.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("arrival"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = arr
+    for _ in range(rounds):
+        relaxed = (
+            frontier.join(
+                e, (frontier.node == e.a) & (e.t >= frontier.arrival)
+            )
+            .select(F.col("b").alias("node"), F.col("t").alias("arrival"))
+        )
+        nxt = (
+            arr.withColumn("__old", F.lit(1))
+            .unionByName(relaxed.withColumn("__old", F.lit(0)))
+            .groupBy("node")
+            .agg(
+                F.min("arrival").alias("arrival"),
+                (
+                    F.min("arrival")
+                    < F.min(F.when(F.col("__old") == 1, F.col("arrival")))
+                ).alias("__improved_vs_old"),
+                F.max("__old").alias("__had_old"),
+            )
+            .withColumn(
+                "__changed",
+                (F.col("__had_old") == 0)
+                | F.coalesce(F.col("__improved_vs_old"), F.lit(False)),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt.filter(F.col("__changed")).select("node", "arrival")
+        arr = nxt.select("node", "arrival").localCheckpoint(eager=True)
+    return arr
+
+
 def incremental_components(
     prev_assign: DataFrame,
     delta_edges: DataFrame,

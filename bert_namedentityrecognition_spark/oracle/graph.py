@@ -822,6 +822,79 @@ def mis_sql(graph_ctes: str, rounds: int) -> str:
     return "\n".join(parts)
 
 
+def temporal_reachability(
+    tedges: Iterable[Tuple[int, int, int]],
+    seeds: Iterable[int],
+    rounds: int,
+) -> Dict[int, int]:
+    """TIME-RESPECTING earliest-arrival reachability over DIRECTED
+    timestamped ``tedges(a, b, t)``: ``{node: earliest arrival}`` over
+    paths of ≤ ``rounds`` edges whose edge times are NON-DECREASING — the
+    temporal-graph question a versioned/event KG answers ("what could
+    this entity have influenced, respecting time order?"; a static-graph
+    BFS overcounts by traveling backwards in time).  Seeds start at
+    arrival 0; an edge (u→v, t) is usable iff ``t >= arrival(u)`` and
+    relaxes ``arrival(v)`` to min(·, t).  Unreached nodes are ABSENT.
+
+    Like bounded Bellman-Ford the round-K state is well-defined whether
+    or not the fixpoint is reached; all-integer mins ⇒ engine-exact.
+    NOTE the non-monotone subtlety this kernel and both twins share: a
+    LATER-arriving path can never improve a node once a smaller arrival
+    is recorded (min is monotone), and usability only ever widens as
+    arrival shrinks, so simultaneous rounds converge to the same state
+    regardless of relaxation order."""
+    adj: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
+    for a, b, t in tedges:
+        adj[a].append((b, t))
+    arr: Dict[int, int] = {int(s): 0 for s in seeds}
+    changed = set(arr)
+    for _ in range(rounds):
+        upd: Dict[int, int] = {}
+        for a in changed:
+            ta = arr[a]
+            for b, t in adj.get(a, ()):
+                if t >= ta and t < min(arr.get(b, t + 1), upd.get(b, t + 1)):
+                    upd[b] = t
+        changed = set()
+        for b, t in upd.items():
+            if t < arr.get(b, t + 1):
+                arr[b] = t
+                changed.add(b)
+        if not changed:
+            break
+    return arr
+
+
+def temporal_reachability_sql(graph_ctes: str, rounds: int) -> str:
+    """Unrolled-round DuckDB twin of :func:`temporal_reachability`.
+
+    ``graph_ctes`` must define ``tedges(a, b, t)`` and ``seeds(node)``.
+    Every round relaxes ALL current arrivals (the Spark operator's
+    changed-only frontier is a pure work optimization — extra relaxations
+    re-derive existing minima, sssp_sql's argument); ``d{k}`` is
+    referenced twice → MATERIALIZED (rule 30)."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS arrival FROM seeds),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, MIN(arrival) AS arrival FROM ("
+            f"SELECT node, arrival FROM d{k - 1} UNION ALL "
+            f"SELECT e.b AS node, e.t AS arrival "
+            f"FROM d{k - 1} d JOIN tedges e ON e.a = d.node AND e.t >= d.arrival"
+            f") GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(arrival AS BIGINT) AS arrival FROM d{rounds}"
+    )
+    return "\n".join(parts)
+
+
 def hits_int(
     edges: Iterable[Tuple[int, int]], iterations: int = 3
 ) -> Dict[int, Tuple[int, int]]:

@@ -726,3 +726,84 @@ def test_nearest_seed_sql_twin_matches_kernel():
     got = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
     assert got == bfs_nearest_seed(e, [0, 12, 24], 6)
     assert got[6] == (6, 0)  # equidistant from 0 and 12 -> min seed
+
+
+def test_temporal_reachability_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        temporal_reachability_df,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        temporal_reachability,
+    )
+
+    rng = random.Random(23)
+    tedges = sorted(
+        {
+            (rng.randrange(40), rng.randrange(40), rng.randrange(50))
+            for _ in range(180)
+        }
+    )
+    tedges = [(a, b, t) for a, b, t in tedges if a != b]
+    seeds = [0, 13]
+    want = temporal_reachability(tedges, seeds, rounds=5)
+    got = {
+        r["node"]: r["arrival"]
+        for r in temporal_reachability_df(
+            spark.createDataFrame(tedges, ["src", "dst", "t"]),
+            spark.createDataFrame([(s,) for s in seeds], ["node"]),
+            rounds=5,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_temporal_reachability_respects_time_order():
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        temporal_reachability,
+    )
+
+    # 0 -(t=5)-> 1 -(t=3)-> 2: edge to 2 happens BEFORE arrival at 1
+    got = temporal_reachability([(0, 1, 5), (1, 2, 3)], [0], 4)
+    assert got == {0: 0, 1: 5}
+    # reversed times: both reachable
+    got2 = temporal_reachability([(0, 1, 3), (1, 2, 5)], [0], 4)
+    assert got2 == {0: 0, 1: 3, 2: 5}
+
+
+def test_temporal_reachability_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        temporal_reachability,
+        temporal_reachability_sql,
+    )
+
+    tedges = [(i, i - 1, (i * 13) % 17) for i in range(1, 30)] + [
+        (i, i - 2, (i * 29) % 17) for i in range(2, 30) if i % 3
+    ]
+    sql = temporal_reachability_sql(
+        "tedges AS MATERIALIZED (SELECT a, b, t FROM (VALUES "
+        + ", ".join(f"({a}, {b}, {t})" for a, b, t in tedges)
+        + ") x(a, b, t)),\nseeds AS (SELECT unnest([29, 14]) AS node)",
+        rounds=6,
+    )
+    got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    want = temporal_reachability(tedges, [29, 14], 6)
+    assert got == want
+    assert len(got) > 2  # reachability actually propagates
+
+
+def test_temporal_cone_is_subset_of_static_cone(spark, sf_dir):
+    """The time-respecting reachable set is strictly inside the static
+    8-hop BFS cone on the shared citation fixture — the constraint bites."""
+    import __spark_entry__ as E
+
+    temporal = {
+        r["node"]
+        for r in E.queries()["kg_temporal_reachability"](spark, sf_dir).collect()
+    }
+    static = {
+        r["node"]
+        for r in E.queries()["kg_shortest_path_counts"](spark, sf_dir).collect()
+    }
+    assert temporal < static  # strict subset: time order prunes real paths
