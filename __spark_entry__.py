@@ -560,6 +560,73 @@ FROM long GROUP BY metric
 """
 
 
+def _events_moving_stats(spark, sf):
+    """Sliding window-FRAME aggregation: per event, the moving count and
+    sum of ``value`` over the user's last 3 events (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW, ordered by ts then event_id for a total
+    order) — the rolling-feature generator behind rate limits and
+    behavioral features.  ONE window shuffle on user_id; frame sums go
+    through decimal(18,4) (exact) then round per the numeric policy."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("mov_n"),
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 2
+        ).alias("mov_sum"),
+    )
+
+
+_EVENTS_MOVING_STATS_SQL = f"""
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS mov_n,
+  round(CAST(sum(CAST(value AS {_DEC})) OVER w AS DOUBLE), 2) AS mov_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _user_spend_quartiles(spark, sf):
+    """NTILE quartile assignment over per-user purchase spend — the
+    cohorting primitive behind "top-25%-spender" segments.  Spend is an
+    exact decimal sum per user (one map-side-combined agg); the quartile
+    is ntile(4) over a TOTAL order (spend desc, user_id asc — ties can
+    never straddle nondeterministically).  The ranking window runs on the
+    user-grain frame (dimension-sized next to the event log — at 100 TB
+    of events this is the classic agg-then-rank shape, never a window
+    over raw events)."""
+    e = _t(spark, sf, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(_DEC)).alias("dtotal"))
+    )
+    w = Window.orderBy(F.col("dtotal").desc(), F.col("user_id").asc())
+    return spend.select(
+        "user_id",
+        F.round(F.col("dtotal").cast("double"), 2).alias("total_spend"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_USER_SPEND_QUARTILES_SQL = f"""
+WITH spend AS (
+  SELECT user_id, sum(CAST(value AS {_DEC})) AS dtotal
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, round(CAST(dtotal AS DOUBLE), 2) AS total_spend,
+  CAST(ntile(4) OVER (ORDER BY dtotal DESC, user_id ASC) AS BIGINT) AS quartile
+FROM spend
+"""
+
+
 def _events_json(spark, sf):  # semi-structured projection
     e = _t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -8162,6 +8229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": _part_brand_stats,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
+        "events_moving_stats": _events_moving_stats,
+        "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
         "lineitem_unpivot": _lineitem_unpivot,
         "events_json_extract": _events_json,
@@ -8314,6 +8383,8 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": _PART_BRAND_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_moving_stats": _EVENTS_MOVING_STATS_SQL,
+        "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "lineitem_unpivot": _LINEITEM_UNPIVOT_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,

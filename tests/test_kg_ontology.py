@@ -358,3 +358,46 @@ def test_quotient_graph_conserves_edges(spark, sf_dir):
     assert sum(r["n_edges"] for r in rows) == n_und
     assert any(r["comm_a"] == r["comm_b"] for r in rows)
     assert len(rows) < n_und
+
+
+def test_moving_stats_frame_semantics(spark, sf_dir):
+    """First event of a user has mov_n 1; mov_n caps at 3; a hand
+    recomputation matches for one user."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["events_moving_stats"](spark, sf_dir).collect()
+    assert rows and max(r["mov_n"] for r in rows) <= 3
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    uid = e[0]["user_id"]
+    mine = sorted(
+        [(r["ts"], r["event_id"], r["value"]) for r in e if r["user_id"] == uid]
+    )
+    got = {
+        r["event_id"]: (r["mov_n"], r["mov_sum"])
+        for r in rows
+        if r["user_id"] == uid
+    }
+    from decimal import Decimal
+
+    for i, (_, eid, _) in enumerate(mine):
+        lo = max(0, i - 2)
+        vals = [Decimal(str(round(v, 4))) for *_, v in mine[lo : i + 1]]
+        assert got[eid][0] == i - lo + 1
+        assert abs(got[eid][1] - float(sum(vals))) < 0.011
+
+
+def test_spend_quartiles_are_balanced_and_ordered(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["user_spend_quartiles"](spark, sf_dir).collect()
+    n = len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r["quartile"]] = sizes.get(r["quartile"], 0) + 1
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance
+    # quartile 1 holds the top spenders
+    q1_min = min(r["total_spend"] for r in rows if r["quartile"] == 1)
+    q4_max = max(r["total_spend"] for r in rows if r["quartile"] == 4)
+    assert q1_min >= q4_max
+    assert n == sum(sizes.values())
