@@ -946,6 +946,96 @@ FROM pairs GROUP BY subj, obj
 """
 
 
+def _kg_provenance_rollup(spark, sf):
+    """Triple PROVENANCE — the evidence ledger a KG publishes next to its
+    edge weights: per (subj, HAS_ADVERSE_EVENT, obj) the number of
+    distinct supporting documents and the first/last supporting doc id
+    (the audit trail "which crawl rows claim this edge").  Same mention
+    dataflow as ``kg_triples_codoc`` kept at DOC GRAIN through the pair
+    join, then ONE map-side-combined agg (countDistinct + min/max on the
+    pair key).  All BIGINT (rule 11)."""
+    m = _doc_mentions(spark, sf).select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("word"),
+        F.col("type"),
+    )
+    drugs = (
+        m.filter((F.col("type") == "drug") & (F.length(F.trim("word")) >= 2))
+        .select("doc_id", F.trim("word").alias("subj"))
+        .distinct()
+    )
+    syms = (
+        m.filter((F.col("type") == "symptom") & (F.length(F.trim("word")) >= 2))
+        .select("doc_id", F.trim("word").alias("obj"))
+        .distinct()
+    )
+    return (
+        drugs.join(syms, "doc_id")
+        .groupBy("subj", "obj")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .select(
+            "subj",
+            F.lit("HAS_ADVERSE_EVENT").alias("pred"),
+            "obj",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
+_KG_PROVENANCE_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+drugs AS (SELECT DISTINCT doc_id, trim(term) AS subj FROM occ
+          WHERE kind = 'drug' AND length(trim(term)) >= 2),
+syms  AS (SELECT DISTINCT doc_id, trim(term) AS obj FROM occ
+          WHERE kind = 'symptom' AND length(trim(term)) >= 2)
+SELECT subj, 'HAS_ADVERSE_EVENT' AS pred, obj,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM drugs JOIN syms USING (doc_id)
+GROUP BY subj, obj
+"""
+
+
+def _kg_edge_confidence(spark, sf):
+    """Per-subject edge-confidence normalization over the codoc triple
+    store: ``conf_ppm = (10^6 · count) DIV Σ_subj count`` — the
+    conditional-evidence weight P(obj | subj) a downstream ranker
+    consumes, integer-exact in parts-per-million (rule 11).  One window
+    sum partitioned by subj on the (already aggregated) triple frame —
+    triple-grain, never mention-grain."""
+    t = _kg_triples(spark, sf)
+    w = Window.partitionBy("subj")
+    return t.select(
+        "subj",
+        "pred",
+        "obj",
+        "count",
+        F.expr("CAST(1000000 AS BIGINT) * count").alias("__num"),
+        F.sum("count").over(w).alias("__den"),
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        "count",
+        F.expr("__num DIV __den").cast("long").alias("conf_ppm"),
+    )
+
+
+_KG_EDGE_CONFIDENCE_SQL = f"""
+WITH t AS ({_KG_TRIPLES_SQL})
+SELECT subj, pred, obj, count,
+       CAST((1000000 * count) // sum(count) OVER (PARTITION BY subj) AS BIGINT) AS conf_ppm
+FROM t
+"""
+
+
 def _kg_incremental_merge(spark, sf):
     """Incremental KG maintenance under the gate: docs with doc_id % 10
     == 0 play the new crawl batch, the rest the existing corpus; each
@@ -8238,6 +8328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _kg_mentions,
         "kg_bucketed_join": _kg_bucketed_join,
         "kg_triples_codoc": _kg_triples,
+        "kg_provenance_rollup": _kg_provenance_rollup,
+        "kg_edge_confidence": _kg_edge_confidence,
         "kg_incremental_merge": _kg_incremental_merge,
         "kg_triples_patterned": _kg_triples_patterned,
         "kg_void_summary": _kg_void_summary,
@@ -8391,6 +8483,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_bucketed_join": _KG_BUCKETED_JOIN_SQL,
         "kg_triples_codoc": _KG_TRIPLES_SQL,
+        "kg_provenance_rollup": _KG_PROVENANCE_SQL,
+        "kg_edge_confidence": _KG_EDGE_CONFIDENCE_SQL,
         "kg_incremental_merge": _KG_TRIPLES_SQL,
         "kg_triples_patterned": _KG_TRIPLES_PATTERNED_SQL,
         "kg_void_summary": _KG_VOID_SUMMARY_SQL,

@@ -401,3 +401,40 @@ def test_spend_quartiles_are_balanced_and_ordered(spark, sf_dir):
     q4_max = max(r["total_spend"] for r in rows if r["quartile"] == 4)
     assert q1_min >= q4_max
     assert n == sum(sizes.values())
+
+
+def test_provenance_consistent_with_codoc_counts(spark, sf_dir):
+    """n_docs equals the codoc count for each non-No-Symptoms triple, and
+    first/last doc bracket correctly."""
+    import __spark_entry__ as E
+
+    prov = {
+        (r["subj"], r["obj"]): r
+        for r in E.queries()["kg_provenance_rollup"](spark, sf_dir).collect()
+    }
+    codoc = {
+        (r["subj"], r["obj"]): r["count"]
+        for r in E.queries()["kg_triples_codoc"](spark, sf_dir).collect()
+        if r["obj"] != "No Symptoms"
+    }
+    assert set(prov) == set(codoc)
+    for k, r in prov.items():
+        assert r["n_docs"] == codoc[k]
+        assert r["first_doc"] <= r["last_doc"]
+
+
+def test_edge_confidence_sums_to_about_1e6(spark, sf_dir):
+    """Per-subject conf_ppm sums land within the floor-division slack of
+    10^6, and each edge's ppm is the exact integer formula."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["kg_edge_confidence"](spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        tot, s = per.get(r["subj"], (0, 0))
+        per[r["subj"]] = (tot + r["count"], s + r["conf_ppm"])
+    for subj, (tot, ppm_sum) in per.items():
+        n_edges = sum(1 for r in rows if r["subj"] == subj)
+        assert 1000000 - n_edges < ppm_sum <= 1000000
+    for r in rows:
+        assert r["conf_ppm"] == (1000000 * r["count"]) // per[r["subj"]][0]
