@@ -1462,6 +1462,105 @@ def _contrastive_pairs(spark, sf):
     return contrastive_pairs(_t(spark, sf, "documents"))
 
 
+def _dedup_blocking_quality(spark, sf):
+    """Entity-resolution BLOCKING QUALITY metrics — the pair-completeness /
+    reduction-ratio evaluation a dedup pipeline publishes to justify its
+    banding design: ground truth = ALL doc pairs with shingle Jaccard ≥ 1/2
+    (computed via the shingle self-join — a qualifying pair necessarily
+    shares a shingle, so the join IS exhaustive), candidates = the banded
+    LSH pairs; metrics = truth/candidate/caught counts, recall_ppm =
+    (10^6·caught) DIV truth and reduction_ppm = (10^6·(allpairs −
+    candidates)) DIV allpairs with allpairs = n·(n−1)/2 — all integer
+    (rule 11).  The brute-force truth is affordable here because the gate
+    corpus is fixed-size; at 100 TB the truth side is estimated on a
+    sample — the METRIC definitions are what this query pins."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        candidate_overlap,
+        lsh_band_candidates,
+        token_shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    sh = token_shingles(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    sharing = (
+        a.join(b, (F.col("shingle") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ov = candidate_overlap(sharing, docs)
+    truth = ov.filter(
+        2 * F.col("inter") >= F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).select("doc_a", "doc_b")
+    cand = lsh_band_candidates(docs)
+    caught = truth.join(cand, ["doc_a", "doc_b"])
+    n = docs.count()
+    allpairs = n * (n - 1) // 2
+    t = truth.count()
+    c = cand.count()
+    k = caught.count()
+    return spark.createDataFrame(
+        [
+            (
+                t,
+                c,
+                k,
+                (1000000 * k) // t if t else 0,
+                (1000000 * (allpairs - c)) // allpairs,
+            )
+        ],
+        "n_truth long, n_candidates long, n_caught long, recall_ppm long, reduction_ppm long",
+    )
+
+
+_DEDUP_BLOCKING_QUALITY_SQL = f"""
+WITH cands AS MATERIALIZED ({{cand_ctes}}
+SELECT doc_a, doc_b FROM cand),
+sh2 AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) toks,
+       unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+sizes2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh2 GROUP BY doc_id),
+sharing AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh2 a JOIN sh2 b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+inter2 AS (
+  SELECT s.doc_a, s.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM sharing s
+  JOIN sh2 a ON a.doc_id = s.doc_a
+  JOIN sh2 b ON b.doc_id = s.doc_b AND b.shingle = a.shingle
+  GROUP BY s.doc_a, s.doc_b
+),
+truth AS (
+  SELECT it.doc_a, it.doc_b FROM inter2 it
+  JOIN sizes2 sa ON sa.doc_id = it.doc_a
+  JOIN sizes2 sb ON sb.doc_id = it.doc_b
+  WHERE 2 * it.i >= sa.sz + sb.sz - it.i
+),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS t,
+         (SELECT count(*) FROM cands) AS c,
+         (SELECT count(*) FROM truth JOIN cands USING (doc_a, doc_b)) AS k,
+         (SELECT count(*) FROM documents) AS n
+)
+SELECT CAST(t AS BIGINT) AS n_truth, CAST(c AS BIGINT) AS n_candidates,
+       CAST(k AS BIGINT) AS n_caught,
+       CAST(CASE WHEN t > 0 THEN (1000000 * k) // t ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST((1000000 * (n * (n - 1) // 2 - c)) // (n * (n - 1) // 2) AS BIGINT) AS reduction_ppm
+FROM m
+"""
+
+
+def _dedup_blocking_quality_sql() -> str:
+    """Fill the candidate side with the SAME minhash-LSH CTE chain the
+    gated pair/cluster/contrastive queries share (one semantics source)."""
+    return _DEDUP_BLOCKING_QUALITY_SQL.format(cand_ctes=_MINHASH_CAND_CTES)
+
+
 def _kg_bgp_match(spark, sf):
     """SPARQL-style BASIC GRAPH PATTERN match over the patterned triple
     store — the query face of the KG: ``?a DEGRADES ?sym . ?b
@@ -8372,6 +8471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_fusion": _record_fusion,
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "contrastive_pairs": _contrastive_pairs,
+        "dedup_blocking_quality": _dedup_blocking_quality,
         "dedup_streaming_stateful": _streaming_dedup,
         "dedup_repeated_windows": _dedup_repeated_windows,
         "decontaminate_ngram": _decontaminate_ngram,
@@ -8507,6 +8607,7 @@ def oracle_sql() -> dict[str, str]:
         "record_fusion": _record_fusion_sql(),
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
+        "dedup_blocking_quality": _dedup_blocking_quality_sql(),
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),
         # one assembly, two queries: pruning must not change the twin

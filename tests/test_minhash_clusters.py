@@ -126,3 +126,20 @@ def test_contrastive_pairs_gate_both_labels_live(spark, sf_dir):
     out = E.queries()["contrastive_pairs"](spark, sf_dir).collect()
     kinds = {r["label"] for r in out}
     assert kinds == {"positive", "hard_negative"}
+
+
+def test_blocking_quality_definitions(spark, sf_dir):
+    """caught <= min(truth, candidates); ppm formulas exact; truth pairs
+    are precisely the positive-labeled contrastive candidates' superset
+    (every caught pair is a positive candidate)."""
+    import __spark_entry__ as E
+
+    r = E.queries()["dedup_blocking_quality"](spark, sf_dir).collect()[0]
+    assert r["n_caught"] <= min(r["n_truth"], r["n_candidates"])
+    assert r["recall_ppm"] == (1000000 * r["n_caught"]) // r["n_truth"]
+    pos = [
+        x
+        for x in E.queries()["contrastive_pairs"](spark, sf_dir).collect()
+        if x["label"] == "positive"
+    ]
+    assert len(pos) == r["n_caught"]  # caught == band-collided true pairs
