@@ -481,6 +481,70 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def _lineitem_expectations(spark, sf):
+    """dbt/Great-Expectations-style DATA QUALITY suite over lineitem —
+    the table-level twin of the graph-level ``kg_integrity_audit`` and
+    shape-level ``kg_shacl_validation``: not_null(l_orderkey),
+    accepted_values(l_returnflag ∈ {R,A,N}), range(l_discount ≤ 0.08),
+    unique_key(l_orderkey, l_linenumber).  Two expectations pass and two
+    fail on the testdata by construction, so both report branches are
+    live.  Plan shape: the three row-level counters ride ONE scan as
+    conditional aggregates; the key-uniqueness counter is one
+    map-side-combined groupBy — n_violations there = rows beyond the
+    first per duplicated key (count − distinct).  All BIGINT + BOOLEAN."""
+    li = _t(spark, sf, "lineitem")
+    row_counters = li.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("not_null_orderkey"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("R", "A", "N"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("accepted_values_returnflag"),
+        F.sum(F.when(F.col("l_discount") > 0.08, 1).otherwise(0))
+        .cast("long")
+        .alias("range_discount"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber"))
+        .cast("long")
+        .alias("unique_key_orderkey_linenumber"),
+    )
+    long = row_counters.select(
+        F.expr(
+            "stack(4,"
+            " 'not_null', 'l_orderkey', not_null_orderkey,"
+            " 'accepted_values', 'l_returnflag', accepted_values_returnflag,"
+            " 'value_range', 'l_discount', range_discount,"
+            " 'unique_key', 'l_orderkey,l_linenumber', unique_key_orderkey_linenumber"
+            ") as (expectation, target, n_violations)"
+        )
+    )
+    return long.select(
+        "expectation",
+        "target",
+        F.col("n_violations").cast("long"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+_LINEITEM_EXPECTATIONS_SQL = """
+WITH c AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS nn,
+    CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('R','A','N')) AS BIGINT) AS av,
+    CAST(count(*) FILTER (WHERE l_discount > 0.08) AS BIGINT) AS rg,
+    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS uk
+  FROM lineitem
+)
+SELECT expectation, target, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null' AS expectation, 'l_orderkey' AS target, nn AS n_violations FROM c
+  UNION ALL SELECT 'accepted_values', 'l_returnflag', av FROM c
+  UNION ALL SELECT 'value_range', 'l_discount', rg FROM c
+  UNION ALL SELECT 'unique_key', 'l_orderkey,l_linenumber', uk FROM c
+)
+"""
+
+
 def _events_rollup(spark, sf):
     """Multi-level aggregation via Spark's native ``rollup`` operator
     (GROUPING SETS): per-(event_type, day) totals PLUS per-event_type
@@ -8422,6 +8486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
         "lineitem_unpivot": _lineitem_unpivot,
+        "lineitem_expectations": _lineitem_expectations,
         "events_json_extract": _events_json,
         # KG construction family (SURVEY §2 core)
         "kg_mentions": _kg_mentions,
@@ -8579,6 +8644,7 @@ def oracle_sql() -> dict[str, str]:
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "lineitem_unpivot": _LINEITEM_UNPIVOT_SQL,
+        "lineitem_expectations": _LINEITEM_EXPECTATIONS_SQL,
         "events_json_extract": _EVENTS_JSON_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_bucketed_join": _KG_BUCKETED_JOIN_SQL,

@@ -438,3 +438,18 @@ def test_edge_confidence_sums_to_about_1e6(spark, sf_dir):
         assert 1000000 - n_edges < ppm_sum <= 1000000
     for r in rows:
         assert r["conf_ppm"] == (1000000 * r["count"]) // per[r["subj"]][0]
+
+
+def test_expectations_both_branches_live(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = {
+        r["expectation"]: r
+        for r in E.queries()["lineitem_expectations"](spark, sf_dir).collect()
+    }
+    assert rows["not_null"]["passed"] and rows["accepted_values"]["passed"]
+    assert not rows["unique_key"]["passed"] and not rows["value_range"]["passed"]
+    # unique_key violations = rows minus distinct composite keys, recomputed
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dup = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["unique_key"]["n_violations"] == dup
