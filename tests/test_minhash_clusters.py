@@ -143,3 +143,16 @@ def test_blocking_quality_definitions(spark, sf_dir):
         if x["label"] == "positive"
     ]
     assert len(pos) == r["n_caught"]  # caught == band-collided true pairs
+
+
+def test_snm_vs_lsh_blocking_tradeoff(spark, sf_dir):
+    """Same truth set; on this corpus both reach full recall but LSH's
+    reduction strictly dominates SNM's (the documented trade)."""
+    import __spark_entry__ as E
+
+    snm = E.queries()["dedup_sorted_neighborhood"](spark, sf_dir).collect()[0]
+    lsh = E.queries()["dedup_blocking_quality"](spark, sf_dir).collect()[0]
+    assert snm["n_truth"] == lsh["n_truth"]
+    assert snm["recall_ppm"] == lsh["recall_ppm"] == 1000000
+    assert lsh["reduction_ppm"] > snm["reduction_ppm"]
+    assert snm["n_candidates"] > lsh["n_candidates"]
