@@ -691,6 +691,112 @@ FROM spend
 """
 
 
+def _events_burst_detection(spark, sf):
+    """Integer BURST DETECTION over the hourly event stream — the ops
+    anomaly flag a pipeline owner tails: per (event_type, hour) with a
+    full 7-hour trailing history, flag hours where the count exceeds 2×
+    the trailing average, expressed as the integer cross-multiplication
+    ``7·n > 2·trailing_sum`` (rule 11 — no float average crosses the
+    engine boundary).  One map-side-combined hourly agg, then ONE window
+    per event_type (ROWS 7 PRECEDING .. 1 PRECEDING frame sum + row
+    gate)."""
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    wf = w.rowsBetween(-7, -1)
+    return (
+        hourly.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            F.sum("n").over(wf).cast("long").alias("trailing_sum"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") > 7)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "trailing_sum",
+            (7 * F.col("n") > 2 * F.col("trailing_sum")).alias("burst"),
+        )
+    )
+
+
+_EVENTS_BURST_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, hour, n,
+    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trailing_sum,
+    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM hourly
+)
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour, n, trailing_sum,
+       7 * n > 2 * trailing_sum AS burst
+FROM win WHERE rn > 7
+"""
+
+
+def _events_attribution(spark, sf):
+    """FIRST-TOUCH session attribution: purchases credited to the first
+    event type of their user session (30-min inactivity gap — the same
+    session rule ``events_sessionize`` gates) — the marketing-attribution
+    roll-up: (first_touch, n_purchases).  One window pass builds session
+    ids (conditional cumulative sum over lag) and the session's first
+    event type (first_value over the same total order) — a SECOND window
+    on the same (user_id) partitioning reuses the exchange; then one
+    map-side-combined agg."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    with_sess = e.withColumn(
+        "sess",
+        F.sum(F.when(gap > 1800.0, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    attributed = with_sess.withColumn(
+        "first_touch", F.first("event_type").over(ws)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
+_EVENTS_ATTRIBUTION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+),
+a AS (
+  SELECT *, first_value(event_type) OVER (PARTITION BY user_id, sess
+                                          ORDER BY ts, event_id) AS first_touch
+  FROM s
+)
+SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases
+FROM a WHERE event_type = 'purchase' GROUP BY first_touch
+"""
+
+
 def _events_json(spark, sf):  # semi-structured projection
     e = _t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -8613,6 +8719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_moving_stats": _events_moving_stats,
+        "events_burst_detection": _events_burst_detection,
+        "events_attribution": _events_attribution,
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
         "lineitem_unpivot": _lineitem_unpivot,
@@ -8772,6 +8880,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_moving_stats": _EVENTS_MOVING_STATS_SQL,
+        "events_burst_detection": _EVENTS_BURST_SQL,
+        "events_attribution": _EVENTS_ATTRIBUTION_SQL,
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "lineitem_unpivot": _LINEITEM_UNPIVOT_SQL,

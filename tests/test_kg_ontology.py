@@ -453,3 +453,29 @@ def test_expectations_both_branches_live(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dup = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
     assert rows["unique_key"]["n_violations"] == dup
+
+
+def test_burst_flag_is_exact_integer_predicate(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["events_burst_detection"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["burst"] == (7 * r["n"] > 2 * r["trailing_sum"])
+    flags = {r["burst"] for r in rows}
+    assert flags == {True, False}  # both branches live
+
+
+def test_attribution_counts_all_purchases(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["events_attribution"](spark, sf_dir).collect()
+    total = sum(r["n_purchases"] for r in rows)
+    import duckdb
+
+    n_purch = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert total == n_purch  # every purchase attributed exactly once
+    # purchases that START a session self-attribute, so the key exists
+    assert any(r["first_touch"] == "purchase" for r in rows)
