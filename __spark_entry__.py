@@ -797,6 +797,127 @@ FROM a WHERE event_type = 'purchase' GROUP BY first_touch
 """
 
 
+def _events_basket_pairs(spark, sf):
+    """Market-basket PAIR MINING (the A-priori level-2 pass): over the
+    distinct (user, event_type) basket, count co-occurring event-type
+    pairs, support and directed confidence — ``conf_ppm(a→b) =
+    (10^6·n_ab) DIV n_a`` all integer (rule 11).  The basket is the
+    distinct user×type frame (map-side-combined distinct), the pair join
+    is a per-user self-join bounded by the 5-type vocabulary (at 100 TB:
+    cap per-basket cardinality upstream — the standard guard), support
+    roll-ups are one agg."""
+    e = _t(spark, sf, "events")
+    basket = e.select("user_id", "event_type").distinct()
+    singles = basket.groupBy(F.col("event_type").alias("a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    x = basket.select("user_id", F.col("event_type").alias("a"))
+    y = basket.select("user_id", F.col("event_type").alias("b"))
+    pairs = (
+        x.join(y, "user_id")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return pairs.join(singles, "a").select(
+        "a",
+        "b",
+        "n_ab",
+        "n_a",
+        F.expr("CAST(1000000 AS BIGINT) * n_ab DIV n_a").alias("conf_ppm"),
+    )
+
+
+_EVENTS_BASKET_SQL = """
+WITH basket AS (SELECT DISTINCT user_id, event_type FROM events),
+singles AS (SELECT event_type AS a, CAST(count(*) AS BIGINT) AS n_a
+            FROM basket GROUP BY 1),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM basket x JOIN basket y USING (user_id)
+  WHERE x.event_type <> y.event_type
+  GROUP BY 1, 2
+)
+SELECT a, b, n_ab, n_a,
+       CAST((1000000 * n_ab) // n_a AS BIGINT) AS conf_ppm
+FROM pairs JOIN singles USING (a)
+"""
+
+
+def _corpus_dataset_card(spark, sf):
+    """DATASET CARD — the one-page stats manifest a corpus release ships
+    (HuggingFace dataset-card numbers): long-form (metric, value) rows
+    covering size, per-lang counts, length moments (integer: total/min/
+    max chars), shingleable-doc count, and the exact-dup rate in ppm —
+    every number BIGINT (rule 11), every counter riding ONE scan as
+    conditional aggregates plus one distinct-fingerprint agg."""
+    d = _t(spark, sf, "documents")
+    langs = [
+        r["lang"]
+        for r in d.select("lang").distinct().orderBy("lang").collect()
+    ]
+    fp = F.md5(F.lower(F.trim("text")))
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct(fp).cast("long").alias("n_unique"),
+        *[
+            F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+            .cast("long")
+            .alias(f"lang_{lg}")
+            for lg in langs
+        ],
+    )
+    stack_items = [
+        ("n_docs", "n_docs"),
+        ("total_chars", "total_chars"),
+        ("min_chars", "min_chars"),
+        ("max_chars", "max_chars"),
+        ("n_sources", "n_sources"),
+        ("n_unique", "n_unique"),
+    ] + [(f"lang_{lg}", f"lang_{lg}") for lg in langs]
+    stack = ", ".join(f"'{name}', {col}" for name, col in stack_items)
+    long = base.select(
+        F.expr(f"stack({len(stack_items)}, {stack}) as (metric, value)")
+    )
+    dup = base.select(
+        F.lit("dup_ppm").alias("metric"),
+        F.expr(
+            "CAST(1000000 AS BIGINT) * (n_docs - n_unique) DIV n_docs"
+        ).alias("value"),
+    )
+    return long.unionByName(dup)
+
+
+_CORPUS_DATASET_CARD_SQL = """
+WITH langs AS (SELECT DISTINCT lang FROM documents),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique
+  FROM documents
+),
+per_lang AS (
+  SELECT 'lang_' || lang AS metric, CAST(count(*) AS BIGINT) AS value
+  FROM documents GROUP BY lang
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM base
+UNION ALL SELECT 'total_chars', total_chars FROM base
+UNION ALL SELECT 'min_chars', min_chars FROM base
+UNION ALL SELECT 'max_chars', max_chars FROM base
+UNION ALL SELECT 'n_sources', n_sources FROM base
+UNION ALL SELECT 'n_unique', n_unique FROM base
+UNION ALL SELECT metric, value FROM per_lang
+UNION ALL SELECT 'dup_ppm', (1000000 * (n_docs - n_unique)) // n_docs FROM base
+"""
+
+
 def _events_json(spark, sf):  # semi-structured projection
     e = _t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -8721,6 +8842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_stats": _events_moving_stats,
         "events_burst_detection": _events_burst_detection,
         "events_attribution": _events_attribution,
+        "events_basket_pairs": _events_basket_pairs,
+        "corpus_dataset_card": _corpus_dataset_card,
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
         "lineitem_unpivot": _lineitem_unpivot,
@@ -8882,6 +9005,8 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_stats": _EVENTS_MOVING_STATS_SQL,
         "events_burst_detection": _EVENTS_BURST_SQL,
         "events_attribution": _EVENTS_ATTRIBUTION_SQL,
+        "events_basket_pairs": _EVENTS_BASKET_SQL,
+        "corpus_dataset_card": _CORPUS_DATASET_CARD_SQL,
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "lineitem_unpivot": _LINEITEM_UNPIVOT_SQL,

@@ -479,3 +479,24 @@ def test_attribution_counts_all_purchases(spark, sf_dir):
     assert total == n_purch  # every purchase attributed exactly once
     # purchases that START a session self-attribute, so the key exists
     assert any(r["first_touch"] == "purchase" for r in rows)
+
+
+def test_basket_pairs_symmetric_support_directed_confidence(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = {(r["a"], r["b"]): r for r in E.queries()["events_basket_pairs"](spark, sf_dir).collect()}
+    for (a, b), r in rows.items():
+        assert rows[(b, a)]["n_ab"] == r["n_ab"]  # support symmetric
+        assert r["conf_ppm"] == (1000000 * r["n_ab"]) // r["n_a"]
+        assert r["n_ab"] <= r["n_a"]
+
+
+def test_dataset_card_invariants(spark, sf_dir):
+    import __spark_entry__ as E
+
+    card = {r["metric"]: r["value"] for r in E.queries()["corpus_dataset_card"](spark, sf_dir).collect()}
+    lang_total = sum(v for k, v in card.items() if k.startswith("lang_"))
+    assert lang_total == card["n_docs"]
+    assert card["min_chars"] <= card["max_chars"] <= card["total_chars"]
+    assert card["n_unique"] <= card["n_docs"]
+    assert card["dup_ppm"] == (1000000 * (card["n_docs"] - card["n_unique"])) // card["n_docs"]
