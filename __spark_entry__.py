@@ -6060,6 +6060,84 @@ def _kg_nearest_seed_sql() -> str:
     return nearest_seed_sql(graph_ctes, max_hops=8)
 
 
+def _kg_adjacency_export(spark, sf):
+    """CSR-style ADJACENCY EXPORT of the alias graph — the serving layout
+    a graph store materializes: one row per node with degree and the
+    SORTED neighbor list (flattened to CSV so the value hash is
+    order-proof: Spark ``array_join(array_sort(collect_list(...)))`` ==
+    DuckDB ``string_agg(... ORDER BY ...)`` — collect_list alone is
+    partition-order-nondeterministic, the sort is what makes the export
+    deterministic).  One map-side-combined agg on the symmetrized edge
+    list; at 100 TB written bucketed by node for one-seek neighborhood
+    lookups."""
+    sym = _alias_graph(spark, sf)
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("dst").cast("string"))), ","
+        ).alias("neighbors_csv"),
+    )
+
+
+_KG_ADJACENCY_EXPORT_SQL = f"""
+WITH {_ALIAS_GRAPH_CTES.strip().rstrip(',')}
+SELECT CAST(a AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS degree,
+       string_agg(CAST(b AS VARCHAR), ',' ORDER BY CAST(b AS VARCHAR)) AS neighbors_csv
+FROM sym GROUP BY a
+"""
+
+
+def _phrase_search(spark, sf):
+    """POSITIONAL phrase search — the retrieval query an inverted index
+    with positions exists for: find documents containing the exact
+    bigram "spark stream" (token at position p, next token at p+1 over
+    KEPT whitespace tokens), returning per-doc match counts and the
+    first match position.  The positional postings build is the same
+    JVM-side posexplode as ``inverted_index_postings`` (full positions,
+    not just first); the phrase join is a self-equi-join on (doc, p+1) —
+    at 100 TB both sides are the token-bucketed postings of the two
+    phrase terms, so the join touches two posting lists, not the corpus."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pos = (
+        docs.select("doc_id", F.posexplode(toks))
+        .filter(F.col("col") != "")
+        .select("doc_id", F.col("col").alias("token"), F.col("pos").alias("p"))
+    )
+    t1 = pos.filter(F.col("token") == "spark").select("doc_id", "p")
+    t2 = pos.filter(F.col("token") == "stream").select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    return (
+        t1.join(t2, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            (F.min("p") + 1).cast("long").alias("first_pos"),
+        )
+    )
+
+
+_PHRASE_SEARCH_SQL = r"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(l) AS token,
+         unnest(generate_series(0, len(l) - 1)) AS p
+  FROM tl WHERE len(l) > 0
+)
+SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(t1.p) + 1 AS BIGINT) AS first_pos
+FROM (SELECT doc_id, p FROM pos WHERE token = 'spark') t1
+JOIN (SELECT doc_id, p - 1 AS p FROM pos WHERE token = 'stream') t2
+  ON t2.doc_id = t1.doc_id AND t2.p = t1.p
+GROUP BY t1.doc_id
+"""
+
+
 def _kg_quotient_graph(spark, sf):
     """Community QUOTIENT graph (graph coarsening): contract every
     label-propagation community (4 rounds, same alias graph as
@@ -8947,6 +9025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _textrank_keywords,
         "kg_community_profile": _kg_community_profile,
         "kg_quotient_graph": _kg_quotient_graph,
+        "kg_adjacency_export": _kg_adjacency_export,
         "kg_nearest_seed": _kg_nearest_seed,
         "kg_temporal_reachability": _kg_temporal_reachability,
         "kg_label_propagation": _kg_label_propagation,
@@ -8970,6 +9049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_hash": _dataset_split_hash,
         "kg_incremental_components": _kg_incremental_components,
         "inverted_index_postings": _inverted_index_postings,
+        "phrase_search": _phrase_search,
         "zorder_layout": _zorder_layout,
         "url_host_stats": _url_host_stats,
         "dedup_semantic_clusters": _semdedup,
@@ -9117,6 +9197,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_keywords_sql(),
         "kg_community_profile": _kg_community_profile_sql(),
         "kg_quotient_graph": _kg_quotient_graph_sql(),
+        "kg_adjacency_export": _KG_ADJACENCY_EXPORT_SQL,
         "kg_nearest_seed": _kg_nearest_seed_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
@@ -9141,6 +9222,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split_hash": _DATASET_SPLIT_SQL,
         "kg_incremental_components": _KG_INCREMENTAL_COMPONENTS_SQL,
         "inverted_index_postings": _INVERTED_POSTINGS_SQL,
+        "phrase_search": _PHRASE_SEARCH_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "events_range_join": _EVENTS_RANGE_SQL,
         "url_host_stats": _url_host_stats_sql(),

@@ -500,3 +500,39 @@ def test_dataset_card_invariants(spark, sf_dir):
     assert card["min_chars"] <= card["max_chars"] <= card["total_chars"]
     assert card["n_unique"] <= card["n_docs"]
     assert card["dup_ppm"] == (1000000 * (card["n_docs"] - card["n_unique"])) // card["n_docs"]
+
+
+def test_adjacency_export_consistency(spark, sf_dir):
+    """Degree equals the CSV's element count; neighbor lists are sorted;
+    the degree histogram derived from the export matches the edge mass."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["kg_adjacency_export"](spark, sf_dir).collect()
+    for r in rows[:50]:
+        parts = r["neighbors_csv"].split(",")
+        assert len(parts) == r["degree"]
+        assert parts == sorted(parts)
+    n_edges_sym = E._alias_graph(spark, sf_dir).count()
+    assert sum(r["degree"] for r in rows) == n_edges_sym
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    """Gate query == a plain Python bigram scan over the corpus."""
+    import __spark_entry__ as E
+    import duckdb
+
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for doc_id, text in texts:
+        t = [x for x in (text or "").strip().split() if x]
+        hits = [i for i in range(len(t) - 1) if t[i] == "spark" and t[i + 1] == "stream"]
+        if hits:
+            want[doc_id] = (len(hits), hits[0] + 1)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in E.queries()["phrase_search"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # phrase present at the smallest sf
