@@ -6029,6 +6029,64 @@ seeds AS (SELECT i AS node FROM ids WHERE i % 251 = 0)
     return temporal_reachability_sql(graph_ctes, rounds=8)
 
 
+def _kg_induced_subgraph(spark, sf):
+    """K-hop INDUCED SUBGRAPH extraction — the "entity neighborhood"
+    payload a served KG returns for a detail page: nodes within 2 hops of
+    the seed set (every 251st node) on the symmetrized alias graph, plus
+    ALL edges among them (induced, not just tree edges — the closing
+    edges are what make the neighborhood a graph, not a BFS tree).
+    Output = one row per induced edge (src < dst) with both endpoints'
+    hop distances.  Composes the gated ``bfs_levels_df``; the induction
+    is two semi-joins of the edge list against the (small) reached set —
+    at 100 TB the reached set broadcasts and the edge scan prunes by
+    bucket."""
+    from bert_namedentityrecognition_spark.operators.graph import bfs_levels_df
+
+    sym = _alias_graph(spark, sf).localCheckpoint(eager=True)
+    n = _t(spark, sf, "events").count()
+    seeds = spark.range(n).filter(F.col("id") % 251 == 0).select(
+        F.col("id").alias("node")
+    )
+    dist = bfs_levels_df(sym, seeds, max_hops=2)
+    und = sym.filter(F.col("src") < F.col("dst"))
+    da = dist.select(F.col("node").alias("src"), F.col("dist").alias("dist_src"))
+    db = dist.select(F.col("node").alias("dst"), F.col("dist").alias("dist_dst"))
+    return (
+        und.join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("dist_src").cast("long"),
+            F.col("dist_dst").cast("long"),
+        )
+    )
+
+
+def _kg_induced_subgraph_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import bfs_sql
+
+    graph_ctes = (
+        _ALIAS_GRAPH_CTES.rstrip().rstrip(",")
+        + ",\nseeds AS (SELECT i AS node FROM ids WHERE i % 251 = 0)"
+    )
+    bfs = bfs_sql(graph_ctes, max_hops=2)
+    return f"""
+WITH d AS MATERIALIZED ({bfs}),
+gids AS (SELECT row_number() OVER () - 1 AS i FROM events),
+gedges AS (
+  SELECT i AS a, i - 1 AS b FROM gids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM gids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM gedges)
+SELECT CAST(und.u AS BIGINT) AS src, CAST(und.v AS BIGINT) AS dst,
+       CAST(da.dist AS BIGINT) AS dist_src, CAST(db.dist AS BIGINT) AS dist_dst
+FROM und JOIN d da ON da.node = und.u JOIN d db ON db.node = und.v
+"""
+
+
 def _kg_nearest_seed(spark, sf):
     """Graph VORONOI partition (``operators/graph.py:nearest_seed_df``)
     over the symmetrized alias graph: every node within 8 hops routed to
@@ -9027,6 +9085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quotient_graph": _kg_quotient_graph,
         "kg_adjacency_export": _kg_adjacency_export,
         "kg_nearest_seed": _kg_nearest_seed,
+        "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_temporal_reachability": _kg_temporal_reachability,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
@@ -9199,6 +9258,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_quotient_graph": _kg_quotient_graph_sql(),
         "kg_adjacency_export": _KG_ADJACENCY_EXPORT_SQL,
         "kg_nearest_seed": _kg_nearest_seed_sql(),
+        "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,

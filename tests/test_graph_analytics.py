@@ -807,3 +807,26 @@ def test_temporal_cone_is_subset_of_static_cone(spark, sf_dir):
         for r in E.queries()["kg_shortest_path_counts"](spark, sf_dir).collect()
     }
     assert temporal < static  # strict subset: time order prunes real paths
+
+
+def test_induced_subgraph_closure_property(spark, sf_dir):
+    """Every endpoint is within 2 hops; every edge of the full graph with
+    both endpoints reached appears (induction completeness); closing edges
+    (non-tree, dist_src == dist_dst possible) are captured."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from bert_namedentityrecognition_spark.operators.graph import bfs_levels_df
+
+    rows = E.queries()["kg_induced_subgraph"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["dist_src"] <= 2 and r["dist_dst"] <= 2 for r in rows)
+    # recompute induction by hand
+    sym = E._alias_graph(spark, sf_dir)
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    seeds = spark.range(n).filter(F.col("id") % 251 == 0).select(F.col("id").alias("node"))
+    reached = {r["node"] for r in bfs_levels_df(sym, seeds, max_hops=2).collect()}
+    und = {(r["src"], r["dst"]) for r in sym.filter(F.col("src") < F.col("dst")).collect()}
+    want = {(u, v) for u, v in und if u in reached and v in reached}
+    assert {(r["src"], r["dst"]) for r in rows} == want
