@@ -6029,6 +6029,35 @@ seeds AS (SELECT i AS node FROM ids WHERE i % 251 = 0)
     return temporal_reachability_sql(graph_ctes, rounds=8)
 
 
+def _kg_weighted_pagerank(spark, sf):
+    """EDGE-WEIGHTED integer PageRank over the alias graph with
+    arithmetic weights ``w = 1 + (src + dst) % 5`` — the centrality that
+    consumes edge-confidence weights (``kg_edge_confidence``'s ppm shape)
+    instead of flattening them to 1: contributions split ∝ w, every
+    contribution the pure integer ``(rank·w) DIV Σw`` (rule 11).  Same
+    2-shuffles/iteration plan as the unweighted gate query; 4
+    iterations.  Twin: ``oracle/graph.py:wpagerank_sql``."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        weighted_pagerank_integer,
+    )
+
+    sym = _alias_graph(spark, sf)
+    wsym = sym.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).alias("w")
+    )
+    return weighted_pagerank_integer(wsym, iterations=4)
+
+
+def _kg_weighted_pagerank_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import wpagerank_sql
+
+    graph_ctes = (
+        _ALIAS_GRAPH_CTES.rstrip().rstrip(",")
+        + ",\nwsym AS MATERIALIZED (SELECT a, b, 1 + (a + b) % 5 AS w FROM sym)"
+    )
+    return wpagerank_sql(graph_ctes, iterations=4)
+
+
 def _kg_induced_subgraph(spark, sf):
     """K-hop INDUCED SUBGRAPH extraction — the "entity neighborhood"
     payload a served KG returns for a detail page: nodes within 2 hops of
@@ -9086,6 +9115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency_export": _kg_adjacency_export,
         "kg_nearest_seed": _kg_nearest_seed,
         "kg_induced_subgraph": _kg_induced_subgraph,
+        "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
         "kg_label_propagation": _kg_label_propagation,
         "kg_triangle_counts": _kg_triangle_counts,
@@ -9259,6 +9289,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency_export": _KG_ADJACENCY_EXPORT_SQL,
         "kg_nearest_seed": _kg_nearest_seed_sql(),
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
+        "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),
         "kg_label_propagation": _kg_label_propagation_sql(),
         "kg_triangle_counts": _KG_TRIANGLE_COUNTS_SQL,

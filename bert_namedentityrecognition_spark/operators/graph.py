@@ -83,6 +83,60 @@ def pagerank_integer(
     return ranks
 
 
+def weighted_pagerank_integer(
+    wedges: DataFrame,
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """EDGE-WEIGHTED ``wedges(src, dst, w)`` → ``(node, rank_scaled)`` —
+    the exact integer weighted PageRank of ``oracle.graph.wpagerank_int``
+    (contributions split ∝ weight: the centrality that consumes
+    ``kg_edge_confidence``-style edge weights instead of flattening them).
+    Same plan shape as ``pagerank_integer``: the edge list with pre-joined
+    weight sums is materialized once (rule 23), 2 shuffles/iteration,
+    per-level checkpoints.  Caller owns the ``init·w_max`` int64 bound
+    (kernel docstring)."""
+    e = wedges.select(
+        F.col(src).cast("long").alias("a"),
+        F.col(dst).cast("long").alias("b"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    sw = e.groupBy("a").agg(F.sum("w").alias("sw"))
+    e = e.join(sw, "a").repartition("a").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = ((d_den - d_num) * init) // d_den
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_scaled"))
+    for _ in range(iterations):
+        inc = (
+            e.join(ranks, e.a == ranks.node)
+            .select(F.col("b"), F.expr("(rank_scaled * w) DIV sw").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, nodes.node == inc.b, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({d_num} * coalesce(inc, 0L)) DIV {d_den}")
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def triangle_counts_df(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -135,6 +135,84 @@ def pagerank_sql(
     return "\n".join(parts)
 
 
+def wpagerank_int(
+    wedges: Iterable[Tuple[int, int, int]],
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> Dict[int, int]:
+    """EDGE-WEIGHTED integer PageRank over DIRECTED ``wedges(a, b, w)``
+    (positive integer weights — e.g. the ppm confidences
+    ``kg_edge_confidence`` materializes): contributions split
+    proportionally to weight instead of uniformly::
+
+        contrib(u→v) = (rank(u) * w(u→v)) // sum_w(u)
+        rank'(v)     = base + (d_num * sum(contrib)) // d_den
+
+    Every contribution is a pure integer function of (rank, w, sum_w) —
+    order-independent sums, engine-exact (rule 11).  Overflow bound:
+    ``rank * w ≤ n·init·w_max`` must stay under 2**63 — with init 10^9
+    and w ≤ 10^6 that caps the gate fixture at ~9k effective mass units;
+    the entry query uses w ≤ 5 so any sf is safe."""
+    out: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
+    sw: Dict[int, int] = defaultdict(int)
+    nodes = set()
+    for a, b, w in wedges:
+        nodes.add(a)
+        nodes.add(b)
+        out[a].append((b, w))
+        sw[a] += w
+    base = ((d_den - d_num) * init) // d_den
+    rank = {v: init for v in nodes}
+    for _ in range(iterations):
+        inc: Dict[int, int] = defaultdict(int)
+        for u, nbrs in out.items():
+            ru, su = rank[u], sw[u]
+            for v, w in nbrs:
+                inc[v] += (ru * w) // su
+        rank = {v: base + (d_num * inc.get(v, 0)) // d_den for v in nodes}
+    return rank
+
+
+def wpagerank_sql(
+    graph_ctes: str,
+    iterations: int = 6,
+    init: int = INIT,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`wpagerank_int`.
+    ``graph_ctes`` must define ``wsym(a, b, w)`` — the weighted directed
+    edge list.  Same MATERIALIZED discipline as :func:`pagerank_sql`."""
+    base = ((d_den - d_num) * init) // d_den
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "swt AS MATERIALIZED (SELECT a, SUM(w) AS sw FROM wsym GROUP BY a),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM wsym),",
+        f"r0 AS (SELECT node, CAST({init} AS BIGINT) AS r FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"inc{k} AS (SELECT s.b AS node, SUM((r.r * s.w) // swt.sw) AS inc "
+            f"FROM r{k - 1} r JOIN wsym s ON s.a = r.node "
+            f"JOIN swt ON swt.a = r.node GROUP BY s.b),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.node, CAST({base} AS BIGINT) + "
+            f"({d_num} * COALESCE(i.inc, 0)) // {d_den} AS r "
+            f"FROM nodes n LEFT JOIN inc{k} i ON i.node = n.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
 def kcore_nodes(
     edges: Iterable[Tuple[int, int]], k: int
 ) -> Dict[int, int]:

@@ -830,3 +830,64 @@ def test_induced_subgraph_closure_property(spark, sf_dir):
     und = {(r["src"], r["dst"]) for r in sym.filter(F.col("src") < F.col("dst")).collect()}
     want = {(u, v) for u, v in und if u in reached and v in reached}
     assert {(r["src"], r["dst"]) for r in rows} == want
+
+
+def test_weighted_pagerank_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        weighted_pagerank_integer,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import wpagerank_int
+
+    rng = random.Random(31)
+    wedges = sorted(
+        {(rng.randrange(40), rng.randrange(40)) for _ in range(140)}
+    )
+    wedges = [(a, b, 1 + (a * 3 + b) % 7) for a, b in wedges if a != b]
+    want = wpagerank_int(wedges, iterations=5)
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in weighted_pagerank_integer(
+            spark.createDataFrame(wedges, ["src", "dst", "w"]), iterations=5
+        ).collect()
+    }
+    assert got == want
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted():
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        pagerank_int,
+        wpagerank_int,
+    )
+
+    edges = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 7) % 20) for i in range(20)]
+    # all weights equal -> identical to the unweighted kernel
+    assert wpagerank_int([(a, b, 3) for a, b in edges], 4) == pagerank_int(edges, 4)
+
+
+def test_weighted_pagerank_weight_shifts_mass():
+    from bert_namedentityrecognition_spark.oracle.graph import wpagerank_int
+
+    # 0 -> 1 (heavy), 0 -> 2 (light): node 1 must outrank node 2
+    r = wpagerank_int([(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)], 6)
+    assert r[1] > r[2]
+
+
+def test_wpagerank_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        wpagerank_int,
+        wpagerank_sql,
+    )
+
+    wedges = [(i, (i + 1) % 15, 1 + (i % 4)) for i in range(15)] + [
+        ((i + 1) % 15, i, 2) for i in range(15)
+    ]
+    sql = wpagerank_sql(
+        "wsym AS MATERIALIZED (SELECT a, b, w FROM (VALUES "
+        + ", ".join(f"({a}, {b}, {w})" for a, b, w in wedges)
+        + ") t(a, b, w))",
+        iterations=5,
+    )
+    got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == wpagerank_int(wedges, iterations=5)
