@@ -4371,6 +4371,48 @@ def _ivf_ann(spark, sf):
     )
 
 
+def _ann_recall_eval(spark, sf):
+    """ANN RECALL measured UNDER THE GATE — the acceptance metric an ANN
+    deployment publishes: per query point, the overlap between the
+    brute-force cosine top-5 (ground truth) and the IVF(16 lists, probe 4)
+    top-5, as ``recall_ppm = (10^6·overlap) DIV 5`` — all integer
+    (rule 11).  Composes the two individually-gated ANN queries
+    (``ann_cosine_topk``, ``ann_ivf_topk``), so this query pins their
+    AGREEMENT, the number a 100 TB recall/latency trade is negotiated
+    with (the blocking-quality pattern applied to vector search)."""
+    truth = _ann_topk(spark, sf).select("query_id", "vec_id")
+    approx = _ivf_ann(spark, sf).select("query_id", "vec_id")
+    overlap = truth.join(approx, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    qids = truth.select("query_id").distinct()
+    return qids.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr(
+            "CAST(1000000 AS BIGINT) * coalesce(n_overlap, 0) DIV 5"
+        ).alias("recall_ppm"),
+    )
+
+
+def _ann_recall_eval_sql() -> str:
+    return f"""
+WITH truth AS MATERIALIZED ({_ANN_TOPK_SQL}),
+approx AS MATERIALIZED ({{ivf}}),
+ov AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM truth t JOIN approx a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY t.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST((1000000 * coalesce(ov.n_overlap, 0)) // 5 AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN ov ON ov.query_id = q.query_id
+"""
+
+
 def _ivf_ann_persisted(spark, sf):
     """The persisted-index ANN path (r3 VERDICT #5): ``ivf_write_index``
     materializes the assignment table ``partitionBy(list_id)`` + centroid
@@ -9088,6 +9130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _lsh_ann,
         "ann_lsh_multiprobe": _lsh_ann_multiprobe,
         "ann_ivf_topk": _ivf_ann,
+        "ann_recall_eval": _ann_recall_eval,
         "ann_ivf_persisted": _ivf_ann_persisted,
         "ann_pq_topk": _pq_ann,
         "multimodal_features": _multimodal_features,
@@ -9214,6 +9257,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),
         # one assembly, two queries: pruning must not change the twin
         "ann_ivf_topk": (_ivf_sql := _ivf_ann_sql()),
+        "ann_recall_eval": _ann_recall_eval_sql().format(ivf=_ivf_sql),
         "ann_ivf_persisted": _ivf_sql,
         "ann_pq_topk": _pq_ann_sql(),
         "kg_e2e_triples": _kg_e2e_sql(),

@@ -536,3 +536,24 @@ def test_phrase_search_matches_python_scan(spark, sf_dir):
     }
     assert got == want
     assert got  # phrase present at the smallest sf
+
+
+def test_ann_recall_eval_composes_gated_queries(spark, sf_dir):
+    """recall_ppm is the exact integer formula over the overlap of the two
+    individually-gated ANN results, recomputed here from those queries."""
+    import __spark_entry__ as E
+
+    truth = {}
+    for r in E.queries()["ann_cosine_topk"](spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in E.queries()["ann_ivf_topk"](spark, sf_dir).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall_ppm"])
+        for r in E.queries()["ann_recall_eval"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(truth)
+    for q, (n, ppm) in got.items():
+        assert n == len(truth[q] & approx.get(q, set()))
+        assert ppm == (1000000 * n) // 5
