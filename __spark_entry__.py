@@ -6505,6 +6505,65 @@ LEFT JOIN entailed e ON e.anc = cls.cid
 """
 
 
+def _kg_descendants_stats(spark, sf):
+    """Subsumption statistics over the SAME 3-ary class hierarchy as
+    ``kg_rdfs_closure`` — the per-class fan-out profile an ontology-aware
+    query planner uses to decide whether a type filter is selective:
+    per class, the number of proper descendants and the number of LEAF
+    descendants (leaf = class with no child: ``3c+1 >= C`` under the
+    arithmetic parenting — the same rule-24 integer derivation in both
+    engines).  One path-doubling closure on the dim-sized class graph +
+    two map-side-combined aggs on the ancestor key."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        transitive_closure_doubling,
+    )
+
+    n = _t(spark, sf, "events").count()
+    c = max(13, n // 10)
+    cls = spark.range(c)
+    edges = cls.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), F.expr("(id - 1) DIV 3").alias("dst")
+    )
+    closure = transitive_closure_doubling(edges)  # (node, anc)
+    flagged = closure.withColumn(
+        "is_leaf", (3 * F.col("node") + 1 >= c).cast("long")
+    )
+    return (
+        flagged.groupBy(F.col("anc").alias("class_id"))
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_descendants"),
+            F.sum(
+                F.when(
+                    (F.col("is_leaf") == 1) & (F.col("node") != F.col("anc")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_leaf_descendants"),
+        )
+    )
+
+
+_KG_DESCENDANTS_STATS_SQL = """
+WITH RECURSIVE
+params AS (SELECT GREATEST(13, count(*) // 10) AS c FROM events),
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+cls AS MATERIALIZED (SELECT i AS cid FROM ids WHERE i < (SELECT c FROM params)),
+cedges AS MATERIALIZED (SELECT cid AS a, (cid - 1) // 3 AS b FROM cls WHERE cid > 0),
+cnodes AS MATERIALIZED (SELECT a AS node FROM cedges UNION SELECT b FROM cedges),
+anc AS (
+  SELECT node, node AS anc FROM cnodes
+  UNION
+  SELECT x.node, e.b AS anc FROM anc x JOIN cedges e ON e.a = x.anc
+)
+SELECT CAST(anc AS BIGINT) AS class_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_descendants,
+       CAST(sum(CASE WHEN 3 * node + 1 >= (SELECT c FROM params)
+                      AND node <> anc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaf_descendants
+FROM anc GROUP BY anc
+"""
+
+
 def _kg_label_propagation(spark, sf):
     """Deterministic synchronous label propagation (community detection)
     over the SAME derived alias graph as ``kg_alias_components``/
@@ -9150,6 +9209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_personalized_pagerank": _kg_personalized_pagerank,
         "kg_hits_scores": _kg_hits_scores,
         "kg_rdfs_closure": _kg_rdfs_closure,
+        "kg_descendants_stats": _kg_descendants_stats,
         "kg_shortest_path_counts": _kg_shortest_path_counts,
         "kg_maximal_independent_set": _kg_maximal_independent_set,
         "textrank_keywords": _textrank_keywords,
@@ -9325,6 +9385,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_personalized_pagerank": _kg_personalized_pagerank_sql(),
         "kg_hits_scores": _kg_hits_scores_sql(),
         "kg_rdfs_closure": _KG_RDFS_CLOSURE_SQL,
+        "kg_descendants_stats": _KG_DESCENDANTS_STATS_SQL,
         "kg_shortest_path_counts": _kg_shortest_path_counts_sql(),
         "kg_maximal_independent_set": _kg_maximal_independent_set_sql(),
         "textrank_keywords": _textrank_keywords_sql(),

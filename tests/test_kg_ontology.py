@@ -557,3 +557,21 @@ def test_ann_recall_eval_composes_gated_queries(spark, sf_dir):
     for q, (n, ppm) in got.items():
         assert n == len(truth[q] & approx.get(q, set()))
         assert ppm == (1000000 * n) // 5
+
+
+def test_descendants_stats_tree_invariants(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = {r["class_id"]: r for r in E.queries()["kg_descendants_stats"](spark, sf_dir).collect()}
+    c = len(rows)
+    root = rows[0]
+    assert root["n_descendants"] == c - 1  # root subsumes every other class
+    leaves = [cid for cid in rows if 3 * cid + 1 >= c]
+    assert root["n_leaf_descendants"] == len(leaves)
+    for cid in leaves:
+        assert rows[cid]["n_descendants"] == 0
+        assert rows[cid]["n_leaf_descendants"] == 0
+    # each child's descendant set nests inside the parent's
+    for cid in rows:
+        if cid > 0:
+            assert rows[(cid - 1) // 3]["n_descendants"] > rows[cid]["n_descendants"]
