@@ -6505,6 +6505,90 @@ LEFT JOIN entailed e ON e.anc = cls.cid
 """
 
 
+def _kg_disjointness_check(spark, sf):
+    """OWL-style CLASS DISJOINTNESS validation — the consistency check an
+    ontology-backed KG runs after type inference: classes 1 and 2 (the
+    root's first two subtree roots in the shared 3-ary hierarchy) are
+    declared disjoint; every entity carries TWO type assertions
+    (``i % C`` and ``(i·7 + 3) % C``), and an entity whose ENTAILED
+    ancestor set contains both disjoint classes is inconsistent.  Output:
+    the disjoint pair, entities checked, violation count, and the
+    smallest violating entity id (a deterministic witness for debugging).
+
+    Scale shape: the closure is dim-sized and BROADCAST onto the
+    (2n-row) assertion frame; the violation test is one entailment join
+    + one two-ancestor groupBy — the assertion table is never shuffled
+    twice.  All counts BIGINT (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        transitive_closure_doubling,
+    )
+
+    n = _t(spark, sf, "events").count()
+    c = max(13, n // 10)
+    cls = spark.range(c)
+    edges = cls.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), F.expr("(id - 1) DIV 3").alias("dst")
+    )
+    closure = transitive_closure_doubling(edges)
+    ents = spark.range(n)
+    types = ents.select(
+        F.col("id").alias("entity"), (F.col("id") % c).alias("cls")
+    ).union(
+        ents.select(
+            F.col("id").alias("entity"), ((F.col("id") * 7 + 3) % c).alias("cls")
+        )
+    )
+    entailed = types.join(
+        F.broadcast(closure), types.cls == closure.node
+    ).select("entity", "anc")
+    hits = (
+        entailed.filter(F.col("anc").isin(1, 2))
+        .groupBy("entity")
+        .agg(F.countDistinct("anc").alias("k"))
+        .filter(F.col("k") == 2)
+    )
+    return hits.agg(
+        F.lit(1).cast("long").alias("disjoint_a"),
+        F.lit(2).cast("long").alias("disjoint_b"),
+        F.lit(n).cast("long").alias("n_entities"),
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+        F.min("entity").cast("long").alias("first_violator"),
+    )
+
+
+_KG_DISJOINTNESS_SQL = """
+WITH RECURSIVE
+params AS (SELECT count(*) AS n, GREATEST(13, count(*) // 10) AS c FROM events),
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+cls AS MATERIALIZED (SELECT i AS cid FROM ids WHERE i < (SELECT c FROM params)),
+cedges AS MATERIALIZED (SELECT cid AS a, (cid - 1) // 3 AS b FROM cls WHERE cid > 0),
+cnodes AS MATERIALIZED (SELECT a AS node FROM cedges UNION SELECT b FROM cedges),
+anc AS (
+  SELECT node, node AS anc FROM cnodes
+  UNION
+  SELECT x.node, e.b AS anc FROM anc x JOIN cedges e ON e.a = x.anc
+),
+ancm AS MATERIALIZED (SELECT node, anc FROM anc),
+types AS (
+  SELECT i AS entity, i % (SELECT c FROM params) AS cls FROM ids
+  UNION ALL
+  SELECT i AS entity, (i * 7 + 3) % (SELECT c FROM params) AS cls FROM ids
+),
+hits AS (
+  SELECT t.entity
+  FROM types t JOIN ancm a ON a.node = t.cls
+  WHERE a.anc IN (1, 2)
+  GROUP BY t.entity
+  HAVING count(DISTINCT a.anc) = 2
+)
+SELECT CAST(1 AS BIGINT) AS disjoint_a, CAST(2 AS BIGINT) AS disjoint_b,
+       CAST((SELECT n FROM params) AS BIGINT) AS n_entities,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       CAST(min(entity) AS BIGINT) AS first_violator
+FROM hits
+"""
+
+
 def _kg_descendants_stats(spark, sf):
     """Subsumption statistics over the SAME 3-ary class hierarchy as
     ``kg_rdfs_closure`` — the per-class fan-out profile an ontology-aware
@@ -9210,6 +9294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits_scores": _kg_hits_scores,
         "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_descendants_stats": _kg_descendants_stats,
+        "kg_disjointness_check": _kg_disjointness_check,
         "kg_shortest_path_counts": _kg_shortest_path_counts,
         "kg_maximal_independent_set": _kg_maximal_independent_set,
         "textrank_keywords": _textrank_keywords,
@@ -9386,6 +9471,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits_scores": _kg_hits_scores_sql(),
         "kg_rdfs_closure": _KG_RDFS_CLOSURE_SQL,
         "kg_descendants_stats": _KG_DESCENDANTS_STATS_SQL,
+        "kg_disjointness_check": _KG_DISJOINTNESS_SQL,
         "kg_shortest_path_counts": _kg_shortest_path_counts_sql(),
         "kg_maximal_independent_set": _kg_maximal_independent_set_sql(),
         "textrank_keywords": _textrank_keywords_sql(),

@@ -575,3 +575,28 @@ def test_descendants_stats_tree_invariants(spark, sf_dir):
     for cid in rows:
         if cid > 0:
             assert rows[(cid - 1) // 3]["n_descendants"] > rows[cid]["n_descendants"]
+
+
+def test_disjointness_check_matches_python_replay(spark, sf_dir):
+    """Violation count == a plain-Python replay of the double-typed
+    entailment against the closure kernel."""
+    import __spark_entry__ as E
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import closure_pairs
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    c = max(13, n // 10)
+    clo = closure_pairs([(k, (k - 1) // 3) for k in range(1, c)])
+    anc = {}
+    for node, a in clo:
+        anc.setdefault(node, set()).add(a)
+    viol = []
+    for i in range(n):
+        ancs = anc.get(i % c, {i % c}) | anc.get((i * 7 + 3) % c, {(i * 7 + 3) % c})
+        if 1 in ancs and 2 in ancs:
+            viol.append(i)
+    r = E.queries()["kg_disjointness_check"](spark, sf_dir).collect()[0]
+    assert r["n_violations"] == len(viol)
+    assert r["first_violator"] == min(viol)
+    assert r["n_entities"] == n and 0 < len(viol) < n
