@@ -6158,6 +6158,37 @@ FROM und JOIN d da ON da.node = und.u JOIN d db ON db.node = und.v
 """
 
 
+def _kg_harmonic_centrality(spark, sf):
+    """Bounded-hop HARMONIC CENTRALITY of the hub shortlist (seeds every
+    251st node) over the symmetrized alias graph — the closeness-style
+    score a KG serves for "how central is this entity in its
+    neighborhood": ``H(s) = Σ 840 DIV d(s, v)`` over the 8-hop cone,
+    with 840 = lcm(1..8) making every 1/d contribution an EXACT integer
+    (rule 11 — harmonic centrality without a float boundary).  Per-seed
+    BFS on the (seed, node) pair key (``operators/graph.py:
+    harmonic_centrality_df``); twin ``oracle/graph.py:harmonic_sql``."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        harmonic_centrality_df,
+    )
+
+    sym = _alias_graph(spark, sf)
+    n = _t(spark, sf, "events").count()
+    seeds = spark.range(n).filter(F.col("id") % 251 == 0).select(
+        F.col("id").alias("node")
+    )
+    return harmonic_centrality_df(sym, seeds, max_hops=8)
+
+
+def _kg_harmonic_centrality_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import harmonic_sql
+
+    graph_ctes = (
+        _ALIAS_GRAPH_CTES.rstrip().rstrip(",")
+        + ",\nseeds AS (SELECT i AS node FROM ids WHERE i % 251 = 0)"
+    )
+    return harmonic_sql(graph_ctes, max_hops=8)
+
+
 def _kg_nearest_seed(spark, sf):
     """Graph VORONOI partition (``operators/graph.py:nearest_seed_df``)
     over the symmetrized alias graph: every node within 8 hops routed to
@@ -9302,6 +9333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quotient_graph": _kg_quotient_graph,
         "kg_adjacency_export": _kg_adjacency_export,
         "kg_nearest_seed": _kg_nearest_seed,
+        "kg_harmonic_centrality": _kg_harmonic_centrality,
         "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
@@ -9479,6 +9511,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_quotient_graph": _kg_quotient_graph_sql(),
         "kg_adjacency_export": _KG_ADJACENCY_EXPORT_SQL,
         "kg_nearest_seed": _kg_nearest_seed_sql(),
+        "kg_harmonic_centrality": _kg_harmonic_centrality_sql(),
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),

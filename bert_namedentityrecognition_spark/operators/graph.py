@@ -410,6 +410,74 @@ def nearest_seed_df(
     return dist
 
 
+def harmonic_centrality_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """``(seed, h_scaled)``: the exact bounded-hop harmonic centrality of
+    ``oracle.graph.harmonic_centrality`` — per-seed BFS carrying the
+    (seed, node) PAIR key (per-seed distances, not the multi-source
+    minimum), contributions ``840 DIV dist`` exact for hops ≤ 8.
+
+    Scale shape: state is |seeds| × |hop cone| pairs; per level one
+    frontier join + one distinct + one first-reach anti-join on the pair
+    key, localCheckpoint per level (rule 23).  For a 100 TB graph the
+    seed set is the serving shortlist (entities on a page), not the whole
+    node set — per-seed cones stay bounded."""
+    from ..oracle.graph import HARMONIC_SCALE
+
+    if max_hops > 8:
+        raise ValueError("HARMONIC_SCALE is exact only for max_hops <= 8")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).cast("long").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "node")
+    for k in range(1, max_hops + 1):
+        pushed = (
+            frontier.join(e, frontier.node == e.a)
+            .select("seed", F.col("b").alias("nnode"))
+            .distinct()
+        )
+        fresh = pushed.join(
+            dist,
+            (pushed.seed == dist.seed) & (pushed.nnode == dist.node),
+            "left_anti",
+        ).select(
+            "seed",
+            F.col("nnode").alias("node"),
+            F.lit(k).cast("long").alias("dist"),
+        )
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("dist") == k).select("seed", "node")
+    return dist.groupBy("seed").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("dist") > 0,
+                    F.expr(f"{HARMONIC_SCALE} DIV dist"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("h_scaled")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 6,

@@ -900,6 +900,84 @@ def mis_sql(graph_ctes: str, rounds: int) -> str:
     return "\n".join(parts)
 
 
+HARMONIC_SCALE = 840  # lcm(1..8): 840 DIV d is EXACT for any hop count <= 8
+
+
+def harmonic_centrality(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int = 8,
+) -> Dict[int, int]:
+    """Bounded-hop HARMONIC CENTRALITY of each seed over DIRECTED
+    ``edges(a, b)``: ``H(s) = Σ_{v reached, v≠s} SCALE DIV d(s, v)`` with
+    ``SCALE = 840 = lcm(1..8)`` so every per-node contribution is an
+    EXACT integer for hop counts ≤ 8 (rule 11 — harmonic centrality's
+    1/d fractions made engine-exact by choosing the scale, the same trick
+    as the ppm ratios).  The bounded-hop restriction is the standard
+    serving form (full harmonic needs all-pairs BFS).  Returns
+    ``{seed: h_scaled}``; isolated seeds score 0."""
+    if max_hops > 8:
+        raise ValueError("HARMONIC_SCALE is exact only for max_hops <= 8")
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+    out: Dict[int, int] = {}
+    for s in seeds:
+        dist = {int(s): 0}
+        frontier = {int(s)}
+        total = 0
+        for k in range(1, max_hops + 1):
+            nxt = {b for a in frontier for b in nbrs.get(a, ())} - dist.keys()
+            for b in nxt:
+                dist[b] = k
+                total += HARMONIC_SCALE // k
+            frontier = nxt
+            if not frontier:
+                break
+        out[int(s)] = total
+    return out
+
+
+def harmonic_sql(graph_ctes: str, max_hops: int = 8) -> str:
+    """Unrolled-level DuckDB twin of :func:`harmonic_centrality`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` and ``seeds(node)``.  The
+    BFS carries the (seed, node) PAIR key — per-seed distances, not the
+    merged multi-source minimum — so each level's first-reach anti-join
+    and the final ``SUM(840 // dist)`` are per seed.  ``d{k}``
+    MATERIALIZED per rule 30."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "d0 AS MATERIALIZED (SELECT node AS seed, node, "
+        "CAST(0 AS BIGINT) AS dist FROM seeds),",
+        "f0 AS (SELECT seed, node FROM d0),",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"u{k} AS (SELECT DISTINCT f.seed, s.b AS node "
+            f"FROM f{k - 1} f JOIN sym s ON s.a = f.node),"
+        )
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT seed, node, dist FROM d{k - 1} "
+            f"UNION ALL SELECT u.seed, u.node, CAST({k} AS BIGINT) FROM u{k} u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM d{k - 1} x "
+            f"WHERE x.seed = u.seed AND x.node = u.node)),"
+        )
+        parts.append(
+            f"f{k} AS (SELECT seed, node FROM d{k} WHERE dist = {k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(seed AS BIGINT) AS seed, "
+        f"CAST(coalesce(sum(CASE WHEN dist > 0 "
+        f"THEN {HARMONIC_SCALE} // dist END), 0) AS BIGINT) AS h_scaled "
+        f"FROM d{max_hops} GROUP BY seed"
+    )
+    return "\n".join(parts)
+
+
 def temporal_reachability(
     tedges: Iterable[Tuple[int, int, int]],
     seeds: Iterable[int],

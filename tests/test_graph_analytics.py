@@ -891,3 +891,61 @@ def test_wpagerank_sql_twin_matches_kernel():
     )
     got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
     assert got == wpagerank_int(wedges, iterations=5)
+
+
+def test_harmonic_centrality_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        harmonic_centrality_df,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        harmonic_centrality,
+    )
+
+    rng = random.Random(41)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(130)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [0, 9, 33]
+    want = harmonic_centrality(edges, seeds, max_hops=4)
+    got = {
+        r["seed"]: r["h_scaled"]
+        for r in harmonic_centrality_df(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            spark.createDataFrame([(s,) for s in seeds], ["node"]),
+            max_hops=4,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_harmonic_hand_values_and_bound():
+    import pytest
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        harmonic_centrality,
+    )
+
+    # path 0-1-2-3 from seed 0: 840/1 + 840/2 + 840/3 = 840+420+280
+    e = [(i, i + 1) for i in range(3)] + [(i + 1, i) for i in range(3)]
+    assert harmonic_centrality(e, [0], 8)[0] == 840 + 420 + 280
+    assert harmonic_centrality(e, [99], 8)[99] == 0  # isolated seed
+    with pytest.raises(ValueError, match="max_hops"):
+        harmonic_centrality(e, [0], 9)
+
+
+def test_harmonic_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        harmonic_centrality,
+        harmonic_sql,
+    )
+
+    e = [(i, i + 1) for i in range(25)] + [(i + 1, i) for i in range(25)]
+    sql = harmonic_sql(
+        "sym AS MATERIALIZED (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in e)
+        + ") t(a, b)),\nseeds AS (SELECT unnest([0, 12, 25]) AS node)",
+        max_hops=6,
+    )
+    got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == harmonic_centrality(e, [0, 12, 25], 6)
