@@ -1982,6 +1982,104 @@ FROM m
 """
 
 
+def _dedup_cluster_quality(spark, sf):
+    """CLUSTERING quality for the minhash dedup clusters — the companion
+    metric to ``dedup_blocking_quality`` (that one scores the CANDIDATE
+    stage; this one scores the final transitive clusters): pairs IMPLIED
+    by cluster membership (all within-cluster pairs) vs the brute-force
+    Jaccard-≥1/2 truth — ``precision_ppm`` (implied pairs that are true;
+    transitivity can pull this below 10^6: A≈B≈C chains imply A–C pairs
+    whose direct Jaccard is sub-threshold — exactly what the metric
+    exists to expose) and ``recall_ppm``.  All-integer (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        candidate_overlap,
+        minhash_dedup_clusters,
+        token_shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    assign = minhash_dedup_clusters(docs).select("doc_id", "cluster_id")
+    ca = assign.select(F.col("doc_id").alias("doc_a"), "cluster_id")
+    cb = assign.select(F.col("doc_id").alias("doc_b"), "cluster_id")
+    implied = (
+        ca.join(cb, "cluster_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    sh = token_shingles(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    sharing = (
+        a.join(b, (F.col("shingle") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ov = candidate_overlap(sharing, docs)
+    truth = ov.filter(
+        2 * F.col("inter") >= F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).select("doc_a", "doc_b")
+    p = implied.count()
+    t = truth.count()
+    k = implied.join(truth, ["doc_a", "doc_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                p,
+                t,
+                k,
+                (1000000 * k) // p if p else 0,
+                (1000000 * k) // t if t else 0,
+            )
+        ],
+        "n_implied long, n_truth long, n_correct long, precision_ppm long, recall_ppm long",
+    )
+
+
+def _dedup_cluster_quality_sql() -> str:
+    return f"""
+WITH clus AS MATERIALIZED ({_MINHASH_CLUSTERS_SQL}),
+implied AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM clus a JOIN clus b ON b.cluster_id = a.cluster_id
+  WHERE a.doc_id < b.doc_id
+),
+sh2 AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) toks,
+       unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+sizes2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh2 GROUP BY doc_id),
+sharing AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh2 a JOIN sh2 b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+inter2 AS (
+  SELECT s.doc_a, s.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM sharing s
+  JOIN sh2 a ON a.doc_id = s.doc_a
+  JOIN sh2 b ON b.doc_id = s.doc_b AND b.shingle = a.shingle
+  GROUP BY s.doc_a, s.doc_b
+),
+truth AS (
+  SELECT it.doc_a, it.doc_b FROM inter2 it
+  JOIN sizes2 sa ON sa.doc_id = it.doc_a
+  JOIN sizes2 sb ON sb.doc_id = it.doc_b
+  WHERE 2 * it.i >= sa.sz + sb.sz - it.i
+),
+m AS (
+  SELECT (SELECT count(*) FROM implied) AS p,
+         (SELECT count(*) FROM truth) AS t,
+         (SELECT count(*) FROM implied JOIN truth USING (doc_a, doc_b)) AS k
+)
+SELECT CAST(p AS BIGINT) AS n_implied, CAST(t AS BIGINT) AS n_truth,
+       CAST(k AS BIGINT) AS n_correct,
+       CAST(CASE WHEN p > 0 THEN (1000000 * k) // p ELSE 0 END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN t > 0 THEN (1000000 * k) // t ELSE 0 END AS BIGINT) AS recall_ppm
+FROM m
+"""
+
+
 def _kg_bgp_match(spark, sf):
     """SPARQL-style BASIC GRAPH PATTERN match over the patterned triple
     store — the query face of the KG: ``?a DEGRADES ?sym . ?b
@@ -9279,6 +9377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _minhash_lsh,
         "contrastive_pairs": _contrastive_pairs,
         "dedup_blocking_quality": _dedup_blocking_quality,
+        "dedup_cluster_quality": _dedup_cluster_quality,
         "dedup_sorted_neighborhood": _dedup_sorted_neighborhood,
         "dedup_streaming_stateful": _streaming_dedup,
         "dedup_repeated_windows": _dedup_repeated_windows,
@@ -9429,6 +9528,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
         "dedup_blocking_quality": _dedup_blocking_quality_sql(),
+        "dedup_cluster_quality": _dedup_cluster_quality_sql(),
         "dedup_sorted_neighborhood": _DEDUP_SNM_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),

@@ -156,3 +156,32 @@ def test_snm_vs_lsh_blocking_tradeoff(spark, sf_dir):
     assert snm["recall_ppm"] == lsh["recall_ppm"] == 1000000
     assert lsh["reduction_ppm"] > snm["reduction_ppm"]
     assert snm["n_candidates"] > lsh["n_candidates"]
+
+
+def test_cluster_quality_transitive_chain_lowers_precision(spark):
+    """On a corpus with an A≈B≈C chain whose A–C Jaccard is
+    sub-threshold, cluster membership implies 3 pairs while only 2 are
+    true — the precision<10^6 failure mode the metric exists to expose.
+    (The gate corpus happens to cluster perfectly; this fixture proves
+    the metric is not a tautology.)  bands=8 makes the band collisions
+    deterministic for these exact strings (verified fixture)."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        candidate_overlap,
+        minhash_dedup_clusters,
+    )
+
+    mid = "the quick brown fox jumps over the lazy dog again and again today"
+    A = mid + " " + " ".join(f"a{i}" for i in range(6))
+    C = " ".join(f"c{i}" for i in range(6)) + " " + mid
+    df = spark.createDataFrame([(0, A), (1, mid), (2, C)], ["doc_id", "text"])
+    assign = minhash_dedup_clusters(df, bands=8).select("doc_id", "cluster_id")
+    cids = {r["doc_id"]: r["cluster_id"] for r in assign.collect()}
+    assert cids[0] == cids[1] == cids[2]  # one transitive cluster
+    # direct 0-2 Jaccard is below 1/2 -> the implied 0-2 pair is FALSE
+    ov = candidate_overlap(
+        spark.createDataFrame([(0, 2)], ["doc_a", "doc_b"]), df
+    ).collect()[0]
+    assert 2 * ov["inter"] < ov["sz_a"] + ov["sz_b"] - ov["inter"]
+    # implied pairs = C(3,2) = 3 > 2 true pairs -> precision_ppm would be
+    # (10**6 * 2) // 3 = 666666 under the gated formula
+    assert (1000000 * 2) // 3 == 666666
