@@ -918,6 +918,59 @@ UNION ALL SELECT 'dup_ppm', (1000000 * (n_docs - n_unique)) // n_docs FROM base
 """
 
 
+def _events_activity_islands(spark, sf):
+    """GAPS-AND-ISLANDS: per user, contiguous daily-activity streaks —
+    the classic SQL pattern (island key = epoch_day − row_number over the
+    per-user day order: consecutive days share the key) a retention
+    analysis runs for "longest streak" features.  One distinct
+    (user, day) frame, ONE window shuffle on user_id, two integer aggs;
+    output per user: n_islands, longest streak, total active days."""
+    e = _t(spark, sf, "events")
+    days = e.select(
+        "user_id",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    islands = keyed.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+_EVENTS_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+keyed AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+islands AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM keyed GROUP BY user_id, grp
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM islands GROUP BY user_id
+"""
+
+
 def _events_json(spark, sf):  # semi-structured projection
     e = _t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -9322,6 +9375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burst_detection": _events_burst_detection,
         "events_attribution": _events_attribution,
         "events_basket_pairs": _events_basket_pairs,
+        "events_activity_islands": _events_activity_islands,
         "corpus_dataset_card": _corpus_dataset_card,
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
@@ -9494,6 +9548,7 @@ def oracle_sql() -> dict[str, str]:
         "events_burst_detection": _EVENTS_BURST_SQL,
         "events_attribution": _EVENTS_ATTRIBUTION_SQL,
         "events_basket_pairs": _EVENTS_BASKET_SQL,
+        "events_activity_islands": _EVENTS_ISLANDS_SQL,
         "corpus_dataset_card": _CORPUS_DATASET_CARD_SQL,
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,

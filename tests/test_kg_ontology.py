@@ -600,3 +600,37 @@ def test_disjointness_check_matches_python_replay(spark, sf_dir):
     assert r["n_violations"] == len(viol)
     assert r["first_violator"] == min(viol)
     assert r["n_entities"] == n and 0 < len(viol) < n
+
+
+def test_activity_islands_hand_recompute(spark, sf_dir):
+    """Gate query == a plain-Python streak scan over the distinct
+    (user, day) activity set."""
+    import __spark_entry__ as E
+    import duckdb
+    from datetime import timedelta
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    per = {}
+    for uid, day in rows:
+        per.setdefault(uid, set()).add(day)
+    want = {}
+    for uid, dayset in per.items():
+        days = sorted(dayset)
+        lens = []
+        cur = 1
+        for a, b in zip(days, days[1:]):
+            if b - a == timedelta(days=1):
+                cur += 1
+            else:
+                lens.append(cur)
+                cur = 1
+        lens.append(cur)
+        want[uid] = (len(lens), max(lens), sum(lens))
+    got = {
+        r["user_id"]: (r["n_islands"], r["longest_streak"], r["active_days"])
+        for r in E.queries()["events_activity_islands"](spark, sf_dir).collect()
+    }
+    assert got == want
