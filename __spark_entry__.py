@@ -9357,6 +9357,242 @@ FROM stats
 """
 
 
+def _events_markov_transitions(spark, sf):
+    """First-order MARKOV transition matrix over per-user event streams —
+    the session-model features a behavioural pipeline trains on: order each
+    user's events by (ts, event_id) (the id tie-break makes equal-timestamp
+    rows deterministic), lag() the event_type, count (prev → next)
+    transitions, and attach the per-source total + integer transition
+    probability in ppm (rule 11: ``1e6·n DIV n_from`` — no float boundary).
+    ONE window shuffle on user_id + two map-side-combined aggs; at 100 TB
+    the window partitions by user (bounded per-user history), the
+    transition matrix is |types|² — driver-tiny."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return trans.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_from",
+        F.expr("CAST(1000000 AS BIGINT) * n DIV n_from").alias("prob_ppm"),
+    )
+
+
+_EVENTS_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM trans GROUP BY 1
+)
+SELECT prev_type, next_type, n, n_from,
+       (1000000 * n) // n_from AS prob_ppm
+FROM trans JOIN totals USING (prev_type)
+"""
+
+
+def _q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape — customer order-count DISTRIBUTION: left join
+    customers to orders (zero-order customers must appear with c_count=0,
+    which an inner join would silently drop), per-customer order count,
+    then the histogram.  All-BIGINT.  Scale shape: the join shuffles on
+    custkey; the histogram is a two-level agg with map-side combine — the
+    second groupBy's key space is tiny (max orders per customer)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_Q13_SQL = """
+WITH per AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM per GROUP BY 1
+"""
+
+
+def _q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape — PROMO revenue share over a shipdate year.  The
+    rounding-safe recipe (rule 5/11): per-row revenue
+    ``extendedprice·(1−discount)`` is a decimal(18,4)×decimal with ≤6
+    exact fractional digits, so ``rev·1e6`` is INTEGRAL and the
+    decimal→BIGINT cast is truncation-free in BOTH engines (Spark
+    truncates, DuckDB rounds — only an integral value makes them agree);
+    sums then ride BIGINT and the ppm share is integer DIV (denominator
+    pre-shrunk so the multiply can't overflow int64).  Part side is a
+    broadcast; the date filter pushes to the parquet scan."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev_u = (
+        (_money("l_extendedprice") * (F.lit(1).cast(_DEC) - _money("l_discount")))
+        * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    j = l.join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        l.l_partkey == F.col("p_partkey"),
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_u"),
+        F.sum(rev_u).cast("long").alias("total_u"),
+    )
+    return agg.select(
+        F.round(F.col("promo_u").cast("double") / 1000000, 2).alias("promo_revenue"),
+        F.round(F.col("total_u").cast("double") / 1000000, 2).alias("total_revenue"),
+        F.expr(
+            "promo_u DIV greatest(total_u DIV 1000000, CAST(1 AS BIGINT))"
+        ).alias("promo_ppm"),
+    )
+
+
+_Q14_SQL = """
+WITH j AS (
+  SELECT CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                   AS DECIMAL(30,8)) * 1000000 AS BIGINT)
+           AS rev_u,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS BIGINT)
+           AS promo_u,
+         CAST(sum(rev_u) AS BIGINT) AS total_u
+  FROM j
+)
+SELECT round(CAST(promo_u AS DOUBLE) / 1000000, 2) AS promo_revenue,
+       round(CAST(total_u AS DOUBLE) / 1000000, 2) AS total_revenue,
+       promo_u // greatest(total_u // 1000000, 1) AS promo_ppm
+FROM agg
+"""
+
+
+def _q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape — revenue locked in SMALL-QUANTITY orders of one
+    brand's small parts.  The correlated ``l_quantity < 0.2·avg(quantity
+    per part)`` predicate is rewritten integer-exact (rule 11):
+    ``qty < sum/(5·cnt)  ⇔  5·qty·cnt < sum`` — no float average, no
+    rounding boundary.  Plan: broadcast the filtered part shortlist, ONE
+    shuffle for the per-part stats, AQE broadcasts the stats back (they
+    are part-count-sized)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    part_f = p.filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    qty = F.col("l_quantity").cast("long")
+    lj = l.join(F.broadcast(part_f), l.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", qty.alias("qty"), "l_extendedprice"
+    )
+    stats = lj.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_q"), F.count(F.lit(1)).alias("cnt_q")
+    )
+    small = lj.join(stats, "l_partkey").filter(
+        F.lit(5) * F.col("qty") * F.col("cnt_q") < F.col("sum_q")
+    )
+    return small.agg(
+        F.round(F.sum(_money("l_extendedprice")).cast("double"), 2).alias(
+            "small_qty_revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+    )
+
+
+_Q17_SQL = """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_size <= 10
+),
+lj AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem JOIN pf ON l_partkey = p_partkey
+),
+st AS (
+  SELECT l_partkey, sum(qty) AS sum_q, count(*) AS cnt_q FROM lj GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS small_qty_revenue,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lj JOIN st USING (l_partkey)
+WHERE 5 * qty * cnt_q < sum_q
+"""
+
+
+def _q18_large_orders(spark, sf):
+    """TPC-H Q18 shape — LARGE-VOLUME orders: orders whose summed line
+    quantity exceeds 200 units, joined back to order + customer detail.
+    ``o_totalprice`` passes through UNTOUCHED (raw parquet double — no
+    arithmetic means no cross-engine rounding boundary).  Plan: one agg
+    shuffle on orderkey; the survivor set (~3% of orders at the 200
+    threshold) then joins orders/customer — AQE converts both probes to
+    broadcasts once the filter collapses the build side."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    j = big.join(o, big.l_orderkey == o.o_orderkey).join(
+        c, F.col("o_custkey") == c.c_custkey
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_totalprice").alias("o_total"),
+        "total_qty",
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice AS o_total,
+       big.total_qty
+FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -9376,6 +9612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _events_attribution,
         "events_basket_pairs": _events_basket_pairs,
         "events_activity_islands": _events_activity_islands,
+        "events_markov_transitions": _events_markov_transitions,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q18_large_orders": _q18_large_orders,
         "corpus_dataset_card": _corpus_dataset_card,
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
@@ -9549,6 +9790,11 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": _EVENTS_ATTRIBUTION_SQL,
         "events_basket_pairs": _EVENTS_BASKET_SQL,
         "events_activity_islands": _EVENTS_ISLANDS_SQL,
+        "events_markov_transitions": _EVENTS_MARKOV_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "q14_promo_revenue": _Q14_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q18_large_orders": _Q18_SQL,
         "corpus_dataset_card": _CORPUS_DATASET_CARD_SQL,
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
