@@ -9357,6 +9357,69 @@ FROM stats
 """
 
 
+def _grid_graph(spark, sf):
+    """32-column GRID graph over the events row count (symmetrized; node
+    count truncated to a multiple of 32) — the σ>1 shortest-path fixture:
+    the number of shortest grid routes between two corners is a binomial
+    coefficient, so path-counting operators exercise genuine multiplicity
+    (the chain+heads alias graph is a forest — σ ≡ 1 there)."""
+    n = _t(spark, sf, "events").count()
+    ng = (n // 32) * 32
+    ids = spark.range(ng)
+    right = ids.filter((F.col("id") % 32 != 31) & (F.col("id") + 1 < ng)).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = ids.filter(F.col("id") + 32 < ng).select(
+        F.col("id").alias("src"), (F.col("id") + 32).alias("dst")
+    )
+    e = right.union(down)
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ), ng
+
+
+_GRID_GRAPH_CTES = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT (count(*) // 32) * 32 AS ng FROM events),
+gedges AS (
+  SELECT i AS a, i + 1 AS b FROM ids, params WHERE i % 32 <> 31 AND i + 1 < ng
+  UNION ALL
+  SELECT i AS a, i + 32 AS b FROM ids, params WHERE i + 32 < ng
+),
+sym AS MATERIALIZED (SELECT a, b FROM gedges UNION ALL SELECT b AS a, a AS b FROM gedges),
+seeds AS (SELECT i AS node FROM ids, params
+          WHERE i < ng AND (i // 32) % 4 = 0 AND (i % 32) % 4 = 0)
+"""
+
+
+def _kg_stress_centrality(spark, sf):
+    """Bounded-hop STRESS CENTRALITY (σ_st(v) = σ_sv·σ_tv summed over
+    mediated seed pairs — Brandes' pair combination without the float
+    σ-ratio, rule 11) of the 32-column grid fixture, seeds every 4th
+    row/column: diagonal seed pairs sit exactly 8 hops apart with
+    C(8,4) = 70 tied shortest routes, so the σ-product path is live at
+    gate parameters, not just σ = 1 chains.
+    ``operators/graph.py:stress_centrality_df`` (per-seed σ-BFS on the
+    (seed, node) pair key + a broadcast seed-pair distance table); twin
+    ``oracle/graph.py:stress_sql`` — same unrolled levels, MATERIALIZED
+    carries (rule 30)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        stress_centrality_df,
+    )
+
+    sym, ng = _grid_graph(spark, sf)
+    seeds = spark.range(ng).filter(
+        (F.expr("id DIV 32") % 4 == 0) & ((F.col("id") % 32) % 4 == 0)
+    ).select(F.col("id").alias("node"))
+    return stress_centrality_df(sym, seeds, max_hops=8)
+
+
+def _kg_stress_centrality_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import stress_sql
+
+    return stress_sql(_GRID_GRAPH_CTES, max_hops=8)
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -9728,6 +9791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency_export": _kg_adjacency_export,
         "kg_nearest_seed": _kg_nearest_seed,
         "kg_harmonic_centrality": _kg_harmonic_centrality,
+        "kg_stress_centrality": _kg_stress_centrality,
         "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
@@ -9913,6 +9977,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency_export": _KG_ADJACENCY_EXPORT_SQL,
         "kg_nearest_seed": _kg_nearest_seed_sql(),
         "kg_harmonic_centrality": _kg_harmonic_centrality_sql(),
+        "kg_stress_centrality": _kg_stress_centrality_sql(),
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),

@@ -1267,3 +1267,123 @@ def personalized_pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def seeded_sigma_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """``(seed, node, dist, sigma)``: per-seed bounded-hop BFS carrying
+    shortest-path counts on the (seed, node) PAIR key — the per-source σ
+    table Brandes-style combinations need (:func:`bfs_path_counts_df`
+    merges the seed set; this keeps seeds separate, like
+    :func:`harmonic_centrality_df` but with σ sums instead of DISTINCT).
+
+    Scale shape: state is |seeds| × |hop cone| pairs; per level ONE
+    frontier join against the once-materialized edge list, one partial-
+    aggregated σ sum on the (seed, target) pair, one first-reach
+    anti-join; localCheckpoint per level (rule 23).  All-integer — the
+    caller owns the ``out_deg_max^max_hops`` int64 σ bound."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).cast("long").alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "node", "sig")
+    for k in range(1, max_hops + 1):
+        pushed = (
+            frontier.join(e, frontier.node == e.a)
+            .groupBy("seed", F.col("b").alias("nnode"))
+            .agg(F.sum("sig").alias("sig"))
+        )
+        fresh = pushed.join(
+            dist,
+            (pushed.seed == dist.seed) & (pushed.nnode == dist.node),
+            "left_anti",
+        ).select(
+            "seed",
+            F.col("nnode").alias("node"),
+            F.lit(k).cast("long").alias("dist"),
+            F.col("sig").cast("long").alias("sig"),
+        )
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("dist") == k).select("seed", "node", "sig")
+    return dist.select("seed", "node", "dist", F.col("sig").alias("sigma"))
+
+
+def stress_centrality_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """``(node, stress, n_pairs)``: bounded-hop STRESS CENTRALITY
+    restricted to seed pairs — the exact twin of
+    ``oracle.graph.stress_centrality`` (see its docstring for the
+    Brandes pair-combination identity and the completeness argument;
+    requires SYMMETRIC ``edges``).
+
+    Scale shape: one σ-BFS (|seeds| × cone state), then the seed-pair
+    distance table ``dd`` — |shortlist pairs| rows, broadcast — drives
+    two joins against the σ table re-keyed on the interior node; the
+    final agg is map-side-combinable on node.  No all-pairs state, no
+    float σ ratios."""
+    sig = seeded_sigma_df(edges, seeds, max_hops, src=src, dst=dst, node=node)
+    sig = sig.localCheckpoint(eager=True)  # reused 3× below (rule 23)
+    seeds_l = (
+        seeds.select(F.col(node).cast("long").alias("t_node")).distinct()
+    )
+    dd = (
+        sig.join(F.broadcast(seeds_l), sig.node == F.col("t_node"))
+        .filter((F.col("seed") < F.col("t_node")) & (F.col("dist") > 0))
+        .select(
+            F.col("seed").alias("s"),
+            F.col("t_node").alias("t"),
+            F.col("dist").alias("d_st"),
+        )
+    )
+    left = sig.select(
+        F.col("seed").alias("s"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("d_sv"),
+        F.col("sigma").alias("sig_sv"),
+    )
+    right = sig.select(
+        F.col("seed").alias("t"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("d_tv"),
+        F.col("sigma").alias("sig_tv"),
+    )
+    j = (
+        F.broadcast(dd)
+        .join(left, "s")
+        .join(right, ["t", "v"])
+        .filter(
+            (F.col("d_sv") + F.col("d_tv") == F.col("d_st"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+    )
+    return j.groupBy(F.col("v").alias("node")).agg(
+        F.sum(F.col("sig_sv") * F.col("sig_tv")).cast("long").alias("stress"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )

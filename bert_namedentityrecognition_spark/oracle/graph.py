@@ -1215,3 +1215,86 @@ def ppr_sql(
         f"CAST(r AS BIGINT) AS rank_scaled FROM r{iterations}"
     )
     return "\n".join(parts)
+
+
+def stress_centrality(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int,
+) -> Dict[int, Tuple[int, int]]:
+    """Bounded-hop STRESS CENTRALITY restricted to seed pairs over a
+    SYMMETRIC ``edges(a, b)`` list: for every seed pair ``s < t`` with
+    ``d(s, t) <= max_hops`` and every interior node ``v ∉ {s, t}`` on a
+    shortest s-t route, accumulate ``σ_st(v) = σ_sv · σ_tv`` (Brandes'
+    pair-combination identity, valid when ``d(s,v) + d(t,v) = d(s,t)``;
+    ``σ_tv = σ_vt`` needs the symmetric graph).  Returns
+    ``{v: (stress, n_pairs)}`` for nodes with at least one mediated pair —
+    the all-integer sibling of betweenness (no σ-ratio, hence no float
+    boundary; rule 11).  Completeness: any interior v of a pair with
+    ``d(s,t) <= max_hops`` satisfies ``d(s,v), d(t,v) <= max_hops``, so
+    the bounded per-seed BFS tables contain every contribution."""
+    seed_list = sorted({int(s) for s in seeds})
+    per = {s: bfs_path_counts(edges, [s], max_hops) for s in seed_list}
+    stress: Dict[int, int] = defaultdict(int)
+    npairs: Dict[int, int] = defaultdict(int)
+    for i, s in enumerate(seed_list):
+        tbl_s = per[s]
+        for t in seed_list[i + 1 :]:
+            if t not in tbl_s or tbl_s[t][0] == 0:
+                continue
+            d_st = tbl_s[t][0]
+            tbl_t = per[t]
+            for v, (d_sv, sig_sv) in tbl_s.items():
+                if v == s or v == t or v not in tbl_t:
+                    continue
+                d_tv, sig_tv = tbl_t[v]
+                if d_sv + d_tv == d_st:
+                    stress[v] += sig_sv * sig_tv
+                    npairs[v] += 1
+    return {v: (stress[v], npairs[v]) for v in stress}
+
+
+def stress_sql(graph_ctes: str, max_hops: int) -> str:
+    """Unrolled DuckDB twin of :func:`stress_centrality`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` (symmetric) and
+    ``seeds(node)``.  Levels carry the (seed, node) PAIR key with σ sums
+    (the per-seed variant of :func:`bfs_sigma_sql`); ``s{k}`` is
+    referenced by the carry, the anti-join AND (for the last level) the
+    three-way pair combination → MATERIALIZED (rule 30)."""
+    h = max_hops
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "s0 AS MATERIALIZED (SELECT node AS seed, node, "
+        "CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sig FROM seeds),",
+        "f0 AS (SELECT seed, node, sig FROM s0),",
+    ]
+    for k in range(1, h + 1):
+        parts.append(
+            f"u{k} AS (SELECT f.seed, s.b AS node, SUM(f.sig) AS sig "
+            f"FROM f{k - 1} f JOIN sym s ON s.a = f.node GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT seed, node, dist, sig FROM s{k - 1} "
+            f"UNION ALL SELECT u.seed, u.node, CAST({k} AS BIGINT), u.sig "
+            f"FROM u{k} u WHERE NOT EXISTS (SELECT 1 FROM s{k - 1} x "
+            f"WHERE x.seed = u.seed AND x.node = u.node)),"
+        )
+        parts.append(f"f{k} AS (SELECT seed, node, sig FROM s{k} WHERE dist = {k}),")
+    parts.append(
+        f"dd AS MATERIALIZED (SELECT g.seed AS s, g.node AS t, g.dist AS d_st "
+        f"FROM s{h} g JOIN seeds sd ON g.node = sd.node "
+        f"WHERE g.seed < g.node AND g.dist > 0)"
+    )
+    parts.append(
+        f"SELECT CAST(l.node AS BIGINT) AS node, "
+        f"CAST(SUM(l.sig * r.sig) AS BIGINT) AS stress, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        f"FROM dd JOIN s{h} l ON l.seed = dd.s "
+        f"JOIN s{h} r ON r.seed = dd.t AND r.node = l.node "
+        f"WHERE l.dist + r.dist = dd.d_st AND l.node <> dd.s AND l.node <> dd.t "
+        f"GROUP BY 1"
+    )
+    return "\n".join(parts)

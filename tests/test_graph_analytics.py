@@ -949,3 +949,71 @@ def test_harmonic_sql_twin_matches_kernel():
     )
     got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
     assert got == harmonic_centrality(e, [0, 12, 25], 6)
+
+
+def test_stress_kernel_diamond_and_grid():
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        stress_centrality,
+    )
+
+    # diamond 0-{1,2}-3-4 (symmetric): node 3 mediates both 0→4 routes
+    und = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    got = stress_centrality(_sym(und), [0, 4], 5)
+    assert got == {1: (1, 1), 2: (1, 1), 3: (2, 1)}
+    # 3x3 grid, opposite corners: sigma through centre = C(2,1)*C(2,1)=4
+    und = [
+        (r * 3 + c, r * 3 + c + 1) for r in range(3) for c in range(2)
+    ] + [(r * 3 + c, (r + 1) * 3 + c) for r in range(2) for c in range(3)]
+    got = stress_centrality(_sym(und), [0, 8], 8)
+    assert got[4] == (4, 1)  # centre: 2 routes in x 2 routes out
+    assert got[1] == (3, 1) and got[3] == (3, 1)  # edge-adjacent: C(3,1)
+
+
+def test_stress_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        stress_centrality_df,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        stress_centrality,
+    )
+
+    und = _random_graph(40, 90, seed=23)
+    directed = _sym(und)
+    seeds = [0, 5, 11, 17, 29]
+    want = stress_centrality(directed, seeds, max_hops=5)
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["node"]: (r["stress"], r["n_pairs"])
+        for r in stress_centrality_df(df, sdf, max_hops=5).collect()
+    }
+    assert got == want
+    assert got  # fixture produces mediated pairs
+
+
+def test_stress_sql_twin_matches_kernel():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        stress_centrality,
+        stress_sql,
+    )
+
+    # 4x4 grid (sigma > 1 between non-collinear seeds)
+    und = [
+        (r * 4 + c, r * 4 + c + 1) for r in range(4) for c in range(3)
+    ] + [(r * 4 + c, (r + 1) * 4 + c) for r in range(3) for c in range(4)]
+    directed = _sym(und)
+    seeds = [0, 3, 12, 15]
+    sql = stress_sql(
+        "sym AS MATERIALIZED (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in directed)
+        + ") t(a, b)),\nseeds AS (SELECT node FROM (VALUES "
+        + ", ".join(f"({s})" for s in seeds)
+        + ") s(node))",
+        max_hops=6,
+    )
+    got = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    want = stress_centrality(directed, seeds, max_hops=6)
+    assert got == want
+    assert max(s for s, _ in got.values()) > 1  # sigma-product branch live
