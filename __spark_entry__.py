@@ -9420,6 +9420,54 @@ def _kg_stress_centrality_sql() -> str:
     return stress_sql(_GRID_GRAPH_CTES, max_hops=8)
 
 
+def _kg_strongly_connected(spark, sf):
+    """Bounded-diameter SCC detection (``operators/graph.py:
+    scc_bounded_df``, 3 doublings = 8-hop budget) over a directed
+    fixture where every third 8-block closes into a directed 8-cycle
+    (back edge block-end → block-start) and blocks chain forward —
+    SCCs are exactly those 8-cycles plus singletons, each cycle's
+    diameter 7 ≤ the budget.  Output: one row per component with its
+    size.  Twin ``oracle/graph.py:scc_sql`` — the same reflexive
+    path-doubling, MATERIALIZED rounds (rule 30).  The cycle-TOLERANT
+    sibling of kg_rdfs_closure's refuse-on-cycle closure: there a cycle
+    is a data bug, here it is the signal."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        scc_bounded_df,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    fwd = ids.filter(F.col("id") < n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    back = ids.filter(
+        (F.col("id") % 8 == 7) & (F.expr("id DIV 8") % 3 == 1)
+    ).select(F.col("id").alias("src"), (F.col("id") - 7).alias("dst"))
+    comp = scc_bounded_df(fwd.union(back), doublings=3)
+    return comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+
+
+def _kg_strongly_connected_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import scc_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS n FROM events),
+dedges AS (
+  SELECT i AS a, i + 1 AS b FROM ids, params WHERE i < n - 1
+  UNION ALL
+  SELECT i AS a, i - 7 AS b FROM ids WHERE i % 8 = 7 AND (i // 8) % 3 = 1
+)
+"""
+    inner = scc_sql(graph_ctes, doublings=3)
+    return (
+        f"SELECT comp, CAST(count(*) AS BIGINT) AS size FROM ({inner}) "
+        f"GROUP BY comp"
+    )
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -9792,6 +9840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nearest_seed": _kg_nearest_seed,
         "kg_harmonic_centrality": _kg_harmonic_centrality,
         "kg_stress_centrality": _kg_stress_centrality,
+        "kg_strongly_connected": _kg_strongly_connected,
         "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
@@ -9978,6 +10027,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nearest_seed": _kg_nearest_seed_sql(),
         "kg_harmonic_centrality": _kg_harmonic_centrality_sql(),
         "kg_stress_centrality": _kg_stress_centrality_sql(),
+        "kg_strongly_connected": _kg_strongly_connected_sql(),
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),

@@ -1298,3 +1298,70 @@ def stress_sql(graph_ctes: str, max_hops: int) -> str:
         f"GROUP BY 1"
     )
     return "\n".join(parts)
+
+
+def scc_bounded(
+    edges: Iterable[Tuple[int, int]],
+    max_hops: int,
+) -> Dict[int, int]:
+    """Bounded-diameter STRONGLY CONNECTED COMPONENTS over DIRECTED
+    ``edges(a, b)``: ``{node: comp}`` where ``comp`` is the minimum node
+    mutually reachable within ``max_hops`` hops EACH WAY (every node is
+    mutually reachable with itself at 0 hops, so isolated/acyclic nodes
+    are singletons).  Exact SCCs whenever every true SCC has diameter ≤
+    ``max_hops`` — the contract the gate fixture satisfies (8-cycles,
+    hop budget 8); the distributed operator and the SQL twin compute the
+    SAME bounded semantics, so the comparison never depends on that
+    assumption.  Mutual-reach-within-k is an equivalence relation only
+    under the diameter bound — min-labelling is well-defined there."""
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        if a != b:
+            nbrs[a].append(b)
+    reach: Dict[int, set] = {}
+    for s in nodes:
+        seen = {s}
+        frontier = {s}
+        for _ in range(max_hops):
+            frontier = {b for a in frontier for b in nbrs.get(a, ())} - seen
+            if not frontier:
+                break
+            seen |= frontier
+        reach[s] = seen
+    return {
+        v: min(u for u in reach[v] if v in reach[u]) for v in nodes
+    }
+
+
+def scc_sql(graph_ctes: str, doublings: int) -> str:
+    """Path-doubling DuckDB twin of :func:`scc_bounded` with
+    ``max_hops = 2**doublings``.  ``graph_ctes`` must define
+    ``dedges(a, b)`` (directed).  ``r0`` is reflexive, so each doubling
+    round's self-composition subsumes the previous round (paths of
+    length ≤ 2^k); rounds are MATERIALIZED (each referenced twice by the
+    self-join — rule 30).  Output: ``(node, comp)``."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "dnodes AS (SELECT a AS node FROM dedges UNION SELECT b FROM dedges),",
+        "r0 AS MATERIALIZED (SELECT a, b FROM dedges "
+        "UNION SELECT node AS a, node AS b FROM dnodes),",
+    ]
+    for k in range(1, doublings + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM r{k - 1} x JOIN r{k - 1} y ON x.b = y.a),"
+        )
+    parts.append(
+        f"mutual AS (SELECT x.a, x.b FROM r{doublings} x "
+        f"JOIN r{doublings} y ON x.a = y.b AND x.b = y.a)"
+    )
+    parts.append(
+        "SELECT CAST(b AS BIGINT) AS node, CAST(min(a) AS BIGINT) AS comp "
+        "FROM mutual GROUP BY b"
+    )
+    return "\n".join(parts)

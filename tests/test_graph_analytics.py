@@ -1017,3 +1017,43 @@ def test_stress_sql_twin_matches_kernel():
     want = stress_centrality(directed, seeds, max_hops=6)
     assert got == want
     assert max(s for s, _ in got.values()) > 1  # sigma-product branch live
+
+
+def test_scc_bounded_kernel_and_twin():
+    import duckdb
+
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        scc_bounded,
+        scc_sql,
+    )
+
+    # 4-cycle → chain → 4-cycle; plus a too-long 3-hop-wide pair check
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4), (4, 5), (5, 6),
+             (6, 7), (7, 8), (8, 5)]
+    want = scc_bounded(edges, max_hops=8)
+    assert want == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5}
+    sql = scc_sql(
+        "dedges AS (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in edges)
+        + ") t(a, b))",
+        doublings=3,
+    )
+    got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_scc_spark_matches_kernel(spark):
+    from bert_namedentityrecognition_spark.operators.graph import (
+        scc_bounded_df,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import scc_bounded
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(55)})
+    want = scc_bounded(edges, max_hops=8)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["comp"] for r in scc_bounded_df(df, doublings=3).collect()
+    }
+    assert got == want
+    assert len(set(got.values())) < len(got)  # random digraph has real SCCs
