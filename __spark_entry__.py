@@ -9468,6 +9468,87 @@ dedges AS (
     )
 
 
+def _kg_transitive_reduction(spark, sf):
+    """TRANSITIVE REDUCTION flags over a block-local DAG — the edge-
+    pruning pass an ontology/lineage store runs before publishing ("keep
+    only the Hasse diagram"): edge (u, v) is redundant iff some path
+    u→w→…→v of length ≥ 2 exists.  Fixture: within each 16-block a full
+    chain plus skip-2 (every 7th node) and skip-5 (every 11th) shortcut
+    edges — the skips are exactly the redundant set (the chain always
+    supplies the longer route), the chain edges are Hasse edges.  Reuses
+    ``transitive_closure_doubling`` (DAG-safe, depth ≤ 15 → converges in
+    4 doublings); redundancy = edges ⋈ closure ⋈ closure with the
+    interior node w ∉ {u, v}.  Twin: recursive-CTE closure, same joins.
+    Scale shape: all edges and the closure are block-local (≤ 120 pairs
+    per 16-block), so closure state is O(n·depth), never O(n²)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        transitive_closure_doubling,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") % 16 != 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    skip2 = ids.filter((F.col("id") % 16 >= 2) & (F.col("id") % 7 == 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 2).alias("dst")
+    )
+    skip5 = ids.filter((F.col("id") % 16 >= 5) & (F.col("id") % 11 == 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 5).alias("dst")
+    )
+    edges = chain.union(skip2).union(skip5)
+    clo = (
+        transitive_closure_doubling(edges, max_doublings=6)
+        .filter(F.col("node") != F.col("anc"))
+        .localCheckpoint(eager=True)  # reused twice below (rule 23)
+    )
+    red = (
+        edges.join(
+            clo.select(F.col("node").alias("src"), F.col("anc").alias("w")),
+            "src",
+        )
+        .filter(F.col("w") != F.col("dst"))
+        .join(
+            clo.select(F.col("node").alias("w"), F.col("anc").alias("dst")),
+            ["w", "dst"],
+        )
+        .select("src", "dst")
+        .distinct()
+        .withColumn("redundant", F.lit(1).cast("long"))
+    )
+    return edges.join(red, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce(F.col("redundant"), F.lit(0)).cast("long").alias("redundant"),
+    )
+
+
+_KG_TRANSITIVE_REDUCTION_SQL = """
+WITH RECURSIVE
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+redges AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i % 16 <> 0
+  UNION ALL
+  SELECT i AS a, i - 2 AS b FROM ids WHERE i % 16 >= 2 AND i % 7 = 0
+  UNION ALL
+  SELECT i AS a, i - 5 AS b FROM ids WHERE i % 16 >= 5 AND i % 11 = 0
+),
+anc AS (
+  SELECT a AS node, b AS anc FROM redges
+  UNION
+  SELECT x.node, e.b AS anc FROM anc x JOIN redges e ON e.a = x.anc
+),
+red AS (
+  SELECT DISTINCT e.a, e.b FROM redges e
+  JOIN anc p ON p.node = e.a AND p.anc <> e.b
+  JOIN anc q ON q.node = p.anc AND q.anc = e.b
+)
+SELECT CAST(e.a AS BIGINT) AS src, CAST(e.b AS BIGINT) AS dst,
+       CAST(CASE WHEN r.a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS redundant
+FROM redges e LEFT JOIN red r ON r.a = e.a AND r.b = e.b
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -9841,6 +9922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic_centrality": _kg_harmonic_centrality,
         "kg_stress_centrality": _kg_stress_centrality,
         "kg_strongly_connected": _kg_strongly_connected,
+        "kg_transitive_reduction": _kg_transitive_reduction,
         "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
@@ -10028,6 +10110,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_harmonic_centrality": _kg_harmonic_centrality_sql(),
         "kg_stress_centrality": _kg_stress_centrality_sql(),
         "kg_strongly_connected": _kg_strongly_connected_sql(),
+        "kg_transitive_reduction": _KG_TRANSITIVE_REDUCTION_SQL,
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),
