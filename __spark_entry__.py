@@ -9549,6 +9549,35 @@ FROM redges e LEFT JOIN red r ON r.a = e.a AND r.b = e.b
 """
 
 
+def _kg_eccentricity(spark, sf):
+    """Bounded-hop ECCENTRICITY profile (max distance, cone size, Σσ
+    multiplicity) of the grid fixture's seed shortlist — the per-entity
+    "how far does my neighborhood extend / how redundantly is it wired"
+    signal a served KG pairs with harmonic centrality.  Interior grid
+    seeds saturate the budget (ecc = 8, diamond cone |145|, σ-mass from
+    binomial route counts); border seeds profile smaller cones.
+    ``operators/graph.py:eccentricity_bounded_df`` (one agg over the
+    shared per-seed σ-BFS); twin ``oracle/graph.py:eccentricity_sql``
+    (shares the unrolled levels with stress_sql)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        eccentricity_bounded_df,
+    )
+
+    sym, ng = _grid_graph(spark, sf)
+    seeds = spark.range(ng).filter(
+        (F.expr("id DIV 32") % 4 == 0) & ((F.col("id") % 32) % 4 == 0)
+    ).select(F.col("id").alias("node"))
+    return eccentricity_bounded_df(sym, seeds, max_hops=8)
+
+
+def _kg_eccentricity_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        eccentricity_sql,
+    )
+
+    return eccentricity_sql(_GRID_GRAPH_CTES, max_hops=8)
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -9923,6 +9952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stress_centrality": _kg_stress_centrality,
         "kg_strongly_connected": _kg_strongly_connected,
         "kg_transitive_reduction": _kg_transitive_reduction,
+        "kg_eccentricity": _kg_eccentricity,
         "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
@@ -10111,6 +10141,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_stress_centrality": _kg_stress_centrality_sql(),
         "kg_strongly_connected": _kg_strongly_connected_sql(),
         "kg_transitive_reduction": _KG_TRANSITIVE_REDUCTION_SQL,
+        "kg_eccentricity": _kg_eccentricity_sql(),
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),

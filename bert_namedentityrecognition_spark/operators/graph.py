@@ -1441,3 +1441,24 @@ def scc_bounded_df(
     return mutual.groupBy(F.col("b").alias("node")).agg(
         F.min("a").cast("long").alias("comp")
     )
+
+
+def eccentricity_bounded_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """``(seed, ecc, n_reached, sum_sigma)``: bounded-hop eccentricity
+    profile — one map-side-combined agg over :func:`seeded_sigma_df`'s
+    per-seed σ table (exact twin of ``oracle.graph.
+    eccentricity_bounded``; see its docstring for the bounded-semantics
+    contract)."""
+    sig = seeded_sigma_df(edges, seeds, max_hops, src=src, dst=dst, node=node)
+    return sig.groupBy("seed").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("sigma").cast("long").alias("sum_sigma"),
+    )

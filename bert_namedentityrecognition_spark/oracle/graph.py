@@ -1254,15 +1254,12 @@ def stress_centrality(
     return {v: (stress[v], npairs[v]) for v in stress}
 
 
-def stress_sql(graph_ctes: str, max_hops: int) -> str:
-    """Unrolled DuckDB twin of :func:`stress_centrality`.
-
-    ``graph_ctes`` must define ``sym(a, b)`` (symmetric) and
-    ``seeds(node)``.  Levels carry the (seed, node) PAIR key with σ sums
-    (the per-seed variant of :func:`bfs_sigma_sql`); ``s{k}`` is
-    referenced by the carry, the anti-join AND (for the last level) the
-    three-way pair combination → MATERIALIZED (rule 30)."""
-    h = max_hops
+def _seeded_sigma_parts(graph_ctes: str, max_hops: int) -> list:
+    """Shared unrolled (seed, node, dist, sig) level CTEs — the per-seed
+    σ-BFS body of :func:`stress_sql` and :func:`eccentricity_sql`.
+    ``graph_ctes`` must define ``sym(a, b)`` and ``seeds(node)``; the
+    final level table is ``s{max_hops}``.  ``s{k}`` MATERIALIZED (carry +
+    anti-join + whatever the caller appends — rule 30)."""
     parts = [
         "WITH",
         graph_ctes.rstrip().rstrip(","),
@@ -1271,7 +1268,7 @@ def stress_sql(graph_ctes: str, max_hops: int) -> str:
         "CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sig FROM seeds),",
         "f0 AS (SELECT seed, node, sig FROM s0),",
     ]
-    for k in range(1, h + 1):
+    for k in range(1, max_hops + 1):
         parts.append(
             f"u{k} AS (SELECT f.seed, s.b AS node, SUM(f.sig) AS sig "
             f"FROM f{k - 1} f JOIN sym s ON s.a = f.node GROUP BY 1, 2),"
@@ -1283,6 +1280,18 @@ def stress_sql(graph_ctes: str, max_hops: int) -> str:
             f"WHERE x.seed = u.seed AND x.node = u.node)),"
         )
         parts.append(f"f{k} AS (SELECT seed, node, sig FROM s{k} WHERE dist = {k}),")
+    return parts
+
+
+def stress_sql(graph_ctes: str, max_hops: int) -> str:
+    """Unrolled DuckDB twin of :func:`stress_centrality`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` (symmetric) and
+    ``seeds(node)``.  Levels carry the (seed, node) PAIR key with σ sums
+    (the per-seed variant of :func:`bfs_sigma_sql`, shared via
+    :func:`_seeded_sigma_parts`)."""
+    h = max_hops
+    parts = _seeded_sigma_parts(graph_ctes, h)
     parts.append(
         f"dd AS MATERIALIZED (SELECT g.seed AS s, g.node AS t, g.dist AS d_st "
         f"FROM s{h} g JOIN seeds sd ON g.node = sd.node "
@@ -1363,5 +1372,45 @@ def scc_sql(graph_ctes: str, doublings: int) -> str:
     parts.append(
         "SELECT CAST(b AS BIGINT) AS node, CAST(min(a) AS BIGINT) AS comp "
         "FROM mutual GROUP BY b"
+    )
+    return "\n".join(parts)
+
+
+def eccentricity_bounded(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int,
+) -> Dict[int, Tuple[int, int, int]]:
+    """Bounded-hop ECCENTRICITY profile per seed over DIRECTED
+    ``edges(a, b)``: ``{seed: (ecc, n_reached, sum_sigma)}`` — the max
+    distance within the hop budget, the cone size (self included), and
+    the total shortest-path multiplicity into the cone (Σσ; an integer
+    connectivity-redundancy signal).  Full eccentricity needs all-pairs
+    BFS; the bounded form is the serving shape (and exact whenever the
+    true eccentricity ≤ ``max_hops``) — BOTH twins compute the bounded
+    semantics, so the comparison never depends on that."""
+    out: Dict[int, Tuple[int, int, int]] = {}
+    for s in seeds:
+        tbl = bfs_path_counts(edges, [int(s)], max_hops)
+        out[int(s)] = (
+            max(d for d, _ in tbl.values()),
+            len(tbl),
+            sum(sg for _, sg in tbl.values()),
+        )
+    return out
+
+
+def eccentricity_sql(graph_ctes: str, max_hops: int) -> str:
+    """Unrolled DuckDB twin of :func:`eccentricity_bounded` (shares the
+    per-seed σ-BFS levels with :func:`stress_sql` via
+    :func:`_seeded_sigma_parts`)."""
+    parts = _seeded_sigma_parts(graph_ctes, max_hops)
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(seed AS BIGINT) AS seed, "
+        f"CAST(max(dist) AS BIGINT) AS ecc, "
+        f"CAST(count(*) AS BIGINT) AS n_reached, "
+        f"CAST(sum(sig) AS BIGINT) AS sum_sigma "
+        f"FROM s{max_hops} GROUP BY seed"
     )
     return "\n".join(parts)

@@ -1057,3 +1057,37 @@ def test_scc_spark_matches_kernel(spark):
     }
     assert got == want
     assert len(set(got.values())) < len(got)  # random digraph has real SCCs
+
+
+def test_eccentricity_kernel_twin_and_spark(spark):
+    import duckdb
+
+    from bert_namedentityrecognition_spark.operators.graph import (
+        eccentricity_bounded_df,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        eccentricity_bounded,
+        eccentricity_sql,
+    )
+
+    und = _random_graph(35, 70, seed=41)
+    directed = _sym(und)
+    seeds = [0, 9, 21]
+    want = eccentricity_bounded(directed, seeds, max_hops=4)
+    sql = eccentricity_sql(
+        "sym AS MATERIALIZED (SELECT a, b FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in directed)
+        + ") t(a, b)),\nseeds AS (SELECT node FROM (VALUES "
+        + ", ".join(f"({s})" for s in seeds)
+        + ") s(node))",
+        max_hops=4,
+    )
+    got_sql = {r[0]: (r[1], r[2], r[3]) for r in duckdb.sql(sql).fetchall()}
+    assert got_sql == want
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["seed"]: (r["ecc"], r["n_reached"], r["sum_sigma"])
+        for r in eccentricity_bounded_df(df, sdf, max_hops=4).collect()
+    }
+    assert got == want
