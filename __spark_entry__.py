@@ -9578,6 +9578,75 @@ def _kg_eccentricity_sql() -> str:
     return eccentricity_sql(_GRID_GRAPH_CTES, max_hops=8)
 
 
+_DAG_LAYER_ROUNDS = 15  # block depth: 16-chain → longest path ≤ 15
+
+
+def _kg_dag_layers(spark, sf):
+    """CRITICAL-PATH layering of the block-local DAG (same fixture as
+    kg_transitive_reduction): layer(v) = LONGEST path length from v down
+    to its block base — the max-plus sibling of kg_weighted_sssp's
+    Bellman-Ford min (scheduling layer / topological level assignment; a
+    KG uses it to stratify an ontology for level-synchronous jobs).
+    15 max-relaxation rounds (block depth) with per-round
+    localCheckpoint (rule 23); the chain guarantees layer(v) = v mod 16
+    EXCEPT where skip edges cannot shorten a longest path — the skips
+    are noise the max must ignore, which is precisely what
+    distinguishes max-plus from min-plus here.  Twin: 15 unrolled
+    MATERIALIZED rounds (rule 30)."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") % 16 != 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    skip2 = ids.filter((F.col("id") % 16 >= 2) & (F.col("id") % 7 == 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 2).alias("dst")
+    )
+    skip5 = ids.filter((F.col("id") % 16 >= 5) & (F.col("id") % 11 == 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 5).alias("dst")
+    )
+    edges = chain.union(skip2).union(skip5).localCheckpoint(eager=True)
+    lab = ids.select(F.col("id").alias("node"), F.lit(0).cast("long").alias("layer"))
+    for _ in range(_DAG_LAYER_ROUNDS):
+        prop = edges.join(lab, edges.dst == lab.node).select(
+            F.col("src").alias("node"), (F.col("layer") + 1).alias("layer")
+        )
+        lab = (
+            lab.unionByName(prop)
+            .groupBy("node")
+            .agg(F.max("layer").cast("long").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def _kg_dag_layers_sql() -> str:
+    parts = [
+        "WITH",
+        "ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),",
+        """redges AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i % 16 <> 0
+  UNION ALL
+  SELECT i AS a, i - 2 AS b FROM ids WHERE i % 16 >= 2 AND i % 7 = 0
+  UNION ALL
+  SELECT i AS a, i - 5 AS b FROM ids WHERE i % 16 >= 5 AND i % 11 = 0
+),""",
+        "l0 AS MATERIALIZED (SELECT i AS node, CAST(0 AS BIGINT) AS layer FROM ids),",
+    ]
+    for k in range(1, _DAG_LAYER_ROUNDS + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT node, max(layer) AS layer FROM ("
+            f"SELECT node, layer FROM l{k - 1} "
+            f"UNION ALL SELECT e.a AS node, x.layer + 1 AS layer "
+            f"FROM redges e JOIN l{k - 1} x ON x.node = e.b) GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(layer AS BIGINT) AS layer "
+        f"FROM l{_DAG_LAYER_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -9953,6 +10022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_strongly_connected": _kg_strongly_connected,
         "kg_transitive_reduction": _kg_transitive_reduction,
         "kg_eccentricity": _kg_eccentricity,
+        "kg_dag_layers": _kg_dag_layers,
         "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
@@ -10142,6 +10212,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_strongly_connected": _kg_strongly_connected_sql(),
         "kg_transitive_reduction": _KG_TRANSITIVE_REDUCTION_SQL,
         "kg_eccentricity": _kg_eccentricity_sql(),
+        "kg_dag_layers": _kg_dag_layers_sql(),
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),
