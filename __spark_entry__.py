@@ -4450,6 +4450,15 @@ JOIN sizes sb ON sb.doc_id = it.doc_b
 WHERE it.i / (sa.sz + sb.sz - it.i) >= 0.5
 """
 
+_CONTAINMENT_PAIRS_SQL = _MINHASH_CAND_CTES + """
+SELECT it.doc_a, it.doc_b, CAST(it.i AS BIGINT) AS inter,
+       sa.sz AS sz_a, sb.sz AS sz_b,
+       (1000000 * it.i) // least(sa.sz, sb.sz) AS containment_ppm
+FROM inter it JOIN sizes sa ON sa.doc_id = it.doc_a
+              JOIN sizes sb ON sb.doc_id = it.doc_b
+WHERE 2 * it.i >= least(sa.sz, sb.sz)
+"""
+
 _CONTRASTIVE_PAIRS_SQL = _MINHASH_CAND_CTES + """
 SELECT it.doc_a, it.doc_b,
        CAST(it.i AS BIGINT) AS inter,
@@ -9647,6 +9656,57 @@ def _kg_dag_layers_sql() -> str:
     return "\n".join(parts)
 
 
+def _dedup_containment_pairs(spark, sf):
+    """ASYMMETRIC containment dedup (``operators/dedup.py:
+    containment_pairs``): |A∩B| / min(|A|,|B|) over the banded LSH
+    candidate stream — catches subset duplication (one page embedded in
+    a longer one) that symmetric Jaccard dilutes.  Integer-exact keep
+    predicate ``2·inter ≥ min(sz)`` and ppm ratio (rule 11); twin reuses
+    the shared _MINHASH_CAND_CTES chain verbatim (zero drift)."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_t(spark, sf, "documents"))
+
+
+def _corpus_zipf_ranks(spark, sf):
+    """ZIPF rank-frequency profile — the token-distribution fingerprint a
+    corpus release ships (and the sanity check before vocab sizing): top
+    100 whitespace tokens by (freq DESC, token) with their 1-based rank
+    and the rank·freq product (≈ constant under Zipf's law — the
+    deviation IS the signal).  All-integer; the top-k is a
+    TakeOrderedAndProject (no global sort materialization), the
+    row_number window runs over 100 rows."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "token", "freq"
+    ).withColumn("zipf_product", (F.col("rank") * F.col("freq")).cast("long"))
+
+
+_CORPUS_ZIPF_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+  FROM freq ORDER BY freq DESC, token LIMIT 100
+)
+SELECT rank, token, freq, rank * freq AS zipf_product FROM top
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -9964,6 +10024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_blocking_quality": _dedup_blocking_quality,
         "dedup_cluster_quality": _dedup_cluster_quality,
         "dedup_sorted_neighborhood": _dedup_sorted_neighborhood,
+        "dedup_containment_pairs": _dedup_containment_pairs,
+        "corpus_zipf_ranks": _corpus_zipf_ranks,
         "dedup_streaming_stateful": _streaming_dedup,
         "dedup_repeated_windows": _dedup_repeated_windows,
         "decontaminate_ngram": _decontaminate_ngram,
@@ -10126,6 +10188,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_blocking_quality": _dedup_blocking_quality_sql(),
         "dedup_cluster_quality": _dedup_cluster_quality_sql(),
         "dedup_sorted_neighborhood": _DEDUP_SNM_SQL,
+        "dedup_containment_pairs": _CONTAINMENT_PAIRS_SQL,
+        "corpus_zipf_ranks": _CORPUS_ZIPF_SQL,
         "ann_lsh_topk": _lsh_ann_sql(),
         "ann_lsh_multiprobe": _lsh_ann_sql(multi_probe=1),
         # one assembly, two queries: pruning must not change the twin

@@ -800,3 +800,34 @@ def repeated_window_flags(
         "keep",
         F.col("dup_windows") * max_dup_den <= F.col("n_windows") * max_dup_num,
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    params: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b, containment_ppm): ASYMMETRIC
+    containment dedup over the LSH candidate stream — ``|A∩B| /
+    min(|A|, |B|)`` catches subset duplication (a page embedded inside a
+    longer page) that symmetric Jaccard dilutes below threshold.  Pairs
+    kept when the smaller side is ≥ half contained; the ratio ships as
+    integer ppm (rule 11).  Candidates are the banded equi-join
+    (``lsh_band_candidates``), never all-pairs — same 100 TB shape as
+    the Jaccard path."""
+    cand = lsh_band_candidates(docs, n=n, bands=bands, params=params)
+    ov = candidate_overlap(cand, docs, n=n)
+    return (
+        ov.filter(2 * F.col("inter") >= F.least("sz_a", "sz_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.expr(
+                "CAST(1000000 AS BIGINT) * inter DIV least(sz_a, sz_b)"
+            ).alias("containment_ppm"),
+        )
+    )
