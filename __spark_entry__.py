@@ -9707,6 +9707,148 @@ SELECT rank, token, freq, rank * freq AS zipf_product FROM top
 """
 
 
+def _q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape — bilateral shipping VOLUME: revenue between every
+    (supplier nation, customer nation) pair per shipment year over a
+    two-year window.  Money rides the q14 recipe (decimal → integral
+    micro-units → BIGINT sums — rule 5/11); both nation dims and
+    supplier/customer broadcast (dimension-sized), the only big shuffle
+    is lineitem ⋈ orders on orderkey; the (nation², year) group key
+    space is tiny so the agg is all map-side combine."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    rev_u = (
+        (_money("l_extendedprice") * (F.lit(1).cast(_DEC) - _money("l_discount")))
+        * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    j = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", F.year("l_shipdate").alias("l_year"), rev_u.alias("rev_u"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.col("l_year").cast("long").alias("l_year")
+        )
+        .agg(
+            F.sum("rev_u").cast("long").alias("sum_u"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        # integer cents, not round(double, 2): a micro-unit sum landing
+        # exactly on the half-cent boundary rounds differently across
+        # engines (hit at sf0.01+) — floor DIV is boundary-free (rule 11)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.expr("sum_u DIV 10000").alias("revenue_cents"),
+            "n_items",
+        )
+    )
+
+
+_Q7_SQL = """
+WITH j AS (
+  SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(30,8)) * 1000000 AS BIGINT) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_u) AS BIGINT) // 10000 AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j GROUP BY 1, 2, 3
+"""
+
+
+def _q22_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape — GLOBAL SALES OPPORTUNITY: positive-balance
+    customers richer than the positive-balance average with no RECENT
+    order (none since 2000-01-01 — the synthetic orders cover every
+    customer, so plain "never ordered" would leave the anti-join branch
+    dead), rolled up per nation.  The avg predicate is integer-exact
+    (rule 11): balances ride BIGINT ten-thousandths (decimal scale 4 →
+    ×10⁴ is integral by construction, so Spark's truncating and DuckDB's
+    rounding BIGINT casts agree) and ``bal·cnt > sum`` replaces the
+    float average.  The no-recent-orders test is a left anti-join
+    against the date-filtered (scan-pruned) orders; the scalar stats row
+    is a broadcast cross join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0).select(
+        "c_custkey",
+        "c_nationkey",
+        (_money("c_acctbal") * F.lit(10000).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("bal_u"),
+    )
+    stats = pos.agg(
+        F.sum("bal_u").cast("long").alias("sum_u"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    rich = pos.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal_u") * F.col("cnt") > F.col("sum_u")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    noord = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return noord.groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.expr("sum(bal_u) DIV 100").alias("totacctbal_cents"),
+    )
+
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(30,4))
+              * 10000 AS BIGINT) AS bal_u
+  FROM customer WHERE c_acctbal > 0.0
+),
+stats AS (
+  SELECT CAST(sum(bal_u) AS BIGINT) AS sum_u,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM pos
+),
+rich AS (
+  SELECT p.* FROM pos p, stats WHERE p.bal_u * stats.cnt > stats.sum_u
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_u) AS BIGINT) // 100 AS totacctbal_cents
+FROM rich r
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -9819,9 +9961,11 @@ def _q14_promo_revenue(spark, sf):
         .alias("promo_u"),
         F.sum(rev_u).cast("long").alias("total_u"),
     )
+    # integer cents, not round(double, 2): the cross-engine round() call
+    # diverges on half-cent-boundary doubles (measured on q7 at sf0.01)
     return agg.select(
-        F.round(F.col("promo_u").cast("double") / 1000000, 2).alias("promo_revenue"),
-        F.round(F.col("total_u").cast("double") / 1000000, 2).alias("total_revenue"),
+        F.expr("promo_u DIV 10000").alias("promo_cents"),
+        F.expr("total_u DIV 10000").alias("total_cents"),
         F.expr(
             "promo_u DIV greatest(total_u DIV 1000000, CAST(1 AS BIGINT))"
         ).alias("promo_ppm"),
@@ -9845,8 +9989,8 @@ agg AS (
          CAST(sum(rev_u) AS BIGINT) AS total_u
   FROM j
 )
-SELECT round(CAST(promo_u AS DOUBLE) / 1000000, 2) AS promo_revenue,
-       round(CAST(total_u AS DOUBLE) / 1000000, 2) AS total_revenue,
+SELECT promo_u // 10000 AS promo_cents,
+       total_u // 10000 AS total_cents,
        promo_u // greatest(total_u // 1000000, 1) AS promo_ppm
 FROM agg
 """
@@ -9875,10 +10019,13 @@ def _q17_small_quantity_revenue(spark, sf):
     small = lj.join(stats, "l_partkey").filter(
         F.lit(5) * F.col("qty") * F.col("cnt_q") < F.col("sum_q")
     )
+    price_u = (_money("l_extendedprice") * F.lit(10000).cast("decimal(18,0)")).cast(
+        "long"
+    )
     return small.agg(
-        F.round(F.sum(_money("l_extendedprice")).cast("double"), 2).alias(
-            "small_qty_revenue"
-        ),
+        F.coalesce(F.sum(price_u), F.lit(0))
+        .cast("long")
+        .alias("small_qty_rev_u"),
         F.count(F.lit(1)).cast("long").alias("n_small"),
     )
 
@@ -9894,8 +10041,9 @@ lj AS (
 st AS (
   SELECT l_partkey, sum(qty) AS sum_q, count(*) AS cnt_q FROM lj GROUP BY 1
 )
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
-         AS small_qty_revenue,
+SELECT CAST(coalesce(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              AS DECIMAL(30,4)) * 10000 AS BIGINT)), 0) AS BIGINT)
+         AS small_qty_rev_u,
        CAST(count(*) AS BIGINT) AS n_small
 FROM lj JOIN st USING (l_partkey)
 WHERE 5 * qty * cnt_q < sum_q
@@ -9967,6 +10115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q18_large_orders": _q18_large_orders,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q22_sales_opportunity": _q22_sales_opportunity,
         "corpus_dataset_card": _corpus_dataset_card,
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
@@ -10152,6 +10302,8 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": _Q14_SQL,
         "q17_small_quantity_revenue": _Q17_SQL,
         "q18_large_orders": _Q18_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q22_sales_opportunity": _Q22_SQL,
         "corpus_dataset_card": _CORPUS_DATASET_CARD_SQL,
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
