@@ -9849,6 +9849,90 @@ GROUP BY 1
 """
 
 
+_PRED_DECLS = [
+    ("DEGRADES", "Inhibitor", "Process"),
+    ("SPEEDS_UP", "Accelerator", "Process"),
+    ("CO_OCCURS_WITH", "Entity", "Entity"),
+]
+
+
+def _kg_type_inference(spark, sf):
+    """RDFS DOMAIN/RANGE type inference (rules rdfs2/rdfs3) over the
+    patterned triple store: each predicate carries a (domain, range)
+    declaration, every asserted triple stamps its subject with the
+    domain and its object with the range; output per (entity, rdf_type):
+    total evidence mass (Σ triple counts) and the number of distinct
+    supporting triples.  The subclass-closure sibling (kg_rdfs_closure)
+    infers ALONG the hierarchy; this infers FROM usage — together they
+    are the RDFS entailment core.  Composes the gate-proven
+    kg_triples_patterned dataflow; the declaration dim is a broadcast
+    VALUES list; one union + one map-side-combined agg."""
+    trip = _kg_triples_patterned(spark, sf)
+    decl = spark.createDataFrame(_PRED_DECLS, ["pred", "dom", "rng"])
+    j = trip.join(F.broadcast(decl), "pred")
+    typed = j.select(
+        F.col("subj").alias("entity"), F.col("dom").alias("rdf_type"), "count"
+    ).unionByName(
+        j.select(
+            F.col("obj").alias("entity"), F.col("rng").alias("rdf_type"), "count"
+        )
+    )
+    return typed.groupBy("entity", "rdf_type").agg(
+        F.sum("count").cast("long").alias("evidence"),
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+    )
+
+
+_KG_TYPE_INFERENCE_SQL = f"""
+WITH triples AS MATERIALIZED (SELECT * FROM ({_KG_TRIPLES_PATTERNED_SQL})),
+decl AS (SELECT * FROM (VALUES {", ".join(f"('{p}', '{d}', '{r}')" for p, d, r in _PRED_DECLS)}) d(pred, dom, rng)),
+typed AS (
+  SELECT t.subj AS entity, d.dom AS rdf_type, t.count AS w
+  FROM triples t JOIN decl d ON t.pred = d.pred
+  UNION ALL
+  SELECT t.obj, d.rng, t.count FROM triples t JOIN decl d ON t.pred = d.pred
+)
+SELECT entity, rdf_type, CAST(sum(w) AS BIGINT) AS evidence,
+       CAST(count(*) AS BIGINT) AS n_triples
+FROM typed GROUP BY 1, 2
+"""
+
+
+def _embedding_dim_profile(spark, sf):
+    """Per-DIMENSION profile of the embedding table — the feature-drift /
+    dead-dimension audit an embedding pipeline publishes (a dimension
+    whose min = max is dead; a collapsed positive-rate flags saturation).
+    Strictly arithmetic-free on floats (rule 5's hard form): min, max,
+    and comparison counts of the RAW parquet values — no sums, no means,
+    nothing order-dependent — cast to double only for output typing
+    (exact widening).  JVM-side posexplode, one agg keyed by the ≤|dims|
+    key space."""
+    e = _t(spark, sf, "embeddings")
+    d = e.select(F.posexplode("embedding").alias("dim", "val"))
+    return d.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.min(F.col("val").cast("double")).alias("min_val"),
+        F.max(F.col("val").cast("double")).alias("max_val"),
+        F.sum(F.when(F.col("val") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+_EMBEDDING_DIM_PROFILE_SQL = """
+WITH d AS (
+  SELECT u.i AS dim, embedding[u.i + 1] AS val
+  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(min(val) AS DOUBLE) AS min_val,
+       CAST(max(val) AS DOUBLE) AS max_val,
+       CAST(sum(CASE WHEN val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM d GROUP BY 1
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -10233,6 +10317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stress_centrality": _kg_stress_centrality,
         "kg_strongly_connected": _kg_strongly_connected,
         "kg_transitive_reduction": _kg_transitive_reduction,
+        "kg_type_inference": _kg_type_inference,
+        "embedding_dim_profile": _embedding_dim_profile,
         "kg_eccentricity": _kg_eccentricity,
         "kg_dag_layers": _kg_dag_layers,
         "kg_induced_subgraph": _kg_induced_subgraph,
@@ -10427,6 +10513,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_stress_centrality": _kg_stress_centrality_sql(),
         "kg_strongly_connected": _kg_strongly_connected_sql(),
         "kg_transitive_reduction": _KG_TRANSITIVE_REDUCTION_SQL,
+        "kg_type_inference": _KG_TYPE_INFERENCE_SQL,
+        "embedding_dim_profile": _EMBEDDING_DIM_PROFILE_SQL,
         "kg_eccentricity": _kg_eccentricity_sql(),
         "kg_dag_layers": _kg_dag_layers_sql(),
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
