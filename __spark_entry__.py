@@ -9933,6 +9933,86 @@ FROM d GROUP BY 1
 """
 
 
+def _kg_edge_transition_probs(spark, sf):
+    """Per-subject OUT-EDGE transition probabilities of the patterned
+    triple store — the row-normalized adjacency a weighted random walk /
+    PageRank-with-weights consumes: for every (subj, pred, obj) edge,
+    its share of the subject's total occurrence mass in integer ppm
+    (``1e6·w DIV Σw`` — rule 11; the float softmax stays out of the
+    engine boundary).  One agg on subj + one broadcast-back join; at
+    100 TB this is the same shape as the per-band normalizations the
+    dedup family ships."""
+    trip = _kg_triples_patterned(spark, sf)
+    totals = trip.groupBy("subj").agg(F.sum("count").cast("long").alias("out_mass"))
+    return trip.join(totals, "subj").select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("count").cast("long").alias("w"),
+        "out_mass",
+        F.expr("CAST(1000000 AS BIGINT) * count DIV out_mass").alias("prob_ppm"),
+    )
+
+
+_KG_EDGE_TRANSITION_SQL = f"""
+WITH triples AS MATERIALIZED (SELECT * FROM ({_KG_TRIPLES_PATTERNED_SQL})),
+totals AS (
+  SELECT subj, CAST(sum(count) AS BIGINT) AS out_mass FROM triples GROUP BY subj
+)
+SELECT t.subj, t.pred, t.obj, CAST(t.count AS BIGINT) AS w, x.out_mass,
+       (1000000 * t.count) // x.out_mass AS prob_ppm
+FROM triples t JOIN totals x ON t.subj = x.subj
+"""
+
+
+def _shipping_latency_histogram(spark, sf):
+    """ORDER-TO-SHIP latency distribution — the fulfilment-SLA histogram:
+    integer day gap between o_orderdate and each line's l_shipdate,
+    bucketed by week, per order priority.  Pure date arithmetic
+    (datediff — exact integers both engines); the big join is lineitem ⋈
+    orders on orderkey (the q7 shuffle), the histogram key space is tiny
+    so the agg is map-side combine."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    j = l.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    lat = j.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lat_days"),
+    )
+    return lat.groupBy(
+        "o_orderpriority",
+        F.expr(
+            "CASE WHEN lat_days < 0 THEN -1 ELSE CAST(lat_days AS BIGINT) DIV 7 END"
+        ).alias("week_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("lat_days").cast("long").alias("min_days"),
+        F.max("lat_days").cast("long").alias("max_days"),
+    )
+
+
+_SHIPPING_LATENCY_SQL = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lat_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CASE WHEN lat_days < 0 THEN -1
+            ELSE CAST(lat_days AS BIGINT) // 7 END AS week_bucket,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(lat_days) AS BIGINT) AS min_days,
+       CAST(max(lat_days) AS BIGINT) AS max_days
+FROM lat GROUP BY 1, 2
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -10318,6 +10398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_strongly_connected": _kg_strongly_connected,
         "kg_transitive_reduction": _kg_transitive_reduction,
         "kg_type_inference": _kg_type_inference,
+        "kg_edge_transition_probs": _kg_edge_transition_probs,
+        "shipping_latency_histogram": _shipping_latency_histogram,
         "embedding_dim_profile": _embedding_dim_profile,
         "kg_eccentricity": _kg_eccentricity,
         "kg_dag_layers": _kg_dag_layers,
@@ -10514,6 +10596,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_strongly_connected": _kg_strongly_connected_sql(),
         "kg_transitive_reduction": _KG_TRANSITIVE_REDUCTION_SQL,
         "kg_type_inference": _KG_TYPE_INFERENCE_SQL,
+        "kg_edge_transition_probs": _KG_EDGE_TRANSITION_SQL,
+        "shipping_latency_histogram": _SHIPPING_LATENCY_SQL,
         "embedding_dim_profile": _EMBEDDING_DIM_PROFILE_SQL,
         "kg_eccentricity": _kg_eccentricity_sql(),
         "kg_dag_layers": _kg_dag_layers_sql(),
