@@ -10013,6 +10013,88 @@ FROM lat GROUP BY 1, 2
 """
 
 
+def _cdc_upsert_apply(spark, sf):
+    """Delete-aware CDC MERGE compaction — the lakehouse "apply the
+    changelog to the snapshot" pass (Iceberg MERGE INTO semantics,
+    executable jar-less): events become a change stream (key = user_id,
+    seq = event_id, op cycles I/U/D by event_id mod 10, payload =
+    event_type); the winner per key is the max-seq record (ONE window
+    shuffle, rank-1 — no per-key loop), a trailing D tombstones the key
+    (base row suppressed, not rewritten), otherwise the payload replaces
+    the synthetic base row; keys never touched keep base.  Output per
+    surviving key: payload, change count, last seq.  The SCD1 sibling of
+    scd2_entity_history (which keeps history; this keeps the latest
+    state)."""
+    e = _t(spark, sf, "events")
+    log = e.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("payload"),
+        F.expr(
+            "CASE WHEN event_id % 10 = 0 THEN 'D' "
+            "WHEN event_id % 10 <= 3 THEN 'I' ELSE 'U' END"
+        ).alias("op"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    stats = log.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.max("seq").cast("long").alias("last_seq"),
+    )
+    last = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("key", "payload", "op")
+    )
+    base = e.select(F.col("user_id").alias("key")).distinct().withColumn(
+        "base_payload", F.lit("base")
+    )
+    merged = (
+        base.join(last, "key", "left")
+        .filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "key",
+            F.coalesce(F.col("payload"), F.col("base_payload")).alias("payload"),
+        )
+    )
+    return merged.join(stats, "key", "left").select(
+        "key",
+        "payload",
+        F.coalesce(F.col("n_changes"), F.lit(0)).cast("long").alias("n_changes"),
+        F.coalesce(F.col("last_seq"), F.lit(-1)).cast("long").alias("last_seq"),
+    )
+
+
+_CDC_UPSERT_SQL = """
+WITH log AS (
+  SELECT user_id AS key, event_id AS seq, event_type AS payload,
+         CASE WHEN event_id % 10 = 0 THEN 'D'
+              WHEN event_id % 10 <= 3 THEN 'I' ELSE 'U' END AS op
+  FROM events
+),
+stats AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_changes,
+         CAST(max(seq) AS BIGINT) AS last_seq
+  FROM log GROUP BY key
+),
+last AS (
+  SELECT key, payload, op FROM (
+    SELECT key, payload, op,
+           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+),
+base AS (SELECT DISTINCT user_id AS key, 'base' AS base_payload FROM events)
+SELECT b.key,
+       coalesce(l.payload, b.base_payload) AS payload,
+       coalesce(s.n_changes, 0) AS n_changes,
+       coalesce(s.last_seq, -1) AS last_seq
+FROM base b
+LEFT JOIN last l ON l.key = b.key
+LEFT JOIN stats s ON s.key = b.key
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -10422,6 +10504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_integrity_audit": _kg_integrity_audit,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_snapshot_diff": _kg_snapshot_diff,
+        "cdc_upsert_apply": _cdc_upsert_apply,
         "events_retention_cohorts": _events_retention_cohorts,
         "compaction_binpack": _compaction_binpack,
         "dataset_split_hash": _dataset_split_hash,
@@ -10621,6 +10704,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_integrity_audit": _KG_INTEGRITY_AUDIT_SQL,
         "kg_snapshot_asof": _KG_SNAPSHOT_ASOF_SQL,
         "kg_snapshot_diff": _KG_SNAPSHOT_DIFF_SQL,
+        "cdc_upsert_apply": _CDC_UPSERT_SQL,
         "events_retention_cohorts": _EVENTS_RETENTION_SQL,
         "compaction_binpack": _COMPACTION_BINPACK_SQL,
         "dataset_split_hash": _DATASET_SPLIT_SQL,
