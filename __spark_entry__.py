@@ -5777,6 +5777,142 @@ GROUP BY ws, we, (i % 3), ((i // 3) % 3)
 """
 
 
+_STREAM_SESS_SEQ = 0
+_SESS_ADVANCE_MIN = 600 * 3 + 2880  # lone far-future row closes every session
+
+
+def _streaming_session_windows(spark, sf):
+    """REAL cross-batch ``F.session_window`` streaming aggregation under
+    the gate — the third streaming shape next to the stateful dedup
+    (applyInPandasWithState) and the fixed-window watermark query:
+    dynamic session MERGING across micro-batches.  4 mtime-ordered
+    parquet files, maxFilesPerTrigger=1, availableNow; per-user event
+    minutes ``600·b + (17·i mod 600)`` span the full decade, so sessions
+    genuinely STITCH across batch boundaries (same-user rows <30 min
+    apart on either side) — state the batch-local computation cannot
+    fake.  Watermark 2h: rows only move forward ≥121 min per batch, so
+    nothing is late-dropped (margins wide per the _sw_schedule replay
+    model); a lone far-future advancer row (user 999) pushes the final
+    eviction watermark past every real session, which is therefore
+    emitted — the advancer's own session stays open and unemitted, and
+    the twin models exactly that.  Oracle: gaps-and-islands sessionize
+    (break at gap > 30 — the user-8 fixture pair at exactly 30 minutes
+    MERGES, pinning Spark's CLOSED-interval session semantics, measured
+    this round: minutes 100+130 emit as ONE [100, 160] session) + the
+    emission predicate ``session_end ≤ max_event − 120``."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    base_ts = dt.datetime.fromisoformat(_SW_BASE_TS)
+    rows = []
+    for i in range(n):
+        b = i * 4 // n
+        m = 600 * b + (i * 17) % 600
+        rows.append((i % 5, base_ts + dt.timedelta(minutes=m), b))
+    # bridge rows: user 7 straddles every batch boundary with a 10-min gap
+    # (session MUST merge across micro-batches — the state being proven);
+    # user 8 pins the exactly-30 open-interval split
+    for b in range(3):
+        rows.append((7, base_ts + dt.timedelta(minutes=600 * b + 595), b))
+        rows.append((7, base_ts + dt.timedelta(minutes=600 * (b + 1) + 5), b + 1))
+    rows.append((8, base_ts + dt.timedelta(minutes=100), 0))
+    rows.append((8, base_ts + dt.timedelta(minutes=130), 0))
+    rows.append((999, base_ts + dt.timedelta(minutes=_SESS_ADVANCE_MIN), 3))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, b int")
+
+    base = os.path.join(
+        _writable_base(), "var",
+        f"stream_sess_{os.path.basename(os.path.normpath(sf))}",
+    )
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    for bb in range(4):
+        tmp = os.path.join(base, f"tmp{bb}")
+        df.filter(F.col("b") == bb).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"{bb:03d}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_000_000_000 + bb, 1_000_000_000 + bb))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    global _STREAM_SESS_SEQ
+    _STREAM_SESS_SEQ += 1
+    name = f"stream_sess_out_{_STREAM_SESS_SEQ}"
+    q = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("session_window.start").alias("s_start"),
+        F.col("session_window.end").alias("s_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+_STREAM_SESS_SQL = f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n
+),
+ids AS (SELECT row_number() OVER () - 1 AS i FROM events),
+sched AS (
+  SELECT i % 5 AS u,
+         600 * ((i * 4) // p.n) + (i * 17) % 600 AS m
+  FROM ids, params p WHERE i < p.n
+  UNION ALL
+  SELECT 7 AS u, 600 * b + 595 AS m FROM (VALUES (0), (1), (2)) t(b)
+  UNION ALL
+  SELECT 7 AS u, 600 * (b + 1) + 5 AS m FROM (VALUES (0), (1), (2)) t(b)
+  UNION ALL
+  SELECT u, m FROM (VALUES (8, 100), (8, 130)) t(u, m)
+),
+seq AS (
+  SELECT u, m,
+         CASE WHEN lag(m) OVER (PARTITION BY u ORDER BY m) IS NULL
+                OR m - lag(m) OVER (PARTITION BY u ORDER BY m) > 30
+              THEN 1 ELSE 0 END AS brk
+  FROM sched
+),
+isl AS (
+  SELECT u, m,
+         sum(brk) OVER (PARTITION BY u ORDER BY m
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM seq
+),
+sess AS (
+  SELECT u, g, min(m) AS sm, max(m) + 30 AS em,
+         CAST(count(*) AS BIGINT) AS ne
+  FROM isl GROUP BY u, g
+)
+SELECT TIMESTAMP '{_SW_BASE_TS}' + to_minutes(CAST(sm AS BIGINT)) AS s_start,
+       TIMESTAMP '{_SW_BASE_TS}' + to_minutes(CAST(em AS BIGINT)) AS s_end,
+       CAST(u AS BIGINT) AS user_id, ne AS n_events
+FROM sess
+WHERE em <= {_SESS_ADVANCE_MIN} - 120
+"""
+
+
 # --- alias canonicalization under the gate (§2.8/SCALE.md CC) ----------------
 
 
@@ -10494,6 +10630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_levels": _kg_bfs_levels,
         "kg_random_walks": _kg_random_walks,
         "streaming_windowed_triples": _streaming_windowed_triples,
+        "streaming_session_windows": _streaming_session_windows,
         "events_asof_join": _events_asof_join,
         "events_range_join": _events_range_join,
         "events_funnel": _events_funnel,
@@ -10695,6 +10832,9 @@ def oracle_sql() -> dict[str, str]:
         # real 4-micro-batch run; late rows dropped by the WATERMARK, the
         # twin replays the validated filter/eviction model (see _sw_schedule)
         "streaming_windowed_triples": _STREAM_WT_SQL,
+        # real session_window run; advancer row (user 999) never emits —
+        # the twin's emission predicate models it (see _streaming_session_windows)
+        "streaming_session_windows": _STREAM_SESS_SQL,
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "scd2_entity_history": _SCD2_SQL,
