@@ -10080,7 +10080,7 @@ def _kg_edge_transition_probs(spark, sf):
     dedup family ships."""
     trip = _kg_triples_patterned(spark, sf)
     totals = trip.groupBy("subj").agg(F.sum("count").cast("long").alias("out_mass"))
-    return trip.join(totals, "subj").select(
+    return trip.join(F.broadcast(totals), "subj").select(
         "subj",
         "pred",
         "obj",
@@ -10228,6 +10228,154 @@ FROM base b
 LEFT JOIN last l ON l.key = b.key
 LEFT JOIN stats s ON s.key = b.key
 WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
+def _dataset_split_coverage(spark, sf):
+    """Split COVERAGE audit via genuine set operators — the "does every
+    split see every domain" check a dataset release runs after
+    dataset_split_hash: distinct sources per split, then INTERSECT
+    (shared), EXCEPT (train-only / test-only) — the §2.10 set-op row
+    exercised as first-class plan nodes rather than rewritten joins.
+    Output: one row of counts.  Source sets are dimension-sized, so at
+    100 TB each distinct() is a map-side-combined agg and the set ops
+    run on shortlists."""
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+
+    d = _t(spark, sf, "documents")
+    h = poly_hash(F.col("text")) % 100
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ds = d.withColumn("split", split)
+    train = ds.filter(F.col("split") == "train").select("source").distinct()
+    test = ds.filter(F.col("split") == "test").select("source").distinct()
+    shared = train.intersect(test)
+    train_only = train.subtract(test)
+    test_only = test.subtract(train)
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias(name))
+        for df, name in [
+            (train, "n_train_sources"),
+            (test, "n_test_sources"),
+            (shared, "n_shared"),
+            (train_only, "n_train_only"),
+            (test_only, "n_test_only"),
+        ]
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+_DATASET_SPLIT_COVERAGE_SQL = """
+WITH h AS (
+  SELECT source,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all(text, '.'),
+                       x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) % 100 AS BIGINT) AS hh
+  FROM documents
+),
+s AS (
+  SELECT source, CASE WHEN hh < 80 THEN 'train'
+                      WHEN hh < 90 THEN 'val' ELSE 'test' END AS split
+  FROM h
+),
+tr AS (SELECT DISTINCT source FROM s WHERE split = 'train'),
+te AS (SELECT DISTINCT source FROM s WHERE split = 'test')
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train_sources,
+  (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_test_sources,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM tr INTERSECT SELECT * FROM te)) AS n_shared,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM tr EXCEPT SELECT * FROM te)) AS n_train_only,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM te EXCEPT SELECT * FROM tr)) AS n_test_only
+"""
+
+
+def _part_skyline(spark, sf):
+    """Per-brand SKYLINE (Pareto frontier) of parts on (price ↓, size ↓)
+    — the multi-objective shortlist query ("no part is both cheaper and
+    smaller"): a part survives iff no same-brand part weakly dominates
+    it on both axes and strictly on one.  Raw parquet doubles are only
+    COMPARED, never combined (rule 5's hard form).  The dominance test
+    is a brand-equi self-join + anti-join — partitioned by brand, the
+    quadratic stays inside dimension-sized groups; at 100 TB the brand
+    key is the shuffle key and skew salting applies as in the agg
+    family."""
+    p = _t(spark, sf, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    q = p.select(
+        F.col("p_brand").alias("b2"),
+        F.col("p_retailprice").alias("price2"),
+        F.col("p_size").alias("size2"),
+    )
+    dominated = (
+        p.join(q, p.p_brand == q.b2)
+        .filter(
+            (F.col("price2") <= F.col("p_retailprice"))
+            & (F.col("size2") <= F.col("p_size"))
+            & (
+                (F.col("price2") < F.col("p_retailprice"))
+                | (F.col("size2") < F.col("p_size"))
+            )
+        )
+        .select("p_partkey")
+        .distinct()
+    )
+    return p.join(dominated, "p_partkey", "left_anti").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+
+_PART_SKYLINE_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+def _events_seasonality(spark, sf):
+    """CALENDAR seasonality profile — the (day-of-week × hour) activity
+    matrix a traffic dashboard serves.  Day-of-week comes from explicit
+    epoch-day arithmetic (``days_since_epoch % 7``, 0 = Thursday) rather
+    than either engine's locale-dependent dayofweek() — the formula IS
+    the cross-engine contract (rule 11).  One scan, one small-key agg."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_EVENTS_SEASONALITY_SQL = """
+SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
 """
 
 
@@ -10398,7 +10546,7 @@ def _q17_small_quantity_revenue(spark, sf):
     stats = lj.groupBy("l_partkey").agg(
         F.sum("qty").alias("sum_q"), F.count(F.lit(1)).alias("cnt_q")
     )
-    small = lj.join(stats, "l_partkey").filter(
+    small = lj.join(F.broadcast(stats), "l_partkey").filter(
         F.lit(5) * F.col("qty") * F.col("cnt_q") < F.col("sum_q")
     )
     price_u = (_money("l_extendedprice") * F.lit(10000).cast("decimal(18,0)")).cast(
@@ -10645,6 +10793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": _events_retention_cohorts,
         "compaction_binpack": _compaction_binpack,
         "dataset_split_hash": _dataset_split_hash,
+        "dataset_split_coverage": _dataset_split_coverage,
+        "part_skyline": _part_skyline,
+        "events_seasonality": _events_seasonality,
         "kg_incremental_components": _kg_incremental_components,
         "inverted_index_postings": _inverted_index_postings,
         "phrase_search": _phrase_search,
@@ -10848,6 +10999,9 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": _EVENTS_RETENTION_SQL,
         "compaction_binpack": _COMPACTION_BINPACK_SQL,
         "dataset_split_hash": _DATASET_SPLIT_SQL,
+        "dataset_split_coverage": _DATASET_SPLIT_COVERAGE_SQL,
+        "part_skyline": _PART_SKYLINE_SQL,
+        "events_seasonality": _EVENTS_SEASONALITY_SQL,
         "kg_incremental_components": _KG_INCREMENTAL_COMPONENTS_SQL,
         "inverted_index_postings": _INVERTED_POSTINGS_SQL,
         "phrase_search": _PHRASE_SEARCH_SQL,
