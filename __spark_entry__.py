@@ -10379,6 +10379,111 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _events_trailing_hour_counts(spark, sf):
+    """RANGE-frame window over event TIME (not row position): for every
+    event, how many of the same user's events fall in the trailing hour
+    — the rate-limit / burst feature a streaming scorer keeps, expressed
+    as a batch range frame (``RANGE BETWEEN 3600 PRECEDING AND CURRENT
+    ROW`` over epoch seconds).  Distinct from events_moving_stats (ROWS
+    frames): a RANGE frame's width is data-dependent, and ties at the
+    same timestamp all see the full tied group.  One window shuffle on
+    user_id; integer epoch arithmetic (rule 11)."""
+    e = _t(spark, sf, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    out = e.select(
+        "event_id",
+        "user_id",
+        sec.alias("epoch_sec"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_hour"),
+    )
+    return out
+
+
+_EVENTS_TRAILING_SQL = """
+SELECT event_id, user_id,
+       -- floor, not CAST: the timestamps carry sub-second precision and
+       -- Spark's unix_timestamp TRUNCATES while DuckDB's BIGINT cast rounds
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+       CAST(count(*) OVER (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_trailing_hour
+FROM events
+"""
+
+
+def _events_user_rank_profile(spark, sf):
+    """Full RANKING-function profile per user on activity volume: rank,
+    dense_rank, percent_rank and cume_dist over n_events DESC — the
+    leaderboard/percentile feature block.  The two fractional functions
+    ship as integer ppm computed from their exact rational definitions
+    (``1e6·(rank−1) DIV (n−1)``, ``1e6·cume_n DIV n`` — rule 11), so no
+    float crosses the engine boundary; ties (users with equal volume)
+    exercise every function's tie rule.  One agg + one single-key window
+    over the users shortlist."""
+    e = _t(spark, sf, "events")
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    wt = Window.orderBy(F.desc("n_events"))
+    n_total = Window.partitionBy()
+    ranked = per.select(
+        "user_id",
+        "n_events",
+        F.rank().over(wt).cast("long").alias("rnk"),
+        F.dense_rank().over(wt).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(n_total).cast("long").alias("n"),
+        # cume_dist numerator: rows with n_events >= mine
+        F.max(F.row_number().over(w))
+        .over(Window.partitionBy("n_events"))
+        .cast("long")
+        .alias("cume_n"),
+    )
+    return ranked.select(
+        "user_id",
+        "n_events",
+        "rnk",
+        "drnk",
+        F.expr(
+            "CASE WHEN n = 1 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(1000000 AS BIGINT) * (rnk - 1) DIV (n - 1) END"
+        ).alias("pct_rank_ppm"),
+        F.expr("CAST(1000000 AS BIGINT) * cume_n DIV n").alias("cume_dist_ppm"),
+    )
+
+
+_EVENTS_RANK_PROFILE_SQL = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, n_events,
+         CAST(rank() OVER (ORDER BY n_events DESC) AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER (ORDER BY n_events DESC) AS BIGINT) AS drnk,
+         CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per
+),
+cume AS (
+  SELECT *, CAST(max(rn) OVER (PARTITION BY n_events) AS BIGINT) AS cume_n
+  FROM ranked
+)
+SELECT user_id, n_events, rnk, drnk,
+       CASE WHEN n = 1 THEN 0
+            ELSE (1000000 * (rnk - 1)) // (n - 1) END AS pct_rank_ppm,
+       (1000000 * cume_n) // n AS cume_dist_ppm
+FROM cume
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -10796,6 +10901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_coverage": _dataset_split_coverage,
         "part_skyline": _part_skyline,
         "events_seasonality": _events_seasonality,
+        "events_trailing_hour_counts": _events_trailing_hour_counts,
+        "events_user_rank_profile": _events_user_rank_profile,
         "kg_incremental_components": _kg_incremental_components,
         "inverted_index_postings": _inverted_index_postings,
         "phrase_search": _phrase_search,
@@ -11002,6 +11109,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split_coverage": _DATASET_SPLIT_COVERAGE_SQL,
         "part_skyline": _PART_SKYLINE_SQL,
         "events_seasonality": _EVENTS_SEASONALITY_SQL,
+        "events_trailing_hour_counts": _EVENTS_TRAILING_SQL,
+        "events_user_rank_profile": _EVENTS_RANK_PROFILE_SQL,
         "kg_incremental_components": _KG_INCREMENTAL_COMPONENTS_SQL,
         "inverted_index_postings": _INVERTED_POSTINGS_SQL,
         "phrase_search": _PHRASE_SEARCH_SQL,
