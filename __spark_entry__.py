@@ -10484,6 +10484,57 @@ FROM cume
 """
 
 
+def _kg_two_hop_sizes(spark, sf):
+    """2-HOP NEIGHBORHOOD size per node (friend-of-friend reach) over the
+    symmetrized alias graph — the expansion statistic a KG serves for
+    query planning (how big is the 2-hop cone this traversal will touch)
+    and the denominator of local-density scores.  One self-join of the
+    degree-bounded edge list + distinct on (node, reached), self
+    excluded; counts split by exact hop (1-hop neighbors vs strictly-2-hop
+    reach).  All-integer; at 100 TB the state is O(n·deg²) pairs, never
+    materialized closure."""
+    sym = _alias_graph(spark, sf).localCheckpoint(eager=True)
+    one = sym.select(F.col("src").alias("node"), F.col("dst").alias("r"))
+    two = (
+        sym.select(F.col("src").alias("node"), F.col("dst").alias("m"))
+        .join(
+            sym.select(F.col("src").alias("m"), F.col("dst").alias("r")), "m"
+        )
+        .filter(F.col("node") != F.col("r"))
+        .select("node", "r")
+    )
+    reach = one.unionByName(two).distinct()
+    n1 = one.distinct().groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_1hop")
+    )
+    nall = reach.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_2hop_cone")
+    )
+    return n1.join(nall, "node").select(
+        F.col("node").cast("long").alias("node"),
+        "n_1hop",
+        "n_2hop_cone",
+        (F.col("n_2hop_cone") - F.col("n_1hop")).cast("long").alias("n_strict_2hop"),
+    )
+
+
+_KG_TWO_HOP_SQL = f"""
+WITH {_ALIAS_GRAPH_CTES.strip().rstrip(',')},
+one AS (SELECT a AS node, b AS r FROM sym),
+two AS (
+  SELECT x.a AS node, y.b AS r
+  FROM sym x JOIN sym y ON y.a = x.b
+  WHERE x.a <> y.b
+),
+reach AS (SELECT DISTINCT node, r FROM (SELECT * FROM one UNION ALL SELECT * FROM two)),
+n1 AS (SELECT node, CAST(count(DISTINCT r) AS BIGINT) AS n_1hop FROM one GROUP BY node),
+na AS (SELECT node, CAST(count(*) AS BIGINT) AS n_2hop_cone FROM reach GROUP BY node)
+SELECT CAST(n1.node AS BIGINT) AS node, n1.n_1hop, na.n_2hop_cone,
+       na.n_2hop_cone - n1.n_1hop AS n_strict_2hop
+FROM n1 JOIN na ON n1.node = na.node
+"""
+
+
 def _events_markov_transitions(spark, sf):
     """First-order MARKOV transition matrix over per-user event streams —
     the session-model features a behavioural pipeline trains on: order each
@@ -10874,6 +10925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_profile": _embedding_dim_profile,
         "kg_eccentricity": _kg_eccentricity,
         "kg_dag_layers": _kg_dag_layers,
+        "kg_two_hop_sizes": _kg_two_hop_sizes,
         "kg_induced_subgraph": _kg_induced_subgraph,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
         "kg_temporal_reachability": _kg_temporal_reachability,
@@ -11079,6 +11131,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_profile": _EMBEDDING_DIM_PROFILE_SQL,
         "kg_eccentricity": _kg_eccentricity_sql(),
         "kg_dag_layers": _kg_dag_layers_sql(),
+        "kg_two_hop_sizes": _KG_TWO_HOP_SQL,
         "kg_induced_subgraph": _kg_induced_subgraph_sql(),
         "kg_weighted_pagerank": _kg_weighted_pagerank_sql(),
         "kg_temporal_reachability": _kg_temporal_reachability_sql(),
