@@ -10777,6 +10777,513 @@ FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
 """
 
 
+def _q8_market_share(spark, sf):
+    """TPC-H Q8 shape — NATIONAL MARKET SHARE: of all revenue flowing to
+    ASIA-region customers over 1996-1997, the fraction supplied by
+    NATION_7, per order year.  The share is integer ppm via the q14
+    recipe (``nat_u DIV (total_u DIV 10^6)`` — rule 11, no float
+    division crosses the engine boundary); money rides the q7 micro-unit
+    recipe.  Plan: region/nation/supplier and the region-filtered
+    customer shortlist all broadcast; the only big shuffle is
+    lineitem ⋈ orders on orderkey; the national numerator rides the SAME
+    aggregate pass as the total (conditional sum — one map-side-combined
+    agg, never two scans)."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev_u = (
+        (_money("l_extendedprice") * (F.lit(1).cast(_DEC) - _money("l_discount")))
+        * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    j = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            l.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("o_year", "supp_nation", rev_u.alias("rev_u"))
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum("rev_u").cast("long").alias("total_u"),
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", F.col("rev_u")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("nat_u"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr("nat_u DIV greatest(total_u DIV 1000000, 1)").alias("share_ppm"),
+        F.expr("nat_u DIV 10000").alias("nation_rev_cents"),
+        F.expr("total_u DIV 10000").alias("total_rev_cents"),
+    )
+
+
+_Q8_SQL = """
+WITH asia AS (
+  SELECT c_custkey
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(30,8)) * 1000000 AS BIGINT) AS rev_u
+  FROM orders o
+  JOIN asia a ON o.o_custkey = a.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+),
+agg AS (
+  SELECT o_year, CAST(sum(rev_u) AS BIGINT) AS total_u,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_u ELSE 0 END)
+              AS BIGINT) AS nat_u
+  FROM j GROUP BY 1
+)
+SELECT o_year,
+       nat_u // greatest(total_u // 1000000, 1) AS share_ppm,
+       nat_u // 10000 AS nation_rev_cents,
+       total_u // 10000 AS total_rev_cents
+FROM agg
+"""
+
+
+def _q10_returned_items(spark, sf):
+    """TPC-H Q10 shape — RETURNED-ITEM reporting: revenue lost per
+    customer to 'R'-flag returns on orders placed in 1996-Q2.  Money =
+    q7 micro-units → floor-DIV integer cents (rule 11).  Plan: the
+    quarter predicate prunes orders and the returnflag predicate prunes
+    lineitem AT THE SCAN (both PushedFilters); their equi-join is the
+    one real shuffle; the per-customer agg survivor set is quarter-sized
+    so AQE broadcasts it onto the customer dim for the detail join."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    rev_u = (
+        (_money("l_extendedprice") * (F.lit(1).cast(_DEC) - _money("l_discount")))
+        * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l_f = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev_u.alias("rev_u")
+    )
+    per_cust = (
+        l_f.join(o_f, l_f.l_orderkey == o_f.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_u").cast("long").alias("rev_u"))
+    )
+    return per_cust.join(c, per_cust.o_custkey == c.c_custkey).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.expr("rev_u DIV 10000").alias("revenue_cents"),
+    )
+
+
+_Q10_SQL = """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(30,8)) * 1000000 AS BIGINT)) AS BIGINT) AS rev_u
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-04-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       rev_u // 10000 AS revenue_cents
+FROM per_cust JOIN customer c ON o_custkey = c.c_custkey
+"""
+
+
+def _q11_important_parts(spark, sf):
+    """TPC-H Q11 shape — IMPORTANT-STOCK parts: per-part shipped value
+    from ASIA-region suppliers, keeping parts whose value exceeds
+    0.0001 of the regional total.  The HAVING fraction is rewritten
+    integer-exact as ``10000·value_u > total_u`` (rule 11 — cross-
+    multiplication, no float threshold).  The part/supplier "stock"
+    relation is lineitem (no partsupp table in this corpus); the
+    supplier scope is a REGION (not a single nation key) so the
+    shortlist is live at every SF — the synthetic supplier dim is too
+    small at sf0.001 to guarantee any one nation appears.  Plan: the
+    regional supplier shortlist broadcast; ONE agg shuffle on partkey;
+    the scalar total rides a broadcast cross join back onto the
+    per-part frame (q22 recipe)."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    s_f = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    price_u = (_money("l_extendedprice") * F.lit(10000).cast("decimal(18,0)")).cast(
+        "long"
+    )
+    lj = l.join(F.broadcast(s_f), l.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", price_u.alias("val_u")
+    )
+    per_part = lj.groupBy("l_partkey").agg(
+        F.sum("val_u").cast("long").alias("value_u")
+    )
+    total = lj.agg(F.sum("val_u").cast("long").alias("total_u"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.lit(10000) * F.col("value_u") > F.col("total_u"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.expr("value_u DIV 100").alias("value_cents"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH lj AS (
+  SELECT l_partkey,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(30,4))
+              * 10000 AS BIGINT) AS val_u
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(val_u) AS BIGINT) AS value_u FROM lj GROUP BY 1
+),
+total AS (SELECT CAST(sum(val_u) AS BIGINT) AS total_u FROM lj)
+SELECT l_partkey AS p_partkey, value_u // 100 AS value_cents
+FROM per_part, total
+WHERE 10000 * value_u > total_u
+"""
+
+
+def _q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape — TOP SUPPLIER: the supplier(s) whose 1996-Q1
+    shipped revenue equals the quarter maximum.  The max comparison runs
+    at FULL micro-unit precision (exact BIGINT equality — ties surface
+    identically in both engines); cents only in the output projection.
+    Plan: one agg shuffle on suppkey (supplier-count-sized result), the
+    scalar max broadcast back (q22 recipe), names via broadcast dim."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev_u = (
+        (_money("l_extendedprice") * (F.lit(1).cast(_DEC) - _money("l_discount")))
+        * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_suppkey", rev_u.alias("rev_u"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_u").cast("long").alias("total_u"))
+    )
+    mx = rev.agg(F.max("total_u").alias("max_u"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_u") == F.col("max_u"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.expr("total_u DIV 10000").alias("total_rev_cents"))
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(30,8)) * 1000000 AS BIGINT)) AS BIGINT) AS total_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+mx AS (SELECT max(total_u) AS max_u FROM rev)
+SELECT s.s_suppkey, s.s_name, total_u // 10000 AS total_rev_cents
+FROM rev
+CROSS JOIN mx
+JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE total_u = max_u
+"""
+
+
+def _q16_part_supplier_counts(spark, sf):
+    """TPC-H Q16 shape — PART/SUPPLIER relationship counts: distinct
+    shipping suppliers per (brand, type, size) bucket, excluding one
+    brand, PROMO-typed parts, off-list sizes, and the "customer
+    complaints" supplier shortlist (NOT-IN → broadcast LEFT ANTI join;
+    the complaint list is the deterministic ``s_suppkey % 4 == 1``
+    stand-in for the reference benchmark's ``LIKE '%Complaints%'``
+    comment scan — value-derived in BOTH engines and live at every SF).
+    The part/supplier relation is the distinct (partkey, suppkey)
+    projection of lineitem (no partsupp table in this corpus).  Plan:
+    part shortlist + complaint list broadcast; one distinct shuffle on
+    the pair key, then a count-distinct agg on the tiny bucket space."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 5, 10, 15, 20, 25, 30, 35])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    compl = s.filter(F.col("s_suppkey") % 4 == 1).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    j = pairs.join(F.broadcast(pf), pairs.l_partkey == pf.p_partkey).join(
+        F.broadcast(compl),
+        pairs.l_suppkey == F.col("bad_suppkey"),
+        "left_anti",
+    )
+    return j.groupBy(
+        "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+    ).agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+
+
+_Q16_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pf AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part
+  WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+    AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN pf ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 1)
+GROUP BY 1, 2, 3
+"""
+
+
+def _q19_discounted_revenue(spark, sf):
+    """TPC-H Q19 shape — DISJUNCTIVE-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) conjunct groups over
+    lineitem ⋈ part, one scalar output row.  The point under test is
+    plan hygiene for disjunctions: the part dim broadcasts, the OR
+    evaluates as ONE codegen'd predicate post-join (never three scans
+    unioned), and quantity bounds are compare-only doubles (rule 5 hard
+    form — no arithmetic touches them).  Money = micro-units → cents."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev_u = (
+        (_money("l_extendedprice") * (F.lit(1).cast(_DEC) - _money("l_discount")))
+        * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    j = l.select(
+        "l_partkey", "l_quantity", rev_u.alias("rev_u")
+    ).join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & sz.between(1, 5) & q.between(1.0, 11.0))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(1, 10) & q.between(10.0, 20.0))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 15) & q.between(20.0, 30.0))
+    )
+    return j.filter(cond).agg(
+        F.coalesce(F.expr("sum(rev_u) DIV 10000"), F.lit(0))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(coalesce(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(30,8)) * 1000000 AS BIGINT)) // 10000, 0) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q20_volume_suppliers(spark, sf):
+    """TPC-H Q20 shape — DOMINANT-VOLUME suppliers: suppliers who
+    shipped MORE THAN TWICE a PROMO part's fair per-supplier share
+    (the availqty>½·sold test re-grounded on lineitem — no partsupp
+    table here; the absolute-half threshold goes dead as the supplier
+    pool grows with SF, so the test is share-relative), counted per
+    supplier.  Integer-exact cross-multiplication (rule 11):
+    ``sup_qty·n_supp > 2·part_total`` — supplier share > 2/n_supp.
+    Plan: PROMO shortlist broadcast; the (part, supplier) agg and the
+    per-part rollup REUSE one partkey-clustered exchange (second agg is
+    a sub-key of the first); the dominance join is part-grain."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    pf = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    lj = l.join(F.broadcast(pf), l.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ps = lj.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").cast("long").alias("sup_qty")
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("sup_qty").cast("long").alias("part_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+    )
+    dom = ps.join(pt, "l_partkey").filter(
+        F.col("sup_qty") * F.col("n_supp") > F.lit(2) * F.col("part_qty")
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+    )
+
+
+_Q20_SQL = """
+WITH pf AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sup_qty
+  FROM lineitem JOIN pf ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+pt AS (
+  SELECT l_partkey, CAST(sum(sup_qty) AS BIGINT) AS part_qty,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM ps GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_parts_dominated
+FROM ps JOIN pt USING (l_partkey)
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE sup_qty * n_supp > 2 * part_qty
+GROUP BY 1, 2
+"""
+
+
+def _q21_waiting_orders(spark, sf):
+    """TPC-H Q21 shape — the supplier who HELD UP the order: within
+    finished ('F') multi-supplier orders, the UNIQUE supplier whose
+    latest line shipdate is strictly the order maximum (every other
+    supplier finished earlier) — the commitdate-free analogue of "kept
+    orders waiting" (the corpus has no commit/receipt dates); numwait
+    per supplier.  EXISTS(other supplier) ≡ n_supp ≥ 2 and NOT EXISTS
+    (other supplier also at max) ≡ n_at_max == 1 — both rewritten as
+    grouped counters so the twin needs no correlated subqueries.
+    Plan: one lineitem ⋈ orders shuffle; the three rollups
+    ((order,supp) max → order max/counts → at-max counts) all REUSE the
+    orderkey clustering; supplier names broadcast at the end."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    of = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    ps = (
+        l.join(of, l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    po = ps.groupBy("l_orderkey").agg(
+        F.max("max_ship").alias("ord_max"),
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+    )
+    j = ps.join(po, "l_orderkey").withColumn(
+        "at_max", (F.col("max_ship") == F.col("ord_max")).cast("long")
+    )
+    am = j.groupBy("l_orderkey").agg(F.sum("at_max").alias("n_at_max"))
+    winners = (
+        j.join(am, "l_orderkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_at_max") == 1)
+            & (F.col("at_max") == 1)
+        )
+    )
+    return (
+        winners.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+_Q21_SQL = """
+WITH ps AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS max_ship
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+po AS (
+  SELECT l_orderkey, max(max_ship) AS ord_max,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM ps GROUP BY 1
+),
+j AS (
+  SELECT ps.l_orderkey, ps.l_suppkey, n_supp,
+         CASE WHEN max_ship = ord_max THEN 1 ELSE 0 END AS at_max
+  FROM ps JOIN po USING (l_orderkey)
+),
+am AS (
+  SELECT l_orderkey, CAST(sum(at_max) AS BIGINT) AS n_at_max FROM j GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM j JOIN am USING (l_orderkey)
+       JOIN supplier s ON j.l_suppkey = s.s_suppkey
+WHERE n_supp >= 2 AND n_at_max = 1 AND at_max = 1
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -10803,6 +11310,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q7_volume_shipping": _q7_volume_shipping,
         "q22_sales_opportunity": _q22_sales_opportunity,
+        "q8_market_share": _q8_market_share,
+        "q10_returned_items": _q10_returned_items,
+        "q11_important_parts": _q11_important_parts,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_part_supplier_counts": _q16_part_supplier_counts,
+        "q19_discounted_revenue": _q19_discounted_revenue,
+        "q20_volume_suppliers": _q20_volume_suppliers,
+        "q21_waiting_orders": _q21_waiting_orders,
         "corpus_dataset_card": _corpus_dataset_card,
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
@@ -11002,6 +11517,14 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": _Q18_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q22_sales_opportunity": _Q22_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q11_important_parts": _Q11_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q16_part_supplier_counts": _Q16_SQL,
+        "q19_discounted_revenue": _Q19_SQL,
+        "q20_volume_suppliers": _Q20_SQL,
+        "q21_waiting_orders": _Q21_SQL,
         "corpus_dataset_card": _CORPUS_DATASET_CARD_SQL,
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
