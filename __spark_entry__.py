@@ -11284,6 +11284,269 @@ GROUP BY 1, 2
 """
 
 
+def _truss_fixture_edges(spark, sf):
+    """The kg_triangle_counts path+skip graph, already ORIENTED u < v by
+    construction — shared by kg_edge_support / kg_degree_assortativity."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    e1 = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    e2 = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("u"), (F.col("id") + 2).alias("v")
+    )
+    return e1.union(e2)
+
+
+def _kg_edge_support(spark, sf):
+    """Per-EDGE triangle support over the kg_triangle_counts graph — the
+    k-truss building block: ``support(u,v)`` = triangles containing the
+    edge, plus the first-round 4-truss PEEL flag (``support < 2`` — the
+    edges a truss decomposition removes first; k-truss peeling iterates
+    exactly this statistic).  The full iterative peel is intentionally
+    NOT gated: on this fixture the 4-truss fixpoint is empty (triangle
+    chain — removing chain-end edges cascades), so the gate pins the
+    per-iteration primitive with BOTH flag branches live (support 1 and
+    2 both occur; shared edges (i+1, i+2) sit in two triangles).  Edges
+    are oriented u < v by construction, so triangle enumeration is the
+    standard oriented wedge join — O(m^1.5) worst case, the 100 TB
+    enumeration shape (same as triangle_counts_df) — and support joins
+    back at edge grain.  Ref fixture: `_kg_triangle_counts`."""
+    e = _truss_fixture_edges(spark, sf)
+    w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    tri = (
+        w1.join(w2, F.col("b") == F.col("b2"))
+        .join(
+            e.select(F.col("u").alias("a3"), F.col("v").alias("c3")),
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    tri_edges = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+    )
+    sup = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return (
+        e.join(sup, ["u", "v"], "left")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        )
+        .withColumn("peel_first", (F.col("support") < 2).cast("long"))
+    )
+
+
+_KG_EDGE_SUPPORT_SQL = """
+WITH
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+n AS (SELECT count(*) AS n FROM ids),
+und AS MATERIALIZED (
+  SELECT a.i AS u, a.i + 1 AS v FROM ids a, n WHERE a.i + 1 < n.n
+  UNION ALL
+  SELECT a.i AS u, a.i + 2 AS v FROM ids a, n
+  WHERE a.i + 2 < n.n AND a.i % 3 <> 0
+),
+tri AS MATERIALIZED (
+  SELECT w1.u AS a, w1.v AS b, w2.v AS c
+  FROM und w1
+  JOIN und w2 ON w2.u = w1.v
+  JOIN und w3 ON w3.u = w1.u AND w3.v = w2.v
+),
+te AS (
+  SELECT a AS u, b AS v FROM tri
+  UNION ALL SELECT a, c FROM tri
+  UNION ALL SELECT b, c FROM tri
+),
+sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM te GROUP BY 1, 2)
+SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v,
+       CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+       CAST(CASE WHEN coalesce(s.support, 0) < 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS peel_first
+FROM und e LEFT JOIN sup s ON e.u = s.u AND e.v = s.v
+"""
+
+
+def _kg_degree_assortativity(spark, sf):
+    """Degree-assortativity SUFFICIENT STATISTICS over the triangle-fixture
+    graph: for every DIRECTED edge (both orientations of the symmetrized
+    graph), x = deg(src), y = deg(dst); output one row of exact BIGINT
+    moments (m, Σx, Σxy, Σx²  — Σy/Σy² equal Σx/Σx² by symmetry) plus the
+    integer Pearson numerator ``m·Σxy − Σx·Σy`` and denominator
+    ``m·Σx² − (Σx)²`` whose RATIO is the assortativity coefficient r.
+    The float division never crosses the engine boundary (rule 11) — a
+    consumer divides num/den downstream; the SIGN (dis/assortative) is
+    already decidable from the gated integers.  Plan: one degree agg on
+    the node key, two node-keyed joins to stamp endpoint degrees, one
+    global single-row agg (all map-side combined)."""
+    e = _truss_fixture_edges(spark, sf)
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    j = (
+        sym.join(deg.select(F.col("u").alias("su"), F.col("deg").alias("x")),
+                 F.col("u") == F.col("su"))
+        .join(deg.select(F.col("u").alias("sv"), F.col("deg").alias("y")),
+              F.col("v") == F.col("sv"))
+        .select("x", "y")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+    )
+    return agg.select(
+        "m",
+        "sum_x",
+        "sum_xy",
+        "sum_x2",
+        (F.col("m") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_x"))
+        .cast("long")
+        .alias("pearson_num"),
+        (F.col("m") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+        .cast("long")
+        .alias("pearson_den"),
+    )
+
+
+_KG_DEGREE_ASSORTATIVITY_SQL = """
+WITH
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+n AS (SELECT count(*) AS n FROM ids),
+und AS (
+  SELECT a.i AS u, a.i + 1 AS v FROM ids a, n WHERE a.i + 1 < n.n
+  UNION ALL
+  SELECT a.i AS u, a.i + 2 AS v FROM ids a, n
+  WHERE a.i + 2 < n.n AND a.i % 3 <> 0
+),
+sym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+j AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM sym JOIN deg dx ON sym.u = dx.u JOIN deg dy ON sym.v = dy.u
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_x2
+  FROM j
+)
+SELECT m, sum_x, sum_xy, sum_x2,
+       m * sum_xy - sum_x * sum_x AS pearson_num,
+       m * sum_x2 - sum_x * sum_x AS pearson_den
+FROM agg
+"""
+
+
+def _events_rfm_segments(spark, sf):
+    """RFM customer segmentation over purchase events — the classic
+    marketing rollup a behavioral pipeline ships: per user, Recency
+    (whole days from the user's last purchase to the corpus anchor =
+    the max event timestamp — data-derived, so deterministic at any
+    SF), Frequency (purchase count) and Monetary (integer cents, rule
+    5), each bucketed 1-3 by FIXED integer thresholds (threshold
+    buckets, not ntile — quantile ranks over ties are
+    partition-order-dependent; the gated user_spend_quartiles already
+    pins the ntile path) into a 3-digit segment code.  Day arithmetic
+    floors the epoch (``floor(epoch) DIV 86400`` — Spark's BIGINT cast
+    truncates where DuckDB's rounds, the events_trailing_hour_counts
+    lesson).  Plan: ONE shuffle on user_id for the per-user agg; the
+    scalar anchor broadcasts back (q22 recipe); buckets are codegen'd
+    CASE arms."""
+    ev = _t(spark, sf, "events")
+    # parquet ts is TIMESTAMP_NTZ: ntz→ltz→double is the repo's naive-epoch
+    # recipe (matches DuckDB epoch(); unix_timestamp() shifts by session tz)
+    day = F.expr(
+        "CAST(CAST(CAST(ts AS timestamp_ltz) AS double) AS long) DIV 86400"
+    )
+    anchor = ev.agg(F.max(day).alias("anchor_day"))
+    cents = (_money("value") * F.lit(100).cast("decimal(18,0)")).cast("long")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"), cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+    j = pu.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", (F.col("anchor_day") - F.col("last_day")).cast("long")
+    )
+    r_s = (
+        F.when(F.col("recency_days") <= 1, 3)
+        .when(F.col("recency_days") <= 4, 2)
+        .otherwise(1)
+    )
+    f_s = (
+        F.when(F.col("frequency") >= 15, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+    )
+    m_s = (
+        F.when(F.col("monetary_cents") >= 80000, 3)
+        .when(F.col("monetary_cents") >= 30000, 2)
+        .otherwise(1)
+    )
+    return j.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.cast("long").alias("r_score"),
+        f_s.cast("long").alias("f_score"),
+        m_s.cast("long").alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).cast("long").alias("segment"),
+    )
+
+
+_EVENTS_RFM_SQL = """
+WITH anchor AS (
+  SELECT max(epoch_us(ts) // 86400000000) AS anchor_day
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         max(epoch_us(ts) // 86400000000) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(30,4))
+              * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT user_id, CAST(anchor_day - last_day AS BIGINT) AS recency_days,
+         frequency, monetary_cents
+  FROM pu, anchor
+),
+sc AS (
+  SELECT *,
+    CASE WHEN recency_days <= 1 THEN 3 WHEN recency_days <= 4 THEN 2
+         ELSE 1 END AS r_score,
+    CASE WHEN frequency >= 15 THEN 3 WHEN frequency >= 8 THEN 2
+         ELSE 1 END AS f_score,
+    CASE WHEN monetary_cents >= 80000 THEN 3 WHEN monetary_cents >= 30000
+         THEN 2 ELSE 1 END AS m_score
+  FROM j
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+FROM sc
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -11318,6 +11581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q20_volume_suppliers": _q20_volume_suppliers,
         "q21_waiting_orders": _q21_waiting_orders,
+        "kg_edge_support": _kg_edge_support,
+        "kg_degree_assortativity": _kg_degree_assortativity,
+        "events_rfm_segments": _events_rfm_segments,
         "corpus_dataset_card": _corpus_dataset_card,
         "user_spend_quartiles": _user_spend_quartiles,
         "events_rollup": _events_rollup,
@@ -11525,6 +11791,9 @@ def oracle_sql() -> dict[str, str]:
         "q19_discounted_revenue": _Q19_SQL,
         "q20_volume_suppliers": _Q20_SQL,
         "q21_waiting_orders": _Q21_SQL,
+        "kg_edge_support": _KG_EDGE_SUPPORT_SQL,
+        "kg_degree_assortativity": _KG_DEGREE_ASSORTATIVITY_SQL,
+        "events_rfm_segments": _EVENTS_RFM_SQL,
         "corpus_dataset_card": _CORPUS_DATASET_CARD_SQL,
         "user_spend_quartiles": _USER_SPEND_QUARTILES_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
