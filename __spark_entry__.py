@@ -11547,6 +11547,493 @@ FROM sc
 """
 
 
+def _q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape — MIN-COST SUPPLIER per part (the testdata has no
+    partsupp table, so the offer list is derived from lineitem: unit
+    price = extendedprice·1e6 DIV quantity, integer-exact and identical
+    in both engines on positive operands).  The correlated
+    ``cost = min(cost per part)`` subquery is rewritten as ONE struct-min
+    aggregation ``min((unit_u, s_suppkey))`` — deterministic winner, ties
+    to the smallest suppkey — instead of a self-join against a min
+    subquery (half the shuffles).  Plan: supplier⋈nation⋈region is a
+    broadcast chain (dims), the part shortlist broadcasts into the
+    lineitem scan, ONE shuffle on partkey for the argmin, and the winner
+    row re-joins the broadcast dims for names/acctbal.  Money as integer
+    cents (rule 5/11)."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (_money("s_acctbal") * F.lit(100).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+    )
+    pf = p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")).select(
+        "p_partkey", "p_type"
+    )
+    offers = (
+        l.join(F.broadcast(pf), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS decimal(18,4)) * 1000000 AS BIGINT)"
+                " DIV CAST(l_quantity AS BIGINT)"
+            ).alias("unit_u"),
+            "s_suppkey",
+        )
+    )
+    win = offers.groupBy("p_partkey").agg(
+        F.min(F.struct(F.col("unit_u"), F.col("s_suppkey"))).alias("m")
+    )
+    return (
+        win.select(
+            "p_partkey",
+            F.col("m.unit_u").alias("min_unit_u"),
+            F.col("m.s_suppkey").alias("s_suppkey"),
+        )
+        .join(F.broadcast(sup), "s_suppkey")
+        .join(F.broadcast(pf), "p_partkey")
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_name",
+            "n_name",
+            F.expr("min_unit_u DIV 10000").cast("long").alias("min_unit_cents"),
+            "acctbal_cents",
+        )
+    )
+
+
+_Q2_SQL = """
+WITH sup AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name,
+         CAST(CAST(s.s_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+           AS acctbal_cents
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+pf AS (SELECT p_partkey, p_type FROM part
+       WHERE p_size <= 15 AND p_type = 'STANDARD'),
+offers AS (
+  SELECT l.l_partkey AS p_partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 1000000 AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_u,
+         l.l_suppkey AS s_suppkey
+  FROM lineitem l JOIN sup ON l.l_suppkey = sup.s_suppkey
+  JOIN pf ON l.l_partkey = pf.p_partkey
+),
+win AS (
+  SELECT p_partkey,
+         min((unit_u, s_suppkey))[1] AS min_unit_u,
+         min((unit_u, s_suppkey))[2] AS s_suppkey
+  FROM offers GROUP BY 1
+)
+SELECT w.p_partkey, pf.p_type, s.s_name, s.n_name,
+       CAST(w.min_unit_u // 10000 AS BIGINT) AS min_unit_cents,
+       s.acctbal_cents
+FROM win w JOIN sup s ON w.s_suppkey = s.s_suppkey
+JOIN pf ON w.p_partkey = pf.p_partkey
+"""
+
+
+def _q9_product_profit(spark, sf):
+    """TPC-H Q9 shape — product-line PROFIT per nation per order year.
+    No partsupp table in the testdata, so supply cost is the part's
+    retail price (deterministic, both twins): per-lineitem profit_mu =
+    extendedprice·(1−discount)·1e6 − retailprice·1e6·quantity, all exact
+    micro-units on the q14 decimal→BIGINT recipe.  Output stays in
+    micro-unit sums (NO division: profit can be negative per cell, and
+    DuckDB ``//`` floors while Spark ``DIV`` truncates — they diverge on
+    negatives, rule 5's sibling trap).  Plan: part shortlist and
+    supplier→nation are broadcasts into the lineitem scan; the one real
+    shuffle is the big⋈big join to orders on orderkey for the year, then
+    a map-side-combinable two-key agg.  Sums ride decimal(38,0) so a
+    100× corpus cannot silently wrap int64."""
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    pf = p.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey",
+        (_money("p_retailprice") * F.lit(1000000).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cost_u"),
+    )
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    rev_u = (
+        (_money("l_extendedprice") * (F.lit(1).cast(_DEC) - _money("l_discount")))
+        * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    li = (
+        l.join(F.broadcast(pf), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup), l.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "n_name",
+            (rev_u - F.col("cost_u") * F.col("l_quantity").cast("long")).alias(
+                "profit_u"
+            ),
+        )
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.col("profit_u").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("profit_mu"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+_Q9_SQL = """
+WITH pf AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 1000000 AS BIGINT)
+           AS cost_u
+  FROM part WHERE p_name LIKE '%widget%'
+),
+sup AS (
+  SELECT s.s_suppkey, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+li AS (
+  SELECT l.l_orderkey, sup.n_name,
+    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(30,8)) * 1000000 AS BIGINT)
+      - pf.cost_u * CAST(l_quantity AS BIGINT) AS profit_u
+  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+  JOIN sup ON l.l_suppkey = sup.s_suppkey
+)
+SELECT li.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(profit_u) AS BIGINT) AS profit_mu,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def _directed_fixture(spark, sf):
+    """Directed edge fixture for the dyad-census family (derived
+    arithmetically from the events row count like the other graph gates):
+    forward chain i→i+1 everywhere, the REVERSE edge i+1→i only when
+    i%3==0, a skip i→i+2 when i%5==0 and its reverse when i%15==0 — so
+    mutual, asymmetric, and crossing dyads all exist at any n."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    fwd = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    back = ids.filter((F.col("id") + 1 < n) & (F.col("id") % 3 == 0)).select(
+        (F.col("id") + 1).alias("src"), F.col("id").alias("dst")
+    )
+    skip = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 5 == 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    bskip = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 15 == 0)).select(
+        (F.col("id") + 2).alias("src"), F.col("id").alias("dst")
+    )
+    return fwd.union(back).union(skip).union(bskip)
+
+
+_DIRECTED_FIXTURE_CTES = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS n FROM events),
+dedges AS MATERIALIZED (
+  SELECT i AS src, i + 1 AS dst FROM ids, params WHERE i + 1 < n
+  UNION ALL
+  SELECT i + 1 AS src, i AS dst FROM ids, params WHERE i + 1 < n AND i % 3 = 0
+  UNION ALL
+  SELECT i AS src, i + 2 AS dst FROM ids, params WHERE i + 2 < n AND i % 5 = 0
+  UNION ALL
+  SELECT i + 2 AS src, i AS dst FROM ids, params WHERE i + 2 < n AND i % 15 = 0
+)
+"""
+
+
+def _kg_reciprocity(spark, sf):
+    """Per-node RECIPROCITY / dyad census over a directed relation graph —
+    the symmetry audit a KG runs on its predicates (is `partner_of`
+    actually mutual? is `cites` one-way?).  For every node: out-degree,
+    in-degree, how many of its out-edges are reciprocated (the reverse
+    edge exists), and the reciprocity share in ppm (integer DIV, rule 11;
+    denominator floored to 1 so sink nodes emit 0 rather than a division
+    error).  Spark: ONE self-join of the edge list against its transpose
+    on the full (src,dst) key to flag mutuals — at 100 TB this is an
+    equi-join on the edge key, shuffle-partitioned on (src,dst), no
+    enumeration beyond edge grain — then a two-sided union-agg so
+    out-degree, in-degree, and mutual counts land in a single
+    map-side-combinable groupBy."""
+    e = _directed_fixture(spark, sf)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_m"))
+    flagged = e.join(rev, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("_m", F.lit(0)).alias("mutual")
+    )
+    out_rows = flagged.select(
+        F.col("src").alias("node"),
+        F.lit(1).alias("o"),
+        F.lit(0).alias("i"),
+        F.col("mutual").alias("m"),
+    )
+    in_rows = flagged.select(
+        F.col("dst").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"), F.lit(0).alias("m")
+    )
+    return (
+        out_rows.union(in_rows)
+        .groupBy("node")
+        .agg(
+            F.sum("o").cast("long").alias("out_deg"),
+            F.sum("i").cast("long").alias("in_deg"),
+            F.sum("m").cast("long").alias("n_mutual"),
+        )
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "out_deg",
+            "in_deg",
+            "n_mutual",
+            F.expr(
+                "CAST(1000000 AS BIGINT) * n_mutual"
+                " DIV greatest(out_deg, CAST(1 AS BIGINT))"
+            ).alias("reciprocity_ppm"),
+        )
+    )
+
+
+_KG_RECIPROCITY_SQL = f"""
+WITH {_DIRECTED_FIXTURE_CTES.strip().rstrip(',')},
+flagged AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+  FROM dedges e LEFT JOIN dedges r ON r.src = e.dst AND r.dst = e.src
+),
+rows_u AS (
+  SELECT src AS node, 1 AS o, 0 AS i, mutual AS m FROM flagged
+  UNION ALL
+  SELECT dst AS node, 0 AS o, 1 AS i, 0 AS m FROM flagged
+),
+agg AS (
+  SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+         CAST(sum(i) AS BIGINT) AS in_deg,
+         CAST(sum(m) AS BIGINT) AS n_mutual
+  FROM rows_u GROUP BY 1
+)
+SELECT CAST(node AS BIGINT) AS node, out_deg, in_deg, n_mutual,
+       (1000000 * n_mutual) // greatest(out_deg, 1) AS reciprocity_ppm
+FROM agg
+"""
+
+
+def _kg_resource_allocation(spark, sf):
+    """RESOURCE-ALLOCATION link prediction (Zhou-Lü-Zhang) over the alias
+    graph: for every non-adjacent pair (u, v) at distance 2, score
+    Σ_{z ∈ Γ(u)∩Γ(v)} 1/deg(z) — common neighbors DISCOUNTED by how
+    promiscuous they are, the refinement over raw common-neighbor /
+    Jaccard counting (kg_link_prediction).  Rule-11 exact: each term is
+    ``1e6 DIV deg(z)`` (integer), summed — no float reciprocal.  Plan:
+    degrees are one map-side agg; the wedge enumeration joins the edge
+    list to itself on the MIDDLE node (the degree row rides that same
+    key, so no extra shuffle), candidate pairs drop adjacent pairs with
+    one anti-join on the edge key, and the final agg is
+    map-side-combinable on (u, v).  No all-pairs state anywhere."""
+    sym = _alias_graph(spark, sf).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg_z")
+    )
+    e1 = sym.select(F.col("dst").alias("z"), F.col("src").alias("u"))
+    e2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    wedges = (
+        e1.join(e2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .join(deg, "z")
+    )
+    adj = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    cand = wedges.join(adj, ["u", "v"], "left_anti")
+    return (
+        cand.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) DIV deg_z"))
+            .cast("long")
+            .alias("ra_ppm"),
+        )
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            "n_common",
+            "ra_ppm",
+        )
+    )
+
+
+_KG_RESOURCE_ALLOCATION_SQL = f"""
+WITH {_ALIAS_GRAPH_CTES.strip().rstrip(',')},
+deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg_z FROM sym GROUP BY 1),
+wedges AS (
+  SELECT e1.a AS u, e2.b AS v, e1.b AS z
+  FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+  WHERE e1.a < e2.b
+),
+cand AS (
+  SELECT w.u, w.v, w.z FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.a = w.u AND s.b = w.v)
+)
+SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(1000000 // d.deg_z) AS BIGINT) AS ra_ppm
+FROM cand c JOIN deg d ON d.z = c.z
+GROUP BY 1, 2
+"""
+
+
+def _events_sequence_ngrams(spark, sf):
+    """Per-session event-type TRIGRAM model — the sequence-pattern table a
+    behavioral pipeline mines before training sequence models: two lags
+    over the per-user time-ordered stream, global trigram counts, and the
+    conditional next-step share ``P(t3 | t1,t2)`` in ppm (integer DIV
+    against the prefix total).  The bigram→Markov query gates single-step
+    transitions; this pins the ORDER-2 composition and the
+    prefix-normalized join.  Plan: one window shuffle on user_id (both
+    lags ride the same sort), then two map-side-combinable aggs and a
+    broadcast-sized prefix join keyed on (t1, t2)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("t3"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.lag("event_type", 2).over(w).alias("t1"),
+        )
+        .filter(F.col("t1").isNotNull())
+    )
+    tri = seq.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    prefix = tri.groupBy("t1", "t2").agg(F.sum("n").cast("long").alias("prefix_n"))
+    return tri.join(prefix, ["t1", "t2"]).select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        "prefix_n",
+        F.expr("CAST(1000000 AS BIGINT) * n DIV prefix_n").alias("cond_ppm"),
+    )
+
+
+_EVENTS_SEQ_NGRAMS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+),
+prefix AS (
+  SELECT t1, t2, CAST(sum(n) AS BIGINT) AS prefix_n FROM tri GROUP BY 1, 2
+)
+SELECT t.t1, t.t2, t.t3, t.n, p.prefix_n,
+       (1000000 * t.n) // p.prefix_n AS cond_ppm
+FROM tri t JOIN prefix p ON p.t1 = t.t1 AND p.t2 = t.t2
+"""
+
+
+def _events_anomaly_zscore(spark, sf):
+    """Per-user z-score ANOMALY counts — outlier detection without a
+    single float: the flag ``|x − μ| > 2σ`` is rewritten integer-exact
+    (rule 11) as ``(n·x − S)² > 4·(n·Q − S²)`` on value micro-units
+    (x = value·1e4, S = Σx, Q = Σx²), which is the σ-inequality with both
+    sides multiplied through by n² — no mean, no sqrt, no rounding
+    boundary.  Products ride decimal(38,0) (Spark) / HUGEINT (DuckDB) so
+    a 100× fan-in cannot silently wrap int64 and diverge (the
+    embedding-cosine recipe, rule 14).  Plan: per-user stats are one
+    map-side-combinable agg; the stats row joins back to the stream on
+    user_id (same hash partitioning both sides, AQE-coalesced) and the
+    anomaly roll-up is a second combine-friendly agg.  Users with n < 2
+    report zero anomalies (σ undefined)."""
+    v_u = (
+        (F.col("value").cast(_DEC) * F.lit(10000).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("v_u")
+    )
+    ev = _t(spark, sf, "events").select("user_id", "event_id", v_u)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(d38(F.col("v_u"))).alias("s_sum"),
+        F.sum(d38(F.col("v_u")) * d38(F.col("v_u"))).alias("q_sum"),
+    )
+    j = ev.join(stats, "user_id")
+    n38 = d38(F.col("n_events"))
+    dev = n38 * d38(F.col("v_u")) - F.col("s_sum")
+    var_n2 = n38 * F.col("q_sum") - F.col("s_sum") * F.col("s_sum")
+    anom = (F.col("n_events") >= 2) & (dev * dev > F.lit(4).cast("decimal(38,0)") * var_n2)
+    return j.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.sum(F.when(anom, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+        F.min(F.when(anom, F.col("event_id"))).cast("long").alias("first_anom_event"),
+        F.max(F.when(anom, F.col("event_id"))).cast("long").alias("last_anom_event"),
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(30,4))
+              * 10000 AS BIGINT) AS v_u
+  FROM events
+),
+stats AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(v_u AS HUGEINT)) AS s_sum,
+         sum(CAST(v_u AS HUGEINT) * CAST(v_u AS HUGEINT)) AS q_sum
+  FROM ev GROUP BY 1
+),
+j AS (
+  SELECT e.user_id, e.event_id, s.n_events,
+         CASE WHEN s.n_events >= 2 AND
+           (CAST(s.n_events AS HUGEINT) * e.v_u - s.s_sum)
+             * (CAST(s.n_events AS HUGEINT) * e.v_u - s.s_sum)
+           > 4 * (CAST(s.n_events AS HUGEINT) * s.q_sum - s.s_sum * s.s_sum)
+         THEN 1 ELSE 0 END AS anom
+  FROM ev e JOIN stats s ON s.user_id = e.user_id
+)
+SELECT user_id, max(n_events) AS n_events,
+       CAST(sum(anom) AS BIGINT) AS n_anomalies,
+       CAST(min(CASE WHEN anom = 1 THEN event_id END) AS BIGINT)
+         AS first_anom_event,
+       CAST(max(CASE WHEN anom = 1 THEN event_id END) AS BIGINT)
+         AS last_anom_event
+FROM j GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -11745,6 +12232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_mutual": _knn_graph,
         "bm25_doc_ranking": _bm25_ranking,
         "orc_roundtrip_stats": _orc_roundtrip,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_product_profit": _q9_product_profit,
+        "kg_reciprocity": _kg_reciprocity,
+        "kg_resource_allocation": _kg_resource_allocation,
+        "events_sequence_ngrams": _events_sequence_ngrams,
+        "events_anomaly_zscore": _events_anomaly_zscore,
     }
 
 
@@ -11966,4 +12459,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_mutual": _knn_graph_sql(),
         "bm25_doc_ranking": _bm25_sql(),
         "orc_roundtrip_stats": _ORC_ROUNDTRIP_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "kg_reciprocity": _KG_RECIPROCITY_SQL,
+        "kg_resource_allocation": _KG_RESOURCE_ALLOCATION_SQL,
+        "events_sequence_ngrams": _EVENTS_SEQ_NGRAMS_SQL,
+        "events_anomaly_zscore": _EVENTS_ANOMALY_SQL,
     }
