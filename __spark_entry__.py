@@ -11732,6 +11732,115 @@ GROUP BY 1, 2
 """
 
 
+def _kg_betweenness_ppm(spark, sf):
+    """Bounded-hop BETWEENNESS centrality (ppm) of the 32-column grid
+    fixture, seeds every 4th row/column — the σ-RATIO centrality proper,
+    completing the suite next to stress (kg_stress_centrality) and
+    harmonic (kg_harmonic_centrality): Brandes' per-pair fraction
+    σ_sv·σ_vt / σ_st is evaluated as ONE integer truncation
+    ``(1e6·σ_sv·σ_vt) DIV σ_st`` per mediated seed pair (rule 11 — the
+    seed-pair table carries σ_st, diagonal grid pairs reach σ_st = C(8,4)
+    = 70 so the division path is live, not σ=1 degenerate).
+    ``operators/graph.py:betweenness_ppm_df`` (one σ-BFS + broadcast pair
+    table + map-side-combinable agg); twin
+    ``oracle/graph.py:betweenness_sql``."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        betweenness_ppm_df,
+    )
+
+    sym, ng = _grid_graph(spark, sf)
+    seeds = spark.range(ng).filter(
+        (F.expr("id DIV 32") % 4 == 0) & ((F.col("id") % 32) % 4 == 0)
+    ).select(F.col("id").alias("node"))
+    return betweenness_ppm_df(sym, seeds, max_hops=8)
+
+
+def _kg_betweenness_ppm_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import betweenness_sql
+
+    return betweenness_sql(_GRID_GRAPH_CTES, max_hops=8)
+
+
+MSF_ROUNDS = 4  # blocks of 8 → components halve 8→4→2→1: 3 live rounds at
+# ANY n, the 4th a no-op guard (asserted by tests/test_session8_ops.py)
+MSF_DOUBLINGS = 3  # merge trees within an 8-node block have depth ≤ 8 ≤ 2^3
+
+
+def _msf_graph(spark, sf):
+    """Weighted block fixture for the spanning-forest gate (derived
+    arithmetically from the events row count): disjoint 8-node blocks at
+    every b = 8m (only FULL blocks — leftover tail nodes are isolated and
+    edgeless), intra-block path edges (even hashed weights) plus three
+    skip edges (odd hashed weights).  Weights are INJECTIVE — (i·k) mod
+    2^31 with odd k is a bijection, then ×2 / ×2+1 split the families —
+    so the MSF is unique and Borůvka is deterministic.  Block-local
+    structure keeps the Borůvka round count CONSTANT in n (3 + guard), so
+    one static SQL unroll is exact at every scale factor."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    blk = F.expr(f"(id DIV 8) * 8 + 7 < {n}")
+    wbase = (F.col("id") * F.lit(2654435761)) % F.lit(2147483648)
+    path = ids.filter(blk & (F.col("id") % 8 != 7)).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        (wbase * 2).alias("w"),
+    )
+    skip = ids.filter(blk & (F.col("id") % 8).isin(0, 2, 4)).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 2).alias("dst"),
+        (wbase * 2 + 1).alias("w"),
+    )
+    return path.union(skip)
+
+
+_MSF_GRAPH_CTES = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS n FROM events),
+gnodes AS (SELECT i AS node FROM ids, params WHERE (i // 8) * 8 + 7 < n),
+gedges AS MATERIALIZED (
+  SELECT i AS u, i + 1 AS v, ((i * 2654435761) % 2147483648) * 2 AS w
+  FROM ids, params WHERE (i // 8) * 8 + 7 < n AND i % 8 <> 7
+  UNION ALL
+  SELECT i AS u, i + 2 AS v, ((i * 2654435761) % 2147483648) * 2 + 1 AS w
+  FROM ids, params WHERE (i // 8) * 8 + 7 < n AND i % 8 IN (0, 2, 4)
+)
+"""
+
+
+def _kg_min_spanning_forest(spark, sf):
+    """Minimum spanning FOREST via distributed Borůvka over the weighted
+    block fixture — the backbone-thinning pass a weighted similarity/alias
+    graph runs before serving (keep the cheapest tree per component, drop
+    redundant edges).  Distinct hashed weights make the MSF unique; the
+    operator (``operators/graph.py:boruvka_msf``) runs the classic
+    log-round loop — per-component struct-min pick, 2-cycle break toward
+    the smaller id, bounded pointer doubling, relabel — each level
+    localCheckpoint-ed (rule 23) and LOUDLY failing if not converged in
+    MSF_ROUNDS.  The DuckDB twin (``oracle/graph.py:boruvka_sql``)
+    replays the identical rounds unrolled; block-local structure pins the
+    round count at 3 + guard for ANY n, so the static unroll is exact at
+    every scale factor.  Output: forest edges (u, v, w) + final component
+    label — per 8-node block exactly 7 edges."""
+    from bert_namedentityrecognition_spark.operators.graph import boruvka_msf
+
+    edges = _msf_graph(spark, sf)
+    out = boruvka_msf(edges, max_rounds=MSF_ROUNDS, doublings=MSF_DOUBLINGS)
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("w").cast("long").alias("w"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _kg_min_spanning_forest_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import boruvka_sql
+
+    return boruvka_sql(
+        _MSF_GRAPH_CTES, rounds=MSF_ROUNDS, doublings=MSF_DOUBLINGS
+    )
+
+
 def _directed_fixture(spark, sf):
     """Directed edge fixture for the dyad-census family (derived
     arithmetically from the events row count like the other graph gates):
@@ -12236,6 +12345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "kg_reciprocity": _kg_reciprocity,
         "kg_resource_allocation": _kg_resource_allocation,
+        "kg_betweenness_ppm": _kg_betweenness_ppm,
+        "kg_min_spanning_forest": _kg_min_spanning_forest,
         "events_sequence_ngrams": _events_sequence_ngrams,
         "events_anomaly_zscore": _events_anomaly_zscore,
     }
@@ -12463,6 +12574,8 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": _Q9_SQL,
         "kg_reciprocity": _KG_RECIPROCITY_SQL,
         "kg_resource_allocation": _KG_RESOURCE_ALLOCATION_SQL,
+        "kg_betweenness_ppm": _kg_betweenness_ppm_sql(),
+        "kg_min_spanning_forest": _kg_min_spanning_forest_sql(),
         "events_sequence_ngrams": _EVENTS_SEQ_NGRAMS_SQL,
         "events_anomaly_zscore": _EVENTS_ANOMALY_SQL,
     }

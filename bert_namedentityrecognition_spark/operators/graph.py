@@ -1462,3 +1462,227 @@ def eccentricity_bounded_df(
         F.count(F.lit(1)).cast("long").alias("n_reached"),
         F.sum("sigma").cast("long").alias("sum_sigma"),
     )
+
+
+def betweenness_ppm_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """``(node, betweenness_ppm, n_pairs)``: bounded-hop BETWEENNESS
+    restricted to seed pairs — the σ-RATIO sibling of
+    :func:`stress_centrality_df`, with Brandes' fraction
+    ``σ_sv·σ_vt / σ_st`` made integer-exact (rule 11) as the per-pair
+    term ``(1e6·σ_sv·σ_vt) DIV σ_st`` (the seed-pair distance table
+    carries σ_st, so the division never leaves integer space and both
+    twins evaluate the identical truncation).
+
+    Scale shape is stress_centrality_df's: one σ-BFS on the (seed, node)
+    pair key, a broadcast seed-pair table (now with σ_st), two joins
+    re-keyed on the interior node, one map-side-combinable agg.  Exact
+    twin: ``oracle.graph.betweenness_sql`` / ``betweenness_ppm``."""
+    sig = seeded_sigma_df(edges, seeds, max_hops, src=src, dst=dst, node=node)
+    sig = sig.localCheckpoint(eager=True)  # reused 3x below (rule 23)
+    seeds_l = seeds.select(F.col(node).cast("long").alias("t_node")).distinct()
+    dd = (
+        sig.join(F.broadcast(seeds_l), sig.node == F.col("t_node"))
+        .filter((F.col("seed") < F.col("t_node")) & (F.col("dist") > 0))
+        .select(
+            F.col("seed").alias("s"),
+            F.col("t_node").alias("t"),
+            F.col("dist").alias("d_st"),
+            F.col("sigma").alias("sig_st"),
+        )
+    )
+    left = sig.select(
+        F.col("seed").alias("s"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("d_sv"),
+        F.col("sigma").alias("sig_sv"),
+    )
+    right = sig.select(
+        F.col("seed").alias("t"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("d_tv"),
+        F.col("sigma").alias("sig_tv"),
+    )
+    j = (
+        F.broadcast(dd)
+        .join(left, "s")
+        .join(right, ["t", "v"])
+        .filter(
+            (F.col("d_sv") + F.col("d_tv") == F.col("d_st"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+    )
+    return j.groupBy(F.col("v").alias("node")).agg(
+        F.sum(
+            F.expr("CAST(1000000 AS BIGINT) * sig_sv * sig_tv DIV sig_st")
+        )
+        .cast("long")
+        .alias("betweenness_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    max_rounds: int = 4,
+    doublings: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Minimum spanning FOREST via distributed Borůvka — the classic
+    O(log n)-round MSF algorithm (every component picks its cheapest
+    outgoing edge each round, components merge along the picks), the
+    backbone-extraction pass a weighted KG runs to thin redundant alias /
+    similarity edges before serving.  REQUIRES DISTINCT edge weights
+    (distinctness makes the MSF unique and every round deterministic —
+    the caller fixtures hash weights injectively; with ties the picks
+    would be order-dependent).
+
+    Per round, all at edge/component grain (never all-pairs):
+    1. label both edge endpoints with their component (two joins keyed on
+       node — at 10^12 nodes these ride the same hash partitioning as the
+       assignment table), drop intra-component edges;
+    2. per-component argmin pick: one struct-min agg
+       ``min((w, lu, lv, partner))`` — map-side combinable;
+    3. the picks' partner pointers form a functional graph whose every
+       merge group contains exactly ONE 2-cycle (the group's globally
+       cheapest edge is picked from both sides — distinct weights);
+       break it toward the smaller component id, then POINTER-DOUBLE
+       ``doublings`` times so every component reaches its merge root
+       (covers merge trees up to depth 2^doublings);
+    4. relabel the assignment through the (component-grain) root map.
+
+    Each level is ``localCheckpoint``-ed (rule 23).  Fails LOUDLY if
+    cross-component edges remain after ``max_rounds`` — a silent early
+    exit would return a partial forest that still looks plausible.
+    Exact twins: ``oracle.graph.boruvka_msf_kernel`` (plain Python) and
+    ``oracle.graph.boruvka_sql`` (unrolled DuckDB rounds).
+
+    Returns forest edges ``(u, v, w, component)`` with u < v and
+    ``component`` the final merge-root label of the containing tree."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    comp = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    picked = []
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        cand = (
+            e.join(cu, "u")
+            .join(cv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .select(
+                "cu",
+                "cv",
+                "w",
+                F.least("u", "v").alias("lu"),
+                F.greatest("u", "v").alias("lv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if cand.isEmpty():
+            break
+        oriented = cand.unionByName(
+            cand.select(
+                F.col("cv").alias("cu"),
+                F.col("cu").alias("cv"),
+                "w",
+                "lu",
+                "lv",
+            )
+        )
+        ch = (
+            oriented.groupBy("cu")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("w"), F.col("lu"), F.col("lv"), F.col("cv")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("cu").alias("c"),
+                F.col("m.w").alias("w"),
+                F.col("m.lu").alias("lu"),
+                F.col("m.lv").alias("lv"),
+                F.col("m.cv").alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picked.append(ch.select("w", "lu", "lv").distinct())
+        p0 = ch.select("c", "p")
+        pp = p0.alias("x").join(
+            p0.alias("y"), F.col("x.p") == F.col("y.c")
+        ).select(
+            F.col("x.c").alias("c"),
+            F.when(
+                (F.col("y.p") == F.col("x.c")) & (F.col("x.c") < F.col("x.p")),
+                F.col("x.c"),
+            )
+            .otherwise(F.col("x.p"))
+            .alias("p"),
+        )
+        pd = pp.localCheckpoint(eager=True)
+        for _k in range(doublings):
+            pd = (
+                pd.alias("x")
+                .join(pd.alias("y"), F.col("x.p") == F.col("y.c"), "left")
+                .select(
+                    F.col("x.c").alias("c"),
+                    F.coalesce(F.col("y.p"), F.col("x.p")).alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        comp = (
+            comp.join(pd, comp.comp == pd.c, "left")
+            .select(
+                "node", F.coalesce(F.col("p"), F.col("comp")).alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        leftover = (
+            e.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        )
+        if not leftover.isEmpty():
+            raise RuntimeError(
+                f"boruvka_msf: cross-component edges remain after "
+                f"{max_rounds} rounds — raise max_rounds (components "
+                f"halve per round, so log2(max component size) rounds "
+                f"suffice)"
+            )
+    if not picked:  # edgeless input: an empty forest, not a crash
+        return e.select(
+            F.col("u"), F.col("v"), F.col("w"), F.col("u").alias("component")
+        ).limit(0)
+    forest = picked[0]
+    for d in picked[1:]:
+        forest = forest.unionByName(d)
+    return forest.join(
+        comp.select(F.col("node").alias("lu"), F.col("comp").alias("component")),
+        "lu",
+    ).select(
+        F.col("lu").alias("u"),
+        F.col("lv").alias("v"),
+        "w",
+        "component",
+    )

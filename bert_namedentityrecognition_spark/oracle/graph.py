@@ -1414,3 +1414,182 @@ def eccentricity_sql(graph_ctes: str, max_hops: int) -> str:
         f"FROM s{max_hops} GROUP BY seed"
     )
     return "\n".join(parts)
+
+
+def betweenness_ppm(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int,
+) -> Dict[int, Tuple[int, int]]:
+    """Bounded-hop BETWEENNESS (ppm) restricted to seed pairs — the
+    σ-ratio sibling of :func:`stress_centrality`: for every seed pair
+    ``s < t`` within ``max_hops`` and interior node v on a shortest s-t
+    route, accumulate ``(1e6·σ_sv·σ_tv) // σ_st`` — Brandes' fraction as
+    one integer truncation per pair (rule 11; both twins evaluate the
+    identical DIV, so no float σ-ratio ever exists).  Returns
+    ``{v: (betweenness_ppm, n_pairs)}``."""
+    seed_list = sorted({int(s) for s in seeds})
+    per = {s: bfs_path_counts(edges, [s], max_hops) for s in seed_list}
+    bet: Dict[int, int] = defaultdict(int)
+    npairs: Dict[int, int] = defaultdict(int)
+    for i, s in enumerate(seed_list):
+        tbl_s = per[s]
+        for t in seed_list[i + 1 :]:
+            if t not in tbl_s or tbl_s[t][0] == 0:
+                continue
+            d_st, sig_st = tbl_s[t]
+            tbl_t = per[t]
+            for v, (d_sv, sig_sv) in tbl_s.items():
+                if v == s or v == t or v not in tbl_t:
+                    continue
+                d_tv, sig_tv = tbl_t[v]
+                if d_sv + d_tv == d_st:
+                    bet[v] += (1000000 * sig_sv * sig_tv) // sig_st
+                    npairs[v] += 1
+    return {v: (bet[v], npairs[v]) for v in bet}
+
+
+def betweenness_sql(graph_ctes: str, max_hops: int) -> str:
+    """Unrolled DuckDB twin of :func:`betweenness_ppm` — :func:`stress_sql`
+    with σ_st carried on the seed-pair table and the per-pair
+    ``(1e6·σ_sv·σ_tv) // σ_st`` truncation inside the SUM."""
+    h = max_hops
+    parts = _seeded_sigma_parts(graph_ctes, h)
+    parts.append(
+        f"dd AS MATERIALIZED (SELECT g.seed AS s, g.node AS t, "
+        f"g.dist AS d_st, g.sig AS sig_st "
+        f"FROM s{h} g JOIN seeds sd ON g.node = sd.node "
+        f"WHERE g.seed < g.node AND g.dist > 0)"
+    )
+    parts.append(
+        f"SELECT CAST(l.node AS BIGINT) AS node, "
+        f"CAST(SUM((1000000 * l.sig * r.sig) // dd.sig_st) AS BIGINT) "
+        f"AS betweenness_ppm, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        f"FROM dd JOIN s{h} l ON l.seed = dd.s "
+        f"JOIN s{h} r ON r.seed = dd.t AND r.node = l.node "
+        f"WHERE l.dist + r.dist = dd.d_st AND l.node <> dd.s AND l.node <> dd.t "
+        f"GROUP BY 1"
+    )
+    return "\n".join(parts)
+
+
+def boruvka_msf_kernel(
+    edges: Iterable[Tuple[int, int, int]],
+    max_rounds: int = 4,
+    doublings: int = 3,
+) -> Tuple[Dict[Tuple[int, int], int], Dict[int, int]]:
+    """Plain-Python replay of ``operators.graph.boruvka_msf`` — SAME
+    rounds, SAME argmin struct ordering ``(w, lu, lv, partner)``, SAME
+    2-cycle break toward the smaller component id, SAME bounded pointer
+    doubling.  Edge weights must be distinct.  Returns
+    ``({(u, v): w} forest, {node: component})``.  Raises if
+    cross-component edges remain after ``max_rounds`` (the operator's
+    loud-failure contract — silent partial forests are the bug class
+    this kernel exists to catch)."""
+    e = [(int(u), int(v), int(w)) for u, v, w in edges]
+    ws = [w for _, _, w in e]
+    if len(ws) != len(set(ws)):
+        raise ValueError("boruvka_msf_kernel: weights must be distinct")
+    comp = {}
+    for u, v, _ in e:
+        comp[u] = u
+        comp[v] = v
+    forest: Dict[Tuple[int, int], int] = {}
+    for _ in range(max_rounds):
+        best: Dict[int, Tuple[int, int, int, int]] = {}
+        for u, v, w in e:
+            cu, cv = comp[u], comp[v]
+            if cu == cv:
+                continue
+            lu, lv = (u, v) if u < v else (v, u)
+            for a, b in ((cu, cv), (cv, cu)):
+                cand = (w, lu, lv, b)
+                if a not in best or cand < best[a]:
+                    best[a] = cand
+        if not best:
+            break
+        for w, lu, lv, _p in best.values():
+            forest[(lu, lv)] = w
+        p0 = {c: p for c, (_, _, _, p) in best.items()}
+        p1 = {
+            c: (c if p0.get(p0[c]) == c and c < p0[c] else p0[c]) for c in p0
+        }
+        for _k in range(doublings):
+            p1 = {c: p1.get(p1[c], p1[c]) for c in p1}
+        comp = {n: p1.get(c, c) for n, c in comp.items()}
+    else:
+        if any(comp[u] != comp[v] for u, v, _ in e):
+            raise RuntimeError(
+                "boruvka_msf_kernel: not converged in max_rounds"
+            )
+    return forest, comp
+
+
+def boruvka_sql(graph_ctes: str, rounds: int, doublings: int = 3) -> str:
+    """Unrolled DuckDB twin of :func:`boruvka_msf_kernel` /
+    ``operators.graph.boruvka_msf``.  ``graph_ctes`` must define
+    ``gedges(u, v, w)`` (distinct weights) and ``gnodes(node)``.  Per
+    round: component-labeled candidate edges, the struct-min pick per
+    component (``min((w, lu, lv, partner))``), the 2-cycle break toward
+    the smaller id, ``doublings`` pointer-doubling levels, relabel.
+    Every multiply-referenced level is MATERIALIZED (rule 30).  Empty
+    rounds degrade to no-ops (LEFT JOIN + COALESCE keeps labels), so a
+    fixed ``rounds`` unroll is exact for any graph that converges within
+    it — pick rounds ≥ log2(max component size)."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "c0 AS MATERIALIZED (SELECT node, node AS comp FROM gnodes),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"cand{r} AS MATERIALIZED ("
+            f"SELECT a.comp AS cu, b.comp AS cv, e.w, "
+            f"least(e.u, e.v) AS lu, greatest(e.u, e.v) AS lv "
+            f"FROM gedges e JOIN c{r} a ON a.node = e.u "
+            f"JOIN c{r} b ON b.node = e.v WHERE a.comp <> b.comp),"
+        )
+        parts.append(
+            f"orr{r} AS (SELECT cu, cv, w, lu, lv FROM cand{r} "
+            f"UNION ALL SELECT cv AS cu, cu AS cv, w, lu, lv FROM cand{r}),"
+        )
+        parts.append(
+            f"ch{r} AS MATERIALIZED ("
+            f"SELECT cu AS c, min((w, lu, lv, cv))[1] AS w, "
+            f"min((w, lu, lv, cv))[2] AS lu, min((w, lu, lv, cv))[3] AS lv, "
+            f"min((w, lu, lv, cv))[4] AS p FROM orr{r} GROUP BY 1),"
+        )
+        parts.append(
+            f"sel{r} AS (SELECT DISTINCT w, lu, lv FROM ch{r}),"
+        )
+        parts.append(
+            f"pb{r} AS MATERIALIZED ("
+            f"SELECT x.c, CASE WHEN y.p = x.c AND x.c < x.p THEN x.c "
+            f"ELSE x.p END AS p "
+            f"FROM ch{r} x JOIN ch{r} y ON y.c = x.p),"
+        )
+        prev = f"pb{r}"
+        for k in range(doublings):
+            parts.append(
+                f"pd{r}_{k} AS MATERIALIZED ("
+                f"SELECT x.c, COALESCE(y.p, x.p) AS p "
+                f"FROM {prev} x LEFT JOIN {prev} y ON y.c = x.p),"
+            )
+            prev = f"pd{r}_{k}"
+        parts.append(
+            f"c{r + 1} AS MATERIALIZED ("
+            f"SELECT c.node, COALESCE(m.p, c.comp) AS comp "
+            f"FROM c{r} c LEFT JOIN {prev} m ON m.c = c.comp),"
+        )
+    sel_union = " UNION ALL ".join(
+        f"SELECT w, lu, lv FROM sel{r}" for r in range(rounds)
+    )
+    parts.append(f"forest AS ({sel_union})")
+    parts.append(
+        f"SELECT CAST(f.lu AS BIGINT) AS u, CAST(f.lv AS BIGINT) AS v, "
+        f"CAST(f.w AS BIGINT) AS w, CAST(c.comp AS BIGINT) AS component "
+        f"FROM forest f JOIN c{rounds} c ON c.node = f.lu"
+    )
+    return "\n".join(parts)
