@@ -6485,6 +6485,85 @@ def _kg_harmonic_centrality_sql() -> str:
     return harmonic_sql(graph_ctes, max_hops=8)
 
 
+def _kg_closeness_profile(spark, sf):
+    """Bounded-hop CLOSENESS centrality profile of the hub shortlist
+    (seeds every 251st node) over the symmetrized alias graph — the
+    third centrality of the KG serving set next to PageRank and harmonic:
+    per seed the 8-hop reach count, the exact distance sum, and the
+    integer closeness ratio ``10^6 · n_reached DIV sum_dist`` (rule 11 —
+    closeness without a float boundary; unlike harmonic there is no
+    per-hop division so no lcm scale is needed, the ratio happens ONCE
+    at the end).  Same per-seed (seed, node) pair-key BFS as
+    ``kg_harmonic_centrality`` (``operators/graph.py:
+    closeness_profile_df``); twin ``oracle/graph.py:closeness_sql``.
+    The reference has no graph stage (``OICI_database.py:34-39``) —
+    SURVEY §2.12 KG-scale extension."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        closeness_profile_df,
+    )
+
+    sym = _alias_graph(spark, sf)
+    n = _t(spark, sf, "events").count()
+    seeds = spark.range(n).filter(F.col("id") % 251 == 0).select(
+        F.col("id").alias("node")
+    )
+    return closeness_profile_df(sym, seeds, max_hops=8)
+
+
+def _kg_closeness_profile_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import closeness_sql
+
+    graph_ctes = (
+        _ALIAS_GRAPH_CTES.rstrip().rstrip(",")
+        + ",\nseeds AS (SELECT i AS node FROM ids WHERE i % 251 = 0)"
+    )
+    return closeness_sql(graph_ctes, max_hops=8)
+
+
+def _kg_katz_centrality(spark, sf):
+    """Exact-integer bounded KATZ centrality over the DIRECTED chain+skip
+    citation graph (the ``kg_hits_scores`` fixture: chain i→i−1 plus
+    skip i→i−2 for i ≢ 0 mod 3, sf-scaled 1k/10k/100k nodes) —
+    the walk-attenuated influence score a KG ships when PageRank's
+    random-surfer model is wrong for the domain (Katz counts ALL walks,
+    damped by length, not just the stationary flow): attenuation
+    ``alpha = 1/2`` scaled by ``2^8`` so every term is a BIGINT
+    (rule 11).  Overflow bound carried from the operator docstring:
+    in-degree ≤ 2 ⇒ walk counts ≤ 2^k and katz_scaled ≤ 8·2^8 = 2048 —
+    independent of n, BIGINT-safe at any sf.  8 rounds = 8 shuffles on
+    the walk vector (one BIGINT per node, the ``pagerank_integer``
+    footprint); twin ``oracle/graph.py:katz_sql`` (unrolled w_k levels,
+    MATERIALIZED per rule 30).  SURVEY §2.12 KG-scale extension."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        katz_centrality_df,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 2).alias("dst")
+    )
+    nodes = ids.select(F.col("id").alias("node"))
+    return katz_centrality_df(chain.union(skip), nodes, rounds=8, base=2)
+
+
+def _kg_katz_centrality_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import katz_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+dedges AS MATERIALIZED (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0
+  UNION
+  SELECT i AS a, i - 2 AS b FROM ids WHERE i > 1 AND i % 3 <> 0
+)
+"""
+    return katz_sql(graph_ctes, rounds=8, base=2)
+
+
 def _kg_nearest_seed(spark, sf):
     """Graph VORONOI partition (``operators/graph.py:nearest_seed_df``)
     over the symmetrized alias graph: every node within 8 hops routed to
@@ -12293,6 +12372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency_export": _kg_adjacency_export,
         "kg_nearest_seed": _kg_nearest_seed,
         "kg_harmonic_centrality": _kg_harmonic_centrality,
+        "kg_closeness_profile": _kg_closeness_profile,
+        "kg_katz_centrality": _kg_katz_centrality,
         "kg_stress_centrality": _kg_stress_centrality,
         "kg_strongly_connected": _kg_strongly_connected,
         "kg_transitive_reduction": _kg_transitive_reduction,
@@ -12518,6 +12599,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency_export": _KG_ADJACENCY_EXPORT_SQL,
         "kg_nearest_seed": _kg_nearest_seed_sql(),
         "kg_harmonic_centrality": _kg_harmonic_centrality_sql(),
+        "kg_closeness_profile": _kg_closeness_profile_sql(),
+        "kg_katz_centrality": _kg_katz_centrality_sql(),
         "kg_stress_centrality": _kg_stress_centrality_sql(),
         "kg_strongly_connected": _kg_strongly_connected_sql(),
         "kg_transitive_reduction": _KG_TRANSITIVE_REDUCTION_SQL,

@@ -1686,3 +1686,126 @@ def boruvka_msf(
         "w",
         "component",
     )
+
+
+def closeness_profile_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """``(seed, n_reached, sum_dist, closeness_ppm)``: the bounded-hop
+    CLOSENESS profile of ``oracle.graph.closeness_profile`` — the same
+    per-seed (seed, node) pair-key BFS as :func:`harmonic_centrality_df`
+    (per level one frontier join + distinct + first-reach anti-join,
+    localCheckpoint per level — rule 23), aggregated to the exact integer
+    numerator/denominator of closeness centrality plus the ppm ratio
+    (``10^6 · n_reached DIV sum_dist`` — rule 11, no float boundary;
+    isolated seeds → (0, 0, 0)).  Scale shape: state is |seeds| × |cone|
+    pairs; at 100 TB the seed set is the serving shortlist, never the
+    whole node set."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node).cast("long").alias("seed"))
+        .distinct()
+        .select(
+            "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "node")
+    for k in range(1, max_hops + 1):
+        pushed = (
+            frontier.join(e, frontier.node == e.a)
+            .select("seed", F.col("b").alias("nnode"))
+            .distinct()
+        )
+        fresh = pushed.join(
+            dist,
+            (pushed.seed == dist.seed) & (pushed.nnode == dist.node),
+            "left_anti",
+        ).select(
+            "seed",
+            F.col("nnode").alias("node"),
+            F.lit(k).cast("long").alias("dist"),
+        )
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("dist") == k).select("seed", "node")
+    agg = dist.groupBy("seed").agg(
+        F.count(F.when(F.col("dist") > 0, 1)).cast("long").alias("n_reached"),
+        F.coalesce(
+            F.sum(F.when(F.col("dist") > 0, F.col("dist"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_dist"),
+    )
+    return agg.select(
+        F.col("seed").cast("long").alias("seed"),
+        "n_reached",
+        "sum_dist",
+        F.when(
+            F.col("sum_dist") > 0,
+            F.expr("CAST(1000000 AS BIGINT) * n_reached DIV sum_dist"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("closeness_ppm"),
+    )
+
+
+def katz_centrality_df(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 8,
+    base: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """``(node, katz_scaled)``: exact-integer bounded KATZ centrality of
+    ``oracle.graph.katz_int`` over DIRECTED edges — attenuation
+    ``alpha = 1/base`` scaled by ``base**rounds`` so every term is a
+    BIGINT (rule 11): walk-count vector ``w_k = A^T w_{k-1}`` (one join +
+    one map-side-combined sum per round, localCheckpoint per level — rule
+    23), score = ``Σ_{k=1..rounds} w_k · base**(rounds-k)``.  Nodes never
+    reached by any walk score 0 (left join from the node universe).
+    Scale shape: per round ONE shuffle on dst; state is one BIGINT per
+    node — the same footprint as :func:`pagerank_integer`."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    universe = nodes.select(F.col(node).cast("long").alias("node")).distinct()
+    w = universe.select("node", F.lit(1).cast("long").alias("w"))
+    contribs = None
+    for k in range(1, rounds + 1):
+        w = (
+            w.join(e, w.node == e.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("w").cast("long").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        lvl = w.select(
+            "node", (F.col("w") * F.lit(base ** (rounds - k))).alias("c")
+        )
+        contribs = lvl if contribs is None else contribs.unionByName(lvl)
+    scores = contribs.groupBy("node").agg(
+        F.sum("c").cast("long").alias("katz_scaled")
+    )
+    return universe.join(scores, "node", "left").select(
+        "node",
+        F.coalesce(F.col("katz_scaled"), F.lit(0)).cast("long").alias(
+            "katz_scaled"
+        ),
+    )

@@ -1593,3 +1593,144 @@ def boruvka_sql(graph_ctes: str, rounds: int, doublings: int = 3) -> str:
         f"FROM forest f JOIN c{rounds} c ON c.node = f.lu"
     )
     return "\n".join(parts)
+
+
+def closeness_profile(
+    edges: Iterable[Tuple[int, int]],
+    seeds: Iterable[int],
+    max_hops: int = 8,
+) -> Dict[int, Tuple[int, int]]:
+    """Bounded-hop CLOSENESS profile of each seed over DIRECTED
+    ``edges(a, b)``: ``{seed: (n_reached, sum_dist)}`` over the
+    ``max_hops`` cone (self excluded) — the raw integer numerator /
+    denominator of closeness centrality ``n_reached / sum_dist``, kept
+    as exact integers (rule 11) so the engines compare without a float
+    boundary; the ppm ratio is derived downstream as
+    ``10^6 · n_reached DIV sum_dist``.  Isolated seeds → (0, 0)."""
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+    out: Dict[int, Tuple[int, int]] = {}
+    for s in seeds:
+        dist = {int(s): 0}
+        frontier = {int(s)}
+        n_reached = 0
+        sum_dist = 0
+        for k in range(1, max_hops + 1):
+            nxt = {b for a in frontier for b in nbrs.get(a, ())} - dist.keys()
+            for b in nxt:
+                dist[b] = k
+                n_reached += 1
+                sum_dist += k
+            frontier = nxt
+            if not frontier:
+                break
+        out[int(s)] = (n_reached, sum_dist)
+    return out
+
+
+def closeness_sql(graph_ctes: str, max_hops: int = 8) -> str:
+    """Unrolled-level DuckDB twin of :func:`closeness_profile` — the same
+    per-seed (seed, node) pair-key BFS as :func:`harmonic_sql` (``d{k}``
+    MATERIALIZED per rule 30), final aggregate = reach count + distance
+    sum + the integer closeness ratio in ppm (0 for isolated seeds)."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "d0 AS MATERIALIZED (SELECT node AS seed, node, "
+        "CAST(0 AS BIGINT) AS dist FROM seeds),",
+        "f0 AS (SELECT seed, node FROM d0),",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"u{k} AS (SELECT DISTINCT f.seed, s.b AS node "
+            f"FROM f{k - 1} f JOIN sym s ON s.a = f.node),"
+        )
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT seed, node, dist FROM d{k - 1} "
+            f"UNION ALL SELECT u.seed, u.node, CAST({k} AS BIGINT) FROM u{k} u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM d{k - 1} x "
+            f"WHERE x.seed = u.seed AND x.node = u.node)),"
+        )
+        parts.append(
+            f"f{k} AS (SELECT seed, node FROM d{k} WHERE dist = {k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(seed AS BIGINT) AS seed,\n"
+        f"       CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT)"
+        f" AS n_reached,\n"
+        f"       CAST(coalesce(sum(CASE WHEN dist > 0 THEN dist END), 0)"
+        f" AS BIGINT) AS sum_dist,\n"
+        f"       CAST(CASE WHEN sum(CASE WHEN dist > 0 THEN dist END) > 0\n"
+        f"            THEN (1000000 * count(CASE WHEN dist > 0 THEN 1 END))\n"
+        f"                 // sum(CASE WHEN dist > 0 THEN dist END)\n"
+        f"            ELSE 0 END AS BIGINT) AS closeness_ppm\n"
+        f"FROM d{max_hops} GROUP BY seed"
+    )
+    return "\n".join(parts)
+
+
+def katz_int(
+    edges: Iterable[Tuple[int, int]],
+    n_nodes: int,
+    rounds: int = 8,
+    base: int = 2,
+) -> Dict[int, int]:
+    """Exact-integer bounded KATZ centrality over DIRECTED ``edges(a, b)``
+    with attenuation ``alpha = 1/base`` scaled by ``base**rounds`` so
+    every term is an integer (rule 11): ``w_0(v) = 1`` for all nodes,
+    ``w_k(v) = Σ_{(u,v)∈E} w_{k-1}(u)`` (walks of length k ending at v),
+    ``katz_scaled(v) = Σ_{k=1..rounds} w_k(v) · base**(rounds-k)``.
+    The un-scaled Katz ``Σ alpha^k w_k`` is this divided by
+    ``base**rounds`` — a monotone rescale that never reorders scores.
+    Overflow bound: ``w_k ≤ max_in_degree**k``; callers assert
+    ``(max_in_degree·base)**rounds`` fits BIGINT."""
+    nbrs: Dict[int, List[int]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+    w = {v: 1 for v in range(n_nodes)}
+    score = {v: 0 for v in range(n_nodes)}
+    for k in range(1, rounds + 1):
+        nw: Dict[int, int] = defaultdict(int)
+        for u, wt in w.items():
+            for b in nbrs.get(u, ()):
+                nw[b] += wt
+        w = dict(nw)
+        mult = base ** (rounds - k)
+        for v, wt in w.items():
+            score[v] += wt * mult
+    return score
+
+
+def katz_sql(graph_ctes: str, rounds: int = 8, base: int = 2) -> str:
+    """Unrolled DuckDB twin of :func:`katz_int`.  ``graph_ctes`` must
+    define ``ids(i)`` (the node universe) and ``dedges(a, b)`` (directed).
+    Each level's walk-count vector is one join + group-by, MATERIALIZED
+    per rule 30; the final select left-joins the node universe so
+    walk-unreached nodes score 0."""
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "w0 AS MATERIALIZED (SELECT i AS node, CAST(1 AS BIGINT) AS w FROM ids),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT d.b AS node, "
+            f"CAST(sum(x.w) AS BIGINT) AS w "
+            f"FROM w{k - 1} x JOIN dedges d ON d.a = x.node GROUP BY d.b),"
+        )
+    lvl_union = " UNION ALL ".join(
+        f"SELECT node, w * CAST({base ** (rounds - k)} AS BIGINT) AS c "
+        f"FROM w{k}"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(f"levels AS ({lvl_union})")
+    parts.append(
+        "SELECT CAST(ids.i AS BIGINT) AS node, "
+        "CAST(coalesce(sum(l.c), 0) AS BIGINT) AS katz_scaled "
+        "FROM ids LEFT JOIN levels l ON l.node = ids.i GROUP BY ids.i"
+    )
+    return "\n".join(parts)
