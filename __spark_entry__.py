@@ -98,11 +98,20 @@ def _money(col):
 
 
 def _doc_sentences(spark, sf_dir):
-    """documents as a one-sentence-per-doc corpus for the tagger."""
-    return _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.lit(0).alias("sent_id"),
-        F.col("text").alias("sent"),
+    """documents as a one-sentence-per-doc corpus for the tagger.
+
+    Null text is skipped at the source (the reference Dataset ABC's
+    NaN-skip, ``dataset/base.py``) — the DuckDB occurrence twin already
+    drops null docs (``replace(NULL, ..)`` predicates are never true),
+    and the Arrow tagger stage would raise on None."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(0).alias("sent_id"),
+            F.col("text").alias("sent"),
+        )
     )
 
 
@@ -12222,6 +12231,256 @@ FROM j GROUP BY 1
 """
 
 
+def _kg_characteristic_sets(spark, sf):
+    """RDF CHARACTERISTIC SETS over the doc->mention triple store — the
+    classic self-describing-schema statistic (Neumann & Moerkotte,
+    ICDE'11) an RDF planner computes for star joins: group subjects by
+    the exact SET of predicates they carry, and report per set the
+    subject count and total triple mass.  Subjects are docs, predicates
+    ``MENTIONS_<term>`` over the REAL tagger dataflow (Aho-Corasick
+    mentions, already hash-proven under kg_mentions) — pred sets
+    genuinely differ per doc, so the statistic is discriminative (the
+    drug->symptom store collapses to one universal set).  Spark: one agg
+    per subject (``collect_set`` + ``array_sort`` + ``array_join`` — the
+    sort makes the set string deterministic across partition orders, the
+    ``kg_adjacency_export`` rule), then one agg per set string; both
+    map-side-combinable.  DuckDB twin builds the same string via
+    ``string_agg(pred ORDER BY pred)`` over the occurrence table.
+    Beyond-reference (the reference emits one fixed relation,
+    ``ade_table/generate_table.py``) — SURVEY §2.12 KG-scale extension."""
+    m = _doc_mentions(spark, sf)
+    per = m.groupBy(F.col("url").alias("subj")).agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_set(F.concat(F.lit("MENTIONS_"), F.col("word")))
+            ),
+            "|",
+        ).alias("pred_set"),
+        F.size(F.collect_set("word")).cast("long").alias("n_preds"),
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+    )
+    return per.groupBy("pred_set").agg(
+        F.min("n_preds").alias("n_preds"),
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("n_triples").cast("long").alias("total_triples"),
+    )
+
+
+_KG_CHARACTERISTIC_SETS_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+cs AS (
+  SELECT doc_id,
+         string_agg('MENTIONS_' || term, '|' ORDER BY term) AS pred_set,
+         CAST(count(*) AS BIGINT) AS n_preds,
+         CAST(sum(n) AS BIGINT) AS n_triples
+  FROM occ GROUP BY doc_id
+)
+SELECT pred_set,
+       CAST(min(n_preds) AS BIGINT) AS n_preds,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(n_triples) AS BIGINT) AS total_triples
+FROM cs GROUP BY pred_set
+"""
+
+
+def _kg_rich_club(spark, sf):
+    """Integer-exact RICH-CLUB coefficient profile of the alias graph —
+    for each degree threshold k: how densely the hubs (deg > k)
+    interconnect, ``phi(k) = 2·E_k / (N_k·(N_k−1))`` scaled to ppm with
+    one trailing DIV (rule 11; the chain-of-40 fixture has degrees in
+    {1, 2, 3} so k = 0..3 covers the full spectrum and every branch is
+    live).  Spark: degree agg on the symmetrized edges, then the tiny
+    k-range (4 rows) is BROADCAST against degrees and against the
+    min-endpoint-degree edge stream — two map-side-combined aggs keyed
+    by k, no all-pairs anything; at 100 TB both scans are one pass over
+    the edge list.  Twin unrolls the same two aggs over
+    ``generate_series``."""
+    sym = _alias_graph(spark, sf)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    und = sym.filter(F.col("src") < F.col("dst"))
+    emin = (
+        und.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("dega")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("degb")),
+            "dst",
+        )
+        .select(F.least("dega", "degb").alias("mindeg"))
+    )
+    ks = spark.range(0, 4).select(F.col("id").alias("k"))
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    ek = (
+        emin.crossJoin(F.broadcast(ks))
+        .filter(F.col("mindeg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        ks.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        )
+        .withColumn(
+            "coeff_ppm",
+            F.expr(
+                "CASE WHEN n_nodes >= 2 THEN (2000000 * n_edges)"
+                " DIV (n_nodes * (n_nodes - 1)) ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+
+
+def _kg_rich_club_sql() -> str:
+    return f"""
+WITH {_ALIAS_GRAPH_CTES.rstrip()},
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+und AS (SELECT a, b FROM sym WHERE a < b),
+emin AS (
+  SELECT least(da.deg, db.deg) AS mindeg
+  FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node
+),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM generate_series(0, 3) t(k)),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM ks, deg WHERE deg > k GROUP BY k),
+ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+       FROM ks, emin WHERE mindeg > k GROUP BY k),
+base AS (
+  SELECT ks.k, coalesce(nk.n_nodes, 0) AS n_nodes,
+         coalesce(ek.n_edges, 0) AS n_edges
+  FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+)
+SELECT k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2 THEN (2000000 * n_edges) // (n_nodes * (n_nodes - 1))
+            ELSE CAST(0 AS BIGINT) END AS coeff_ppm
+FROM base
+"""
+
+
+def _stratified_sample(spark, sf):
+    """Deterministic HASH-STRATIFIED sampling of the corpus — the
+    reproducible per-language downsampling pass a training-data mixture
+    applies (sample by CONTENT hash so re-ingested duplicates make the
+    same keep/drop decision — the ``dataset_split_hash`` property, same
+    portable polynomial kernel with a distinct salt).  Per-stratum rate
+    is itself derived deterministically from the language string
+    (``100 + 100·(ascii(lang[0]) % 8)`` permille) so no config crosses
+    the engine boundary.  Output per lang: totals, kept count, realized
+    keep rate in ppm (one trailing DIV, rule 11) vs the target ppm.
+    One map + one map-side-combined agg — no shuffle beyond the
+    per-lang group."""
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+
+    d = _t(spark, sf, "documents")
+    rate = (
+        F.lit(100) + F.lit(100) * (F.ascii(F.substring("lang", 1, 1)) % 8)
+    ).cast("long")
+    h = poly_hash(F.concat(F.col("text"), F.lit("|strat"))) % 1000
+    kept = F.when(h < rate, F.lit(1)).otherwise(F.lit(0))
+    return (
+        d.select("lang", rate.alias("rate_permille"), kept.alias("kept"))
+        .groupBy("lang", "rate_permille")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .withColumn("kept_ppm", F.expr("(1000000 * n_kept) DIV n_total"))
+        .withColumn("target_ppm", F.expr("1000 * rate_permille"))
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT lang,
+    CAST(100 + 100 * (ascii(substring(lang, 1, 1)) % 8) AS BIGINT)
+      AS rate_permille,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all(text || '|strat', '.'),
+                       x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) AS BIGINT) % 1000 AS hp
+  FROM documents
+)
+SELECT lang, rate_permille,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN hp < rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       (1000000 * CAST(sum(CASE WHEN hp < rate_permille THEN 1 ELSE 0 END)
+                       AS BIGINT)) // CAST(count(*) AS BIGINT) AS kept_ppm,
+       1000 * rate_permille AS target_ppm
+FROM h GROUP BY lang, rate_permille
+"""
+
+
+def _feature_target_encoding(spark, sf):
+    """Smoothed TARGET ENCODING of a categorical feature — the classic
+    leakage-aware ML feature (category → shrunk mean of the target,
+    ``(cat_sum + m·global_mean) / (cat_n + m)``, m = 20) computed
+    entirely in integer micro-units so the smoothing ratio is exact in
+    both engines (rule 11): ``gmean_u = gsum DIV gcnt`` happens ONCE as
+    a derived scalar (rule 24 — the params-CTE pattern), then one DIV
+    per category.  Category = o_orderpriority, target = o_totalprice in
+    the q7 micro-unit encoding.  Spark: one map-side-combined agg per
+    category, a scalar roll-up of those ≤5 rows, broadcast back — no
+    second scan of orders.  Reported in cents (micro DIV 10⁴)."""
+    o = _t(spark, sf, "orders")
+    u = (
+        _money("o_totalprice") * F.lit(1000000).cast("decimal(18,0)")
+    ).cast("long")
+    per = (
+        o.select(F.col("o_orderpriority"), u.alias("u"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("u").cast("long").alias("catsum_u"),
+        )
+    )
+    g = per.agg(
+        F.sum("n_orders").cast("long").alias("gcnt"),
+        F.sum("catsum_u").cast("long").alias("gsum"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        "n_orders",
+        F.expr("catsum_u DIV 10000").alias("cat_cents"),
+        F.expr("(catsum_u DIV n_orders) DIV 10000").alias("raw_mean_cents"),
+        F.expr(
+            "((catsum_u + 20 * (gsum DIV gcnt)) DIV (n_orders + 20)) DIV 10000"
+        ).alias("enc_cents"),
+    )
+
+
+_FEATURE_TARGET_ENCODING_SQL = """
+WITH per AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+              AS DECIMAL(30,8)) * 1000000 AS BIGINT)) AS BIGINT) AS catsum_u
+  FROM orders GROUP BY 1
+),
+g AS (SELECT CAST(sum(n_orders) AS BIGINT) AS gcnt,
+             CAST(sum(catsum_u) AS BIGINT) AS gsum FROM per)
+SELECT o_orderpriority, n_orders,
+       catsum_u // 10000 AS cat_cents,
+       (catsum_u // n_orders) // 10000 AS raw_mean_cents,
+       ((catsum_u + 20 * (g.gsum // g.gcnt)) // (n_orders + 20)) // 10000
+         AS enc_cents
+FROM per, g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -12374,6 +12633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic_centrality": _kg_harmonic_centrality,
         "kg_closeness_profile": _kg_closeness_profile,
         "kg_katz_centrality": _kg_katz_centrality,
+        "kg_characteristic_sets": _kg_characteristic_sets,
+        "kg_rich_club": _kg_rich_club,
+        "stratified_sample": _stratified_sample,
+        "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
         "kg_strongly_connected": _kg_strongly_connected,
         "kg_transitive_reduction": _kg_transitive_reduction,
@@ -12601,6 +12864,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_harmonic_centrality": _kg_harmonic_centrality_sql(),
         "kg_closeness_profile": _kg_closeness_profile_sql(),
         "kg_katz_centrality": _kg_katz_centrality_sql(),
+        "kg_characteristic_sets": _KG_CHARACTERISTIC_SETS_SQL,
+        "kg_rich_club": _kg_rich_club_sql(),
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),
         "kg_strongly_connected": _kg_strongly_connected_sql(),
         "kg_transitive_reduction": _KG_TRANSITIVE_REDUCTION_SQL,
