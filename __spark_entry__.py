@@ -12481,6 +12481,494 @@ FROM per, g
 """
 
 
+
+
+def _kg_bipartite_projection(spark, sf):
+    """One-mode PROJECTION of the drug<->symptom bipartite co-doc graph
+    onto drugs — the classic bipartite network analysis (Newman 2001,
+    collaboration-network weighting): two drugs are linked iff they
+    share a co-mentioned symptom; edge weight = number of shared
+    symptoms, plus the neighbor-Jaccard in ppm (one trailing DIV,
+    rule 11).  Spark: distinct (drug, symptom) pairs from the REAL
+    tagger dataflow (hash-proven under kg_mentions), self-join on the
+    symptom key — at 100 TB the projection blowup is bounded by
+    per-symptom drug-degree squared, the same quantity the
+    dedup_ngram_jaccard blowup probe measures — then one agg per drug
+    pair; degrees BROADCAST back.  Beyond-reference
+    (``ade_table/generate_table.py`` emits only the bipartite relation)
+    — SURVEY §2.12 KG-scale extension."""
+    m = _doc_mentions(spark, sf)
+    base = m.filter(F.length(F.trim("word")) >= 2)
+    drugs = (
+        base.filter(F.col("type") == "drug")
+        .select("url", F.trim("word").alias("subj"))
+        .distinct()
+    )
+    syms = (
+        base.filter(F.col("type") == "symptom")
+        .select("url", F.trim("word").alias("obj"))
+        .distinct()
+    )
+    pos = drugs.join(syms, "url").select("subj", "obj").distinct()
+    deg = pos.groupBy("subj").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = pos.select(F.col("subj").alias("subj_a"), "obj")
+    b = pos.select(F.col("subj").alias("subj_b"), F.col("obj").alias("obj_b"))
+    pr = (
+        a.join(
+            b,
+            (F.col("obj") == F.col("obj_b")) & (F.col("subj_a") < F.col("subj_b")),
+        )
+        .groupBy("subj_a", "subj_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    da = deg.select(F.col("subj").alias("subj_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("subj").alias("subj_b"), F.col("deg").alias("deg_b"))
+    return (
+        pr.join(F.broadcast(da), "subj_a")
+        .join(F.broadcast(db), "subj_b")
+        .select(
+            "subj_a",
+            "subj_b",
+            "n_shared",
+            F.expr(
+                "(1000000 * n_shared) DIV (deg_a + deg_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+_KG_BIPARTITE_PROJECTION_SQL = f"""
+WITH occ AS ({_OCC_SQL}),
+drugs AS (SELECT DISTINCT doc_id, trim(term) AS subj FROM occ
+          WHERE kind = 'drug' AND length(trim(term)) >= 2),
+syms AS (SELECT DISTINCT doc_id, trim(term) AS obj FROM occ
+         WHERE kind = 'symptom' AND length(trim(term)) >= 2),
+pos AS MATERIALIZED (SELECT DISTINCT subj, obj FROM drugs JOIN syms USING (doc_id)),
+deg AS (SELECT subj, CAST(count(*) AS BIGINT) AS deg FROM pos GROUP BY subj),
+pr AS (
+  SELECT a.subj AS subj_a, b.subj AS subj_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM pos a JOIN pos b ON a.obj = b.obj AND a.subj < b.subj
+  GROUP BY 1, 2
+)
+SELECT pr.subj_a, pr.subj_b, pr.n_shared,
+       (1000000 * pr.n_shared) // (da.deg + db.deg - pr.n_shared) AS jaccard_ppm
+FROM pr JOIN deg da ON pr.subj_a = da.subj JOIN deg db ON pr.subj_b = db.subj
+"""
+
+
+def _kg_regular_path_query(spark, sf):
+    """Bounded REGULAR PATH QUERY (SPARQL property path / Cypher
+    relationship pattern) over an edge-LABELED view of the alias graph:
+    all pairs connected by a walk matching ``red . (green|blue){0,2} .
+    red``, where the label is a deterministic endpoint function
+    (``(a+b) % 3`` → red/green/blue).  The Kleene star is expanded as a
+    bounded union of join chains (path lengths 2..4) — the same
+    bounded-iteration contract as kg_rdfs_closure / kg_weighted_sssp —
+    then DISTINCT pairs, aggregated per source.  Spark: each hop is one
+    equi-join on node id (frontier-sized shuffles, never all-pairs);
+    the three chains share the two broadcast-small labeled edge frames.
+    Beyond-reference — SURVEY §2.12 KG-scale extension."""
+    sym = _alias_graph(spark, sf).localCheckpoint(eager=True)
+    lab = sym.select("src", "dst", ((F.col("src") + F.col("dst")) % 3).alias("l"))
+    r = lab.filter(F.col("l") == 0).select("src", "dst")
+    m = lab.filter(F.col("l") != 0).select("src", "dst")
+
+    def chain(*hops):
+        cur = hops[0].select(F.col("src").alias("s"), F.col("dst").alias("c0"))
+        for i, h in enumerate(hops[1:]):
+            nxt = h.select(F.col("src").alias(f"c{i}"), F.col("dst").alias(f"c{i+1}"))
+            cur = cur.join(nxt, f"c{i}").select("s", f"c{i+1}")
+        return cur.select("s", F.col(f"c{len(hops)-1}").alias("t"))
+
+    pairs = (
+        chain(r, r)
+        .unionAll(chain(r, m, r))
+        .unionAll(chain(r, m, m, r))
+        .distinct()
+    )
+    return pairs.groupBy(F.col("s").alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dst"),
+        F.min("t").cast("long").alias("min_dst"),
+        F.max("t").cast("long").alias("max_dst"),
+    )
+
+
+def _kg_regular_path_query_sql() -> str:
+    return f"""
+WITH {_ALIAS_GRAPH_CTES.rstrip()},
+lab AS MATERIALIZED (SELECT a, b, (a + b) % 3 AS l FROM sym),
+r AS MATERIALIZED (SELECT a, b FROM lab WHERE l = 0),
+m AS MATERIALIZED (SELECT a, b FROM lab WHERE l <> 0),
+p0 AS (SELECT r1.a AS s, r2.b AS t FROM r r1 JOIN r r2 ON r1.b = r2.a),
+p1 AS (SELECT r1.a AS s, r2.b AS t
+       FROM r r1 JOIN m m1 ON r1.b = m1.a JOIN r r2 ON m1.b = r2.a),
+p2 AS (SELECT r1.a AS s, r2.b AS t
+       FROM r r1 JOIN m m1 ON r1.b = m1.a JOIN m m2 ON m1.b = m2.a
+       JOIN r r2 ON m2.b = r2.a),
+u AS (SELECT DISTINCT s, t FROM
+      (SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+SELECT s AS src, CAST(count(*) AS BIGINT) AS n_dst,
+       CAST(min(t) AS BIGINT) AS min_dst, CAST(max(t) AS BIGINT) AS max_dst
+FROM u GROUP BY s
+"""
+
+
+def _heaps_law_curve(spark, sf):
+    """HEAPS'-LAW vocabulary-growth curve — distinct-token count vs
+    cumulative token mass at 10 deterministic checkpoints (doc_id
+    deciles), the curve a tokenizer-budget / vocab-size decision reads
+    (complement of corpus_zipf_ranks' frequency view).  Non-sequential
+    formulation: per token its FIRST doc id (one agg), then vocab at a
+    checkpoint = tokens with first_doc <= cut and mass = tokens in docs
+    <= cut — two broadcast-crossjoin aggs instead of an ordered scan, so
+    the 'cumulative' curve costs two map-side-combinable passes at any
+    scale.  Type-token ratio in ppm (rule 11)."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok")
+    ).filter(F.col("tok") != "")
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    cuts = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .select("k", F.expr("(k * max_id) DIV 10").alias("cut_id"))
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    vocab = (
+        first.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") <= F.col("cut_id"))
+        .groupBy("k", "cut_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    )
+    mass = (
+        toks.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cut_id"))
+        .groupBy("k", "cut_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    return vocab.join(mass, ["k", "cut_id"]).select(
+        "k",
+        "cut_id",
+        "n_tokens",
+        "n_vocab",
+        F.expr("(1000000 * n_vocab) DIV n_tokens").alias("ttr_ppm"),
+    )
+
+
+_HEAPS_LAW_CURVE_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+toks AS MATERIALIZED (
+  SELECT doc_id, t.tok
+  FROM d, unnest(string_split_regex(d.text, ' +')) AS t(tok)
+  WHERE t.tok <> ''
+),
+mx AS (SELECT max(doc_id) AS max_id FROM d),
+cuts AS (SELECT CAST(k AS BIGINT) AS k, (k * max_id) // 10 AS cut_id
+         FROM generate_series(1, 10) g(k), mx),
+firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+vocab AS (SELECT k, cut_id, CAST(count(*) AS BIGINT) AS n_vocab
+          FROM firsts, cuts WHERE first_doc <= cut_id GROUP BY k, cut_id),
+mass AS (SELECT k, cut_id, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM toks, cuts WHERE doc_id <= cut_id GROUP BY k, cut_id)
+SELECT v.k, v.cut_id, m.n_tokens, v.n_vocab,
+       (1000000 * v.n_vocab) // m.n_tokens AS ttr_ppm
+FROM vocab v JOIN mass m ON v.k = m.k AND v.cut_id = m.cut_id
+"""
+
+_D38 = "decimal(38,0)"
+
+
+def _lineitem_feature_corr(spark, sf):
+    """Exact-integer PEARSON correlation screen between two candidate ML
+    features (quantity, discount in basis points) per l_returnflag — the
+    redundant-feature check a feature store runs before training.  The
+    five moments are BIGINT-exact; r² lands in ppm via decimal(38,0)
+    intermediates and ONE floor division with a NONNEGATIVE numerator
+    (num is squared; its sign is a separate column), so both engines
+    agree bit-for-bit — Spark ``DIV`` on decimal(38,0) and DuckDB ``//``
+    on HUGEINT share floor semantics on nonnegative values (rule 11).
+    Overflow bound: 1e6·num² ≤ 1e6·varx·vary (Cauchy–Schwarz) needs
+    varx·vary < 1e32 — safe to per-group n ~ 2e6 (≈ sf3); zero-variance
+    groups report 0.  One
+    map-side-combined agg, no joins, no second scan."""
+    li = _t(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("long")
+    mom = (
+        li.select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    num = (
+        f"(CAST(n AS {_D38}) * CAST(sxy AS {_D38})"
+        f" - CAST(sx AS {_D38}) * CAST(sy AS {_D38}))"
+    )
+    varx = (
+        f"(CAST(n AS {_D38}) * CAST(sxx AS {_D38})"
+        f" - CAST(sx AS {_D38}) * CAST(sx AS {_D38}))"
+    )
+    vary = (
+        f"(CAST(n AS {_D38}) * CAST(syy AS {_D38})"
+        f" - CAST(sy AS {_D38}) * CAST(sy AS {_D38}))"
+    )
+    return mom.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.expr(f"CAST(sign({num}) AS BIGINT)").alias("sign_r"),
+        F.expr(
+            # the ONLY quotient is the final r2 (<= 1e6) — Spark DIV returns
+            # LONG, so any intermediate quotient must itself fit in int64
+            # (a (varx*vary) DIV 1e6 formulation overflows at sf0.1)
+            f"CASE WHEN {varx} * {vary} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((1000000 * {num} * {num}) DIV ({varx} * {vary}) AS BIGINT) END"
+        ).alias("r2_ppm"),
+    )
+
+
+_LINEITEM_FEATURE_CORR_SQL = """
+WITH mom AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+       CAST(sign(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) AS BIGINT) AS sign_r,
+       CASE WHEN (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(
+              (1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+               * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+              // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                 * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
+            AS BIGINT) END AS r2_ppm
+FROM mom
+"""
+
+
+def _events_conversion_chi2(spark, sf):
+    """A/B-test CONTINGENCY analysis in exact integers: users split into
+    two deterministic variants (``user_id % 2``), outcome = 'user has at
+    least 14 purchase events' (14 ≈ the per-user purchase mean in this
+    corpus, so the outcome varies at every SF); the 2x2 chi-square
+    statistic lands in ppm via decimal(38,0) intermediates and ONE floor
+    division on nonnegative values (the (ad−bc) term is squared; all
+    four margins guarded).  Spark: one per-user agg (map-side
+    combinable) + one 4-cell roll-up — at 100 TB a single pass over
+    events and a per-user shuffle.  Overflow bound: n·1e6·(ad−bc)² with
+    u users is < 1e38 for u up to ~1e7."""
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("np")
+    )
+    conv = per.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("np") >= 14, F.lit(1)).otherwise(F.lit(0)).alias("conv"),
+    )
+    cells = conv.groupBy().agg(
+        F.sum(F.expr("CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.expr("CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.expr("CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.expr("CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CASE WHEN a + b = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000000 * a) DIV (a + b) END"
+        ).alias("rate0_ppm"),
+        F.expr(
+            "CASE WHEN c + d = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000000 * c) DIV (c + d) END"
+        ).alias("rate1_ppm"),
+        F.expr(
+            f"CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((CAST(a + b + c + d AS {_D38}) * 1000000"
+            f" * (CAST(a AS {_D38}) * CAST(d AS {_D38}) - CAST(b AS {_D38}) * CAST(c AS {_D38}))"
+            f" * (CAST(a AS {_D38}) * CAST(d AS {_D38}) - CAST(b AS {_D38}) * CAST(c AS {_D38})))"
+            f" DIV (CAST(a + b AS {_D38}) * CAST(c + d AS {_D38})"
+            f" * CAST(a + c AS {_D38}) * CAST(b + d AS {_D38})) AS BIGINT) END"
+        ).alias("chi2_ppm"),
+    )
+
+
+_EVENTS_CONVERSION_CHI2_SQL = """
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv
+  FROM per
+),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM conv
+)
+SELECT a, b, c, d,
+       CASE WHEN a + b = 0 THEN CAST(0 AS BIGINT)
+            ELSE (1000000 * a) // (a + b) END AS rate0_ppm,
+       CASE WHEN c + d = 0 THEN CAST(0 AS BIGINT)
+            ELSE (1000000 * c) // (c + d) END AS rate1_ppm,
+       CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((CAST(a + b + c + d AS HUGEINT) * 1000000
+                  * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                  * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+                 // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+            AS BIGINT) END AS chi2_ppm
+FROM cells
+"""
+
+
+def _zonemap_skipping(spark, sf):
+    """ZONE-MAP data-skipping report — the lakehouse min/max statistics
+    pass (Parquet row-group / Delta file stats): bucket lineitem into
+    zones of 4096 order keys, compute per-zone min/max of ship date and
+    price, then for three representative predicates report how many
+    zones a stats-only planner PRUNES and how many rows that skips, vs
+    the true match counts.  This measures from the reader's side the
+    objective zorder_layout optimizes from the writer's side.  Spark:
+    one zone agg + one truth scan per predicate, all map-side-
+    combinable; the zone table is dimension-sized at any corpus scale
+    (n_rows / 4096 zones)."""
+    li = _t(spark, sf, "lineitem").select(
+        F.expr("l_orderkey DIV 4096").alias("zone"),
+        F.to_date("l_shipdate").alias("sd"),
+        (F.col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    zones = li.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("sd").alias("min_sd"),
+        F.max("sd").alias("max_sd"),
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
+    )
+    d98 = F.lit("1998-01-01").cast("date")
+    d94a = F.lit("1994-01-01").cast("date")
+    d94b = F.lit("1994-12-31").cast("date")
+    preds = [
+        ("date_ge", F.col("max_sd") < d98, F.col("sd") >= d98),
+        ("price_ge", F.col("max_c") < F.lit(9000000), F.col("cents") >= F.lit(9000000)),
+        (
+            "date_band",
+            (F.col("max_sd") < d94a) | (F.col("min_sd") > d94b),
+            (F.col("sd") >= d94a) & (F.col("sd") <= d94b),
+        ),
+    ]
+    outs = []
+    for name, prune_cond, row_cond in preds:
+        z = (
+            zones.agg(
+                F.count(F.lit(1)).cast("long").alias("n_zones"),
+                F.sum(F.when(prune_cond, 1).otherwise(0)).cast("long").alias("n_pruned"),
+                F.sum(F.when(prune_cond, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias("rows_skipped"),
+            )
+            .withColumn("pred", F.lit(name))
+        )
+        t = (
+            li.agg(
+                F.sum(F.when(row_cond, 1).otherwise(0)).cast("long").alias("rows_matched"),
+                F.count(F.lit(1)).cast("long").alias("rows_total"),
+            )
+            .withColumn("pred", F.lit(name))
+        )
+        outs.append(z.join(t, "pred"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "pred",
+        "n_zones",
+        "n_pruned",
+        "rows_skipped",
+        "rows_matched",
+        F.expr("(1000000 * rows_skipped) DIV rows_total").alias("skip_ppm"),
+    )
+
+
+_ZONEMAP_SKIPPING_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT CAST(l_orderkey // 4096 AS BIGINT) AS zone,
+         CAST(l_shipdate AS DATE) AS sd,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+zones AS MATERIALIZED (
+  SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+         min(sd) AS min_sd, max(sd) AS max_sd,
+         min(cents) AS min_c, max(cents) AS max_c
+  FROM li GROUP BY zone
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS rows_total FROM li),
+p AS (
+  SELECT 'date_ge' AS pred,
+         (SELECT CAST(count(*) AS BIGINT) FROM zones) AS n_zones,
+         (SELECT CAST(count(*) AS BIGINT) FROM zones WHERE max_sd < DATE '1998-01-01') AS n_pruned,
+         (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) FROM zones WHERE max_sd < DATE '1998-01-01') AS rows_skipped,
+         (SELECT CAST(count(*) AS BIGINT) FROM li WHERE sd >= DATE '1998-01-01') AS rows_matched
+  UNION ALL
+  SELECT 'price_ge',
+         (SELECT count(*) FROM zones),
+         (SELECT count(*) FROM zones WHERE max_c < 9000000),
+         (SELECT coalesce(sum(n_rows), 0) FROM zones WHERE max_c < 9000000),
+         (SELECT count(*) FROM li WHERE cents >= 9000000)
+  UNION ALL
+  SELECT 'date_band',
+         (SELECT count(*) FROM zones),
+         (SELECT count(*) FROM zones WHERE max_sd < DATE '1994-01-01' OR min_sd > DATE '1994-12-31'),
+         (SELECT coalesce(sum(n_rows), 0) FROM zones WHERE max_sd < DATE '1994-01-01' OR min_sd > DATE '1994-12-31'),
+         (SELECT count(*) FROM li WHERE sd BETWEEN DATE '1994-01-01' AND DATE '1994-12-31')
+)
+SELECT pred, CAST(n_zones AS BIGINT) AS n_zones, CAST(n_pruned AS BIGINT) AS n_pruned,
+       CAST(rows_skipped AS BIGINT) AS rows_skipped, CAST(rows_matched AS BIGINT) AS rows_matched,
+       (1000000 * CAST(rows_skipped AS BIGINT)) // tot.rows_total AS skip_ppm
+FROM p, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -12635,6 +13123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_katz_centrality": _kg_katz_centrality,
         "kg_characteristic_sets": _kg_characteristic_sets,
         "kg_rich_club": _kg_rich_club,
+        "kg_bipartite_projection": _kg_bipartite_projection,
+        "kg_regular_path_query": _kg_regular_path_query,
+        "heaps_law_curve": _heaps_law_curve,
+        "lineitem_feature_corr": _lineitem_feature_corr,
+        "events_conversion_chi2": _events_conversion_chi2,
+        "zonemap_skipping": _zonemap_skipping,
         "stratified_sample": _stratified_sample,
         "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
@@ -12866,6 +13360,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_katz_centrality": _kg_katz_centrality_sql(),
         "kg_characteristic_sets": _KG_CHARACTERISTIC_SETS_SQL,
         "kg_rich_club": _kg_rich_club_sql(),
+        "kg_bipartite_projection": _KG_BIPARTITE_PROJECTION_SQL,
+        "kg_regular_path_query": _kg_regular_path_query_sql(),
+        "heaps_law_curve": _HEAPS_LAW_CURVE_SQL,
+        "lineitem_feature_corr": _LINEITEM_FEATURE_CORR_SQL,
+        "events_conversion_chi2": _EVENTS_CONVERSION_CHI2_SQL,
+        "zonemap_skipping": _ZONEMAP_SKIPPING_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),
