@@ -12969,6 +12969,358 @@ FROM p, tot
 """
 
 
+
+
+def _fd_profile(spark, sf):
+    """FUNCTIONAL-DEPENDENCY discovery profile — the data-profiling pass
+    (Papenbrock et al., VLDB'15 — here over a fixed candidate set, not
+    lattice search) a warehouse runs before trusting join keys: for each
+    candidate ``LHS -> RHS``, count determinant groups, groups violating
+    the FD (more than one distinct RHS), and the satisfaction share in
+    ppm (rule 11).  Candidates cover a true key, a true composite key,
+    and four expected violations.  Spark: per candidate one
+    countDistinct-style two-level agg (map-side combinable, keyed on the
+    LHS — the natural shuffle at any scale); the six tiny result rows
+    are unioned.  Complements lineitem_expectations (which checks VALUE
+    contracts; this checks DEPENDENCY contracts)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+
+    def fd(df, name, lhs, rhs):
+        per = df.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_groups",
+            "n_violating",
+            F.expr(
+                "(1000000 * (n_groups - n_violating)) DIV n_groups"
+            ).alias("holds_ppm"),
+        )
+
+    parts = [
+        fd(o, "o_orderkey->o_custkey", ["o_orderkey"], "o_custkey"),
+        fd(o, "o_custkey->o_orderpriority", ["o_custkey"], "o_orderpriority"),
+        fd(o, "o_orderdate->o_orderstatus", ["o_orderdate"], "o_orderstatus"),
+        fd(li, "l_orderkey->l_returnflag", ["l_orderkey"], "l_returnflag"),
+        fd(li, "l_orderkey,l_linenumber->l_partkey", ["l_orderkey", "l_linenumber"], "l_partkey"),
+        fd(li, "l_partkey->l_suppkey", ["l_partkey"], "l_suppkey"),
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionAll(p)
+    return res
+
+
+_FD_PROFILE_SQL = """
+WITH c1 AS (SELECT o_orderkey AS k1, CAST(NULL AS BIGINT) AS k2, o_custkey AS r FROM orders),
+c2 AS (SELECT o_custkey, CAST(NULL AS BIGINT), o_orderpriority FROM orders),
+c3 AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT), CAST(NULL AS BIGINT), o_orderstatus FROM orders),
+c4 AS (SELECT l_orderkey, CAST(NULL AS BIGINT), l_returnflag FROM lineitem),
+c5 AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT), CAST(l_partkey AS VARCHAR) FROM lineitem),
+c6 AS (SELECT l_partkey, CAST(NULL AS BIGINT), CAST(l_suppkey AS VARCHAR) FROM lineitem),
+fds AS (
+  SELECT 'o_orderkey->o_custkey' AS fd, k1, k2, CAST(r AS VARCHAR) AS r FROM c1
+  UNION ALL SELECT 'o_custkey->o_orderpriority', * FROM c2
+  UNION ALL SELECT 'o_orderdate->o_orderstatus', * FROM c3
+  UNION ALL SELECT 'l_orderkey->l_returnflag', * FROM c4
+  UNION ALL SELECT 'l_orderkey,l_linenumber->l_partkey', * FROM c5
+  UNION ALL SELECT 'l_partkey->l_suppkey', * FROM c6
+),
+per AS (
+  SELECT fd, k1, k2, count(DISTINCT r) AS n_rhs FROM fds GROUP BY 1, 2, 3
+)
+SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       (1000000 * (CAST(count(*) AS BIGINT)
+         - CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)))
+         // CAST(count(*) AS BIGINT) AS holds_ppm
+FROM per GROUP BY fd
+"""
+
+
+def _events_frequent_subsequences(spark, sf):
+    """Sequential-pattern mining (PrefixSpan-style SUBSEQUENCE support,
+    not the contiguous trigrams of events_sequence_ngrams): for every
+    ordered triple of DISTINCT event types (x, y, z), the number of users
+    whose stream contains x then y then z as a (possibly gapped)
+    subsequence.  Existence is decided by the greedy first-occurrence
+    chain — first x, then the first y strictly after it, then any z
+    strictly after that — which is order-independent given (user, ts)
+    uniqueness and equivalent to subsequence containment.  Spark: three
+    frontier joins keyed on user_id (events x 5, then x 25 — bounded by
+    the type-alphabet size, never all-pairs), all map-side-combinable
+    aggs between; support share in ppm of the user universe (rule 11)."""
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_type")
+    n_users = ev.select("user_id").distinct().groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    f1 = ev.groupBy("user_id", F.col("event_type").alias("x")).agg(
+        F.min("ts").alias("t1")
+    )
+    e2 = ev.select("user_id", F.col("event_type").alias("y"), F.col("ts").alias("ty"))
+    f2 = (
+        f1.join(e2, "user_id")
+        .filter((F.col("ty") > F.col("t1")) & (F.col("y") != F.col("x")))
+        .groupBy("user_id", "x", "y")
+        .agg(F.min("ty").alias("t2"))
+    )
+    e3 = ev.select("user_id", F.col("event_type").alias("z"), F.col("ts").alias("tz"))
+    sup = (
+        f2.join(e3, "user_id")
+        .filter(
+            (F.col("tz") > F.col("t2"))
+            & (F.col("z") != F.col("x"))
+            & (F.col("z") != F.col("y"))
+        )
+        .select("user_id", "x", "y", "z")
+        .distinct()
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return sup.crossJoin(F.broadcast(n_users)).select(
+        "x",
+        "y",
+        "z",
+        "support",
+        F.expr("(1000000 * support) DIV n_users").alias("support_ppm"),
+    )
+
+
+_EVENTS_FREQUENT_SUBSEQ_SQL = """
+WITH ev AS (SELECT user_id, ts, event_type FROM events),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev),
+f1 AS (SELECT user_id, event_type AS x, min(ts) AS t1 FROM ev GROUP BY 1, 2),
+f2 AS (
+  SELECT f1.user_id, f1.x, e.event_type AS y, min(e.ts) AS t2
+  FROM f1 JOIN ev e ON e.user_id = f1.user_id
+  WHERE e.ts > f1.t1 AND e.event_type <> f1.x
+  GROUP BY 1, 2, 3
+),
+sup AS (
+  SELECT x, y, z, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT DISTINCT f2.user_id, f2.x, f2.y, e.event_type AS z
+    FROM f2 JOIN ev e ON e.user_id = f2.user_id
+    WHERE e.ts > f2.t2 AND e.event_type <> f2.x AND e.event_type <> f2.y
+  ) GROUP BY 1, 2, 3
+)
+SELECT x, y, z, support, (1000000 * support) // u.n_users AS support_ppm
+FROM sup, u
+"""
+
+
+def _fastss_token_pairs(spark, sf):
+    """FastSS edit-distance-1 SIMILARITY JOIN (Bocek et al., 2007 —
+    deletion-neighborhood blocking): candidate pairs share a
+    single-character-deletion signature (or the full string), then
+    verified with levenshtein <= 1 — the typo-linking pass an
+    entity-normalization pipeline runs between a corpus vocabulary and a
+    canonical surface dictionary, and a THIRD blocking scheme next to
+    MinHash-LSH (set level) and SimHash (vector level).  Spark: corpus
+    vocab from the real token stream, signatures exploded JVM-side
+    (``sequence`` + ``substring`` — no Python), dictionary side
+    BROADCAST (dimension-sized); dedup on the pair BEFORE the
+    levenshtein verify so each pair is scored once.  Signature blowup is
+    |token|+1 per token — linear, the property that makes FastSS viable
+    at vocabulary scale."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .filter((F.col("tok") != "") & (F.length("tok") >= 2))
+        .distinct()
+    )
+
+    def signatures(df, col, out):
+        full = df.select(F.col(col), F.col(col).alias(out))
+        dels = df.select(
+            F.col(col),
+            F.expr(
+                f"explode(transform(sequence(1, length({col})),"
+                f" i -> concat(substring({col}, 1, i - 1),"
+                f" substring({col}, i + 1, length({col})))))"
+            ).alias(out),
+        )
+        return full.unionAll(dels)
+
+    dim = spark.createDataFrame(
+        [(s,) for s, _ in LEV_DIM] + [(s,) for s, _ in E2E_DIM], ["surface"]
+    ).distinct()
+    vs = signatures(vocab, "tok", "sig")
+    ds = signatures(dim, "surface", "sig")
+    cand = (
+        vs.join(F.broadcast(ds), "sig")
+        .select("tok", "surface")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("tok", "surface").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("tok", "surface", "dist")
+    )
+
+
+def _fastss_token_pairs_sql() -> str:
+    dim_vals = ", ".join(
+        f"('{s}')" for s in sorted({s for s, _ in LEV_DIM} | {s for s, _ in E2E_DIM})
+    )
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT t.tok
+  FROM documents d, unnest(string_split_regex(d.text, ' +')) AS t(tok)
+  WHERE d.text IS NOT NULL AND t.tok <> '' AND length(t.tok) >= 2
+),
+dim AS (SELECT surface FROM (VALUES {dim_vals}) v(surface)),
+vs AS (
+  SELECT tok, tok AS sig FROM vocab
+  UNION ALL
+  SELECT tok, substring(tok, 1, i.i - 1) || substring(tok, i.i + 1) AS sig
+  FROM vocab, generate_series(1, 64) i(i) WHERE i.i <= length(tok)
+),
+ds AS (
+  SELECT surface, surface AS sig FROM dim
+  UNION ALL
+  SELECT surface, substring(surface, 1, i.i - 1) || substring(surface, i.i + 1) AS sig
+  FROM dim, generate_series(1, 64) i(i) WHERE i.i <= length(surface)
+),
+cand AS (SELECT DISTINCT vs.tok, ds.surface FROM vs JOIN ds ON vs.sig = ds.sig)
+SELECT tok, surface, CAST(levenshtein(tok, surface) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(tok, surface) <= 1
+"""
+
+
+
+
+def _hilbert_layout(spark, sf):
+    """HILBERT-CURVE layout audit, head-to-head against z-order on the
+    same keys, box, and file budget — the layout-choice experiment a
+    100 TB table owner runs before an OPTIMIZE rewrite (Hilbert's
+    unit-step locality prunes tighter boxes than Morton's diagonal
+    jumps; Delta/Hudi expose exactly this choice).  The Hilbert index is
+    a per-level state rewrite chained as narrow JVM selects
+    (``operators/layout.py:with_hilbert``), generated from the SAME
+    ``oracle/layout.py:hilbert_level_exprs`` the DuckDB twin nests
+    (rules 6 + 11 — bit-identical by construction; kernel pinned
+    bijective with unit steps in tests/test_hilbert_layout.py).  Same
+    one-agg-per-layout shape as zorder_layout: derived file ids, no
+    global sort."""
+    from bert_namedentityrecognition_spark.operators.layout import (
+        layout_file_stats,
+        with_hilbert,
+        with_zvalue,
+    )
+
+    e = _t(spark, sf, "events")
+    d = e.select(
+        (F.col("event_id") % 1024).cast("long").alias("x"),
+        F.expr(
+            "CAST((unix_micros(cast(ts as timestamp_ltz)) DIV 60000000)"
+            " % 1440 AS BIGINT)"
+        ).alias("y"),
+    )
+    box = (128, 383, 300, 555)
+    hs = layout_file_stats(
+        with_hilbert(d, "x", "y", 11),
+        F.expr("hval DIV 65536"),
+        "x", "y", box, "hilbert",
+    )
+    zs = layout_file_stats(
+        with_zvalue(d, "x", "y", 11),
+        F.expr("zval DIV 65536"),
+        "x", "y", box, "zorder",
+    )
+    return hs.unionByName(zs)
+
+
+def _hilbert_layout_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.layout import (
+        hilbert_sql_query,
+        zorder_sql_expr,
+    )
+
+    base = """
+  SELECT CAST(event_id % 1024 AS BIGINT) AS x,
+         CAST((epoch_us(ts) // 60000000) % 1440 AS BIGINT) AS y
+  FROM events
+"""
+    h = hilbert_sql_query(11, "//", base)
+    z = zorder_sql_expr("x", "y", 11, "//")
+    return f"""
+WITH ht AS ({h}),
+stats AS (
+  SELECT 'hilbert' AS layout, CAST(hval // 65536 AS BIGINT) AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+  FROM ht GROUP BY 2
+  UNION ALL
+  SELECT 'zorder' AS layout, CAST({z} // 65536 AS BIGINT) AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+  FROM ({base}) GROUP BY 2
+)
+SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+       CAST(CASE WHEN min_x <= 383 AND max_x >= 128
+                  AND min_y <= 555 AND max_y >= 300
+            THEN 1 ELSE 0 END AS BIGINT) AS hit
+FROM stats
+"""
+
+
+def _kg_motif_squares(spark, sf):
+    """4-CYCLE (square) MOTIF census of the grid fixture — the next motif
+    up from kg_triangle_counts, and the one a KG quality monitor watches
+    for templated/boilerplate structure (rectangles = two entities
+    sharing two contexts).  Exact combinatorial identity: squares =
+    (1/2)·sum over node pairs of C(common_neighbors, 2) — each square is
+    seen once per diagonal pair.  Spark: ONE 2-path self-join on the
+    middle node (cost sum(deg^2), bounded by max degree 4 on the grid —
+    never all-pairs), one agg per endpoint pair, then a histogram over
+    the common-neighbor count c with each stratum's diagonal-pair mass;
+    the per-c rows are exact integers, the global square count is
+    sum(c2_pairs)/2 (even by the identity).  Twin: same joins over the
+    grid CTEs."""
+    sym, _ = _grid_graph(spark, sf)
+    sym = sym.localCheckpoint(eager=True)
+    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("m"))
+    b = sym.select(F.col("src").alias("m"), F.col("dst").alias("v"))
+    common = (
+        a.join(b, "m")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        common.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "c",
+            "n_pairs",
+            F.expr("n_pairs * (c * (c - 1) DIV 2)").alias("c2_pairs"),
+        )
+    )
+
+
+def _kg_motif_squares_sql() -> str:
+    return f"""
+WITH {_GRID_GRAPH_CTES.rstrip()},
+common AS (
+  SELECT e1.b AS u, e2.b AS v, CAST(count(*) AS BIGINT) AS c
+  FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY 1, 2
+)
+SELECT c, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS BIGINT) * (c * (c - 1) // 2) AS c2_pairs
+FROM common GROUP BY c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -13129,6 +13481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_feature_corr": _lineitem_feature_corr,
         "events_conversion_chi2": _events_conversion_chi2,
         "zonemap_skipping": _zonemap_skipping,
+        "fd_profile": _fd_profile,
+        "events_frequent_subsequences": _events_frequent_subsequences,
+        "fastss_token_pairs": _fastss_token_pairs,
+        "hilbert_layout": _hilbert_layout,
+        "kg_motif_squares": _kg_motif_squares,
         "stratified_sample": _stratified_sample,
         "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
@@ -13366,6 +13723,11 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_feature_corr": _LINEITEM_FEATURE_CORR_SQL,
         "events_conversion_chi2": _EVENTS_CONVERSION_CHI2_SQL,
         "zonemap_skipping": _ZONEMAP_SKIPPING_SQL,
+        "fd_profile": _FD_PROFILE_SQL,
+        "events_frequent_subsequences": _EVENTS_FREQUENT_SUBSEQ_SQL,
+        "fastss_token_pairs": _fastss_token_pairs_sql(),
+        "hilbert_layout": _hilbert_layout_sql(),
+        "kg_motif_squares": _kg_motif_squares_sql(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),

@@ -204,3 +204,38 @@ def compaction_binpack(
         F.min("__sz").cast("long").alias("min_bytes"),
         F.max("__sz").cast("long").alias("max_bytes"),
     )
+
+
+def with_hilbert(
+    df: DataFrame, xcol: str, ycol: str, bits: int, out: str = "hval"
+) -> DataFrame:
+    """Attach the Hilbert-curve index of two integral key columns (caller
+    pre-reduces both into ``[0, 2**bits)``).  Unlike the flat z-value
+    sum, the Hilbert transform is a per-level state rewrite, so it chains
+    one narrow ``select`` per bit level — all still JVM-side expressions
+    inside whole-stage codegen, generated from the SAME
+    ``oracle/layout.py:hilbert_level_exprs`` the DuckDB twin replays
+    (rule 6)."""
+    from ..oracle.layout import hilbert_level_exprs
+
+    others = [c for c in df.columns if c not in (xcol, ycol)]
+    cur = df.selectExpr(
+        *others,
+        f"{xcol} AS x0",
+        f"{ycol} AS y0",
+        f"{xcol} AS x",
+        f"{ycol} AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for x_expr, y_expr, d_expr in hilbert_level_exprs(bits, "DIV"):
+        cur = cur.selectExpr(
+            *others,
+            "x0",
+            "y0",
+            f"{x_expr} AS x",
+            f"{y_expr} AS y",
+            f"{d_expr} AS d",
+        )
+    return cur.selectExpr(
+        *others, f"x0 AS {xcol}", f"y0 AS {ycol}", f"CAST(d AS BIGINT) AS {out}"
+    )

@@ -57,3 +57,75 @@ def file_overlaps(
     with these column stats?  (The manifest-pruning test Iceberg/Delta
     run per file.)"""
     return min_x <= xb and max_x >= xa and min_y <= yb and max_y >= ya
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Hilbert-curve index of (x, y) on a 2**bits x 2**bits grid — the
+    space-filling layout with strictly better worst-case locality than
+    Morton order (no long diagonal jumps).  Standard top-down quadrant
+    walk: consume one bit of each coordinate per level, accumulate the
+    quadrant offset, and rotate/reflect the remaining low bits into the
+    canonical sub-square frame.  Coordinates are masked to the sub-square
+    (``% s``) before the rotation so every intermediate stays
+    non-negative — the property that lets the SQL replay use plain
+    integer division and modulo (rule 11)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        xm, ym = x % s, y % s
+        if ry == 0:
+            if rx == 1:
+                xm, ym = s - 1 - xm, s - 1 - ym
+            xm, ym = ym, xm
+        x, y = xm, ym
+        s //= 2
+    return d
+
+
+def hilbert_level_exprs(bits: int, intdiv: str) -> list[tuple[str, str, str]]:
+    """Per-level SQL for :func:`hilbert_xy2d` over working columns
+    ``x``/``y``/``d`` — one ``(x_expr, y_expr, d_expr)`` triple per level,
+    meant to be applied as a chain of SELECTs (each level reads the
+    previous level's columns).  Shared by the Spark operator and the
+    DuckDB twin (rule 6): ``intdiv`` is ``'DIV'`` or ``'//'``; everything
+    else is common syntax, so the replay is bit-identical by
+    construction."""
+    levels = []
+    for k in range(bits):
+        s = 1 << (bits - 1 - k)
+        rx = f"((x {intdiv} {s}) % 2)"
+        ry = f"((y {intdiv} {s}) % 2)"
+        x_expr = (
+            f"CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - (y % {s})"
+            f" WHEN {ry} = 0 THEN y % {s} ELSE x % {s} END"
+        )
+        y_expr = (
+            f"CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - (x % {s})"
+            f" WHEN {ry} = 0 THEN x % {s} ELSE y % {s} END"
+        )
+        d_expr = (
+            f"d + {s * s} * (CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        levels.append((x_expr, y_expr, d_expr))
+    return levels
+
+
+def hilbert_sql_query(bits: int, intdiv: str, source_sql: str) -> str:
+    """Nested-subquery SQL computing ``hval`` = Hilbert index for a source
+    relation exposing integral ``x``/``y`` — the DuckDB-side assembly of
+    :func:`hilbert_level_exprs` (the Spark side chains the same exprs as
+    selects)."""
+    q = (
+        f"SELECT x AS x0, y AS y0, x, y, CAST(0 AS BIGINT) AS d"
+        f" FROM ({source_sql})"
+    )
+    for x_expr, y_expr, d_expr in hilbert_level_exprs(bits, intdiv):
+        q = (
+            f"SELECT x0, y0, {x_expr} AS x, {y_expr} AS y, {d_expr} AS d"
+            f" FROM ({q})"
+        )
+    return f"SELECT x0 AS x, y0 AS y, CAST(d AS BIGINT) AS hval FROM ({q})"
