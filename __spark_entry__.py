@@ -13321,6 +13321,279 @@ FROM common GROUP BY c
 """
 
 
+
+
+def _kanonymity_audit(spark, sf):
+    """K-ANONYMITY / L-DIVERSITY audit of the corpus metadata — the
+    privacy screen a data-release pipeline runs before publishing
+    training data (Sweeney 2002; complements pii_scrub, which redacts
+    VALUES — this audits GROUP re-identifiability): quasi-identifier =
+    (lang, 256-char length bucket), sensitive attribute = source.  For
+    each disclosure threshold k in {2, 5, 10}: equivalence classes below
+    k, rows at risk, plus the dataset-wide k-anonymity level (min class
+    size) and l-diversity floor (min distinct sensitive values in any
+    class).  Spark: ONE QI-keyed agg (map-side combinable — the QI
+    cardinality is tiny vs the corpus), then a 3-row broadcast threshold
+    scan; no second pass over documents.  All-integer (rule 11)."""
+    d = _t(spark, sf, "documents")
+    qi = d.groupBy(
+        F.col("lang"), F.expr("n_chars DIV 256").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("source").cast("long").alias("l_div"),
+    )
+    glob = qi.agg(
+        F.min("n_rows").cast("long").alias("k_anonymity"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(2), F.lit(5), F.lit(10)), (F.col("id") + 1).cast("int")).alias("k")
+    )
+    per = (
+        qi.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n_rows") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_viol_classes"),
+            F.sum(F.when(F.col("n_rows") < F.col("k"), F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+        )
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        F.col("k").cast("long").alias("k"),
+        "n_classes",
+        "n_viol_classes",
+        "n_rows_at_risk",
+        "k_anonymity",
+        "l_diversity",
+    )
+
+
+_KANONYMITY_AUDIT_SQL = """
+WITH qi AS (
+  SELECT lang, n_chars // 256 AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT source) AS BIGINT) AS l_div
+  FROM documents GROUP BY 1, 2
+),
+overall AS (
+  SELECT CAST(min(n_rows) AS BIGINT) AS k_anonymity,
+         CAST(min(l_div) AS BIGINT) AS l_diversity,
+         CAST(count(*) AS BIGINT) AS n_classes
+  FROM qi
+),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (2), (5), (10)) t(k)),
+per AS (
+  SELECT ks.k,
+         CAST(sum(CASE WHEN qi.n_rows < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_classes,
+         CAST(sum(CASE WHEN qi.n_rows < ks.k THEN qi.n_rows ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+  FROM qi, ks GROUP BY ks.k
+)
+SELECT per.k, overall.n_classes, per.n_viol_classes, per.n_rows_at_risk,
+       overall.k_anonymity, overall.l_diversity
+FROM per, overall
+"""
+
+
+def _dataset_drift_chi2(spark, sf):
+    """Distribution-DRIFT monitor between the first and second half of
+    the corpus (by doc_id — the 'reference vs current window' split a
+    production data pipeline re-checks every ingest): per-language
+    chi-square contribution of the lang x half contingency table, in
+    exact integers — per cell ``(O·n − row·col)² // (n·row·col)`` scaled
+    to ppm via decimal(38,0)/HUGEINT intermediates (rule 11; each cell
+    carries its own single floor division, identically in both engines,
+    so the per-lang sums are bit-exact).  Spark: one lang x half agg +
+    tiny broadcast margins — one corpus pass.  The grand chi2 is the sum
+    of the lang rows."""
+    d = _t(spark, sf, "documents")
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    cells = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            F.when(F.col("doc_id") * 2 <= F.col("max_id"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("half"),
+        )
+        .groupBy("lang", "half")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rows = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("row_n"))
+    cols = cells.groupBy("half").agg(F.sum("o").cast("long").alias("col_n"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        cells.join(rows, "lang")
+        .join(F.broadcast(cols), "half")
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = F.expr(
+        f"CAST((1000000 * (CAST(o AS {_D38}) * CAST(n AS {_D38})"
+        f" - CAST(row_n AS {_D38}) * CAST(col_n AS {_D38}))"
+        f" * (CAST(o AS {_D38}) * CAST(n AS {_D38})"
+        f" - CAST(row_n AS {_D38}) * CAST(col_n AS {_D38})))"
+        f" DIV (CAST(n AS {_D38}) * CAST(row_n AS {_D38}) * CAST(col_n AS {_D38}))"
+        f" AS BIGINT)"
+    )
+    per = j.select("lang", "half", "o", contrib.alias("cell_chi2_ppm"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("o")).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("half") == 1, F.col("o")).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+            F.sum("cell_chi2_ppm").cast("long").alias("chi2_ppm"),
+        )
+    )
+
+
+_DATASET_DRIFT_CHI2_SQL = """
+WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+cells AS (
+  SELECT lang, CASE WHEN doc_id * 2 <= max_id THEN 0 ELSE 1 END AS half,
+         CAST(count(*) AS BIGINT) AS o
+  FROM documents, mx GROUP BY 1, 2
+),
+rows_m AS (SELECT lang, CAST(sum(o) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+cols_m AS (SELECT half, CAST(sum(o) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+per AS (
+  SELECT c.lang, c.half, c.o,
+         CAST((1000000 * (CAST(c.o AS HUGEINT) * t.n - CAST(r.row_n AS HUGEINT) * m.col_n)
+               * (CAST(c.o AS HUGEINT) * t.n - CAST(r.row_n AS HUGEINT) * m.col_n))
+              // (CAST(t.n AS HUGEINT) * r.row_n * m.col_n) AS BIGINT) AS cell_chi2_ppm
+  FROM cells c JOIN rows_m r ON c.lang = r.lang
+  JOIN cols_m m ON c.half = m.half, tot t
+)
+SELECT lang,
+       CAST(sum(CASE WHEN half = 0 THEN o ELSE 0 END) AS BIGINT) AS n_ref,
+       CAST(sum(CASE WHEN half = 1 THEN o ELSE 0 END) AS BIGINT) AS n_cur,
+       CAST(sum(cell_chi2_ppm) AS BIGINT) AS chi2_ppm
+FROM per GROUP BY lang
+"""
+
+
+def _kg_bond_percolation(spark, sf):
+    """BOND-PERCOLATION robustness profile of the alias graph — the
+    resilience question a KG operator asks before trusting alias
+    transitivity ('how fast does the graph shatter as edges drop?'):
+    remove each undirected edge deterministically with probability p in
+    {25%, 50%, 75%} (portable polynomial hash of the edge — both twins
+    drop the SAME edges, rule 11), recompute connected components, and
+    report per level: edges kept, component count, largest component,
+    isolated nodes.  Spark: three runs of the O(log²) large/small-star
+    CC (the same production kernel kg_alias_components gates, per-level
+    localCheckpoint per rule 23) + an anti-join for isolates.  Twin: one
+    recursive-CTE reachability walk keyed by p.  At 100 TB each level is
+    the standard CC cost on a thinner graph — no all-pairs anything."""
+    from bert_namedentityrecognition_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    eh = e.withColumn(
+        "h", F.expr("((src * 1000003 + dst) % 1000000007) % 100")
+    ).localCheckpoint(eager=True)
+    out = None
+    for p in (25, 50, 75):
+        kept = eh.filter(F.col("h") >= p).select("src", "dst")
+        n_edges = kept.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges_kept"))
+        comps = connected_components_star(kept)
+        edge_nodes = comps.select("node").distinct()
+        n_iso = (
+            ids.join(edge_nodes, ids.id == edge_nodes.node, "left_anti")
+            .groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_isolated"))
+        )
+        sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        cstats = sizes.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_edge_components"),
+            F.max("sz").cast("long").alias("max_component"),
+        )
+        row = (
+            n_edges.crossJoin(cstats)
+            .crossJoin(n_iso)
+            .select(
+                F.lit(p).cast("long").alias("p_drop"),
+                "n_edges_kept",
+                F.expr("n_edge_components + n_isolated").alias("n_components"),
+                # empty kept-edge set => max() is NULL; report 0 like the twin
+                F.coalesce("max_component", F.lit(0)).cast("long").alias("max_component"),
+                "n_isolated",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_KG_BOND_PERCOLATION_SQL = """
+WITH RECURSIVE
+ids AS (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+ps AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (25), (50), (75)) t(p)),
+kept AS MATERIALIZED (
+  SELECT ps.p, e.a, e.b FROM edges e, ps
+  WHERE ((e.a * 1000003 + e.b) % 1000000007) % 100 >= ps.p
+),
+symp AS MATERIALIZED (
+  SELECT p, a, b FROM kept UNION SELECT p, b AS a, a AS b FROM kept
+),
+enodes AS (SELECT DISTINCT p, a AS node FROM symp),
+walk(p, node, comp) AS (
+  SELECT p, node, node FROM enodes
+  UNION
+  SELECT w.p, w.node, s.b FROM walk w JOIN symp s ON s.p = w.p AND s.a = w.comp
+),
+comps AS (
+  SELECT p, node, min(comp) AS component FROM walk GROUP BY p, node
+),
+sizes AS (
+  SELECT p, component, count(*) AS sz FROM comps GROUP BY p, component
+),
+cstats AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_edge_components,
+         CAST(max(sz) AS BIGINT) AS max_component
+  FROM sizes GROUP BY p
+),
+ecnt AS (SELECT p, CAST(count(*) AS BIGINT) AS n_edges_kept FROM kept GROUP BY p),
+iso AS (
+  SELECT ps.p,
+         CAST((SELECT count(*) FROM ids)
+              - (SELECT count(*) FROM enodes e WHERE e.p = ps.p) AS BIGINT)
+           AS n_isolated
+  FROM ps
+)
+SELECT ps.p AS p_drop,
+       CAST(coalesce(ecnt.n_edges_kept, 0) AS BIGINT) AS n_edges_kept,
+       CAST(coalesce(cstats.n_edge_components, 0) + iso.n_isolated AS BIGINT)
+         AS n_components,
+       CAST(coalesce(cstats.max_component, 0) AS BIGINT) AS max_component,
+       iso.n_isolated
+FROM ps LEFT JOIN ecnt ON ps.p = ecnt.p
+LEFT JOIN cstats ON ps.p = cstats.p JOIN iso ON ps.p = iso.p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -13486,6 +13759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastss_token_pairs": _fastss_token_pairs,
         "hilbert_layout": _hilbert_layout,
         "kg_motif_squares": _kg_motif_squares,
+        "kanonymity_audit": _kanonymity_audit,
+        "dataset_drift_chi2": _dataset_drift_chi2,
+        "kg_bond_percolation": _kg_bond_percolation,
         "stratified_sample": _stratified_sample,
         "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
@@ -13728,6 +14004,9 @@ def oracle_sql() -> dict[str, str]:
         "fastss_token_pairs": _fastss_token_pairs_sql(),
         "hilbert_layout": _hilbert_layout_sql(),
         "kg_motif_squares": _kg_motif_squares_sql(),
+        "kanonymity_audit": _KANONYMITY_AUDIT_SQL,
+        "dataset_drift_chi2": _DATASET_DRIFT_CHI2_SQL,
+        "kg_bond_percolation": _KG_BOND_PERCOLATION_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),
