@@ -12509,13 +12509,22 @@ def _kg_bipartite_projection(spark, sf):
         .select("url", F.trim("word").alias("obj"))
         .distinct()
     )
-    pos = drugs.join(syms, "url").select("subj", "obj").distinct()
+    # pos feeds three subtrees (both join sides + degrees) — materialize once
+    # or the Arrow tagger stage re-runs per consumer (rule 23)
+    pos = (
+        drugs.join(syms, "url")
+        .select("subj", "obj")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = pos.groupBy("subj").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     a = pos.select(F.col("subj").alias("subj_a"), "obj")
     b = pos.select(F.col("subj").alias("subj_b"), F.col("obj").alias("obj_b"))
     pr = (
+        # pos is bounded by |drug vocab| x |symptom vocab| — broadcast the
+        # build side so the projection join never sort-merges
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("obj") == F.col("obj_b")) & (F.col("subj_a") < F.col("subj_b")),
         )
         .groupBy("subj_a", "subj_b")
