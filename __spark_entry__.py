@@ -13603,6 +13603,284 @@ LEFT JOIN cstats ON ps.p = cstats.p JOIN iso ON ps.p = iso.p
 """
 
 
+
+
+def _kmv_distinct_estimate(spark, sf):
+    """KMV (k-minimum-values) DISTINCT-COUNT sketch vs exact truth — the
+    third sketch family next to cms_heavy_hitters and
+    hll_token_registers, and the one whose estimator is exactly
+    replayable in integers: per language, the k = 32 smallest distinct
+    content-hash values give ``est = (k-1)·M DIV h_k`` (Bar-Yossef 2002);
+    strata with fewer than k distinct values report exactly.  Portable
+    polynomial hash (the dataset_split_hash kernel, distinct salt) so
+    both engines sketch the SAME values (rule 11).  Spark: distinct
+    (lang, h) then ONE bounded window (row_number <= k over the distinct
+    stream; at 100 TB the production form is a map-side bottom-k
+    combiner — the selection is the same, the plan note records the
+    swap).  Error vs the exact countDistinct lands in ppm."""
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+    from pyspark.sql import Window
+
+    K, M = 32, 1000000007
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    dh = d.select(
+        "lang", (poly_hash(F.concat(F.col("text"), F.lit("|kmv"))) % M).alias("h")
+    ).distinct()
+    truth = dh.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    bottom = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy("lang")
+        .agg(
+            F.max("h").cast("long").alias("hk"),
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+        )
+    )
+    est = F.expr(
+        f"CASE WHEN k_used < {K} THEN k_used"
+        f" ELSE (({K} - 1) * CAST({M} AS BIGINT)) DIV hk END"
+    )
+    return (
+        truth.join(bottom, "lang")
+        .withColumn("est_distinct", est)
+        .select(
+            "lang",
+            "n_distinct",
+            "k_used",
+            "hk",
+            "est_distinct",
+            F.expr(
+                "(1000000 * abs(est_distinct - n_distinct)) DIV n_distinct"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+_KMV_DISTINCT_ESTIMATE_SQL = """
+WITH dh AS (
+  SELECT DISTINCT lang,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all(text || '|kmv', '.'),
+                       x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) AS BIGINT) % 1000000007 AS h
+  FROM documents WHERE text IS NOT NULL
+),
+truth AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct FROM dh GROUP BY lang),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh
+),
+bottom AS (
+  SELECT lang, CAST(max(h) AS BIGINT) AS hk, CAST(count(*) AS BIGINT) AS k_used
+  FROM ranked WHERE rn <= 32 GROUP BY lang
+),
+j AS (
+  SELECT t.lang, t.n_distinct, b.k_used, b.hk,
+         CASE WHEN b.k_used < 32 THEN b.k_used
+              ELSE (31 * CAST(1000000007 AS BIGINT)) // b.hk END AS est_distinct
+  FROM truth t JOIN bottom b ON t.lang = b.lang
+)
+SELECT lang, n_distinct, k_used, hk, est_distinct,
+       (1000000 * abs(est_distinct - n_distinct)) // n_distinct AS err_ppm
+FROM j
+"""
+
+# Fellegi-Sunter field parameters in ppm: (m = P[agree | match],
+# u = P[agree | non-match]) — fixed model constants, part of the query
+# contract (no EM fit crosses the engine boundary).
+_FS_FIELDS = [
+    ("lang", 950000, 200000),
+    ("source", 900000, 250000),
+    ("lenb", 800000, 100000),
+]
+
+
+def _er_fellegi_sunter(spark, sf):
+    """FELLEGI-SUNTER record-linkage scoring over the SAME banded-LSH
+    candidate stream the dedup family gates (never all-pairs): per
+    candidate pair, compare three metadata fields (lang, source,
+    64-char length bucket) and combine the agreement likelihood ratios
+    ``m/u`` (disagree: ``(1-m)/(1-u)``) into the classic match weight —
+    here as an EXACT integer ``1e6·prod(num) DIV prod(den)`` (single
+    trailing DIV over decimal(38,0)/HUGEINT, rule 11; bound: nums <=
+    1e6 each, 1e6·prod <= 1e24).  Three-band decision rule with integer
+    thresholds (link >= 20e6, possible >= 1e6).  The m/u constants are
+    fixed model parameters (the EM fit is upstream of the engine).
+    Spark: candidates from ``dedup.lsh_band_candidates`` + one broadcast
+    join of the dimension-light doc metadata onto each side."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        lsh_band_candidates,
+    )
+
+    docs = _t(spark, sf, "documents")
+    cand = lsh_band_candidates(docs)
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars DIV 64").alias("lenb"),
+    )
+    a = meta.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f).alias(f"{f}_a") for f, _, _ in _FS_FIELDS],
+    )
+    b = meta.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f).alias(f"{f}_b") for f, _, _ in _FS_FIELDS],
+    )
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    agrees = [
+        F.when(F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b")), 1)
+        .otherwise(0)
+        .alias(f"agree_{f}")
+        for f, _, _ in _FS_FIELDS
+    ]
+    j = j.select("doc_a", "doc_b", *agrees)
+    num = " * ".join(
+        f"CAST(CASE WHEN agree_{f} = 1 THEN {m} ELSE {1000000 - m} END AS {_D38})"
+        for f, m, _ in _FS_FIELDS
+    )
+    den = " * ".join(
+        f"CAST(CASE WHEN agree_{f} = 1 THEN {u} ELSE {1000000 - u} END AS {_D38})"
+        for f, _, u in _FS_FIELDS
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        *[F.col(f"agree_{f}").cast("long") for f, _, _ in _FS_FIELDS],
+        F.expr(f"CAST((1000000 * {num}) DIV ({den}) AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    ).withColumn(
+        "decision",
+        F.expr(
+            "CASE WHEN weight_ppm >= 20000000 THEN 'link'"
+            " WHEN weight_ppm >= 1000000 THEN 'possible'"
+            " ELSE 'nonlink' END"
+        ),
+    )
+
+
+def _er_fellegi_sunter_sql() -> str:
+    num = " * ".join(
+        f"CAST(CASE WHEN a.{f} = b.{f} OR (a.{f} IS NULL AND b.{f} IS NULL)"
+        f" THEN {m} ELSE {1000000 - m} END AS HUGEINT)"
+        for f, m, _ in _FS_FIELDS
+    )
+    den = " * ".join(
+        f"CAST(CASE WHEN a.{f} = b.{f} OR (a.{f} IS NULL AND b.{f} IS NULL)"
+        f" THEN {u} ELSE {1000000 - u} END AS HUGEINT)"
+        for f, _, u in _FS_FIELDS
+    )
+    agree_cols = ", ".join(
+        f"CAST(CASE WHEN a.{f} = b.{f} OR (a.{f} IS NULL AND b.{f} IS NULL)"
+        f" THEN 1 ELSE 0 END AS BIGINT) AS agree_{f}"
+        for f, _, _ in _FS_FIELDS
+    )
+    return (
+        _MINHASH_CAND_CTES
+        + f""",
+meta AS (SELECT doc_id, lang, source, n_chars // 64 AS lenb FROM documents),
+scored AS (
+  SELECT c.doc_a, c.doc_b, {agree_cols},
+         CAST((1000000 * {num}) // ({den}) AS BIGINT) AS weight_ppm
+  FROM cand c JOIN meta a ON a.doc_id = c.doc_a JOIN meta b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, agree_lang, agree_source, agree_lenb, weight_ppm,
+       CASE WHEN weight_ppm >= 20000000 THEN 'link'
+            WHEN weight_ppm >= 1000000 THEN 'possible'
+            ELSE 'nonlink' END AS decision
+FROM scored
+"""
+    )
+
+
+def _kg_bitemporal_asof(spark, sf):
+    """BITEMPORAL AS-OF query — the two-axis time travel a governed KG
+    needs (valid time: when the fact was true; transaction time: when
+    the store learned it), beyond kg_snapshot_asof's single axis.
+    Versions derive from orders: entity = customer, valid_from =
+    o_orderdate, tx_from = o_orderdate + (o_orderkey % 30) days (the
+    deterministic late-arrival model).  For three (V, T) probes with V
+    fixed and T advancing, pick per customer the LATEST valid version
+    among those KNOWN by T (struct-max argmax, ties broken by orderkey —
+    never row order; twin uses the row_number formulation like
+    kg_label_propagation) and roll up: customers answered, total cents,
+    late versions consulted.  As T advances the SAME valid-time question
+    changes answer — the property the probe pins.  Spark: one broadcast
+    probe frame x one struct-max agg per (probe, customer), then a tiny
+    roll-up; at 100 TB this is the bucketed-by-customer scan."""
+    o = _t(spark, sf, "orders")
+    v = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("vf"),
+        F.expr(
+            "date_add(to_date(o_orderdate), CAST(o_orderkey % 30 AS INT))"
+        ).alias("tf"),
+        F.col("o_orderkey").alias("ok"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    probes = spark.createDataFrame(
+        [(1, "1996-06-01", "1996-06-01"), (2, "1996-06-01", "1996-07-01"),
+         (3, "1996-06-01", "1998-12-31")],
+        "probe long, v string, t string",
+    ).select(
+        "probe", F.to_date("v").alias("v"), F.to_date("t").alias("t")
+    )
+    picked = (
+        v.crossJoin(F.broadcast(probes))
+        .filter((F.col("vf") <= F.col("v")) & (F.col("tf") <= F.col("t")))
+        .groupBy("probe", "cust")
+        .agg(F.max(F.struct("vf", "ok", "cents", "tf")).alias("s"))
+        .select(
+            "probe",
+            "cust",
+            F.col("s.cents").alias("cents"),
+            F.when(F.col("s.tf") > F.col("s.vf"), 1).otherwise(0).alias("late"),
+        )
+    )
+    return picked.groupBy("probe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum("late").cast("long").alias("n_late_versions"),
+    )
+
+
+_KG_BITEMPORAL_ASOF_SQL = """
+WITH v AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS vf,
+         CAST(o_orderdate AS DATE) + CAST((o_orderkey % 30) AS INT) AS tf,
+         o_orderkey AS ok,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+probes AS (
+  SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), DATE '1996-06-01', DATE '1996-06-01'),
+    (CAST(2 AS BIGINT), DATE '1996-06-01', DATE '1996-07-01'),
+    (CAST(3 AS BIGINT), DATE '1996-06-01', DATE '1998-12-31')
+  ) p(probe, v, t)
+),
+ranked AS (
+  SELECT p.probe, v.cust, v.cents, v.vf, v.tf,
+         row_number() OVER (PARTITION BY p.probe, v.cust
+                            ORDER BY v.vf DESC, v.ok DESC) AS rn
+  FROM v JOIN probes p ON v.vf <= p.v AND v.tf <= p.t
+)
+SELECT probe, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN tf > vf THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_versions
+FROM ranked WHERE rn = 1 GROUP BY probe
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -13771,6 +14049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanonymity_audit": _kanonymity_audit,
         "dataset_drift_chi2": _dataset_drift_chi2,
         "kg_bond_percolation": _kg_bond_percolation,
+        "kmv_distinct_estimate": _kmv_distinct_estimate,
+        "er_fellegi_sunter": _er_fellegi_sunter,
+        "kg_bitemporal_asof": _kg_bitemporal_asof,
         "stratified_sample": _stratified_sample,
         "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
@@ -14016,6 +14297,9 @@ def oracle_sql() -> dict[str, str]:
         "kanonymity_audit": _KANONYMITY_AUDIT_SQL,
         "dataset_drift_chi2": _DATASET_DRIFT_CHI2_SQL,
         "kg_bond_percolation": _KG_BOND_PERCOLATION_SQL,
+        "kmv_distinct_estimate": _KMV_DISTINCT_ESTIMATE_SQL,
+        "er_fellegi_sunter": _er_fellegi_sunter_sql(),
+        "kg_bitemporal_asof": _KG_BITEMPORAL_ASOF_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),
