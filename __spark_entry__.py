@@ -13881,6 +13881,284 @@ FROM ranked WHERE rn = 1 GROUP BY probe
 """
 
 
+
+
+def _lsh_band_sweep(spark, sf):
+    """LSH BANDING PARAMETER SWEEP — the recall/cost S-curve a dedup
+    pipeline publishes to justify its banding choice (the tuning view of
+    dedup_blocking_quality, which pins ONE operating point): for bands in
+    {2, 4, 8} over the same 16 minhashes, candidate pairs, caught truth
+    pairs, recall and reduction in ppm (rule 11).  More bands = shorter
+    band signatures = more candidates = higher recall, lower reduction —
+    the monotone trade the sweep exposes.  Spark: signatures computed
+    once per config via the SHARED ``lsh_band_candidates`` (same
+    semantics source as the gated pair/cluster queries); the truth set
+    (shingle self-join, exhaustive since a qualifying pair shares a
+    shingle) is computed ONCE and checkpointed."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        candidate_overlap,
+        lsh_band_candidates,
+        token_shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    sh = token_shingles(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    sharing = (
+        a.join(b, (F.col("shingle") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ov = candidate_overlap(sharing, docs)
+    truth = (
+        ov.filter(2 * F.col("inter") >= F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    allpairs = n * (n - 1) // 2
+    t = truth.count()
+    rows = []
+    for bands in (2, 4, 8):
+        cand = lsh_band_candidates(docs, bands=bands)
+        c = cand.count()
+        k = truth.join(cand, ["doc_a", "doc_b"]).count()
+        rows.append(
+            (
+                bands,
+                t,
+                c,
+                k,
+                (1000000 * k) // t if t else 0,
+                (1000000 * (allpairs - c)) // allpairs if allpairs else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bands long, n_truth long, n_candidates long, n_caught long,"
+        " recall_ppm long, reduction_ppm long",
+    )
+
+
+def _lsh_band_sweep_sql() -> str:
+    per_band = []
+    for bands in (2, 4, 8):
+        rpb = 16 // bands
+        per_band.append(f"""
+banded_{bands} AS (
+  SELECT doc_id, CAST(seed // {rpb} AS INT) AS band,
+    string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(seed // {rpb} AS INT)
+),
+cand_{bands} AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded_{bands} x JOIN banded_{bands} y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+)""")
+        per_band.append(f"""
+m_{bands} AS (
+  SELECT CAST({bands} AS BIGINT) AS bands,
+         (SELECT count(*) FROM truth) AS t,
+         (SELECT count(*) FROM cand_{bands}) AS c,
+         (SELECT count(*) FROM truth JOIN cand_{bands} USING (doc_a, doc_b)) AS k
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT bands, t, c, k FROM m_{bands}" for bands in (2, 4, 8)
+    )
+    return (
+        _MINHASH_CAND_CTES.rstrip()
+        + ",\nsharing AS MATERIALIZED (\n"
+        + "  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        + "  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id\n"
+        + "),\ninter_t AS (\n"
+        + "  SELECT s.doc_a, s.doc_b, CAST(count(*) AS BIGINT) AS i\n"
+        + "  FROM sharing s JOIN sh a ON a.doc_id = s.doc_a\n"
+        + "  JOIN sh b ON b.doc_id = s.doc_b AND b.shingle = a.shingle\n"
+        + "  GROUP BY s.doc_a, s.doc_b\n"
+        + "),\ntruth AS MATERIALIZED (\n"
+        + "  SELECT it.doc_a, it.doc_b FROM inter_t it\n"
+        + "  JOIN sizes sa ON sa.doc_id = it.doc_a\n"
+        + "  JOIN sizes sb ON sb.doc_id = it.doc_b\n"
+        + "  WHERE 2 * it.i >= sa.sz + sb.sz - it.i\n"
+        + "),\nnp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),"
+        + ",".join(per_band)
+        + f"""
+SELECT u.bands, CAST(u.t AS BIGINT) AS n_truth,
+       CAST(u.c AS BIGINT) AS n_candidates, CAST(u.k AS BIGINT) AS n_caught,
+       CAST(CASE WHEN u.t > 0 THEN (1000000 * u.k) // u.t ELSE 0 END AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN np.n >= 2 THEN
+         (1000000 * (np.n * (np.n - 1) // 2 - u.c)) // (np.n * (np.n - 1) // 2)
+         ELSE 0 END AS BIGINT) AS reduction_ppm
+FROM ({unions}) u, np
+"""
+    )
+
+
+def _winnowing_fingerprints(spark, sf):
+    """WINNOWING document fingerprints (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS kernel) — the guaranteed-density local fingerprint selection
+    a plagiarism/overlap detector uses where fixed sampling can miss
+    matches: over the positional 3-gram hash stream, every w = 4 window
+    contributes its minimum (rightmost on ties), selected positions
+    dedup.  Rightmost-min-in-window is ONE window aggregate —
+    ``min(struct(h, -pos))`` over the w-row frame (the struct-min argmin
+    pattern, partition-order-free in both engines) — so the whole
+    operator is one window shuffle keyed by doc.  Output per doc:
+    gram count, fingerprints selected, density in ppm (the 2/(w+1)
+    guarantee makes density ~ 400000 ppm the expected band)."""
+    from pyspark.sql import Window
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("t")
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.size("t").alias("nt"),
+            F.explode(F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0)))).alias("i"),
+        )
+        .filter(F.col("i") <= F.col("nt") - 3)
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "i",
+            poly_hash(F.concat_ws(" ", F.slice(F.col("t"), F.col("i") + 1, F.lit(3)))).alias("h"),
+            (F.col("nt") - 2).cast("long").alias("n_grams"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    sel = (
+        grams.filter(F.col("n_grams") >= 4)
+        .withColumn("ms", F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).over(w))
+        .filter(F.col("i") <= F.col("n_grams") - 4)
+        .select("doc_id", "n_grams", (-F.col("ms.ni")).alias("fp_pos"))
+        .distinct()
+    )
+    return sel.groupBy("doc_id", "n_grams").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints")
+    ).withColumn(
+        "density_ppm", F.expr("(1000000 * n_fingerprints) DIV n_grams")
+    )
+
+
+_WINNOWING_FINGERPRINTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all(array_to_string(t[i + 1 : i + 3], ' '), '.'),
+                       x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007
+    ) AS BIGINT) AS h,
+    CAST(len(t) - 2 AS BIGINT) AS n_grams
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+win AS (
+  -- window FIRST, start-position filter OUTSIDE: a WHERE here runs
+  -- before the window and would truncate the trailing frames
+  SELECT doc_id, n_grams, i,
+         -(min((h, -i)) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))[2]
+           AS fp_pos
+  FROM grams WHERE n_grams >= 4
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, fp_pos FROM win WHERE i <= n_grams - 4
+)
+SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       (1000000 * CAST(count(*) AS BIGINT)) // n_grams AS density_ppm
+FROM sel GROUP BY doc_id, n_grams
+"""
+
+
+def _kg_densest_subgraph(spark, sf):
+    """Bounded CHARIKAR PEEL toward the densest subgraph of the alias
+    graph — the community-core extraction (fraud rings, boilerplate
+    clusters) that k-core approximates from below: per round, remove
+    every node whose degree is at most the current average
+    (``deg·N <= 2·E`` — exact integers, no ratio), and record the
+    surviving subgraph's size and average-degree density in ppm.  The
+    parallel peel is the scalable form of Charikar's sequential
+    2-approximation; 6 bounded rounds (the kcore/MIS contract), each one
+    degree agg + two semi-joins, localCheckpoint per round (rule 23).
+    The best row of the profile is the density certificate."""
+    und = (
+        _alias_graph(spark, sf)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    cur = und
+    for r in range(1, 7):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = deg.count()
+        n_edges = cur.count()
+        if n_nodes == 0:
+            break
+        rows.append((r, n_nodes, n_edges, (1000000 * 2 * n_edges) // n_nodes))
+        keep = deg.filter(
+            F.col("deg") * F.lit(n_nodes) > 2 * F.lit(n_edges)
+        ).select("node")
+        cur = (
+            cur.join(keep.select(F.col("node").alias("a")), "a")
+            .join(keep.select(F.col("node").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        rows, "round long, n_nodes long, n_edges long, density_ppm long"
+    )
+
+
+def _kg_densest_subgraph_sql() -> str:
+    ctes = [
+        f"WITH {_ALIAS_GRAPH_CTES.rstrip()},\n"
+        "e1 AS MATERIALIZED (SELECT a, b FROM sym WHERE a < b)"
+    ]
+    levels = []
+    for r in range(1, 7):
+        ctes.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+  ) GROUP BY node
+),
+s{r} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges
+  FROM d{r}
+),
+k{r} AS MATERIALIZED (
+  SELECT d{r}.node FROM d{r}, s{r}
+  WHERE d{r}.deg * s{r}.n_nodes > 2 * s{r}.n_edges
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN k{r} ka ON e.a = ka.node JOIN k{r} kb ON e.b = kb.node
+)""")
+        levels.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, n_nodes, n_edges,"
+            f" (1000000 * 2 * n_edges) // n_nodes AS density_ppm"
+            f" FROM s{r} WHERE n_nodes > 0"
+        )
+    return ",".join(ctes) + "\n" + "\nUNION ALL\n".join(levels)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -14052,6 +14330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_estimate": _kmv_distinct_estimate,
         "er_fellegi_sunter": _er_fellegi_sunter,
         "kg_bitemporal_asof": _kg_bitemporal_asof,
+        "lsh_band_sweep": _lsh_band_sweep,
+        "winnowing_fingerprints": _winnowing_fingerprints,
+        "kg_densest_subgraph": _kg_densest_subgraph,
         "stratified_sample": _stratified_sample,
         "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
@@ -14300,6 +14581,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_estimate": _KMV_DISTINCT_ESTIMATE_SQL,
         "er_fellegi_sunter": _er_fellegi_sunter_sql(),
         "kg_bitemporal_asof": _KG_BITEMPORAL_ASOF_SQL,
+        "lsh_band_sweep": _lsh_band_sweep_sql(),
+        "winnowing_fingerprints": _WINNOWING_FINGERPRINTS_SQL,
+        "kg_densest_subgraph": _kg_densest_subgraph_sql(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),
