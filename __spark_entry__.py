@@ -14159,6 +14159,247 @@ e{r + 1} AS MATERIALIZED (
     return ",".join(ctes) + "\n" + "\nUNION ALL\n".join(levels)
 
 
+
+
+def _join_skew_profile(spark, sf):
+    """JOIN-KEY SKEW profile — the diagnosis a 100 TB join is planned
+    around (AQE skew-join splitting, salting width): per-key counts of
+    the lineitem supplier key, the top-3 heaviest keys with their share,
+    and the global skew factor ``max_cnt·n_keys/total`` in ppm (1e6 =
+    perfectly uniform; complements bench.py's _reducer_split, which
+    replays Spark's hash partitioner — this measures the KEY
+    distribution itself, partitioner-independent).  Spark: one map-side-
+    combined count agg; the ranking window runs on the per-key frame
+    (n_keys rows, dimension-sized), never the fact table."""
+    from pyspark.sql import Window
+
+    cnt = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    g = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("suppkey").asc())
+    top = cnt.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    return top.crossJoin(F.broadcast(g)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "suppkey",
+        "cnt",
+        F.expr("(1000000 * cnt) DIV total").alias("share_ppm"),
+        "n_keys",
+        F.expr("(1000000 * max_cnt * n_keys) DIV total").alias("skew_ppm"),
+    )
+
+
+_JOIN_SKEW_PROFILE_SQL = """
+WITH cnt AS (
+  SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM cnt
+),
+top AS (
+  SELECT suppkey, cnt,
+         row_number() OVER (ORDER BY cnt DESC, suppkey ASC) AS rank
+  FROM cnt
+)
+SELECT CAST(rank AS BIGINT) AS rank, suppkey, cnt,
+       (1000000 * cnt) // g.total AS share_ppm,
+       g.n_keys,
+       (1000000 * g.max_cnt * g.n_keys) // g.total AS skew_ppm
+FROM top, g WHERE rank <= 3
+"""
+
+
+def _ivm_delta_agg(spark, sf):
+    """INCREMENTAL VIEW MAINTENANCE of an aggregate — the delta-merge
+    contract a materialized revenue view relies on (Delta/Iceberg MERGE
+    of partial aggregates; the batch analogue of the streaming
+    stateful updates): base = shipments before 1997, delta = the rest;
+    the maintained view (base partial + delta partial, MERGED by key) is
+    proven cell-equal to the full recompute — the query emits BOTH and
+    an equality flag, so the gate hash-pins the IVM invariant itself.
+    Spark: two partial aggs + one merge agg + one full agg, all map-side
+    combinable; money in exact integer cents (rule 5/11)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.to_date("l_shipdate").alias("sd"),
+        (F.col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cut = F.lit("1997-01-01").cast("date")
+
+    def part(df, name):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{name}_n"),
+            F.sum("cents").cast("long").alias(f"{name}_cents"),
+        )
+
+    base = part(li.filter(F.col("sd") < cut), "base")
+    delta = part(li.filter(F.col("sd") >= cut), "delta")
+    merged = (
+        base.join(delta, "l_returnflag", "full_outer")
+        .select(
+            "l_returnflag",
+            (F.coalesce("base_n", F.lit(0)) + F.coalesce("delta_n", F.lit(0)))
+            .cast("long")
+            .alias("merged_n"),
+            (
+                F.coalesce("base_cents", F.lit(0))
+                + F.coalesce("delta_cents", F.lit(0))
+            )
+            .cast("long")
+            .alias("merged_cents"),
+        )
+    )
+    full = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("full_n"),
+        F.sum("cents").cast("long").alias("full_cents"),
+    )
+    return merged.join(full, "l_returnflag").select(
+        "l_returnflag",
+        "merged_n",
+        "full_n",
+        "merged_cents",
+        "full_cents",
+        F.when(
+            (F.col("merged_n") == F.col("full_n"))
+            & (F.col("merged_cents") == F.col("full_cents")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("consistent"),
+    )
+
+
+_IVM_DELTA_AGG_SQL = """
+WITH li AS (
+  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS sd,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+base AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS base_n,
+         CAST(sum(cents) AS BIGINT) AS base_cents
+  FROM li WHERE sd < DATE '1997-01-01' GROUP BY 1
+),
+delta AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS delta_n,
+         CAST(sum(cents) AS BIGINT) AS delta_cents
+  FROM li WHERE sd >= DATE '1997-01-01' GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(b.l_returnflag, d.l_returnflag) AS l_returnflag,
+         CAST(coalesce(b.base_n, 0) + coalesce(d.delta_n, 0) AS BIGINT) AS merged_n,
+         CAST(coalesce(b.base_cents, 0) + coalesce(d.delta_cents, 0) AS BIGINT) AS merged_cents
+  FROM base b FULL OUTER JOIN delta d ON b.l_returnflag = d.l_returnflag
+),
+fullv AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS full_n,
+         CAST(sum(cents) AS BIGINT) AS full_cents
+  FROM li GROUP BY 1
+)
+SELECT m.l_returnflag, m.merged_n, f.full_n, m.merged_cents, f.full_cents,
+       CAST(CASE WHEN m.merged_n = f.full_n AND m.merged_cents = f.full_cents
+            THEN 1 ELSE 0 END AS BIGINT) AS consistent
+FROM merged m JOIN fullv f ON m.l_returnflag = f.l_returnflag
+"""
+
+
+def _kg_node2vec_bias(spark, sf):
+    """NODE2VEC second-order transition BIAS matrix (Grover-Leskovec
+    2016) in exact integers — the per-(prev, cur) edge profile a biased
+    random-walk corpus generator precomputes: options out of ``cur``
+    split into RETURN (back to prev), COMMON (neighbors of both — dist 1
+    from prev), FORWARD (dist 2); with return parameter p = 2 and
+    in-out q = 2 the unnormalized weights are (1, 2, 1) after scaling
+    by 2, so every transition probability is an integer ppm with one DIV
+    per class (rule 11).  The walk itself is gated (kg_random_walks —
+    first-order); this pins the SECOND-ORDER bias that makes node2vec
+    walks BFS/DFS-tunable.  Spark: degree agg + one common-neighbor
+    join (Σdeg² pair state, the triangle-join shape), all broadcast-free
+    equi-joins on node ids."""
+    sym = _alias_graph(spark, sf).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # common neighbors of (u, v) for each directed edge u->v: w adj to
+    # both, w != u (w == v impossible: no self-loops)
+    un = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    uw = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    vw = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    common = (
+        un.join(uw, "u")
+        .join(vw, ["v", "w"])
+        .filter(F.col("w") != F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = (
+        un.join(common, ["u", "v"], "left")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .select(
+            "u",
+            "v",
+            "deg_v",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+        .withColumn("n_forward", F.expr("deg_v - 1 - n_common"))
+        .withColumn("mass", F.expr("1 + 2 * n_common + n_forward"))
+    )
+    return j.select(
+        "u",
+        "v",
+        "deg_v",
+        "n_common",
+        "n_forward",
+        F.expr("1000000 DIV mass").alias("p_return_ppm"),
+        F.expr("(1000000 * 2 * n_common) DIV mass").alias("p_common_ppm"),
+        F.expr("(1000000 * n_forward) DIV mass").alias("p_forward_ppm"),
+    )
+
+
+def _kg_node2vec_bias_sql() -> str:
+    return f"""
+WITH {_ALIAS_GRAPH_CTES.rstrip()},
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+common AS (
+  SELECT uv.a AS u, uv.b AS v, CAST(count(*) AS BIGINT) AS n_common
+  FROM sym uv JOIN sym uw ON uw.a = uv.a
+  JOIN sym vw ON vw.a = uv.b AND vw.b = uw.b
+  WHERE uw.b <> uv.a
+  GROUP BY uv.a, uv.b
+),
+j AS (
+  SELECT uv.a AS u, uv.b AS v, d.deg AS deg_v,
+         CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
+  FROM sym uv JOIN deg d ON d.node = uv.b
+  LEFT JOIN common c ON c.u = uv.a AND c.v = uv.b
+),
+x AS (
+  SELECT u, v, deg_v, n_common,
+         deg_v - 1 - n_common AS n_forward,
+         1 + 2 * n_common + (deg_v - 1 - n_common) AS mass
+  FROM j
+)
+SELECT u, v, deg_v, n_common, n_forward,
+       1000000 // mass AS p_return_ppm,
+       (1000000 * 2 * n_common) // mass AS p_common_ppm,
+       (1000000 * n_forward) // mass AS p_forward_ppm
+FROM x
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -14333,6 +14574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_sweep": _lsh_band_sweep,
         "winnowing_fingerprints": _winnowing_fingerprints,
         "kg_densest_subgraph": _kg_densest_subgraph,
+        "join_skew_profile": _join_skew_profile,
+        "ivm_delta_agg": _ivm_delta_agg,
+        "kg_node2vec_bias": _kg_node2vec_bias,
         "stratified_sample": _stratified_sample,
         "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
@@ -14584,6 +14828,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_band_sweep": _lsh_band_sweep_sql(),
         "winnowing_fingerprints": _WINNOWING_FINGERPRINTS_SQL,
         "kg_densest_subgraph": _kg_densest_subgraph_sql(),
+        "join_skew_profile": _JOIN_SKEW_PROFILE_SQL,
+        "ivm_delta_agg": _IVM_DELTA_AGG_SQL,
+        "kg_node2vec_bias": _kg_node2vec_bias_sql(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),
