@@ -14400,6 +14400,243 @@ FROM x
 """
 
 
+
+
+def _events_forecast_naive_eval(spark, sf):
+    """FORECAST BACKTEST of the two standard baselines every demand
+    model is judged against — naive (yesterday's count) and seasonal-
+    naive (same weekday last week) — over the daily event series:
+    per model, evaluation days, total absolute error, and WAPE in ppm
+    (Σ|err|/Σactual — the aggregate form that needs ONE trailing DIV
+    instead of a per-day ratio, rule 11).  Gap-robust: predictions come
+    from an equi-join on day−k, not a lag window, so missing days drop
+    out of the evaluation instead of silently shifting it.  Spark: one
+    daily agg + two self-joins on the tiny day frame."""
+    ev = _t(spark, sf, "events")
+    daily = (
+        ev.select(F.expr("CAST(unix_micros(cast(ts AS timestamp_ltz)) DIV 86400000000 AS BIGINT)").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for model, k in (("naive", 1), ("seasonal_naive", 7)):
+        pred = daily.select((F.col("d") + k).alias("d"), F.col("c").alias("p"))
+        j = daily.join(pred, "d").select(
+            F.lit(model).alias("model"),
+            F.expr("abs(c - p)").alias("ae"),
+            "c",
+        )
+        row = j.groupBy("model").agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum("ae").cast("long").alias("sum_abs_err"),
+            F.expr(
+                "CASE WHEN sum(c) > 0 THEN (1000000 * CAST(sum(ae) AS BIGINT))"
+                " DIV CAST(sum(c) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("wape_ppm"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_EVENTS_FORECAST_NAIVE_EVAL_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+ev AS (
+  SELECT 'naive' AS model, a.c, p.c AS p
+  FROM daily a JOIN daily p ON p.d + 1 = a.d
+  UNION ALL
+  SELECT 'seasonal_naive', a.c, p.c
+  FROM daily a JOIN daily p ON p.d + 7 = a.d
+)
+SELECT model, CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(abs(c - p)) AS BIGINT) AS sum_abs_err,
+       CASE WHEN sum(c) > 0
+            THEN (1000000 * CAST(sum(abs(c - p)) AS BIGINT)) // CAST(sum(c) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS wape_ppm
+FROM ev GROUP BY model
+"""
+
+_TRGM_PATTERNS = ["spark", "slow", "batch"]
+
+
+def _char_trigrams(term: str) -> list[str]:
+    return [term[i : i + 3] for i in range(len(term) - 2)]
+
+
+def _trigram_index_selectivity(spark, sf):
+    """TRIGRAM-INDEX selectivity audit (the pg_trgm / GIN estimation
+    model): a LIKE '%pattern%' predicate is upper-bounded by the
+    smallest document frequency among the pattern's character trigrams;
+    this query builds the per-doc distinct trigram postings, reads the
+    bound for three patterns, and compares against the true substring
+    match count — est/true in ppm is the overestimation factor a
+    planner's cost model carries (>= 1e6 by construction: the bound is
+    sound).  Spark: one JVM-side explode of positional substrings →
+    distinct (doc, trigram) → df counts for just the needed trigrams
+    (broadcast IN-list); the truth side is one instr() scan.  Postings
+    are the inverted_index_postings shape at character granularity."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    needed = sorted({t for p in _TRGM_PATTERNS for t in _char_trigrams(p)})
+    tg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("tg"),
+        )
+        .filter(F.length("tg") == 3)
+        .filter(F.col("tg").isin(needed))
+        .distinct()
+    )
+    df_counts = tg.groupBy("tg").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    pats = spark.createDataFrame(
+        [(p, t) for p in _TRGM_PATTERNS for t in _char_trigrams(p)],
+        "pattern string, tg string",
+    )
+    est = (
+        pats.join(F.broadcast(df_counts), "tg", "left")
+        .groupBy("pattern")
+        .agg(F.min(F.coalesce("df", F.lit(0))).cast("long").alias("est_docs"))
+    )
+    truth = None
+    for p in _TRGM_PATTERNS:
+        row = d.agg(
+            F.sum(
+                F.when(F.expr(f"instr(text, '{p}') > 0"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("true_docs")
+        ).withColumn("pattern", F.lit(p))
+        truth = row if truth is None else truth.unionAll(row)
+    return est.join(truth, "pattern").select(
+        "pattern",
+        "est_docs",
+        "true_docs",
+        F.expr(
+            "CASE WHEN true_docs > 0 THEN (1000000 * est_docs) DIV true_docs"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("overest_ppm"),
+    )
+
+
+def _trigram_index_selectivity_sql() -> str:
+    pat_vals = ", ".join(
+        f"('{p}', '{t}')" for p in _TRGM_PATTERNS for t in _char_trigrams(p)
+    )
+    pat_list = ", ".join(f"'{p}'" for p in _TRGM_PATTERNS)
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+tg AS (
+  SELECT DISTINCT doc_id, substring(text, i.i, 3) AS tg
+  FROM d, unnest(range(1, greatest(length(d.text) - 2, 1) + 1)) AS i(i)
+  WHERE length(substring(text, i.i, 3)) = 3
+),
+needed AS (SELECT DISTINCT tg FROM (VALUES {pat_vals}) v(pattern, tg)),
+dfc AS (
+  SELECT tg.tg, CAST(count(*) AS BIGINT) AS df
+  FROM tg JOIN needed USING (tg) GROUP BY tg.tg
+),
+pats AS (SELECT pattern, tg FROM (VALUES {pat_vals}) v(pattern, tg)),
+est AS (
+  SELECT p.pattern, CAST(min(coalesce(dfc.df, 0)) AS BIGINT) AS est_docs
+  FROM pats p LEFT JOIN dfc ON p.tg = dfc.tg GROUP BY p.pattern
+),
+truth AS (
+  SELECT p.pattern,
+         CAST(sum(CASE WHEN instr(d.text, p.pattern) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS true_docs
+  FROM (SELECT DISTINCT pattern FROM pats) p, d
+  WHERE p.pattern IN ({pat_list})
+  GROUP BY p.pattern
+)
+SELECT e.pattern, e.est_docs, t.true_docs,
+       CASE WHEN t.true_docs > 0 THEN (1000000 * e.est_docs) // t.true_docs
+            ELSE CAST(0 AS BIGINT) END AS overest_ppm
+FROM est e JOIN truth t ON e.pattern = t.pattern
+"""
+
+
+def _orders_mad_outliers(spark, sf):
+    """Robust OUTLIER screen via exact MEDIAN + MAD (median absolute
+    deviation) over order totals — the scale-free anomaly cut a billing
+    monitor prefers to z-scores (events_anomaly_zscore gates the moment
+    form; this gates the ORDER-STATISTIC form).  Exactness: 'median' is
+    pinned to the LOWER-MIDDLE order statistic (rank = (n+1) DIV 2 by
+    (value, orderkey)) — an integer cents value in BOTH engines, where
+    interpolating median()/percentile() would cross a float boundary;
+    MAD likewise over |x − med|.  Outliers: |x − med| > 3·MAD.  Spark:
+    two ranked selections (each one sort shuffle of the cents column)
+    + one broadcast of the two scalars back over the scan."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).localCheckpoint(eager=True)
+    n = o.count()
+    mid = (n + 1) // 2
+    w1 = Window.orderBy("cents", "ok")
+    med = (
+        o.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == mid)
+        .select(F.col("cents").alias("med"))
+    )
+    dev = o.crossJoin(F.broadcast(med)).select(
+        "ok", "cents", F.expr("abs(cents - med)").alias("ad"), "med"
+    )
+    w2 = Window.orderBy("ad", "ok")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == mid)
+        .select(F.col("ad").alias("mad"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").cast("long").alias("median_cents"),
+            F.min("mad").cast("long").alias("mad_cents"),
+            F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_ppm", F.expr("(1000000 * n_outliers) DIV n")
+        )
+    )
+
+
+_ORDERS_MAD_OUTLIERS_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS ok,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+params AS (SELECT (count(*) + 1) // 2 AS mid, CAST(count(*) AS BIGINT) AS n FROM o),
+r1 AS (SELECT cents, row_number() OVER (ORDER BY cents, ok) AS rn FROM o),
+med AS (SELECT r1.cents AS med FROM r1, params WHERE r1.rn = params.mid),
+dev AS (SELECT o.ok, o.cents, abs(o.cents - med.med) AS ad, med.med FROM o, med),
+r2 AS (SELECT ad, row_number() OVER (ORDER BY ad, ok) AS rn FROM dev),
+mad AS (SELECT r2.ad AS mad FROM r2, params WHERE r2.rn = params.mid)
+SELECT params.n, CAST(min(dev.med) AS BIGINT) AS median_cents,
+       CAST(min(mad.mad) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       (1000000 * CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+                       AS BIGINT)) // params.n AS outlier_ppm
+FROM dev, mad, params GROUP BY params.n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -14577,6 +14814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_profile": _join_skew_profile,
         "ivm_delta_agg": _ivm_delta_agg,
         "kg_node2vec_bias": _kg_node2vec_bias,
+        "events_forecast_naive_eval": _events_forecast_naive_eval,
+        "trigram_index_selectivity": _trigram_index_selectivity,
+        "orders_mad_outliers": _orders_mad_outliers,
         "stratified_sample": _stratified_sample,
         "feature_target_encoding": _feature_target_encoding,
         "kg_stress_centrality": _kg_stress_centrality,
@@ -14831,6 +15071,9 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_profile": _JOIN_SKEW_PROFILE_SQL,
         "ivm_delta_agg": _IVM_DELTA_AGG_SQL,
         "kg_node2vec_bias": _kg_node2vec_bias_sql(),
+        "events_forecast_naive_eval": _EVENTS_FORECAST_NAIVE_EVAL_SQL,
+        "trigram_index_selectivity": _trigram_index_selectivity_sql(),
+        "orders_mad_outliers": _ORDERS_MAD_OUTLIERS_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "feature_target_encoding": _FEATURE_TARGET_ENCODING_SQL,
         "kg_stress_centrality": _kg_stress_centrality_sql(),
