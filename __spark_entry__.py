@@ -14637,6 +14637,194 @@ FROM dev, mad, params GROUP BY params.n
 """
 
 
+MATCHING_ROUNDS = 6  # fixture decides in 2 rounds at every sf (measured
+# 1k/10k/100k); budget mirrors kg_maximal_independent_set — overrun raises
+# LOUDLY in the Spark kernel, extra SQL rounds are no-ops.
+
+
+def _kg_maximal_matching(spark, sf):
+    """Deterministic MAXIMAL MATCHING + 2-approx vertex cover over the
+    chain+skip entity graph shared with ``kg_shortest_path_counts``
+    (edges (i-1, i) and, for i % 3 != 0, (i-2, i); sf-scaled 1k/10k/100k
+    nodes → ~1.7k/17k/167k edges) — the edge-scheduling primitive a KG
+    merge pipeline uses to execute a maximal wave of PAIRWISE entity
+    merges in parallel (no two picked merges touch the same node; the
+    matched endpoints are the classic 2-approximate vertex cover).
+    Re-expressed as the deterministic Luby MIS on the LINE GRAPH
+    (``operators/graph.py:maximal_matching`` — one shared kernel for MIS
+    and matching, rule 6 at the operator level); the DuckDB twin
+    (``oracle/graph.py:matching_sql``) reuses the SAME ``mis_sql`` unroll
+    on the same line-graph CTEs.  Edge ids are the injective 2i / 2i+1
+    scheme so priorities never tie (rule 11).  Output = every edge with
+    its BIGINT matched flag and picking round.  The reference has no
+    graph stage (``OICI_database.py:34-39``) — SURVEY §2.12 extension."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        maximal_matching,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        (F.col("id") * 2).alias("edge_id"),
+        (F.col("id") - 1).alias("src"),
+        F.col("id").alias("dst"),
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        (F.col("id") * 2 + 1).alias("edge_id"),
+        (F.col("id") - 2).alias("src"),
+        F.col("id").alias("dst"),
+    )
+    return maximal_matching(
+        chain.union(skip), max_rounds=MATCHING_ROUNDS
+    )
+
+
+def _kg_maximal_matching_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import matching_sql
+
+    edge_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges_base AS MATERIALIZED (
+  SELECT 2 * i AS eid, i - 1 AS u, i AS v FROM ids WHERE i > 0
+  UNION ALL
+  SELECT 2 * i + 1 AS eid, i - 2 AS u, i AS v FROM ids
+  WHERE i > 1 AND i % 3 <> 0
+)
+"""
+    return matching_sql(edge_ctes, rounds=MATCHING_ROUNDS)
+
+
+def _events_gap_histogram(spark, sf):
+    """Inter-arrival GAP HISTOGRAM on power-of-two buckets — the
+    empirical-gap distribution a pipeline reads BEFORE choosing its
+    sessionization timeout (events_sessionize hard-codes 1800 s; this
+    query is where that number comes from).  Per user, gaps between
+    consecutive events (ts, event_id ordered — ties pinned); bucket =
+    floor(log2(gap_s + 1)) computed as the LENGTH OF THE BINARY
+    REPRESENTATION minus one — pure integer both sides (rule 11; Spark
+    ``length(bin(x))``, DuckDB ``length(format('{:b}', x))``) so no
+    float log2 boundary can disagree.  Gap seconds are epoch-microsecond
+    BIGINT diffs DIV 10^6 (truncation — positive operands, so DuckDB
+    ``//`` agrees).  Spark: ONE window shuffle on user_id + one
+    map-side-combinable agg on the tiny (event_type, bucket) key space."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gap_s = F.expr("gap_us DIV 1000000")
+    return (
+        g.select(
+            "event_type",
+            (F.length(F.bin(gap_s + 1)) - 1).cast("long").alias("gap_bucket"),
+            gap_s.alias("gap_s"),
+        )
+        .groupBy("event_type", "gap_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_s").cast("long").alias("total_gap_s"),
+        )
+    )
+
+
+_EVENTS_GAP_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(length(format('{:b}', gap_us // 1000000 + 1)) - 1 AS BIGINT)
+         AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us // 1000000) AS BIGINT) AS total_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def _text_readability_ari(spark, sf):
+    """AUTOMATED READABILITY INDEX histogram per language — the
+    readability screen a training-corpus curation pass runs next to
+    doc_quality_filter (ARI is the classic grade formula whose inputs
+    are ALL integer counts: chars/words + words/sentences — no syllable
+    estimation, so it is exactly replayable, rule 11).  The corpus text
+    is punctuation-free by construction, so sentence boundaries are
+    synthesized deterministically per doc_id (filler sentences + a
+    ``!?`` run that must count as ONE boundary — every rule live at
+    every sf, the url_host_stats recipe).  Per doc: c = [A-Za-z0-9]
+    chars, w = whitespace tokens, s = [.!?]+ runs (floor 1); the grade
+    bucket is ``(10^6·(471·c·s + 50·w² − 2143·w·s) + 22·10^8·w·s) DIV
+    (10^8·w·s) = floor(ARI) + 22`` — the +22 shift keeps the dividend
+    positive (ARI ≥ −16.2 since c ≥ w), so Spark DIV (truncate) and
+    DuckDB // (floor) agree; operands stay < 2^62 for docs under ~10^6
+    chars.  Spark: one scan, one tiny-key agg — zero Python."""
+    d = _t(spark, sf, "documents")
+    text2 = F.expr(
+        "concat(text,"
+        " CASE WHEN doc_id % 5 = 0 THEN ''"
+        " ELSE repeat(' More filler words now.', CAST(doc_id % 5 AS INT)) END,"
+        " CASE WHEN doc_id % 7 = 0 THEN ' Really!? Yes.' ELSE '' END)"
+    )
+    c = F.size(F.expr("regexp_extract_all(text2, '[A-Za-z0-9]', 0)"))
+    # w and s floor at 1 so the DIV denominator is never 0 — an empty doc
+    # buckets deterministically instead of NULL-vs-error twin divergence
+    w = F.greatest(
+        F.size(F.expr("regexp_extract_all(text2, '[^ ]+', 0)")), F.lit(1)
+    )
+    s = F.greatest(
+        F.size(F.expr("regexp_extract_all(text2, '[.!?]+', 0)")), F.lit(1)
+    )
+    t = d.select(
+        "lang",
+        text2.alias("text2"),
+    ).select(
+        "lang",
+        c.cast("long").alias("c"),
+        w.cast("long").alias("w"),
+        s.cast("long").alias("s"),
+    )
+    bucket = F.expr(
+        "(1000000 * (471*c*s + 50*w*w - 2143*w*s) + 2200000000*w*s)"
+        " DIV (100000000*w*s)"
+    )
+    return (
+        t.select("lang", bucket.alias("ari_bucket"), "w")
+        .groupBy("lang", "ari_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("total_words"),
+        )
+    )
+
+
+_TEXT_READABILITY_ARI_SQL = """
+WITH t2 AS (
+  SELECT lang,
+         text
+         || CASE WHEN doc_id % 5 = 0 THEN ''
+                 ELSE repeat(' More filler words now.', CAST(doc_id % 5 AS INT)) END
+         || CASE WHEN doc_id % 7 = 0 THEN ' Really!? Yes.' ELSE '' END AS text2
+  FROM documents
+),
+cnt AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text2, '[A-Za-z0-9]')) AS BIGINT) AS c,
+         CAST(greatest(len(regexp_extract_all(text2, '[^ ]+')), 1) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text2, '[.!?]+')), 1) AS BIGINT) AS s
+  FROM t2
+)
+SELECT lang,
+       CAST((1000000 * (471*c*s + 50*w*w - 2143*w*s) + 2200000000*w*s)
+         // (100000000*w*s) AS BIGINT) AS ari_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_words
+FROM cnt GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -14875,6 +15063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_min_spanning_forest": _kg_min_spanning_forest,
         "events_sequence_ngrams": _events_sequence_ngrams,
         "events_anomaly_zscore": _events_anomaly_zscore,
+        "kg_maximal_matching": _kg_maximal_matching,
+        "events_gap_histogram": _events_gap_histogram,
+        "text_readability_ari": _text_readability_ari,
     }
 
 
@@ -15136,4 +15327,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_min_spanning_forest": _kg_min_spanning_forest_sql(),
         "events_sequence_ngrams": _EVENTS_SEQ_NGRAMS_SQL,
         "events_anomaly_zscore": _EVENTS_ANOMALY_SQL,
+        "kg_maximal_matching": _kg_maximal_matching_sql(),
+        "events_gap_histogram": _EVENTS_GAP_HISTOGRAM_SQL,
+        "text_readability_ari": _TEXT_READABILITY_ARI_SQL,
     }

@@ -1809,3 +1809,76 @@ def katz_centrality_df(
             "katz_scaled"
         ),
     )
+
+
+def maximal_matching(
+    edges: DataFrame,
+    max_rounds: int = 6,
+    edge_id: str = "edge_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic MAXIMAL MATCHING over undirected ``edges(edge_id,
+    src, dst)`` — the edge-scheduling primitive behind conflict-free
+    pairwise entity merges and the classic 2-approximate VERTEX COVER
+    (cover = endpoints of the matching).  Re-expressed as the
+    deterministic Luby MIS (:func:`maximal_independent_set`) on the LINE
+    GRAPH: line-nodes are edge ids, line-edges connect edges sharing an
+    endpoint, so an MIS of the line graph IS a maximal matching — one
+    kernel, two operators (CLAUDE.md rule 6 at the operator level).
+
+    Returns ``(edge_id, u, v, matched, mis_round)`` for EVERY input edge
+    (``matched`` BIGINT 0/1; ``mis_round`` = the MIS round that picked
+    it, 0 when unmatched or isolated).  ISOLATED edges (sharing no
+    endpoint with any other edge) never enter the line graph; they are
+    trivially in every maximal matching, so they come back ``matched=1,
+    mis_round=0``.
+
+    Scale shape: the line graph is built by ONE self-equi-join of the
+    exploded endpoint table on ``node`` — Σ deg(v)² pairs, the same
+    bound as a wedge enumeration; at bounded degree (alias graphs,
+    chain+skip fixtures) that is O(m).  The MIS rounds then inherit the
+    kernel's per-round join + MIN-agg + two anti-joins with
+    ``localCheckpoint`` per round (rule 23).  The reference has no graph
+    stage (``OICI_database.py:34-39``) — SURVEY §2.12 KG-scale extension.
+    """
+    base = edges.select(
+        F.col(edge_id).cast("long").alias("eid"),
+        F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+        F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    ep = base.select("eid", F.col("u").alias("node")).union(
+        base.select("eid", F.col("v").alias("node"))
+    )
+    e2 = ep.select(F.col("eid").alias("eid2"), "node")
+    lg = (
+        ep.join(e2, "node")
+        .filter(F.col("eid") != F.col("eid2"))
+        .select(F.col("eid").alias("a"), F.col("eid2").alias("b"))
+        .distinct()
+    )
+    mis = maximal_independent_set(lg, max_rounds=max_rounds, src="a", dst="b")
+    lg_nodes = lg.select(F.col("a").alias("eid")).distinct()
+    return (
+        base.join(
+            mis.select(F.col("node").alias("eid"), "mis_round"), "eid", "left"
+        )
+        .join(
+            lg_nodes.select("eid", F.lit(1).alias("_in_lg")), "eid", "left"
+        )
+        .select(
+            F.col("eid").alias("edge_id"),
+            "u",
+            "v",
+            F.when(
+                F.col("mis_round").isNotNull() | F.col("_in_lg").isNull(),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("matched"),
+            F.coalesce(F.col("mis_round"), F.lit(0)).cast("long").alias(
+                "mis_round"
+            ),
+        )
+    )

@@ -852,7 +852,9 @@ def mis_luby(
     return out
 
 
-def mis_sql(graph_ctes: str, rounds: int) -> str:
+def mis_sql(
+    graph_ctes: str, rounds: int, final_select: str | None = None
+) -> str:
     """Unrolled-round DuckDB twin of :func:`mis_luby`.
 
     ``graph_ctes`` must define ``sym(a, b)`` — the SYMMETRIZED edge list.
@@ -890,14 +892,53 @@ def mis_sql(graph_ctes: str, rounds: int) -> str:
             f"AND node NOT IN (SELECT s.b FROM sym s "
             f"JOIN w{r} w ON w.node = s.a)),"
         )
-    parts[-1] = parts[-1].rstrip(",")
     selects = " UNION ALL ".join(
         f"SELECT CAST(node AS BIGINT) AS node, "
         f"CAST({r} AS BIGINT) AS mis_round FROM w{r}"
         for r in range(1, rounds + 1)
     )
-    parts.append(selects)
+    if final_select is None:
+        parts[-1] = parts[-1].rstrip(",")
+        parts.append(selects)
+    else:
+        parts.append(f"mis AS MATERIALIZED ({selects})")
+        parts.append(final_select)
     return "\n".join(parts)
+
+
+def matching_sql(edge_ctes: str, rounds: int) -> str:
+    """Unrolled DuckDB twin of ``operators.graph.maximal_matching``: the
+    deterministic Luby MIS (:func:`mis_sql` — ONE shared unroll, rule 6)
+    run on the LINE GRAPH of ``edge_ctes``'s ``edges_base(eid, u, v)``.
+    Line-nodes are edge ids; ``sym`` pairs edges sharing an endpoint (the
+    exploded-endpoint self-join, already symmetric since both orders of
+    each pair appear).  Isolated edges never enter the line graph and
+    come back ``matched=1, mis_round=0`` — trivially in every maximal
+    matching — exactly the operator's contract."""
+    graph_ctes = (
+        edge_ctes.rstrip().rstrip(",")
+        + """,
+ep AS MATERIALIZED (
+  SELECT eid, u AS node FROM edges_base
+  UNION ALL SELECT eid, v AS node FROM edges_base
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT e1.eid AS a, e2.eid AS b
+  FROM ep e1 JOIN ep e2 ON e1.node = e2.node AND e1.eid <> e2.eid
+)
+"""
+    )
+    final = """
+SELECT CAST(e.eid AS BIGINT) AS edge_id,
+       CAST(e.u AS BIGINT) AS u,
+       CAST(e.v AS BIGINT) AS v,
+       CAST(CASE WHEN m.node IS NOT NULL
+                 OR e.eid NOT IN (SELECT a FROM sym)
+            THEN 1 ELSE 0 END AS BIGINT) AS matched,
+       CAST(COALESCE(m.mis_round, 0) AS BIGINT) AS mis_round
+FROM edges_base e LEFT JOIN mis m ON m.node = e.eid
+"""
+    return mis_sql(graph_ctes, rounds, final_select=final)
 
 
 HARMONIC_SCALE = 840  # lcm(1..8): 840 DIV d is EXACT for any hop count <= 8
