@@ -14825,6 +14825,197 @@ FROM cnt GROUP BY 1, 2
 """
 
 
+COLORING_ROUNDS = 8  # fixture colors in 4 rounds at every sf (measured
+# 1k/10k/100k, 4 colors); extra SQL rounds are no-ops, Spark overrun raises.
+
+
+def _kg_graph_coloring(spark, sf):
+    """Deterministic Jones-Plassmann GREEDY COLORING over the chain+skip
+    entity graph shared with ``kg_maximal_matching`` (sf-scaled
+    1k/10k/100k nodes) — the conflict-class assignment a KG maintenance
+    pipeline uses to schedule entity updates into interference-free
+    waves: all nodes of one color touch disjoint neighborhoods, so each
+    color class updates in ONE parallel pass (the vertex analogue of the
+    matching's edge waves; colors also bound the alias-graph's
+    degeneracy).  Per round a node colors when it is the strict
+    local-priority minimum among uncolored neighbors and takes the mex
+    of its colored neighbors' colors — for any edge the lower-priority
+    endpoint colors strictly first, so the round-based result EQUALS
+    sequential greedy in priority order, which is what the unrolled
+    DuckDB twin (``oracle/graph.py:coloring_sql``) replays.  Fixture
+    uses 4 of the 8 budgeted rounds and 4 colors (max degree 4) at every
+    sf.  The reference has no graph stage (``OICI_database.py:34-39``)
+    — SURVEY §2.12 extension."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        jones_plassmann_coloring,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        (F.col("id") - 1).alias("src"), F.col("id").alias("dst")
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        (F.col("id") - 2).alias("src"), F.col("id").alias("dst")
+    )
+    return jones_plassmann_coloring(
+        chain.union(skip), max_rounds=COLORING_ROUNDS
+    )
+
+
+def _kg_graph_coloring_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import coloring_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+e AS (
+  SELECT i - 1 AS a, i AS b FROM ids WHERE i > 0
+  UNION ALL
+  SELECT i - 2 AS a, i AS b FROM ids WHERE i > 1 AND i % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e)
+"""
+    return coloring_sql(graph_ctes, rounds=COLORING_ROUNDS)
+
+
+def _events_type_gini(spark, sf):
+    """Per-user EVENT-TYPE DIVERSITY via the Gini impurity — the
+    bot/spam screen an event pipeline runs next to events_rfm_segments
+    (a user doing one event type in thousands of events is automation;
+    a diverse mix is organic).  Gini = 1 − Σ(nᵢ/n)² expressed EXACTLY
+    as ``(10⁶·(n² − Σnᵢ²)) DIV n²`` ppm — all-integer (rule 11), no
+    entropy logs needed for the same ranking signal.  Spark: one
+    (user, type) partial agg (map-side combinable) + one user agg — the
+    minimal two-level rollup; nothing touches the raw stream twice."""
+    e = _t(spark, sf, "events")
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    return (
+        tc.groupBy("user_id")
+        .agg(
+            F.sum("n_t").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("n_t") * F.col("n_t")).cast("long").alias("ss"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr(
+                "(1000000 * (n_events*n_events - ss))"
+                " DIV (n_events*n_events)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+_EVENTS_TYPE_GINI_SQL = """
+WITH tc AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_t
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, CAST(sum(n_t) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(n_t * n_t) AS BIGINT) AS ss
+  FROM tc GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST((1000000 * (n_events*n_events - ss)) // (n_events*n_events)
+            AS BIGINT) AS gini_ppm
+FROM u
+"""
+
+
+def _classifier_auc_ranksum(spark, sf):
+    """One-vs-rest AUC of a scoring function via the tie-aware
+    MANN-WHITNEY RANK SUM — the threshold-free eval a quality-classifier
+    distillation pass reports next to quality_classifier_distill's
+    agreement counts.  AUC = U/(n₊·n₋) computed EXACTLY in integers
+    (rule 11): per distinct score, tied rows take the average rank, kept
+    integral by working with 2·rank — ``2R₊ = Σ_s n₊(s)·(2·cum_less(s)
+    + n(s) + 1)``, ``auc_ppm = 10⁶·(2R₊ − n₊(n₊+1)) DIV (2·n₊·n₋)`` —
+    so the float-free twin matches bit-for-bit.  Score = floor(1000·
+    first embedding dim) (float32→float64 widening + one double multiply
+    + floor are IEEE-identical in both engines; DuckDB CAST rounds, so
+    floor is explicit).  Spark: one (score, label) partial agg, one
+    tiny score-level window (score cardinality ≪ rows after the agg),
+    one label agg — the raw table is scanned once."""
+    e = _t(spark, sf, "embeddings")
+    score = F.floor(
+        F.col("embedding").getItem(0).cast("double") * 1000
+    ).cast("long")
+    sl = e.select(score.alias("score"), F.col("label").cast("long").alias("label"))
+    g1 = sl.groupBy("score", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sl")
+    )
+    g2 = g1.groupBy("score").agg(F.sum("n_sl").cast("long").alias("n_s"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g2.select(
+        "score",
+        "n_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).cast("long").alias("cum_less"),
+    )
+    tot = g2.agg(F.sum("n_s").cast("long").alias("n_total"))
+    per = (
+        g1.join(cum, "score")
+        .groupBy("label")
+        .agg(
+            F.sum("n_sl").cast("long").alias("n_pos"),
+            F.sum(
+                F.col("n_sl") * (2 * F.col("cum_less") + F.col("n_s") + 1)
+            )
+            .cast("long")
+            .alias("r2_pos"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_pos",
+        (F.col("n_total") - F.col("n_pos")).alias("n_neg"),
+        F.expr(
+            "(1000000 * (r2_pos - n_pos * (n_pos + 1)))"
+            " DIV (2 * n_pos * (n_total - n_pos))"
+        ).alias("auc_ppm"),
+    )
+
+
+_CLASSIFIER_AUC_SQL = """
+WITH sl AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS score,
+         CAST(label AS BIGINT) AS label
+  FROM embeddings
+),
+g1 AS (
+  SELECT score, label, CAST(count(*) AS BIGINT) AS n_sl FROM sl GROUP BY 1, 2
+),
+g2 AS (
+  SELECT score, CAST(sum(n_sl) AS BIGINT) AS n_s FROM g1 GROUP BY score
+),
+cum AS (
+  SELECT score, n_s,
+         CAST(coalesce(sum(n_s) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_less
+  FROM g2
+),
+tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM g2),
+per AS (
+  SELECT g1.label, CAST(sum(g1.n_sl) AS BIGINT) AS n_pos,
+         CAST(sum(g1.n_sl * (2 * cum.cum_less + cum.n_s + 1)) AS BIGINT)
+           AS r2_pos
+  FROM g1 JOIN cum ON cum.score = g1.score
+  GROUP BY g1.label
+)
+SELECT per.label, per.n_pos,
+       CAST(tot.n_total - per.n_pos AS BIGINT) AS n_neg,
+       CAST((1000000 * (r2_pos - n_pos * (n_pos + 1)))
+            // (2 * n_pos * (tot.n_total - n_pos)) AS BIGINT) AS auc_ppm
+FROM per, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -15066,6 +15257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_maximal_matching": _kg_maximal_matching,
         "events_gap_histogram": _events_gap_histogram,
         "text_readability_ari": _text_readability_ari,
+        "kg_graph_coloring": _kg_graph_coloring,
+        "events_type_gini": _events_type_gini,
+        "classifier_auc_ranksum": _classifier_auc_ranksum,
     }
 
 
@@ -15330,4 +15524,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_maximal_matching": _kg_maximal_matching_sql(),
         "events_gap_histogram": _EVENTS_GAP_HISTOGRAM_SQL,
         "text_readability_ari": _TEXT_READABILITY_ARI_SQL,
+        "kg_graph_coloring": _kg_graph_coloring_sql(),
+        "events_type_gini": _EVENTS_TYPE_GINI_SQL,
+        "classifier_auc_ranksum": _CLASSIFIER_AUC_SQL,
     }

@@ -1882,3 +1882,116 @@ def maximal_matching(
             ),
         )
     )
+
+
+def jones_plassmann_coloring(
+    edges: DataFrame,
+    max_rounds: int = 8,
+    max_colors: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic Jones-Plassmann GREEDY COLORING over undirected
+    ``edges`` → ``(node, color, jp_round)`` — the conflict-class
+    assignment a KG maintenance pipeline uses to schedule entity updates
+    touching shared neighbors into interference-free waves (all nodes of
+    one color update in parallel).  Per simultaneous round every
+    uncolored node that is a strict local MINIMUM of the scrambled
+    priority among uncolored neighbors takes the mex of its colored
+    neighbors' colors; for any edge the lower-priority endpoint colors
+    strictly first, so the result EQUALS sequential greedy coloring in
+    priority order — the equivalence the unrolled DuckDB twin
+    (``oracle/graph.py:coloring_sql``) relies on.
+
+    Scale shape: per round one join+MIN agg (ready detection — the MIS
+    shape), one neighbor-color join, one broadcast candidate-color
+    anti-join + MIN agg (mex — bounded by ``max_colors``, a constant),
+    and two anti-joins shrinking the sets, every frame
+    ``localCheckpoint``-ed (rule 23).  Priorities are the injective
+    scramble (rule 11) so no tie-break is needed; overrunning
+    ``max_rounds`` or exhausting ``max_colors`` raises LOUDLY."""
+    from ..oracle.graph import MIS_MOD, MIS_MUL
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+
+    def pri(col):
+        return (F.col(col) * F.lit(MIS_MUL)) % F.lit(MIS_MOD)
+
+    spark = edges.sparkSession
+    cand = F.broadcast(
+        spark.range(max_colors).select(F.col("id").cast("long").alias("color"))
+    )
+    uncolored = (
+        sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    colored = uncolored.select(
+        "node",
+        F.lit(0).cast("long").alias("color"),
+        F.lit(0).cast("long").alias("jp_round"),
+    ).limit(0)
+    for r in range(1, max_rounds + 1):
+        if uncolored.limit(1).count() == 0:
+            break
+        ua = uncolored.select(F.col("node").alias("a"))
+        ub = uncolored.select(F.col("node").alias("b"))
+        minnbr = (
+            sym.join(ua, "a")
+            .join(ub, "b")
+            .groupBy("a")
+            .agg(F.min(pri("b")).alias("minp"))
+        )
+        ready = (
+            uncolored.join(minnbr, uncolored.node == minnbr.a, "left")
+            .filter(F.col("a").isNull() | (pri("node") < F.col("minp")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        nbr_colors = (
+            sym.join(ready.select(F.col("node").alias("a")), "a")
+            .join(
+                colored.select(F.col("node").alias("b"), "color"), "b"
+            )
+            .select(F.col("a").alias("node"), "color")
+        )
+        mex = (
+            ready.crossJoin(cand)
+            .join(nbr_colors, ["node", "color"], "left_anti")
+            .groupBy("node")
+            .agg(F.min("color").alias("color"))
+        )
+        if mex.count() != ready.count():
+            raise RuntimeError(
+                "jones_plassmann_coloring exhausted max_colors — raise it "
+                "together with the SQL twin's candidate budget."
+            )
+        colored = colored.unionByName(
+            mex.select(
+                "node", "color", F.lit(r).cast("long").alias("jp_round")
+            )
+        ).localCheckpoint(eager=True)
+        uncolored = uncolored.join(ready, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+    if uncolored.limit(1).count() > 0:
+        raise RuntimeError(
+            f"jones_plassmann_coloring did not color every node in "
+            f"{max_rounds} rounds — raise max_rounds AND the SQL twin's "
+            "unroll budget together."
+        )
+    return colored.select(
+        F.col("node").cast("long"),
+        F.col("color").cast("long"),
+        F.col("jp_round").cast("long"),
+    )

@@ -1775,3 +1775,111 @@ def katz_sql(graph_ctes: str, rounds: int = 8, base: int = 2) -> str:
         "FROM ids LEFT JOIN levels l ON l.node = ids.i GROUP BY ids.i"
     )
     return "\n".join(parts)
+
+
+def jp_coloring(
+    edges: Iterable[Tuple[int, int]], max_rounds: int = 16
+) -> Dict[int, Tuple[int, int]]:
+    """Deterministic Jones-Plassmann GREEDY COLORING over an UNDIRECTED
+    graph: ``{node: (color, round)}``.  Per simultaneous round, every
+    uncolored node that is a strict local MINIMUM of ``mis_priority``
+    among its uncolored neighbors takes the smallest color (mex) not
+    used by its already-colored neighbors.  For any edge the
+    lower-priority endpoint always colors strictly first, so the result
+    EQUALS the sequential greedy coloring in increasing-priority order —
+    that equivalence is what makes an unrolled-round SQL twin possible
+    (:func:`coloring_sql`).  Raises past ``max_rounds`` (kcore's loud
+    contract).  Isolated nodes never appear (edge-derived node set)."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: Dict[int, set] = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    uncolored = set(nbrs)
+    out: Dict[int, Tuple[int, int]] = {}
+    for r in range(1, max_rounds + 1):
+        if not uncolored:
+            return out
+        ready = [
+            v
+            for v in uncolored
+            if all(
+                u not in uncolored or mis_priority(u) > mis_priority(v)
+                for u in nbrs[v]
+            )
+        ]
+        for v in ready:
+            used = {out[u][0] for u in nbrs[v] if u in out}
+            c = 0
+            while c in used:
+                c += 1
+            out[v] = (c, r)
+        uncolored -= set(ready)
+    if uncolored:
+        raise RuntimeError(
+            f"jp_coloring did not color every node in {max_rounds} rounds"
+        )
+    return out
+
+
+def coloring_sql(graph_ctes: str, rounds: int, max_colors: int = 8) -> str:
+    """Unrolled-round DuckDB twin of :func:`jp_coloring`.
+
+    ``graph_ctes`` must define ``sym(a, b)`` — the symmetrized edge
+    list.  Per round: min uncolored-neighbor priority per uncolored node
+    (the mis_sql shape), ready = strict local minima, mex = the smallest
+    of ``max_colors`` candidate colors not taken by an already-colored
+    neighbor (candidates × ready anti-joined against neighbor colors —
+    mex is bounded by degree, so ``max_colors`` above the max degree is
+    safe; a node whose neighbors exhaust every candidate would drop out
+    and the row-count gate would catch it).  Multiply-referenced sets
+    are MATERIALIZED (rule 30); extra rounds past the fixpoint are
+    no-ops."""
+    pri = f"(({{v}}) * {MIS_MUL}) % {MIS_MOD}"
+    parts = [
+        "WITH",
+        graph_ctes.rstrip().rstrip(","),
+        ",",
+        "u0 AS MATERIALIZED (SELECT a AS node FROM sym "
+        "UNION SELECT b FROM sym),",
+        "c0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS color, "
+        "CAST(0 AS BIGINT) AS rnd WHERE FALSE),",
+        f"cand AS (SELECT unnest(range(0, {max_colors})) AS c),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS (SELECT s.a AS node, "
+            f"MIN({pri.format(v='s.b')}) AS minp "
+            f"FROM sym s JOIN u{r - 1} ub ON ub.node = s.b "
+            f"JOIN u{r - 1} ua ON ua.node = s.a GROUP BY s.a),"
+        )
+        parts.append(
+            f"r{r} AS MATERIALIZED (SELECT u.node FROM u{r - 1} u "
+            f"LEFT JOIN m{r} m ON m.node = u.node "
+            f"WHERE m.node IS NULL OR {pri.format(v='u.node')} < m.minp),"
+        )
+        parts.append(
+            f"n{r} AS (SELECT s.a AS node, c.color FROM sym s "
+            f"JOIN r{r} w ON w.node = s.a "
+            f"JOIN c{r - 1} c ON c.node = s.b),"
+        )
+        parts.append(
+            f"x{r} AS (SELECT w.node, MIN(cd.c) AS color "
+            f"FROM r{r} w CROSS JOIN cand cd "
+            f"LEFT JOIN n{r} n ON n.node = w.node AND n.color = cd.c "
+            f"WHERE n.node IS NULL GROUP BY w.node),"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT node, color, rnd FROM c{r - 1} "
+            f"UNION ALL SELECT node, color, {r} AS rnd FROM x{r}),"
+        )
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT node FROM u{r - 1} "
+            f"WHERE node NOT IN (SELECT node FROM r{r})),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(color AS BIGINT) AS color, "
+        f"CAST(rnd AS BIGINT) AS jp_round FROM c{rounds}"
+    )
+    return "\n".join(parts)

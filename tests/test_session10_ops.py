@@ -102,3 +102,76 @@ def test_ari_bucket_matches_reference_formula():
         bucket = (1000000 * (471 * c * s + 50 * w * w - 2143 * w * s)
                   + 2200000000 * w * s) // (100000000 * w * s)
         assert bucket == math.floor(ari) + 22, (c, w, s)
+
+
+def test_jp_coloring_proper_and_equals_kernel(spark):
+    """Spark JP coloring == the pure-Python kernel on a random graph,
+    and the result is a proper coloring."""
+    import random
+
+    from bert_namedentityrecognition_spark.operators.graph import (
+        jones_plassmann_coloring,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import jp_coloring
+
+    rng = random.Random(7)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["color"], r["jp_round"])
+        for r in jones_plassmann_coloring(df, max_rounds=16).collect()
+    }
+    want = jp_coloring(edges, max_rounds=16)
+    assert got == want
+    for a, b in edges:
+        assert got[a][0] != got[b][0]
+
+
+def test_jp_coloring_round_overrun_raises(spark):
+    import pytest as _pytest
+
+    from bert_namedentityrecognition_spark.operators.graph import (
+        jones_plassmann_coloring,
+    )
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with _pytest.raises(RuntimeError):
+        jones_plassmann_coloring(df, max_rounds=0).collect()
+
+
+def test_auc_ranksum_known_values():
+    """The 2R-integer rank-sum formula reproduces hand-computed AUCs:
+    perfect separation -> 1.0, reversed -> 0.0, all-tied -> 0.5."""
+    def auc_ppm(pairs):  # (score, is_pos)
+        from collections import Counter
+
+        ns = Counter(s for s, _ in pairs)
+        npos_s = Counter(s for s, p in pairs if p)
+        n_pos = sum(npos_s.values())
+        n_neg = len(pairs) - n_pos
+        cum = 0
+        r2 = 0
+        for s in sorted(ns):
+            r2 += npos_s.get(s, 0) * (2 * cum + ns[s] + 1)
+            cum += ns[s]
+        return (1000000 * (r2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg)
+
+    assert auc_ppm([(1, False), (2, False), (3, True), (4, True)]) == 1000000
+    assert auc_ppm([(1, True), (2, True), (3, False), (4, False)]) == 0
+    assert auc_ppm([(5, True), (5, False), (5, True), (5, False)]) == 500000
+    # one tie straddling the classes: wins (1 + 2) + half-credit tie (0.5)
+    # over 4 pairs -> AUC = 0.875 exactly
+    assert auc_ppm([(1, False), (2, True), (2, False), (3, True)]) == 875000
+
+
+def test_gini_ppm_formula():
+    # 3 types with counts 2,1,1: gini = 1 - (4+1+1)/16 = 10/16 = 0.625
+    n, ss = 4, 6
+    assert (1000000 * (n * n - ss)) // (n * n) == 625000
+    # single type -> 0
+    assert (1000000 * (9 - 9)) // 9 == 0
