@@ -15016,6 +15016,322 @@ FROM per, tot
 """
 
 
+def _pipeline_ledger_audit(spark, sf):
+    """The IDEMPOTENT-RESUME LEDGER under the driver gate — the
+    north-star stage (BASELINE.json: "every stage checkpoints
+    per-partition lineage + counters ... so the job resumes idempotently")
+    previously only unit-tested (tests/test_resume.py).  The query RUNS
+    the crash: a bucketed mention-extraction pass over the sf-scaled
+    synthetic crawl (``pages_for_events`` — 200/600/2000 pages, the
+    ner_model_mentions probe) is killed after bucket 3 via
+    ``fail_after_bucket``, resumed to completion, then re-run a third
+    time which must be a commit-free no-op.  Output = the audited ledger
+    invariants: exactly 8 committed buckets committed exactly ONCE,
+    page counters summing to the corpus, and mention totals that equal
+    BOTH the parquet union of the per-bucket commits and the oracle's
+    ground-truth replay (the DuckDB twin re-derives per-page mention
+    counts from the generated corpus with the SAME oracle kernels the
+    executor UDF imports — rule 6 — and sums them under the shared
+    params CTE).  Any violated invariant raises LOUDLY instead of
+    returning rows.  Scratch lives under ``_writable_base()`` (rule 26)
+    and is cleared per run (the kg_bucketed_join disclosure: at scale
+    this is a write-once job dir).  Ref: the reference has no resume
+    (one-shot scripts, ``scripts/predict/predict_for_xls_folder.py``) —
+    SURVEY §2.14 extension."""
+    import os
+    import shutil
+
+    from bert_namedentityrecognition_spark.oracle.bert_sql import (
+        PAGE_SEED,
+        pages_for_events,
+    )
+    from bert_namedentityrecognition_spark.plans.ledger import (
+        MetricsLedger,
+        resume_run,
+    )
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    n_pages = pages_for_events(_t(spark, sf, "events").count())
+    pages = fixtures.pages_to_spark(
+        spark, fixtures.generate_pages(n_pages, seed=PAGE_SEED)
+    )
+    dim = fixtures.entity_dim_to_spark(spark)
+    tt = fixtures.pipeline_term_types()
+    base = os.path.join(_writable_base(), "var", f"ledger_audit_{n_pages}")
+    shutil.rmtree(base, ignore_errors=True)
+    crashed = False
+    try:
+        resume_run(spark, pages, dim, tt, base, n_buckets=8, fail_after_bucket=3)
+    except RuntimeError:
+        crashed = True
+    if not crashed:
+        raise RuntimeError("ledger audit: crash injection did not fire")
+    ledger = MetricsLedger(base)
+    mid = ledger.committed_buckets("mentions")
+    if mid != {0, 1, 2, 3}:
+        raise RuntimeError(f"ledger audit: pre-crash commits wrong: {mid}")
+    resume_run(spark, pages, dim, tt, base, n_buckets=8)
+    rows2 = ledger.rows()
+    resume_run(spark, pages, dim, tt, base, n_buckets=8)
+    rows3 = ledger.rows()
+    if len(rows3) != len(rows2):
+        raise RuntimeError("ledger audit: third run re-committed buckets")
+    mrows = [
+        r for r in rows3 if r["stage"] == "mentions" and r["status"] == "committed"
+    ]
+    if sorted(r["bucket"] for r in mrows) != list(range(8)):
+        raise RuntimeError(
+            f"ledger audit: committed buckets wrong: {sorted(r['bucket'] for r in mrows)}"
+        )
+    total_pages = sum(r["n_pages"] for r in mrows)
+    ledger_mentions = sum(r["rows"] for r in mrows)
+    mentions = spark.read.parquet(
+        *[os.path.join(base, "mentions", f"bucket={b}") for b in range(8)]
+    )
+    return (
+        mentions.agg(
+            F.count(F.lit(1)).cast("long").alias("parquet_mentions")
+        )
+        .select(
+            F.lit(8).cast("long").alias("n_buckets"),
+            F.lit(len(mrows)).cast("long").alias("n_ledger_rows"),
+            F.lit(total_pages).cast("long").alias("total_pages"),
+            F.lit(ledger_mentions).cast("long").alias("ledger_mentions"),
+            "parquet_mentions",
+            F.lit(1).cast("long").alias("resumed"),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _pipeline_ledger_audit_sql() -> str:
+    """Twin of ``_pipeline_ledger_audit``: per-page mention counts are
+    re-derived driver-side from the GENERATED corpus with the SAME
+    oracle kernels the executor UDF imports (preprocess → split → 512
+    drop → han_to_zen → greedy automaton → IOB spans; rule 6 — change
+    the semantics in oracle/ and both sides follow), inlined as VALUES
+    over the prefix-stable MAX corpus, and summed under the shared
+    ``pages_for_events`` params CTE (rule 24)."""
+    from bert_namedentityrecognition_spark.operators.tagger import (
+        matches_to_iob,
+    )
+    from bert_namedentityrecognition_spark.oracle.bert_sql import (
+        EVENTS_BASE,
+        N_PAGES,
+        N_PAGES_MAX,
+        PAGE_SEED,
+    )
+    from bert_namedentityrecognition_spark.oracle.iob import iob_to_spans
+    from bert_namedentityrecognition_spark.oracle.matcher import (
+        automaton_match,
+        build_automaton,
+    )
+    from bert_namedentityrecognition_spark.oracle.textproc import (
+        han_to_zen,
+        html_to_text,
+        preprocess_text,
+        split_sentences,
+    )
+    from bert_namedentityrecognition_spark.sources import fixtures
+
+    tt = fixtures.pipeline_term_types()
+    ntypes = {han_to_zen(k): v for k, v in tt.items()}
+    auto = build_automaton(list(ntypes))
+    vals = []
+    total = 0
+    for i, r in enumerate(fixtures.generate_pages(N_PAGES_MAX, seed=PAGE_SEED)):
+        n_m = 0
+        if r["lang"] == "ja":
+            text = r["text"]
+            if text is None or text == "":
+                hb = r.get("html")
+                if isinstance(hb, str):
+                    hb = hb.encode("utf-8")
+                text = html_to_text(hb) if hb is not None else ""
+            if text:
+                for sent in split_sentences(preprocess_text(text)):
+                    if len(sent) > 512:
+                        continue
+                    norm = han_to_zen(sent)
+                    m = automaton_match(norm, auto)
+                    if not m:
+                        continue
+                    n_m += len(
+                        iob_to_spans(list(norm), matches_to_iob(norm, m, ntypes))
+                    )
+        total += n_m
+        vals.append(f"({i}, {n_m})")
+    assert total > 0, "ledger-audit twin: replay found zero mentions"
+    pm = ", ".join(vals)
+    return f"""
+WITH params AS (
+  SELECT least({N_PAGES_MAX}, greatest({N_PAGES},
+    {N_PAGES} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // {EVENTS_BASE} AS DOUBLE))) AS INT)
+  )) AS n_pages
+),
+pm(i, n_m) AS (VALUES {pm}),
+sel AS (SELECT pm.i, pm.n_m FROM pm, params WHERE pm.i < params.n_pages)
+SELECT CAST(8 AS BIGINT) AS n_buckets,
+       CAST(8 AS BIGINT) AS n_ledger_rows,
+       CAST(params.n_pages AS BIGINT) AS total_pages,
+       CAST(sum(sel.n_m) AS BIGINT) AS ledger_mentions,
+       CAST(sum(sel.n_m) AS BIGINT) AS parquet_mentions,
+       CAST(1 AS BIGINT) AS resumed
+FROM sel, params GROUP BY params.n_pages
+"""
+
+
+def _optimizer_selectivity_audit(spark, sf):
+    """SELECTIVITY-INDEPENDENCE AUDIT — the statistics check a
+    cost-based optimizer needs before trusting ``sel(A∧B) ≈
+    sel(A)·sel(B)`` (the assumption behind every multi-predicate
+    cardinality estimate; complements fd_profile's functional
+    dependencies and join_skew_profile's key stats).  For three lineitem
+    predicates (returnflag='R', quantity>25, discount≥0.05) and each
+    pair: the independence estimate vs the true conjunctive count, both
+    SCALED BY n so everything stays integer (rule 11): ``est×n =
+    n_a·n_b``, ``act×n = n_ab·n``, and the optimizer's q-error ``=
+    max/min`` in ppm (1 000 000 = perfect independence).  Spark: ONE
+    scan aggregating all 7 flag combinations map-side, then three
+    constant-folded rows — the table is never re-read per pair."""
+    li = _t(spark, sf, "lineitem")
+    a = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    b = F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+    c = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a).cast("long").alias("na"),
+        F.sum(b).cast("long").alias("nb"),
+        F.sum(c).cast("long").alias("nc"),
+        F.sum(a * b).cast("long").alias("nab"),
+        F.sum(a * c).cast("long").alias("nac"),
+        F.sum(b * c).cast("long").alias("nbc"),
+    )
+
+    def pair(name, x, y, xy):
+        return agg.select(
+            F.lit(name).alias("pair"),
+            F.col("n"),
+            F.col(x).alias("n_a"),
+            F.col(y).alias("n_b"),
+            F.col(xy).alias("n_ab"),
+            (F.col(x) * F.col(y)).alias("est_x_n"),
+            (F.col(xy) * F.col("n")).alias("act_x_n"),
+            F.expr(
+                f"(1000000 * greatest({x} * {y}, {xy} * n))"
+                f" DIV greatest(least({x} * {y}, {xy} * n), 1)"
+            ).alias("q_error_ppm"),
+        )
+
+    return (
+        pair("returnflag_quantity", "na", "nb", "nab")
+        .unionByName(pair("returnflag_discount", "na", "nc", "nac"))
+        .unionByName(pair("quantity_discount", "nb", "nc", "nbc"))
+    )
+
+
+_OPTIMIZER_SELECTIVITY_SQL = """
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+    CAST(sum(CASE WHEN l_returnflag = 'R' AND l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS nab,
+    CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS nac,
+    CAST(sum(CASE WHEN l_quantity > 25 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS nbc
+  FROM lineitem
+),
+pairs AS (
+  SELECT 'returnflag_quantity' AS pair, n, na AS n_a, nb AS n_b, nab AS n_ab FROM agg
+  UNION ALL
+  SELECT 'returnflag_discount', n, na, nc, nac FROM agg
+  UNION ALL
+  SELECT 'quantity_discount', n, nb, nc, nbc FROM agg
+)
+SELECT pair, n, n_a, n_b, n_ab,
+       CAST(n_a * n_b AS BIGINT) AS est_x_n,
+       CAST(n_ab * n AS BIGINT) AS act_x_n,
+       CAST((1000000 * greatest(n_a * n_b, n_ab * n))
+            // greatest(least(n_a * n_b, n_ab * n), 1) AS BIGINT) AS q_error_ppm
+FROM pairs
+"""
+
+
+def _events_kendall_trend(spark, sf):
+    """Exact KENDALL CONCORDANCE between hour-of-day and hourly volume
+    per event type — the rank-based trend detector that, unlike
+    events_anomaly_zscore's parametric z-scores, needs no distribution
+    assumption; and unlike Pearson (lineitem_feature_corr) is invariant
+    to any monotone transform of the counts.  The 24 hourly buckets are
+    pair-enumerated (≤276 pairs per type — a broadcast-trivial self-join
+    AFTER aggregation; the raw stream is scanned once) and every pair is
+    classified concordant / discordant / tied in pure integers (rule
+    11).  ``tau_shift_ppm = 10⁶·(C − D + P) DIV (2P)`` maps τ_a ∈
+    [−1, 1] onto [0, 10⁶] so the dividend stays positive (truncate ==
+    floor, the ARI shift trick)."""
+    e = _t(spark, sf, "events")
+    hc = (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    h2 = hc.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    pairs = hc.join(
+        h2,
+        (F.col("event_type") == F.col("et2")) & (F.col("h") < F.col("h2")),
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("cnt2") > F.col("cnt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_conc"),
+            F.sum(F.when(F.col("cnt2") < F.col("cnt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_disc"),
+            F.sum(F.when(F.col("cnt2") == F.col("cnt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tied"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .select(
+            "event_type",
+            "n_conc",
+            "n_disc",
+            "n_tied",
+            "n_pairs",
+            F.expr(
+                "(1000000 * (n_conc - n_disc + n_pairs)) DIV (2 * n_pairs)"
+            ).alias("tau_shift_ppm"),
+        )
+    )
+
+
+_EVENTS_KENDALL_SQL = """
+WITH hc AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+         CAST(sum(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+         CAST(sum(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM hc a JOIN hc b ON b.event_type = a.event_type AND a.h < b.h
+  GROUP BY a.event_type
+)
+SELECT event_type, n_conc, n_disc, n_tied, n_pairs,
+       CAST((1000000 * (n_conc - n_disc + n_pairs)) // (2 * n_pairs) AS BIGINT)
+         AS tau_shift_ppm
+FROM p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -15260,6 +15576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_coloring": _kg_graph_coloring,
         "events_type_gini": _events_type_gini,
         "classifier_auc_ranksum": _classifier_auc_ranksum,
+        "pipeline_ledger_audit": _pipeline_ledger_audit,
+        "optimizer_selectivity_audit": _optimizer_selectivity_audit,
+        "events_kendall_trend": _events_kendall_trend,
     }
 
 
@@ -15527,4 +15846,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_coloring": _kg_graph_coloring_sql(),
         "events_type_gini": _EVENTS_TYPE_GINI_SQL,
         "classifier_auc_ranksum": _CLASSIFIER_AUC_SQL,
+        "pipeline_ledger_audit": _pipeline_ledger_audit_sql(),
+        "optimizer_selectivity_audit": _OPTIMIZER_SELECTIVITY_SQL,
+        "events_kendall_trend": _EVENTS_KENDALL_SQL,
     }

@@ -175,3 +175,38 @@ def test_gini_ppm_formula():
     assert (1000000 * (n * n - ss)) // (n * n) == 625000
     # single type -> 0
     assert (1000000 * (9 - 9)) // 9 == 0
+
+
+def test_ledger_audit_twin_replay_nonzero():
+    """The ledger-audit oracle generator's per-page replay finds mentions
+    and the VALUES cover the full MAX corpus (prefix-stability contract)."""
+    import re
+
+    import __spark_entry__ as entry
+    from bert_namedentityrecognition_spark.oracle.bert_sql import N_PAGES_MAX
+
+    sql = entry._pipeline_ledger_audit_sql()
+    pairs = re.findall(r"\((\d+), (\d+)\)", sql.split("pm(i, n_m)")[1])
+    assert len(pairs) == N_PAGES_MAX
+    assert sum(int(b) for _, b in pairs) > 0
+    # some pages legitimately yield zero mentions (en/zh, null, >512)
+    assert any(int(b) == 0 for _, b in pairs)
+
+
+def test_kendall_shift_formula():
+    # perfect increasing trend over 4 buckets: C=6, D=0, P=6 -> 1.0
+    assert (1000000 * (6 - 0 + 6)) // (2 * 6) == 1000000
+    # perfect decreasing: C=0, D=6 -> 0.0
+    assert (1000000 * (0 - 6 + 6)) // (2 * 6) == 0
+    # no trend (C == D) -> 0.5
+    assert (1000000 * (2 - 2 + 6)) // (2 * 6) == 500000
+
+
+def test_qerror_symmetric_and_floor_one():
+    # q-error is max/min, so over- and under-estimates score identically
+    est, act = 200, 100
+    assert (1000000 * max(est, act)) // max(min(est, act), 1) == 2000000
+    est, act = 100, 200
+    assert (1000000 * max(est, act)) // max(min(est, act), 1) == 2000000
+    # an empty conjunction doesn't divide by zero
+    assert (1000000 * max(50, 0)) // max(min(50, 0), 1) == 50000000
