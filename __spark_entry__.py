@@ -15332,6 +15332,301 @@ FROM p
 """
 
 
+KCENTER_K = 8
+
+_L2SQ_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_L2SQ_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, len({a}) + 1), i ->"
+    " (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
+    " (x, y) -> x + y)"
+)
+# Both are the SAME left-to-right sequential fold over float32→float64
+# widened components (0.0 + t1 == t1 in IEEE), so the two engines produce
+# bit-identical squared distances — comparisons and floor() cannot diverge
+# (rule 20's replayable-fold recipe, without the driver-side inlining).
+
+
+def _ann_kcenter_seeds(spark, sf):
+    """GONZALEZ 2-approx K-CENTER seeding over the embedding table — the
+    farthest-point coreset/seed selector an ANN build runs BEFORE
+    k-means (IVF trains from a hash sample; k-center picks maximally
+    spread seeds — better coverage of outlier regions at the same k).
+    Unlike Lloyd there is NO averaging, so the whole loop is
+    comparisons over bit-identical squared L2 distances (the shared
+    sequential-fold expression above) — exactly replayable without
+    inlined constants.  Start = min vec_id; per round the point with
+    the LARGEST current min-distance (tie → min vec_id) becomes the
+    next center and every point's carried min-distance is
+    ``least``-updated.  Output per center: rank, vec_id, assigned
+    cluster size (argmin by (dist, rank)), and the cluster radius in
+    exact micro-units.
+
+    Scale shape: per round ONE scan + one top-1 sort (a bounded
+    ``limit(1)`` collect — the similarity-family probe pattern) and one
+    narrow ``least`` update, ``localCheckpoint`` per round (rule 23);
+    the final assignment is points × a BROADCAST 8-row center table.
+    At 10^9 vectors the same loop runs with the md column persisted —
+    never an all-pairs join.  The DuckDB twin unrolls the 8 rounds as
+    MATERIALIZED CTE carries (rule 30)."""
+    emb = _t(spark, sf, "embeddings")
+    dist_to = lambda c: F.expr(  # noqa: E731
+        _L2SQ_SPARK.format(a="embedding", b=c)
+    )
+    first = (
+        emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    )
+    centers = [(1, int(first["vec_id"]), [float(x) for x in first["embedding"]])]
+
+    def lit_arr(vals):
+        return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+    pts = emb.select(
+        "vec_id", "embedding", dist_to(lit_arr(centers[0][2])).alias("md")
+    ).localCheckpoint(eager=True)
+    for r in range(2, KCENTER_K + 1):
+        far = pts.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append((r, int(far["vec_id"]), [float(x) for x in far["embedding"]]))
+        pts = pts.select(
+            "vec_id",
+            "embedding",
+            F.least(F.col("md"), dist_to(lit_arr(centers[-1][2]))).alias("md"),
+        ).localCheckpoint(eager=True)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(r, v, e) for r, v, e in centers],
+            "rank long, center_vec_id long, cemb array<double>",
+        )
+    )
+    scored = emb.crossJoin(cdf).select(
+        "vec_id",
+        "rank",
+        "center_vec_id",
+        F.expr(_L2SQ_SPARK.format(a="embedding", b="cemb")).alias("d"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d", "rank")).alias("m")
+    )
+    assign = best.select(
+        "vec_id", F.col("m.rank").alias("rank"), F.col("m.d").alias("d")
+    )
+    return (
+        assign.groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.floor(F.max("d") * 1000000).cast("long").alias("radius_micro"),
+        )
+        .join(
+            cdf.select("rank", "center_vec_id"), "rank"
+        )
+        .select(
+            F.col("rank").alias("center_rank"),
+            "center_vec_id",
+            "n_assigned",
+            "radius_micro",
+        )
+    )
+
+
+def _ann_kcenter_seeds_sql() -> str:
+    d = _L2SQ_DUCK
+    parts = [
+        "WITH pts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),",
+        "c1 AS MATERIALIZED (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT 1),",
+        "d1 AS MATERIALIZED (SELECT p.vec_id, p.embedding, "
+        + d.format(a="p.embedding", b="c.embedding")
+        + " AS md FROM pts p, c1 c),",
+    ]
+    for r in range(2, KCENTER_K + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id, embedding FROM d{r - 1} "
+            f"ORDER BY md DESC, vec_id LIMIT 1),"
+        )
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT p.vec_id, p.embedding, "
+            f"least(p.md, {d.format(a='p.embedding', b='c.embedding')}) AS md "
+            f"FROM d{r - 1} p, c{r} c),"
+        )
+    centers_union = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, embedding FROM c{r}"
+        for r in range(1, KCENTER_K + 1)
+    )
+    parts.append(f"centers AS MATERIALIZED ({centers_union}),")
+    parts.append(
+        "assign AS (SELECT p.vec_id, "
+        "min((" + d.format(a="p.embedding", b="c.embedding") + ", c.rank)) AS m "
+        "FROM pts p, centers c GROUP BY p.vec_id)"
+    )
+    parts.append(
+        "SELECT CAST(c.rank AS BIGINT) AS center_rank, "
+        "CAST(c.vec_id AS BIGINT) AS center_vec_id, "
+        "CAST(count(*) AS BIGINT) AS n_assigned, "
+        "CAST(floor(max(a.m[1]) * 1000000) AS BIGINT) AS radius_micro "
+        "FROM assign a JOIN centers c ON c.rank = a.m[2] "
+        "GROUP BY c.rank, c.vec_id"
+    )
+    return "\n".join(parts)
+
+
+def _events_changepoint(spark, sf):
+    """MAX-DEVIATION CHANGE-POINT DETECTION over the daily volume series
+    per event type — the level-shift locator a monitoring pipeline runs
+    after events_anomaly_zscore flags that SOMETHING moved: the split
+    index maximizing ``|n·P_i − i·T|`` (prefix sum P, total T — the
+    integer-scaled CUSUM peak, equivalent to the two-segment-means gap
+    weighted by segment sizes) is the most likely single change point.
+    All-integer (rule 11): no means, no variances — the statistic is a
+    BIGINT and argmax ties pin to the earliest day.  Spark: one daily
+    agg (map-side combinable), one tiny per-type window pass over the
+    day frame, one struct-max argmax — the raw stream is read once."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(cast(ts as timestamp_ltz)) DIV 86400000000 AS BIGINT)").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cnt").over(w).cast("long").alias("p"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    stat = (
+        pre.join(F.broadcast(tot), "event_type")
+        .filter(F.col("i") < F.col("n_days"))
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            "t",
+            F.abs(F.col("n_days") * F.col("p") - F.col("i") * F.col("t"))
+            .cast("long")
+            .alias("stat"),
+        )
+    )
+    best = stat.groupBy("event_type").agg(
+        F.max(F.struct("stat", (-F.col("day")).alias("nd"))).alias("m"),
+        F.min("n_days").cast("long").alias("n_days"),
+        F.min("t").cast("long").alias("total"),
+    )
+    return best.select(
+        "event_type",
+        "n_days",
+        "total",
+        (-F.col("m.nd")).cast("long").alias("change_day"),
+        F.col("m.stat").cast("long").alias("stat_max"),
+    )
+
+
+_EVENTS_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS p
+  FROM daily
+),
+tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+stat AS (
+  SELECT pre.event_type, pre.day, tot.n_days, tot.t,
+         CAST(abs(tot.n_days * pre.p - pre.i * tot.t) AS BIGINT) AS stat
+  FROM pre JOIN tot ON tot.event_type = pre.event_type
+  WHERE pre.i < tot.n_days
+)
+SELECT event_type,
+       CAST(min(n_days) AS BIGINT) AS n_days,
+       CAST(min(t) AS BIGINT) AS total,
+       CAST(-(max((stat, -day))[2]) AS BIGINT) AS change_day,
+       CAST(max((stat, -day))[1] AS BIGINT) AS stat_max
+FROM stat GROUP BY event_type
+"""
+
+# Benford expected first-digit frequencies in ppm: round(1e6*log10(1+1/d)).
+# Inlined as the SAME literals in both twins (the constants are data, not
+# arithmetic — no engine computes a log).
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def _orders_benford_audit(spark, sf):
+    """BENFORD FIRST-DIGIT AUDIT of order totals — the classic
+    fabricated-data / fraud screen a data-quality pass runs over money
+    columns (complements lineitem_expectations' rule checks with a
+    distributional one).  First digit extracted from the DECIMAL CENTS
+    string (rule 5: decimal→cents BIGINT first — a float's scientific
+    repr would differ between engines; a BIGINT's string cannot).
+    Expected Benford mass is inlined as shared ppm literals (data, not
+    arithmetic).  Output per digit: observed count, observed ppm
+    (integer DIV), expected ppm, and the signed gap (pure subtraction —
+    no negative division, rule-of-DIV safe).  One scan, 9-key agg."""
+    o = _t(spark, sf, "orders")
+    cents = F.expr(f"CAST(CAST(o_totalprice AS {_DEC}) * 100 AS BIGINT)")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    exp = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit long, expected_ppm long",
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    return (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("(1000000 * coalesce(n_obs, 0)) DIV n").alias("obs_ppm"),
+            "expected_ppm",
+            (
+                F.expr("(1000000 * coalesce(n_obs, 0)) DIV n")
+                - F.col("expected_ppm")
+            )
+            .cast("long")
+            .alias("gap_ppm"),
+        )
+    )
+
+
+def _orders_benford_audit_sql() -> str:
+    exp = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))
+    return f"""
+WITH obs AS (
+  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+),
+exp(digit, expected_ppm) AS (VALUES {exp}),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+SELECT exp.digit, CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST((1000000 * coalesce(obs.n_obs, 0)) // tot.n AS BIGINT) AS obs_ppm,
+       CAST(exp.expected_ppm AS BIGINT) AS expected_ppm,
+       CAST((1000000 * coalesce(obs.n_obs, 0)) // tot.n - exp.expected_ppm
+            AS BIGINT) AS gap_ppm
+FROM exp LEFT JOIN obs ON obs.digit = exp.digit, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -15579,6 +15874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ledger_audit": _pipeline_ledger_audit,
         "optimizer_selectivity_audit": _optimizer_selectivity_audit,
         "events_kendall_trend": _events_kendall_trend,
+        "ann_kcenter_seeds": _ann_kcenter_seeds,
+        "events_changepoint": _events_changepoint,
+        "orders_benford_audit": _orders_benford_audit,
     }
 
 
@@ -15849,4 +16147,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_ledger_audit": _pipeline_ledger_audit_sql(),
         "optimizer_selectivity_audit": _OPTIMIZER_SELECTIVITY_SQL,
         "events_kendall_trend": _EVENTS_KENDALL_SQL,
+        "ann_kcenter_seeds": _ann_kcenter_seeds_sql(),
+        "events_changepoint": _EVENTS_CHANGEPOINT_SQL,
+        "orders_benford_audit": _orders_benford_audit_sql(),
     }

@@ -210,3 +210,59 @@ def test_qerror_symmetric_and_floor_one():
     assert (1000000 * max(est, act)) // max(min(est, act), 1) == 2000000
     # an empty conjunction doesn't divide by zero
     assert (1000000 * max(50, 0)) // max(min(50, 0), 1) == 50000000
+
+
+def test_l2sq_fold_bit_identical(spark):
+    """The Spark aggregate/zip_with fold and the DuckDB list_reduce fold
+    produce BIT-IDENTICAL squared distances on adversarial float32
+    components (values whose double sums depend on addition order)."""
+    import struct
+
+    import __spark_entry__ as entry
+
+    a = [1e8, 1.0, -1e8, 3.14159, 1e-7, 2.71828] + [0.1] * 58
+    b = [0.0, 2.0, 1e8, -1.0, 1e7, 0.5] + [0.30000001] * 58
+    # round-trip through float32 like the parquet column does
+    f32 = lambda xs: [struct.unpack("f", struct.pack("f", x))[0] for x in xs]
+    a32, b32 = f32(a), f32(b)
+    df = spark.createDataFrame(
+        [(a32, b32)], "va array<float>, vb array<float>"
+    )
+    (got_spark,) = df.select(
+        F.expr(entry._L2SQ_SPARK.format(a="va", b="vb")).alias("d")
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT CAST(? AS FLOAT[]) AS va, CAST(? AS FLOAT[]) AS vb",
+        [a32, b32],
+    )
+    (got_duck,) = con.execute(
+        "SELECT " + entry._L2SQ_DUCK.format(a="va", b="vb") + " FROM t"
+    ).fetchone()
+    assert struct.pack("d", got_spark) == struct.pack("d", got_duck)
+
+
+def test_changepoint_statistic_peaks_at_shift():
+    """n*P_i - i*T peaks exactly at a constructed level shift."""
+    series = [10] * 5 + [50] * 5  # shift after day 5
+    n, t = len(series), sum(series)
+    best_i, best = None, -1
+    p = 0
+    for i, x in enumerate(series[:-1], start=1):
+        p += x
+        s = abs(n * p - i * t)
+        if s > best:
+            best, best_i = s, i
+    assert best_i == 5
+
+
+def test_benford_constants_sum_to_one():
+    import __spark_entry__ as entry
+
+    total = sum(entry._BENFORD_PPM)
+    assert abs(total - 1000000) <= 5  # rounding of 9 constants
+    # and they are the canonical log10(1+1/d) values
+    import math
+
+    for d, ppm in enumerate(entry._BENFORD_PPM, start=1):
+        assert ppm == round(1000000 * math.log10(1 + 1 / d))
