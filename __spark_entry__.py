@@ -15627,6 +15627,177 @@ FROM exp LEFT JOIN obs ON obs.digit = exp.digit, tot
 """
 
 
+def _optimizer_histogram_stats(spark, sf):
+    """EQUI-DEPTH HISTOGRAM construction over order totals — the other
+    half of the CBO statistics story started by
+    optimizer_selectivity_audit: 10 equal-mass buckets (ANALYZE-style),
+    each with its boundary cents, row count, and distinct-value count —
+    what a range-predicate cardinality estimate reads.  Bucket
+    assignment is ``ntile(10)`` over the TOTAL order (cents, orderkey) —
+    both engines front-load the remainder identically (probed; the
+    user_spend_quartiles precedent), and money is integer cents before
+    anything ranks (rule 5).  The gate form sorts globally (150k rows);
+    at 100 TB histogram construction runs on partial order statistics
+    per partition merged by a sampled-boundaries pass — the output
+    contract (boundaries + masses) is unchanged.  One sort shuffle, one
+    10-key agg."""
+    o = _t(spark, sf, "orders")
+    cents = F.expr(f"CAST(CAST(o_totalprice AS {_DEC}) * 100 AS BIGINT)")
+    w = Window.orderBy("cents", "o_orderkey")
+    b = o.select(cents.alias("cents"), "o_orderkey").select(
+        "cents", F.ntile(10).over(w).cast("long").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("cents").cast("long").alias("n_distinct"),
+    )
+
+
+_OPTIMIZER_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+         CAST(ntile(10) OVER (
+           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT),
+                    o_orderkey) AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket, CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct
+FROM b GROUP BY bucket
+"""
+
+
+def _text_langid_confusion(spark, sf):
+    """LANGUAGE-ID CONFUSION MATRIX — the accuracy eval of the n-gram
+    lang_guess heuristic (text_stats exposes the guesses; this query
+    grades them against the corpus's labeled ``lang`` column, the same
+    way ann_recall_eval grades the IVF index against brute force).
+    Output = (labeled lang, guessed lang, n, share of the labeled
+    class in ppm) — per-class recall is the diagonal row.  Shares are
+    integer DIV (rule 11).  One scan + one tiny-key agg + one
+    broadcast class-total join."""
+    from bert_namedentityrecognition_spark.functions import textstats as ts
+
+    d = _t(spark, sf, "documents")
+    g = d.select(
+        "lang", ts.lang_guess(F.col("text")).alias("lang_guess")
+    )
+    cm = g.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.expr("(1000000 * n) DIV n_lang").alias("share_ppm"),
+    )
+
+
+_TEXT_LANGID_CONFUSION_SQL = """
+WITH g AS (
+  SELECT lang,
+    CASE WHEN len(regexp_extract_all(text, '[぀-ヿ㐀-鿿]')) > 0 THEN 'cjk'
+         WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> lower(x) IN ('the','a','of','and','to','in','is'))) > 0
+           THEN 'en'
+         ELSE 'other' END AS lang_guess
+  FROM documents
+),
+cm AS (
+  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+  FROM g GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cm GROUP BY lang)
+SELECT cm.lang, cm.lang_guess, cm.n,
+       CAST((1000000 * cm.n) // tot.n_lang AS BIGINT) AS share_ppm
+FROM cm JOIN tot ON tot.lang = cm.lang
+"""
+
+FRAME_BLOCK = 64  # bytes per synthetic "frame"
+FRAME_SAMPLES = 4  # uniform-stride frames sampled per media
+
+
+def _multimodal_frame_sample(spark, sf):
+    """FRAME SAMPLING over opaque binary media — the video-style access
+    pattern (decode only every k-th frame) on the multimodal binary
+    plumbing that multimodal_features established: media = UTF-8 bytes
+    of the corpus text (real bytes, fake codec — the container has no
+    ffmpeg), frames = 64-byte blocks, and a uniform stride samples 4
+    frames per media.  The Spark side stays GENUINELY BINARY — block
+    slicing via ``substring(content, pos, 1)`` on the BinaryType column
+    + hex→int — while the twin reads the same byte as ``ascii()`` of
+    the text character; the equivalence holds exactly for single-byte
+    text, which BOTH twins enforce with the same printable-ASCII
+    predicate (an enforced guard, not an assumption — a multi-byte doc
+    is excluded by each engine independently).  Zero Python; frame
+    positions are pure integer arithmetic (rule 11)."""
+    d = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") >= FRAME_BLOCK)
+        & F.col("text").rlike("^[ -~]*$")
+    )
+    media = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.col("n_chars").cast("long").alias("n_bytes"),
+    )
+    idx = F.broadcast(
+        spark.range(FRAME_SAMPLES).select(F.col("id").cast("long").alias("k"))
+    )
+    frames = media.crossJoin(idx).select(
+        "media_id",
+        "content",
+        "n_bytes",
+        "k",
+        F.expr(
+            f"k * greatest((n_bytes DIV {FRAME_BLOCK}) DIV {FRAME_SAMPLES}, 1)"
+        ).alias("frame_idx"),
+    ).filter(F.col("frame_idx") * FRAME_BLOCK < F.col("n_bytes"))
+    return frames.select(
+        "media_id",
+        F.expr(f"n_bytes DIV {FRAME_BLOCK}").cast("long").alias("n_frames"),
+        "k",
+        "frame_idx",
+        F.conv(
+            F.hex(
+                F.expr(f"substring(content, CAST(frame_idx * {FRAME_BLOCK} + 1 AS INT), 1)")
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("frame_byte"),
+    )
+
+
+_MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text, n_chars AS n_bytes FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {FRAME_BLOCK}
+    AND regexp_matches(text, '^[ -~]*$')
+),
+frames AS (
+  SELECT media_id, n_bytes, k.k,
+         k.k * greatest((n_bytes // {FRAME_BLOCK}) // {FRAME_SAMPLES}, 1)
+           AS frame_idx,
+         text
+  FROM media, (SELECT unnest(range(0, {FRAME_SAMPLES})) AS k) k
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_bytes // {FRAME_BLOCK} AS BIGINT) AS n_frames,
+       CAST(k AS BIGINT) AS k,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(ascii(substring(text, CAST(frame_idx * {FRAME_BLOCK} + 1 AS INT), 1)) AS BIGINT)
+         AS frame_byte
+FROM frames WHERE frame_idx * {FRAME_BLOCK} < n_bytes
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -15877,6 +16048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kcenter_seeds": _ann_kcenter_seeds,
         "events_changepoint": _events_changepoint,
         "orders_benford_audit": _orders_benford_audit,
+        "optimizer_histogram_stats": _optimizer_histogram_stats,
+        "text_langid_confusion": _text_langid_confusion,
+        "multimodal_frame_sample": _multimodal_frame_sample,
     }
 
 
@@ -16150,4 +16324,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kcenter_seeds": _ann_kcenter_seeds_sql(),
         "events_changepoint": _EVENTS_CHANGEPOINT_SQL,
         "orders_benford_audit": _orders_benford_audit_sql(),
+        "optimizer_histogram_stats": _OPTIMIZER_HISTOGRAM_SQL,
+        "text_langid_confusion": _TEXT_LANGID_CONFUSION_SQL,
+        "multimodal_frame_sample": _MULTIMODAL_FRAME_SAMPLE_SQL,
     }

@@ -266,3 +266,29 @@ def test_benford_constants_sum_to_one():
 
     for d, ppm in enumerate(entry._BENFORD_PPM, start=1):
         assert ppm == round(1000000 * math.log10(1 + 1 / d))
+
+
+def test_equidepth_buckets_are_contiguous_and_balanced(spark):
+    """Histogram invariants at sf0.001: buckets tile the value range in
+    order and masses differ by at most 1 row."""
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry._optimizer_histogram_stats(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    masses = [r["n_rows"] for r in rows]
+    assert max(masses) - min(masses) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi_cents"] <= cur["lo_cents"]
+
+
+def test_frame_sample_positions_in_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = entry._multimodal_frame_sample(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["frame_idx"] * 64 < r["n_frames"] * 64 + 64
+        assert 32 <= r["frame_byte"] <= 126  # printable ASCII enforced
