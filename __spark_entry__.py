@@ -15798,6 +15798,202 @@ FROM frames WHERE frame_idx * {FRAME_BLOCK} < n_bytes
 """
 
 
+def _kg_bgp_optional(spark, sf):
+    """SPARQL OPTIONAL + negation over the patterned triple store — the
+    left-join half of the query surface kg_bgp_match's star join
+    started: ``?s DEGRADES ?o . OPTIONAL { ?s SPEEDS_UP ?o }`` with both
+    the bound branch (the contradiction signal: the same subject both
+    degrades AND speeds up the same object) and the ``FILTER
+    (!bound(...))`` negation branch surfaced per subject.  Both
+    branches are LIVE at every sf (20/5 split at sf0.001).  OPTIONAL is
+    exactly a left outer join on the shared (subj, obj) variables —
+    Spark plans it as one shuffle join over the two predicate-filtered
+    legs of ONE materialized triple store (rule 23), then a subj-keyed
+    map-side agg.  All counts BIGINT (rule 11).  The reference has no
+    query layer (``ade_table/generate_table.py``) — SURVEY §2.12."""
+    t = _kg_triples_patterned(spark, sf).localCheckpoint(eager=True)
+    d = t.filter(F.col("pred") == "DEGRADES").select(
+        "subj", "obj", F.col("count").alias("c_deg")
+    )
+    s = t.filter(F.col("pred") == "SPEEDS_UP").select(
+        "subj", "obj", F.lit(1).alias("_bound"), F.col("count").alias("c_spd")
+    )
+    j = d.join(s, ["subj", "obj"], "left")
+    return j.groupBy("subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_degraded"),
+        F.sum(F.coalesce(F.col("_bound"), F.lit(0)))
+        .cast("long")
+        .alias("n_contradicted"),
+        F.sum(F.when(F.col("_bound").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unbound"),
+        F.sum(F.when(F.col("_bound").isNotNull(), F.col("c_deg") + F.col("c_spd")).otherwise(0))
+        .cast("long")
+        .alias("contradiction_evidence"),
+    )
+
+
+_KG_BGP_OPTIONAL_SQL = f"""
+WITH t AS MATERIALIZED ({{patterned}}),
+d AS (SELECT subj, obj, count AS c_deg FROM t WHERE pred = 'DEGRADES'),
+s AS (SELECT subj, obj, count AS c_spd FROM t WHERE pred = 'SPEEDS_UP')
+SELECT d.subj,
+       CAST(count(*) AS BIGINT) AS n_degraded,
+       CAST(sum(CASE WHEN s.subj IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contradicted,
+       CAST(sum(CASE WHEN s.subj IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unbound,
+       CAST(sum(CASE WHEN s.subj IS NOT NULL THEN d.c_deg + s.c_spd ELSE 0 END)
+            AS BIGINT) AS contradiction_evidence
+FROM d LEFT JOIN s ON s.subj = d.subj AND s.obj = d.obj
+GROUP BY d.subj
+"""
+
+SKIPGRAM_WINDOW = 2
+
+
+def _kg_skipgram_pairs(spark, sf):
+    """SKIP-GRAM TRAINING-PAIR extraction from the gated deterministic
+    random walks — the step between kg_random_walks (corpus) and
+    kg_negative_samples (negatives) in the DeepWalk/node2vec prep: for
+    every walk, each ordered (center, context) pair within window
+    ``|Δstep| ≤ 2``, counted across the whole walk corpus with the
+    window distance kept (distance-weighted variants read it).  Spark:
+    ONE self-equi-join of the walk table on (start, walk) — the walk id
+    is the shuffle key, so pair enumeration is walk-local (length², a
+    constant, per walk) — then a map-side-combined pair agg.  Pure
+    integers (rule 11); the twin wraps the SAME unrolled
+    ``random_walks_sql`` replay as a CTE."""
+    from bert_namedentityrecognition_spark.operators.graph import random_walks
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = random_walks(sym, length=4, n_walks=2).localCheckpoint(eager=True)
+    w2 = w.select(
+        "start",
+        "walk",
+        F.col("step").alias("step2"),
+        F.col("node").alias("context"),
+    )
+    pairs = (
+        w.join(w2, ["start", "walk"])
+        .filter(
+            (F.col("step") != F.col("step2"))
+            & (F.abs(F.col("step") - F.col("step2")) <= SKIPGRAM_WINDOW)
+        )
+        .select(
+            F.col("node").alias("center"),
+            "context",
+            F.abs(F.col("step") - F.col("step2")).cast("long").alias("dist"),
+        )
+    )
+    return pairs.groupBy("center", "context", "dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def _kg_skipgram_pairs_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import random_walks_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    walks = random_walks_sql(graph_ctes, length=4, n_walks=2)
+    return f"""
+WITH walks AS MATERIALIZED ({walks})
+SELECT a.node AS center, b.node AS context,
+       CAST(abs(a.step - b.step) AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON b.start = a.start AND b.walk = a.walk
+ AND a.step <> b.step AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2, 3
+"""
+
+
+def _pii_pseudonymize(spark, sf):
+    """KEYED PSEUDONYMIZATION audit — the GDPR-style identifier
+    replacement a data-release pipeline applies where pii_scrub redacts
+    free text: every user_id maps to a deterministic pseudonym token
+    (scrambled portable hash of the salted id — same user, same token,
+    on any engine or cluster size; rule 11), and the audit verifies the
+    two properties that make pseudonymized data analyzable: collisions
+    (distinct users sharing a token — the re-identification/utility
+    trade) and REFERENTIAL INTEGRITY (event mass grouped by token ==
+    grouped by user, off only by collision merges).  One distinct-user
+    pass + one token agg; the fact table is scanned once."""
+    e = _t(spark, sf, "events")
+    from bert_namedentityrecognition_spark.functions.textstats import poly_hash
+
+    tok = (
+        poly_hash(F.concat(F.lit("u:"), F.col("user_id").cast("string")))
+        * F.lit(2654435761)
+    ) % F.lit(1000000007) % F.lit(100000)
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev")
+    )
+    mapped = per_user.select(
+        "user_id", "n_ev", tok.cast("long").alias("token")
+    )
+    by_token = mapped.groupBy("token").agg(
+        F.countDistinct("user_id").cast("long").alias("users_in_token"),
+        F.sum("n_ev").cast("long").alias("ev_in_token"),
+    )
+    return by_token.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("users_in_token").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("users_in_token") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_tokens"),
+        F.sum("ev_in_token").cast("long").alias("n_events_via_token"),
+        F.max("users_in_token").cast("long").alias("max_users_per_token"),
+    )
+
+
+_PII_PSEUDONYMIZE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev FROM events GROUP BY user_id
+),
+mapped AS (
+  SELECT user_id, n_ev,
+         CAST(({_POLY_STR.format(expr="'u:' || CAST(user_id AS VARCHAR)")}
+               * 2654435761) % 1000000007 % 100000 AS BIGINT) AS token
+  FROM per_user
+),
+by_token AS (
+  SELECT token, CAST(count(DISTINCT user_id) AS BIGINT) AS users_in_token,
+         CAST(sum(n_ev) AS BIGINT) AS ev_in_token
+  FROM mapped GROUP BY token
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(users_in_token) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN users_in_token > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_colliding_tokens,
+       CAST(sum(ev_in_token) AS BIGINT) AS n_events_via_token,
+       CAST(max(users_in_token) AS BIGINT) AS max_users_per_token
+FROM by_token
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -16051,6 +16247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimizer_histogram_stats": _optimizer_histogram_stats,
         "text_langid_confusion": _text_langid_confusion,
         "multimodal_frame_sample": _multimodal_frame_sample,
+        "kg_bgp_optional": _kg_bgp_optional,
+        "kg_skipgram_pairs": _kg_skipgram_pairs,
+        "pii_pseudonymize": _pii_pseudonymize,
     }
 
 
@@ -16327,4 +16526,9 @@ def oracle_sql() -> dict[str, str]:
         "optimizer_histogram_stats": _OPTIMIZER_HISTOGRAM_SQL,
         "text_langid_confusion": _TEXT_LANGID_CONFUSION_SQL,
         "multimodal_frame_sample": _MULTIMODAL_FRAME_SAMPLE_SQL,
+        "kg_bgp_optional": _KG_BGP_OPTIONAL_SQL.format(
+            patterned=_KG_TRIPLES_PATTERNED_SQL
+        ),
+        "kg_skipgram_pairs": _kg_skipgram_pairs_sql(),
+        "pii_pseudonymize": _PII_PSEUDONYMIZE_SQL,
     }

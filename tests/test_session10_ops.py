@@ -292,3 +292,29 @@ def test_frame_sample_positions_in_bounds(spark):
     for r in rows:
         assert 0 <= r["frame_idx"] * 64 < r["n_frames"] * 64 + 64
         assert 32 <= r["frame_byte"] <= 126  # printable ASCII enforced
+
+
+def test_bgp_optional_branch_totals(spark):
+    """bound + unbound == n_degraded per subject, both branches live."""
+    import __spark_entry__ as entry
+
+    rows = entry._kg_bgp_optional(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(
+        r["n_contradicted"] + r["n_unbound"] == r["n_degraded"] for r in rows
+    )
+    assert any(r["n_contradicted"] > 0 for r in rows)
+    assert any(r["n_unbound"] > 0 for r in rows)
+
+
+def test_skipgram_pairs_symmetric_and_windowed(spark):
+    """Every (center, context, d) has its mirrored (context, center, d)
+    with the same count (the self-join emits both directions)."""
+    import __spark_entry__ as entry
+
+    rows = entry._kg_skipgram_pairs(spark, "/root/testdata/sf0.001").collect()
+    cnt = {(r["center"], r["context"], r["dist"]): r["n_pairs"] for r in rows}
+    assert cnt
+    for (c, x, d), n in cnt.items():
+        assert cnt[(x, c, d)] == n
+        assert d in (1, 2)
