@@ -15994,6 +15994,295 @@ FROM by_token
 """
 
 
+def _kg_modularity_score(spark, sf):
+    """EXACT NEWMAN MODULARITY of the gated label-propagation partition
+    — the quality score that turns kg_label_propagation's communities
+    and kg_community_profile's sizes into a single comparable number
+    (the metric Louvain optimizes; computing it exactly lets the gate
+    hold the partition's quality, not just its membership).  ``Q =
+    (4m·Σe_c − Σd_c²) / 4m²`` — the common-denominator form keeps the
+    numerator a BIGINT (rule 11), and the signed value ships as the raw
+    (num, den) pair plus the positive-dividend shifted ppm (the tau
+    trick: [−1, 1] → [0, 10⁶]).  Spark: the LPA rounds (one shuffle +
+    two aggs each, localCheckpoint per round) then ONE label join onto
+    the edge list + two tiny aggs; the DuckDB twin wraps the SAME
+    unrolled ``label_prop_sql`` replay as a CTE."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        label_propagation,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = label_propagation(sym, rounds=6).localCheckpoint(eager=True)
+    und = sym.filter(F.col("src") < F.col("dst"))
+    la = labels.select(F.col("node").alias("src"), F.col("community").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("community").alias("lab_b"))
+    lab_edges = und.join(la, "src").join(lb, "dst")
+    internal = (
+        lab_edges.filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .join(labels, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    comm = deg.join(internal, "community", "left").select(
+        "community",
+        F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+        "d_c",
+    )
+    m_df = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    tot = comm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("e_c").cast("long").alias("sum_internal"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_deg_sq"),
+    )
+    return tot.crossJoin(F.broadcast(m_df)).select(
+        "m",
+        "n_communities",
+        "sum_internal",
+        "sum_deg_sq",
+        F.expr("4 * m * sum_internal - sum_deg_sq").alias("q_num"),
+        F.expr("4 * m * m").alias("q_den"),
+        F.expr(
+            "(1000000 * (4 * m * sum_internal - sum_deg_sq + 4 * m * m))"
+            " DIV (2 * 4 * m * m)"
+        ).alias("q_shift_ppm"),
+    )
+
+
+def _kg_modularity_score_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import label_prop_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    lpa = label_prop_sql(graph_ctes, rounds=6)
+    return f"""
+WITH labels AS MATERIALIZED ({lpa}),
+ids2 AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges2 AS (
+  SELECT i AS a, i - 1 AS b FROM ids2 WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids2
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym2 AS MATERIALIZED (SELECT a, b FROM edges2 UNION SELECT b AS a, a AS b FROM edges2),
+und AS MATERIALIZED (SELECT a, b FROM sym2 WHERE a < b),
+internal AS (
+  SELECT la.community, CAST(count(*) AS BIGINT) AS e_c
+  FROM und JOIN labels la ON la.node = und.a
+           JOIN labels lb ON lb.node = und.b
+  WHERE la.community = lb.community GROUP BY la.community
+),
+deg AS (
+  SELECT l.community, CAST(sum(d.deg) AS BIGINT) AS d_c
+  FROM (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM sym2 GROUP BY a) d
+  JOIN labels l ON l.node = d.node GROUP BY l.community
+),
+comm AS (
+  SELECT deg.community, CAST(coalesce(internal.e_c, 0) AS BIGINT) AS e_c, deg.d_c
+  FROM deg LEFT JOIN internal ON internal.community = deg.community
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         CAST(sum(e_c) AS BIGINT) AS sum_internal,
+         CAST(sum(d_c * d_c) AS BIGINT) AS sum_deg_sq
+  FROM comm
+)
+SELECT mm.m, tot.n_communities, tot.sum_internal, tot.sum_deg_sq,
+       CAST(4 * mm.m * tot.sum_internal - tot.sum_deg_sq AS BIGINT) AS q_num,
+       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den,
+       CAST((1000000 * (4 * mm.m * tot.sum_internal - tot.sum_deg_sq
+                        + 4 * mm.m * mm.m)) // (2 * 4 * mm.m * mm.m) AS BIGINT)
+         AS q_shift_ppm
+FROM mm, tot
+"""
+
+
+def _storage_rle_audit(spark, sf):
+    """RUN-LENGTH ENCODING audit under the table's NATURAL SORT KEY
+    (l_orderkey, l_linenumber) — the storage-layout statistic that
+    predicts parquet RLE/dictionary efficiency per column and justifies
+    a sort-key choice the way zonemap_skipping justifies clustering:
+    runs ≪ rows → the column compresses; runs ≈ rows → re-sorting or
+    dictionary encoding is the lever.  Per column: rows, distinct
+    values, RUNS in key order (1 + boundary count via lag), and runs
+    ppm.  One global sort window (the gate form; at 100 TB run counting
+    happens per row-group with +1 per file seam — the contract is
+    unchanged) computing all three columns' boundaries in ONE pass,
+    then three constant-folded rows."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+
+    def chg(c):
+        prev = F.lag(F.col(c)).over(w)
+        return F.when(prev.isNull() | (prev != F.col(c)), 1).otherwise(0)
+
+    b = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("sm"),
+        F.col("l_quantity").alias("qy"),
+        chg("l_returnflag").alias("c_rf"),
+        chg("l_linestatus").alias("c_sm"),
+        chg("l_quantity").alias("c_qy"),
+    )
+    agg = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("rf").cast("long").alias("d_rf"),
+        F.countDistinct("sm").cast("long").alias("d_sm"),
+        F.countDistinct("qy").cast("long").alias("d_qy"),
+        F.sum("c_rf").cast("long").alias("r_rf"),
+        F.sum("c_sm").cast("long").alias("r_sm"),
+        F.sum("c_qy").cast("long").alias("r_qy"),
+    )
+
+    def row(name, d, r):
+        return agg.select(
+            F.lit(name).alias("col_name"),
+            F.col("n"),
+            F.col(d).alias("n_distinct"),
+            F.col(r).alias("n_runs"),
+            F.expr(f"(1000000 * {r}) DIV n").alias("runs_ppm"),
+        )
+
+    return (
+        row("returnflag", "d_rf", "r_rf")
+        .unionByName(row("linestatus", "d_sm", "r_sm"))
+        .unionByName(row("quantity", "d_qy", "r_qy"))
+    )
+
+
+_STORAGE_RLE_SQL = """
+WITH b AS (
+  SELECT l_returnflag AS rf, l_linestatus AS sm, l_quantity AS qy,
+    CASE WHEN lag(l_returnflag) OVER w IS NULL
+           OR lag(l_returnflag) OVER w <> l_returnflag THEN 1 ELSE 0 END AS c_rf,
+    CASE WHEN lag(l_linestatus) OVER w IS NULL
+           OR lag(l_linestatus) OVER w <> l_linestatus THEN 1 ELSE 0 END AS c_sm,
+    CASE WHEN lag(l_quantity) OVER w IS NULL
+           OR lag(l_quantity) OVER w <> l_quantity THEN 1 ELSE 0 END AS c_qy
+  FROM lineitem
+  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT rf) AS BIGINT) AS d_rf,
+         CAST(count(DISTINCT sm) AS BIGINT) AS d_sm,
+         CAST(count(DISTINCT qy) AS BIGINT) AS d_qy,
+         CAST(sum(c_rf) AS BIGINT) AS r_rf,
+         CAST(sum(c_sm) AS BIGINT) AS r_sm,
+         CAST(sum(c_qy) AS BIGINT) AS r_qy
+  FROM b
+)
+SELECT 'returnflag' AS col_name, n, d_rf AS n_distinct, r_rf AS n_runs,
+       CAST((1000000 * r_rf) // n AS BIGINT) AS runs_ppm FROM agg
+UNION ALL
+SELECT 'linestatus', n, d_sm, r_sm, CAST((1000000 * r_sm) // n AS BIGINT) FROM agg
+UNION ALL
+SELECT 'quantity', n, d_qy, r_qy, CAST((1000000 * r_qy) // n AS BIGINT) FROM agg
+"""
+
+
+def _corpus_source_overlap(spark, sf):
+    """Pairwise VOCABULARY OVERLAP between corpus sources — the
+    source-level comparison a mixture designer reads before setting
+    domain_weighted_sample's rates (two sources with near-identical
+    vocabularies are redundant; a low-overlap source adds diversity):
+    per source pair the Simpson (overlap) coefficient ``|A∩B| /
+    min(|A|,|B|)`` in exact ppm (rule 11) — the same asymmetric-size
+    guard as dedup_containment_pairs, at corpus granularity.  Spark:
+    one distinct (source, token) projection, per-source vocab sizes
+    BROADCAST, and the pair intersection as ONE token-keyed
+    self-equi-join (the shuffle key is the token — never a source
+    cross-product over raw rows)."""
+    d = _t(spark, sf, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    vocab = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    t2 = toks.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        toks.join(t2, "tok")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    va = vocab.select(F.col("source").alias("source_a"), F.col("v").alias("v_a"))
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "v_a",
+            "v_b",
+            "n_shared",
+            F.expr("(1000000 * n_shared) DIV least(v_a, v_b)").alias(
+                "simpson_ppm"
+            ),
+        )
+    )
+
+
+_CORPUS_SOURCE_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source, t.tok
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE text IS NOT NULL AND length(trim(text)) > 0 AND length(t.tok) > 0
+),
+vocab AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS v FROM toks GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM toks a JOIN toks b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       va.v AS v_a, vb.v AS v_b, i.n_shared,
+       CAST((1000000 * i.n_shared) // least(va.v, vb.v) AS BIGINT)
+         AS simpson_ppm
+FROM inter i
+JOIN vocab va ON va.source = i.source_a
+JOIN vocab vb ON vb.source = i.source_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -16250,6 +16539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": _kg_bgp_optional,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "pii_pseudonymize": _pii_pseudonymize,
+        "kg_modularity_score": _kg_modularity_score,
+        "storage_rle_audit": _storage_rle_audit,
+        "corpus_source_overlap": _corpus_source_overlap,
     }
 
 
@@ -16531,4 +16823,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_skipgram_pairs": _kg_skipgram_pairs_sql(),
         "pii_pseudonymize": _PII_PSEUDONYMIZE_SQL,
+        "kg_modularity_score": _kg_modularity_score_sql(),
+        "storage_rle_audit": _STORAGE_RLE_SQL,
+        "corpus_source_overlap": _CORPUS_SOURCE_OVERLAP_SQL,
     }

@@ -318,3 +318,25 @@ def test_skipgram_pairs_symmetric_and_windowed(spark):
     for (c, x, d), n in cnt.items():
         assert cnt[(x, c, d)] == n
         assert d in (1, 2)
+
+
+def test_modularity_bounds_and_identity(spark):
+    """q_num/q_den is a valid modularity: |Q| <= 1, and the shifted ppm
+    is consistent with the raw pair."""
+    import __spark_entry__ as entry
+
+    (r,) = entry._kg_modularity_score(spark, "/root/testdata/sf0.001").collect()
+    assert abs(r["q_num"]) <= r["q_den"]
+    assert r["q_den"] == 4 * r["m"] * r["m"]
+    assert r["q_shift_ppm"] == (1000000 * (r["q_num"] + r["q_den"])) // (2 * r["q_den"])
+    # communities partition all nodes and a chain+heads LPA finds > 1
+    assert r["n_communities"] > 1
+
+
+def test_rle_runs_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = entry._storage_rle_audit(spark, "/root/testdata/sf0.001").collect()
+    assert {r["col_name"] for r in rows} == {"returnflag", "linestatus", "quantity"}
+    for r in rows:
+        assert r["n_distinct"] <= r["n_runs"] <= r["n"]
