@@ -16283,6 +16283,265 @@ JOIN vocab vb ON vb.source = i.source_b
 """
 
 
+from bert_namedentityrecognition_spark.oracle.graph import (
+    MIS_MOD as MIS_MOD_LIT,
+    MIS_MUL as MIS_MUL_LIT,
+)
+
+EDGECUT_PARTS = 16
+
+
+def _kg_partition_edgecut(spark, sf):
+    """GRAPH-PARTITION EDGE-CUT audit — the number that decides an
+    iterative graph job's shuffle volume at 100 TB (every cut edge ships
+    its message across executors every round): for the chain+skip
+    entity graph, the edge-cut of HASH node partitioning (the scrambled
+    portable hash — what a default ``repartition(node)`` does) vs RANGE
+    partitioning (node DIV ⌈n/k⌉ — what a sorted/bucketed layout
+    gives), k=16.  On chain-like graphs range partitioning cuts only
+    the ~k boundary edges while hash cuts ~(1−1/k) of ALL edges — the
+    measured gap IS the case for the bucketed/zordered layouts this
+    repo ships (kg_bucketed_join, zorder_layout).  Pure integers (rule
+    11; the scramble is the shared MIS priority hash, engine-identical).
+    One edge-list scan per scheme, two tiny aggs."""
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        (F.col("id") - 1).alias("u"), F.col("id").alias("v")
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        (F.col("id") - 2).alias("u"), F.col("id").alias("v")
+    )
+    e = chain.union(skip)
+    span = (n + EDGECUT_PARTS - 1) // EDGECUT_PARTS
+
+    def hash_p(c):
+        return ((F.col(c) * F.lit(MIS_MUL)) % F.lit(MIS_MOD)) % F.lit(
+            EDGECUT_PARTS
+        )
+
+    def range_p(c):
+        return F.expr(f"{c} DIV {span}")
+
+    cuts = e.select(
+        (hash_p("u") != hash_p("v")).cast("long").alias("hash_cut"),
+        (range_p("u") != range_p("v")).cast("long").alias("range_cut"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("hash_cut").cast("long").alias("hash_cuts"),
+        F.sum("range_cut").cast("long").alias("range_cuts"),
+    )
+    return cuts.selectExpr(
+        f"CAST({EDGECUT_PARTS} AS BIGINT) AS k",
+        "n_edges",
+        "stack(2, 'hash', hash_cuts, 'range', range_cuts) AS (scheme, n_cut)",
+    ).select(
+        "k",
+        "scheme",
+        "n_edges",
+        F.col("n_cut").cast("long").alias("n_cut"),
+        F.expr("(1000000 * n_cut) DIV n_edges").alias("cut_ppm"),
+    )
+
+
+_KG_PARTITION_EDGECUT_SQL = f"""
+WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (
+  SELECT ((SELECT count(*) FROM events) + {EDGECUT_PARTS} - 1)
+           // {EDGECUT_PARTS} AS span
+),
+e AS (
+  SELECT i - 1 AS u, i AS v FROM ids WHERE i > 0
+  UNION ALL
+  SELECT i - 2 AS u, i AS v FROM ids WHERE i > 1 AND i % 3 <> 0
+),
+cuts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    CAST(sum(CASE WHEN ((u * {MIS_MUL_LIT}) % {MIS_MOD_LIT}) % {EDGECUT_PARTS}
+                    <> ((v * {MIS_MUL_LIT}) % {MIS_MOD_LIT}) % {EDGECUT_PARTS}
+             THEN 1 ELSE 0 END) AS BIGINT) AS hash_cuts,
+    CAST(sum(CASE WHEN u // params.span <> v // params.span
+             THEN 1 ELSE 0 END) AS BIGINT) AS range_cuts
+  FROM e, params
+)
+SELECT CAST({EDGECUT_PARTS} AS BIGINT) AS k, 'hash' AS scheme, n_edges,
+       hash_cuts AS n_cut,
+       CAST((1000000 * hash_cuts) // n_edges AS BIGINT) AS cut_ppm FROM cuts
+UNION ALL
+SELECT CAST({EDGECUT_PARTS} AS BIGINT), 'range', n_edges, range_cuts,
+       CAST((1000000 * range_cuts) // n_edges AS BIGINT) FROM cuts
+"""
+
+
+def _dataset_drift_ks(spark, sf):
+    """KOLMOGOROV-SMIRNOV drift test on the DOCUMENT-LENGTH distribution
+    between corpus halves — the continuous-distribution companion to
+    dataset_drift_chi2's categorical test (chi2 sees lang mix shift; KS
+    sees the length distribution itself deform).  The KS statistic is
+    the max ECDF gap, kept EXACTLY integer (rule 11) as ``D_scaled =
+    max_v |n₂·C₁(v) − n₁·C₂(v)|`` over observed values (D = D_scaled /
+    (n₁·n₂)); the argmax length ships too (ties → smallest length).
+    Spark: one (half, length) agg, one value-level cumulative window
+    (distinct lengths ≪ rows), one struct-max — the corpus is scanned
+    once."""
+    d = _t(spark, sf, "documents")
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    halves = d.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("doc_id") * 2 <= F.col("max_id"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.col("n_chars").alias("v"),
+    )
+    g = halves.groupBy("v").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w = Window.orderBy("v")
+    cum = g.select(
+        "v",
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    stat = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "v",
+        F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+        .cast("long")
+        .alias("d"),
+    )
+    return stat.groupBy("n1", "n2").agg(
+        F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv"))).alias("m")
+    ).select(
+        "n1",
+        "n2",
+        F.col("m.d").cast("long").alias("d_scaled"),
+        (-F.col("m.nv")).cast("long").alias("argmax_len"),
+        F.expr("(1000000 * m.d) DIV (n1 * n2)").alias("ks_ppm"),
+    )
+
+
+_DATASET_DRIFT_KS_SQL = """
+WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+halves AS (
+  SELECT CASE WHEN d.doc_id * 2 <= mx.max_id THEN 0 ELSE 1 END AS half,
+         d.n_chars AS v
+  FROM documents d, mx
+),
+g AS (
+  SELECT v,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM halves GROUP BY v
+),
+cum AS (
+  SELECT v, CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+  FROM g
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+stat AS (
+  SELECT tot.n1, tot.n2, cum.v,
+         CAST(abs(tot.n2 * cum.cum1 - tot.n1 * cum.cum2) AS BIGINT) AS d
+  FROM cum, tot
+)
+SELECT n1, n2,
+       CAST(max((d, -v))[1] AS BIGINT) AS d_scaled,
+       CAST(-(max((d, -v))[2]) AS BIGINT) AS argmax_len,
+       CAST((1000000 * max((d, -v))[1]) // (n1 * n2) AS BIGINT) AS ks_ppm
+FROM stat GROUP BY n1, n2
+"""
+
+
+def _orders_gini_concentration(spark, sf):
+    """CUSTOMER REVENUE CONCENTRATION — the Lorenz/Gini inequality of
+    per-customer spend (how much of the revenue the heaviest accounts
+    carry; the business twin of join_skew_profile's key skew, and the
+    INEQUALITY complement to events_type_gini's impurity).  Exact
+    integers (rule 11): spend in cents, customers ranked ascending
+    (ties → customer key), and the rank-sum identity ``G = (2·Σi·xᵢ −
+    (n+1)·Σx) / (n·Σx)`` shipped as the raw (num, den) BIGINT pair plus
+    shifted ppm (G ∈ [0,1) here but the shift keeps the DIV dividend
+    positive under any input).  Also: top-decile revenue share ppm
+    (the headline "top 10% carry X%" number).  One customer agg, one
+    rank window over customers (dimension-sized), two tiny aggs."""
+    o = _t(spark, sf, "orders")
+    cents = F.expr(f"CAST(CAST(o_totalprice AS {_DEC}) * 100 AS BIGINT)")
+    per = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    decile = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") * 10 > F.col("n") * 9)
+        .agg(F.sum("x").cast("long").alias("top_decile_cents"))
+    )
+    return tot.crossJoin(F.broadcast(decile)).select(
+        "n",
+        "sx",
+        F.expr("2 * six - (n + 1) * sx").alias("g_num"),
+        F.expr("n * sx").alias("g_den"),
+        F.expr(
+            "CAST((1000000 * CAST(2 * six - (n + 1) * sx + n * sx"
+            " AS decimal(38,0)))"
+            " DIV (CAST(2 AS decimal(38,0)) * CAST(n AS decimal(38,0))"
+            " * CAST(sx AS decimal(38,0))) AS BIGINT)"
+        ).alias("gini_shift_ppm"),
+        "top_decile_cents",
+        F.expr("(1000000 * top_decile_cents) DIV sx").alias(
+            "top_decile_share_ppm"
+        ),
+    )
+
+
+_ORDERS_GINI_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+  FROM per
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM ranked
+),
+decile AS (
+  SELECT CAST(sum(ranked.x) AS BIGINT) AS top_decile_cents
+  FROM ranked, tot WHERE ranked.i * 10 > tot.n * 9
+)
+SELECT tot.n, tot.sx,
+       CAST(2 * tot.six - (tot.n + 1) * tot.sx AS BIGINT) AS g_num,
+       CAST(tot.n * tot.sx AS BIGINT) AS g_den,
+       CAST((1000000 * CAST(2 * tot.six - (tot.n + 1) * tot.sx + tot.n * tot.sx
+                            AS HUGEINT))
+            // (CAST(2 AS HUGEINT) * tot.n * tot.sx) AS BIGINT) AS gini_shift_ppm,
+       decile.top_decile_cents,
+       CAST((1000000 * decile.top_decile_cents) // tot.sx AS BIGINT)
+         AS top_decile_share_ppm
+FROM tot, decile
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -16542,6 +16801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity_score": _kg_modularity_score,
         "storage_rle_audit": _storage_rle_audit,
         "corpus_source_overlap": _corpus_source_overlap,
+        "kg_partition_edgecut": _kg_partition_edgecut,
+        "dataset_drift_ks": _dataset_drift_ks,
+        "orders_gini_concentration": _orders_gini_concentration,
     }
 
 
@@ -16826,4 +17088,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_modularity_score": _kg_modularity_score_sql(),
         "storage_rle_audit": _STORAGE_RLE_SQL,
         "corpus_source_overlap": _CORPUS_SOURCE_OVERLAP_SQL,
+        "kg_partition_edgecut": _KG_PARTITION_EDGECUT_SQL,
+        "dataset_drift_ks": _DATASET_DRIFT_KS_SQL,
+        "orders_gini_concentration": _ORDERS_GINI_SQL,
     }

@@ -340,3 +340,48 @@ def test_rle_runs_bounds(spark):
     assert {r["col_name"] for r in rows} == {"returnflag", "linestatus", "quantity"}
     for r in rows:
         assert r["n_distinct"] <= r["n_runs"] <= r["n"]
+
+
+def test_edgecut_range_beats_hash(spark):
+    """On the chain+skip graph, range partitioning cuts only boundary
+    edges while hash cuts nearly (1 - 1/k) of all edges — the measured
+    gap that justifies locality-aware layouts."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r["scheme"]: r
+        for r in entry._kg_partition_edgecut(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["range"]["n_cut"] < rows["hash"]["n_cut"] // 10
+    # range cut ~ 3 boundary edges per seam (chain crosses once, skips twice)
+    assert rows["range"]["n_cut"] <= 3 * 16
+    assert rows["hash"]["cut_ppm"] > 800000  # ~ 1 - 1/16 = 937500
+
+
+def test_ks_statistic_on_constructed_shift():
+    """Integer KS replay: two samples with a clean location shift give
+    D == max gap at the boundary."""
+    s1 = [1, 2, 3, 4, 5]
+    s2 = [6, 7, 8, 9, 10]
+    vals = sorted(set(s1) | set(s2))
+    n1, n2 = len(s1), len(s2)
+    best = 0
+    for v in vals:
+        c1 = sum(1 for x in s1 if x <= v)
+        c2 = sum(1 for x in s2 if x <= v)
+        best = max(best, abs(n2 * c1 - n1 * c2))
+    assert best == n1 * n2  # fully separated -> D = 1
+
+
+def test_gini_rank_sum_identity():
+    # equal spends -> G = 0; one customer has everything -> G -> (n-1)/n
+    def g(xs):
+        xs = sorted(xs)
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * six - (n + 1) * sx, n * sx)
+
+    num, den = g([5, 5, 5, 5])
+    assert num == 0
+    num, den = g([0, 0, 0, 100])
+    assert num * 4 == den * 3  # G = 3/4 = (n-1)/n
