@@ -16542,6 +16542,154 @@ FROM tot, decile
 """
 
 
+def _kg_adjacency_gap_bits(spark, sf):
+    """WEBGRAPH-STYLE GAP-ENCODING audit of the adjacency list — the
+    storage estimate behind every compressed web/KG graph format
+    (Boldi-Vigna): neighbors sorted per node, deltas instead of ids,
+    each delta costing its binary length.  Output: edges, the exact
+    summed gap bits (first neighbor costs bits(v−u+1) where v may be <
+    u... here the UNDIRECTED u<v orientation makes every delta ≥ 1),
+    the raw 64-bit-per-edge cost, and the compression ratio ppm — the
+    number that says whether the 100 TB edge list ships as 100 TB or as
+    ~15 TB.  bits(g) = length of the binary representation (the
+    events_gap_histogram idiom — no float log2).  One per-node sort
+    window over the adjacency (the shuffle key is the node), one agg."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") > 0).select(
+        (F.col("id") - 1).alias("u"), F.col("id").alias("v")
+    )
+    skip = ids.filter((F.col("id") > 1) & (F.col("id") % 3 != 0)).select(
+        (F.col("id") - 2).alias("u"), F.col("id").alias("v")
+    )
+    e = chain.union(skip)
+    w = Window.partitionBy("u").orderBy("v")
+    gaps = e.select(
+        "u",
+        "v",
+        F.coalesce(
+            F.col("v") - F.lag("v").over(w), F.col("v") - F.col("u")
+        ).alias("gap"),
+    )
+    bits = gaps.select(F.length(F.bin(F.col("gap"))).cast("long").alias("b"))
+    return bits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("b").cast("long").alias("gap_bits"),
+        (F.count(F.lit(1)) * 64).cast("long").alias("raw_bits"),
+    ).select(
+        "n_edges",
+        "gap_bits",
+        "raw_bits",
+        F.expr("(1000000 * gap_bits) DIV raw_bits").alias("compressed_ppm"),
+    )
+
+
+_KG_ADJACENCY_GAP_BITS_SQL = """
+WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+e AS (
+  SELECT i - 1 AS u, i AS v FROM ids WHERE i > 0
+  UNION ALL
+  SELECT i - 2 AS u, i AS v FROM ids WHERE i > 1 AND i % 3 <> 0
+),
+gaps AS (
+  SELECT u, v,
+         coalesce(v - lag(v) OVER (PARTITION BY u ORDER BY v), v - u) AS gap
+  FROM e
+),
+bits AS (SELECT CAST(length(format('{:b}', gap)) AS BIGINT) AS b FROM gaps)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(b) AS BIGINT) AS gap_bits,
+       CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+       CAST((1000000 * sum(b)) // (count(*) * 64) AS BIGINT) AS compressed_ppm
+FROM bits
+"""
+
+AUTOCORR_LAG = 7
+
+
+def _events_periodicity_autocorr(spark, sf):
+    """WEEKLY-PERIODICITY check via the exact lag-7 AUTOCORRELATION of
+    the daily volume series per event type — the quantitative follow-up
+    to events_seasonality's dow matrix (seasonality SHOWS the weekly
+    pattern; this measures how much of the variance it explains).
+    Pairs (day, day−7) come from an equi-join on day−7 — the
+    events_forecast_naive_eval recipe, so calendar gaps drop out
+    instead of shifting the series.  The Pearson moments are BIGINT and
+    r² lands in ppm via decimal(38,0)/HUGEINT with the ONLY quotient at
+    the final ≤10⁶ value (the lineitem_feature_corr recipe); the sign
+    ships as a separate ±1 column so the signed correlation is fully
+    recoverable without a negative DIV (rule 11)."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(cast(ts as timestamp_ltz)) DIV 86400000000 AS BIGINT)"
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    lagd = daily.select(
+        "event_type",
+        (F.col("day") + AUTOCORR_LAG).alias("day"),
+        F.col("cnt").alias("cnt_lag"),
+    )
+    pairs = daily.join(lagd, ["event_type", "day"])
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum("cnt_lag").cast("long").alias("sy"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sxx"),
+        F.sum(F.col("cnt_lag") * F.col("cnt_lag")).cast("long").alias("syy"),
+        F.sum(F.col("cnt") * F.col("cnt_lag")).cast("long").alias("sxy"),
+    )
+    num = f"(CAST(n AS {_D38}) * CAST(sxy AS {_D38}) - CAST(sx AS {_D38}) * CAST(sy AS {_D38}))"
+    d1 = f"(CAST(n AS {_D38}) * CAST(sxx AS {_D38}) - CAST(sx AS {_D38}) * CAST(sx AS {_D38}))"
+    d2 = f"(CAST(n AS {_D38}) * CAST(syy AS {_D38}) - CAST(sy AS {_D38}) * CAST(sy AS {_D38}))"
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"CAST(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("r_sign"),
+        F.expr(
+            f"CAST(CASE WHEN {d1} = 0 OR {d2} = 0 THEN 0 ELSE"
+            f" (1000000 * {num} * {num}) DIV ({d1} * {d2}) END AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+_EVENTS_AUTOCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.cnt, b.cnt AS cnt_lag
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day = a.day - {AUTOCORR_LAG}
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS sx, CAST(sum(cnt_lag) AS BIGINT) AS sy,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sxx,
+         CAST(sum(cnt_lag * cnt_lag) AS BIGINT) AS syy,
+         CAST(sum(cnt * cnt_lag) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(CASE WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+            WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+            ELSE 0 END AS BIGINT) AS r_sign,
+  CAST(CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+              OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0 THEN 0
+       ELSE (1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                     * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+            // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
+       END AS BIGINT) AS r2_ppm
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -16804,6 +16952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_partition_edgecut": _kg_partition_edgecut,
         "dataset_drift_ks": _dataset_drift_ks,
         "orders_gini_concentration": _orders_gini_concentration,
+        "kg_adjacency_gap_bits": _kg_adjacency_gap_bits,
+        "events_periodicity_autocorr": _events_periodicity_autocorr,
     }
 
 
@@ -17091,4 +17241,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_partition_edgecut": _KG_PARTITION_EDGECUT_SQL,
         "dataset_drift_ks": _DATASET_DRIFT_KS_SQL,
         "orders_gini_concentration": _ORDERS_GINI_SQL,
+        "kg_adjacency_gap_bits": _KG_ADJACENCY_GAP_BITS_SQL,
+        "events_periodicity_autocorr": _EVENTS_AUTOCORR_SQL,
     }

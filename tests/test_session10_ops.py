@@ -385,3 +385,25 @@ def test_gini_rank_sum_identity():
     assert num == 0
     num, den = g([0, 0, 0, 100])
     assert num * 4 == den * 3  # G = 3/4 = (n-1)/n
+
+
+def test_gap_bits_compression_on_chain(spark):
+    """Chain+skip adjacency compresses hard: gaps are 1 or 2, so ~1-2
+    bits/edge vs 64 raw."""
+    import __spark_entry__ as entry
+
+    (r,) = entry._kg_adjacency_gap_bits(spark, "/root/testdata/sf0.001").collect()
+    assert r["gap_bits"] < r["n_edges"] * 3
+    assert r["compressed_ppm"] < 50000  # > 20x compression
+
+
+def test_autocorr_r2_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = entry._events_periodicity_autocorr(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["r2_ppm"] <= 1000000
+        assert r["r_sign"] in (-1, 0, 1)
