@@ -16690,6 +16690,89 @@ FROM m
 """
 
 
+def _kg_view_selection_greedy(spark, sf):
+    """MATERIALIZED-VIEW SELECTION under a storage budget — the
+    optimizer decision the characteristic-set statistics exist to feed
+    (Neumann-Moerkotte sets say WHAT star shapes occur;
+    this picks WHICH to materialize): candidate views are the
+    characteristic sets, benefit = accelerated triple mass, cost =
+    width × subjects (the materialization size proxy), budget = ¼ of
+    full materialization.  Selection is PREFIX-GREEDY: rank by the
+    integer benefit-per-cost ratio (10⁶-scaled DIV — exact, rule 11;
+    ties → benefit desc, then set string) and take the budget-bounded
+    prefix of the cumulative cost — a single window pass, identical in
+    both engines, deliberately chosen over skip-and-retry greedy
+    because it needs NO sequential recursion (the same determinism
+    argument as optimizer_histogram_stats' ntile).  Spark: the gated
+    characteristic-set agg, one tiny global window over the SET-level
+    frame (hundreds of rows), one broadcast budget scalar."""
+    items = _kg_characteristic_sets(spark, sf).select(
+        "pred_set",
+        F.col("total_triples").alias("benefit"),
+        (F.col("n_preds") * F.col("n_subjects")).cast("long").alias("cost"),
+    )
+    tot = items.agg(
+        F.expr("CAST(sum(cost) DIV 4 AS BIGINT)").alias("budget")
+    )
+    ranked = items.select(
+        "pred_set",
+        "benefit",
+        "cost",
+        F.expr("(1000000 * benefit) DIV cost").alias("ratio_scaled"),
+    )
+    w = Window.orderBy(
+        F.desc("ratio_scaled"), F.desc("benefit"), F.asc("pred_set")
+    )
+    cum = ranked.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("pick_rank"),
+        F.sum("cost").over(w).cast("long").alias("cum_cost"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "pick_rank",
+        "pred_set",
+        "benefit",
+        "cost",
+        "ratio_scaled",
+        "cum_cost",
+        "budget",
+        F.when(F.col("cum_cost") <= F.col("budget"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("selected"),
+    )
+
+
+def _kg_view_selection_greedy_sql() -> str:
+    return f"""
+WITH charsets AS MATERIALIZED ({_KG_CHARACTERISTIC_SETS_SQL}),
+items AS (
+  SELECT pred_set, CAST(total_triples AS BIGINT) AS benefit,
+         CAST(n_preds * n_subjects AS BIGINT) AS cost
+  FROM charsets
+),
+tot AS (SELECT CAST(sum(cost) // 4 AS BIGINT) AS budget FROM items),
+ranked AS (
+  SELECT pred_set, benefit, cost,
+         CAST((1000000 * benefit) // cost AS BIGINT) AS ratio_scaled
+  FROM items
+),
+cum AS (
+  SELECT *,
+    CAST(row_number() OVER (ORDER BY ratio_scaled DESC, benefit DESC, pred_set)
+         AS BIGINT) AS pick_rank,
+    CAST(sum(cost) OVER (ORDER BY ratio_scaled DESC, benefit DESC, pred_set)
+         AS BIGINT) AS cum_cost
+  FROM ranked
+)
+SELECT cum.pick_rank, cum.pred_set, cum.benefit, cum.cost, cum.ratio_scaled,
+       cum.cum_cost, tot.budget,
+       CAST(CASE WHEN cum.cum_cost <= tot.budget THEN 1 ELSE 0 END AS BIGINT)
+         AS selected
+FROM cum, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -16954,6 +17037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gini_concentration": _orders_gini_concentration,
         "kg_adjacency_gap_bits": _kg_adjacency_gap_bits,
         "events_periodicity_autocorr": _events_periodicity_autocorr,
+        "kg_view_selection_greedy": _kg_view_selection_greedy,
     }
 
 
@@ -17243,4 +17327,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_gini_concentration": _ORDERS_GINI_SQL,
         "kg_adjacency_gap_bits": _KG_ADJACENCY_GAP_BITS_SQL,
         "events_periodicity_autocorr": _EVENTS_AUTOCORR_SQL,
+        "kg_view_selection_greedy": _kg_view_selection_greedy_sql(),
     }

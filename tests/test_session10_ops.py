@@ -407,3 +407,22 @@ def test_autocorr_r2_bounds(spark):
     for r in rows:
         assert 0 <= r["r2_ppm"] <= 1000000
         assert r["r_sign"] in (-1, 0, 1)
+
+
+def test_view_selection_prefix_property(spark):
+    """Selected views form a contiguous rank prefix within budget, and
+    the first unselected view would overflow it."""
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry._kg_view_selection_greedy(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["pick_rank"],
+    )
+    sel = [r["selected"] for r in rows]
+    # prefix: once deselected, never selected again
+    assert sel == sorted(sel, reverse=True)
+    assert sel[0] == 1
+    k = sum(sel)
+    assert rows[k - 1]["cum_cost"] <= rows[0]["budget"]
+    if k < len(rows):
+        assert rows[k]["cum_cost"] > rows[0]["budget"]
