@@ -16773,6 +16773,176 @@ FROM cum, tot
 """
 
 
+def _ir_ranker_agreement(spark, sf):
+    """RANKER AGREEMENT eval: the gated BM25 ranking vs the naive
+    raw-TF ranking for the same 3-term query — overlap@k for k ∈
+    {5, 10, 20} plus the Spearman FOOTRULE displacement over the
+    k-agreed docs (the A/B eval an IR stack runs before swapping its
+    scorer; complements ann_recall_eval, which grades an INDEX against
+    truth — this grades one RANKER against another).  BM25 ranks come
+    from the same ``bm25_rank`` operator / ``_bm25_sql`` twin already
+    hash-proven under the gate (top_n=20 variant); the TF ranker is
+    pure integers (ties → doc_id).  All outputs integer (rule 11).
+    Spark: the two top-20 rankers (partial top-k each), one 20×20-max
+    inner join, one broadcast k-values cross join."""
+    from bert_namedentityrecognition_spark.operators.retrieval import bm25_rank
+
+    d = _t(spark, sf, "documents")
+    a = bm25_rank(d, _BM25_TERMS, k1=1.2, b=0.75, top_n=20).select(
+        "doc_id", F.col("rank").cast("long").alias("ra")
+    )
+    tf_expr = " + ".join(
+        f"size(filter(split(trim(text), '\\\\s+'), x -> x = '{t}'))"
+        for t in _BM25_TERMS
+    )
+    scored = d.select(
+        "doc_id", F.expr(f"CAST({tf_expr} AS BIGINT)").alias("tf")
+    )
+    wb = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    b = (
+        scored.select(
+            "doc_id", F.row_number().over(wb).cast("long").alias("rb")
+        )
+        .filter(F.col("rb") <= 20)
+    )
+    j = a.join(b, "doc_id")
+    ks = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(5), F.lit(10), F.lit(20)), (F.col("id") + 1).cast("int")
+        ).cast("long").alias("k")
+    )
+    return (
+        j.crossJoin(F.broadcast(ks))
+        .filter((F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            F.sum(F.abs(F.col("ra") - F.col("rb"))).cast("long").alias(
+                "footrule_sum"
+            ),
+        )
+        .select(
+            "k",
+            "n_overlap",
+            F.expr("(1000000 * n_overlap) DIV k").alias("overlap_ppm"),
+            "footrule_sum",
+        )
+    )
+
+
+def _ir_ranker_agreement_sql() -> str:
+    bm25 = _bm25_sql(top_n=20)
+    tf_expr = " + ".join(
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = '{t}'))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH bm25 AS MATERIALIZED ({bm25}),
+tfs AS (
+  SELECT doc_id, CAST({tf_expr} AS BIGINT) AS tf FROM documents
+),
+tfr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT) AS rb
+  FROM tfs QUALIFY rb <= 20
+),
+j AS (
+  SELECT bm25.doc_id, CAST(bm25.rank AS BIGINT) AS ra, tfr.rb
+  FROM bm25 JOIN tfr ON tfr.doc_id = bm25.doc_id
+),
+ks(k) AS (VALUES (CAST(5 AS BIGINT)), (CAST(10 AS BIGINT)), (CAST(20 AS BIGINT)))
+SELECT ks.k, CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST((1000000 * count(*)) // ks.k AS BIGINT) AS overlap_ppm,
+       CAST(sum(abs(j.ra - j.rb)) AS BIGINT) AS footrule_sum
+FROM j, ks WHERE j.ra <= ks.k AND j.rb <= ks.k
+GROUP BY ks.k
+"""
+
+
+def _interval_overlap_audit(spark, sf):
+    """SWEEP-LINE INTERVAL AUDIT — overlap detection + max concurrency
+    over a validity-interval table, the integrity check a temporal/SCD2
+    store runs on its (valid_from, valid_to) columns and a scheduler
+    runs on reservations: (a) intervals whose start precedes the
+    running max of earlier ends (sorted sweep — ONE window, no
+    self-join) overlap something; (b) max concurrency = the peak of the
+    running ±1 sum over the boundary stream, half-open ``[s, e)``
+    semantics pinned by ordering ends before starts at equal times.
+    Intervals derive arithmetically from the events row count (7
+    timelines; every 3rd interval is long enough to overlap its
+    successor — both rules live at every sf).  All-integer (rule 11);
+    two group-keyed windows, zero joins."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    iv = ids.select(
+        (F.col("id") % 7).alias("g"),
+        F.expr("id DIV 7").alias("j"),
+        (F.expr("id DIV 7") * 8).alias("s"),
+        (
+            F.expr("id DIV 7") * 8
+            + F.when(F.expr("(id DIV 7) % 3 = 0"), 12).otherwise(5)
+        ).alias("e"),
+    )
+    wg = Window.partitionBy("g").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ov = iv.select(
+        "g",
+        F.when(F.col("s") < F.max("e").over(wg), 1).otherwise(0).alias("o"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("o").cast("long").alias("n_overlapping"),
+    )
+    bounds = iv.select("g", F.col("s").alias("t"), F.lit(1).alias("d")).union(
+        iv.select("g", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    wt = Window.partitionBy("g").orderBy("t", "d")
+    conc = (
+        bounds.select("g", F.sum("d").over(wt).alias("c"))
+        .groupBy("g")
+        .agg(F.max("c").cast("long").alias("max_concurrency"))
+    )
+    return ov.join(conc, "g").select(
+        F.col("g").cast("long").alias("g"),
+        "n_intervals",
+        "n_overlapping",
+        "max_concurrency",
+    )
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+iv AS MATERIALIZED (
+  SELECT i % 7 AS g, i // 7 AS j, (i // 7) * 8 AS s,
+         (i // 7) * 8 + CASE WHEN (i // 7) % 3 = 0 THEN 12 ELSE 5 END AS e
+  FROM ids
+),
+ov AS (
+  SELECT g,
+         CASE WHEN s < max(e) OVER (PARTITION BY g ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS o
+  FROM iv
+),
+ovg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(o) AS BIGINT) AS n_overlapping
+  FROM ov GROUP BY g
+),
+bounds AS (
+  SELECT g, s AS t, 1 AS d FROM iv
+  UNION ALL SELECT g, e AS t, -1 AS d FROM iv
+),
+conc AS (
+  SELECT g, CAST(max(c) AS BIGINT) AS max_concurrency FROM (
+    SELECT g, sum(d) OVER (PARTITION BY g ORDER BY t, d) AS c FROM bounds
+  ) GROUP BY g
+)
+SELECT CAST(ovg.g AS BIGINT) AS g, ovg.n_intervals, ovg.n_overlapping,
+       conc.max_concurrency
+FROM ovg JOIN conc ON conc.g = ovg.g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17038,6 +17208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency_gap_bits": _kg_adjacency_gap_bits,
         "events_periodicity_autocorr": _events_periodicity_autocorr,
         "kg_view_selection_greedy": _kg_view_selection_greedy,
+        "ir_ranker_agreement": _ir_ranker_agreement,
+        "interval_overlap_audit": _interval_overlap_audit,
     }
 
 
@@ -17328,4 +17500,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency_gap_bits": _KG_ADJACENCY_GAP_BITS_SQL,
         "events_periodicity_autocorr": _EVENTS_AUTOCORR_SQL,
         "kg_view_selection_greedy": _kg_view_selection_greedy_sql(),
+        "ir_ranker_agreement": _ir_ranker_agreement_sql(),
+        "interval_overlap_audit": _INTERVAL_OVERLAP_SQL,
     }

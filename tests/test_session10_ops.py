@@ -426,3 +426,28 @@ def test_view_selection_prefix_property(spark):
     assert rows[k - 1]["cum_cost"] <= rows[0]["budget"]
     if k < len(rows):
         assert rows[k]["cum_cost"] > rows[0]["budget"]
+
+
+def test_ranker_agreement_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = {r["k"]: r for r in entry._ir_ranker_agreement(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) <= {5, 10, 20}
+    for k, r in rows.items():
+        assert 0 <= r["n_overlap"] <= k
+        assert r["overlap_ppm"] == (1000000 * r["n_overlap"]) // k
+
+
+def test_interval_overlap_sweep(spark):
+    """Every 3rd interval (length 12 > stride 8) overlaps its successor;
+    the sweep counts the successor as overlapping and concurrency peaks
+    at exactly 2."""
+    import __spark_entry__ as entry
+
+    rows = entry._interval_overlap_audit(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 7
+    for r in rows:
+        # one in three intervals is long -> its successor overlaps
+        assert 0 < r["n_overlapping"] <= r["n_intervals"] // 2
+        assert r["max_concurrency"] == 2
