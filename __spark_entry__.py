@@ -16943,6 +16943,144 @@ FROM ovg JOIN conc ON conc.g = ovg.g
 """
 
 
+_STREAM_IJ_SEQ = 0
+
+
+def _streaming_interval_join(spark, sf):
+    """REAL STREAM-STREAM INTERVAL JOIN under the gate — the fourth
+    streaming shape next to stateful dedup, fixed-window watermark, and
+    session windows: view→purchase attribution (``p.user = v.user AND
+    v.ts ≤ p.ts ≤ v.ts + 60 min``) across TWO file streams with
+    ``maxFilesPerTrigger=1``.  Every 7th purchase lands one micro-batch
+    AFTER its matching view, so the match can only come from carried
+    join state (the thing a batch-local join cannot fake), and every
+    3rd view's purchase arrives 70 min later — outside the interval —
+    so the predicate is live in both directions.  Watermarks are 10 h
+    on both sides: inner interval joins emit on arrival, the watermark
+    only bounds state, and nothing is dropped (the session-window
+    query's no-late-drop discipline).  Output = the exact match pairs
+    with integer lag minutes; the DuckDB twin replays the SAME
+    arithmetic fixture as a plain interval join (rule 24 params CTE)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    base_ts = dt.datetime.fromisoformat(_SW_BASE_TS)
+    views, purchases = [], []
+    for i in range(n):
+        b = i * 4 // n
+        t_v = 600 * b + (i * 13) % 540
+        views.append((i, i % 5, base_ts + dt.timedelta(minutes=t_v), b))
+        lag = 70 if i % 3 == 0 else 10
+        pb = min(3, b + 1) if i % 7 == 0 else b
+        purchases.append(
+            (i, i % 5, base_ts + dt.timedelta(minutes=t_v + lag), pb)
+        )
+    vdf = spark.createDataFrame(
+        views, "view_id long, user_id long, ts timestamp, b int"
+    )
+    pdf = spark.createDataFrame(
+        purchases, "purchase_id long, user_id long, ts timestamp, b int"
+    )
+
+    base = os.path.join(
+        _writable_base(), "var",
+        f"stream_ij_{os.path.basename(os.path.normpath(sf))}",
+    )
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+
+    def write_batches(df, sub):
+        in_dir = os.path.join(base, sub)
+        os.makedirs(in_dir)
+        for bb in range(4):
+            tmp = os.path.join(base, f"tmp_{sub}_{bb}")
+            df.filter(F.col("b") == bb).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(in_dir, f"{bb:03d}.parquet")
+            shutil.copyfile(src, dst)
+            os.utime(dst, (1_000_000_000 + bb, 1_000_000_000 + bb))
+        return in_dir
+
+    v_dir = write_batches(vdf, "views")
+    p_dir = write_batches(pdf, "purchases")
+    vs = (
+        spark.readStream.schema("view_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(v_dir)
+        .withWatermark("ts", "10 hours")
+        .select("view_id", F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    )
+    ps = (
+        spark.readStream.schema("purchase_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p_dir)
+        .withWatermark("ts", "10 hours")
+        .select(
+            "purchase_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+    )
+    joined = ps.join(
+        vs,
+        F.expr(
+            "p_user = v_user AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + INTERVAL 60 MINUTES"
+        ),
+    )
+    global _STREAM_IJ_SEQ
+    _STREAM_IJ_SEQ += 1
+    name = f"stream_ij_out_{_STREAM_IJ_SEQ}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").cast("long").alias("user_id"),
+        F.expr(
+            "CAST((unix_micros(cast(p_ts as timestamp_ltz))"
+            " - unix_micros(cast(v_ts as timestamp_ltz))) DIV 60000000 AS BIGINT)"
+        ).alias("lag_min"),
+    )
+
+
+def _streaming_interval_join_sql() -> str:
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n
+),
+ids AS (SELECT unnest(range(0, (SELECT n FROM params))) AS i),
+v AS (
+  SELECT i AS view_id, i % 5 AS u,
+         600 * ((i * 4) // (SELECT n FROM params)) + (i * 13) % 540 AS t
+  FROM ids
+),
+p AS (
+  SELECT i AS purchase_id, i % 5 AS u,
+         600 * ((i * 4) // (SELECT n FROM params)) + (i * 13) % 540
+           + CASE WHEN i % 3 = 0 THEN 70 ELSE 10 END AS t
+  FROM ids
+)
+SELECT CAST(p.purchase_id AS BIGINT) AS purchase_id,
+       CAST(v.view_id AS BIGINT) AS view_id,
+       CAST(p.u AS BIGINT) AS user_id,
+       CAST(p.t - v.t AS BIGINT) AS lag_min
+FROM p JOIN v ON v.u = p.u AND p.t >= v.t AND p.t <= v.t + 60
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17210,6 +17348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_view_selection_greedy": _kg_view_selection_greedy,
         "ir_ranker_agreement": _ir_ranker_agreement,
         "interval_overlap_audit": _interval_overlap_audit,
+        "streaming_interval_join": _streaming_interval_join,
     }
 
 
@@ -17502,4 +17641,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_view_selection_greedy": _kg_view_selection_greedy_sql(),
         "ir_ranker_agreement": _ir_ranker_agreement_sql(),
         "interval_overlap_audit": _INTERVAL_OVERLAP_SQL,
+        "streaming_interval_join": _streaming_interval_join_sql(),
     }

@@ -451,3 +451,24 @@ def test_interval_overlap_sweep(spark):
         # one in three intervals is long -> its successor overlaps
         assert 0 < r["n_overlapping"] <= r["n_intervals"] // 2
         assert r["max_concurrency"] == 2
+
+
+def test_streaming_interval_join_cross_batch_state(spark):
+    """The pairs whose purchase arrives a micro-batch AFTER its view
+    (i % 7 == 0, i % 3 != 0) are present — provable only via carried
+    stream-join state — and every out-of-window (70-min) pair is absent."""
+    import __spark_entry__ as entry
+
+    rows = entry._streaming_interval_join(spark, "/root/testdata/sf0.001").collect()
+    got = {(r["purchase_id"], r["view_id"]) for r in rows}
+    # self-pairs: i matched with its own view iff lag 10 (i % 3 != 0)
+    self_pairs = {(i, i) for i, _ in ((r["purchase_id"], 0) for r in rows)}
+    for i in range(0, 60):
+        if i % 3 != 0:
+            assert (i, i) in got, i
+        else:
+            assert (i, i) not in got, i
+    cross_batch = [i for i in range(200) if i % 7 == 0 and i % 3 != 0]
+    assert any((i, i) in got for i in cross_batch)
+    for r in rows:
+        assert 0 <= r["lag_min"] <= 60
