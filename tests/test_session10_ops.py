@@ -472,3 +472,70 @@ def test_streaming_interval_join_cross_batch_state(spark):
     assert any((i, i) in got for i in cross_batch)
     for r in rows:
         assert 0 <= r["lag_min"] <= 60
+
+
+# --- property-based differential tests for the new kernels ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rand_edges(draw_pairs):
+    return sorted({(min(a, b), max(a, b)) for a, b in draw_pairs if a != b})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=60))
+def test_jp_coloring_equals_sequential_greedy(pairs):
+    """Round-based JP == an INDEPENDENT sequential greedy in increasing
+    priority order, and always a proper coloring (the equivalence the SQL
+    unroll relies on, fuzzed)."""
+    from bert_namedentityrecognition_spark.oracle.graph import (
+        jp_coloring,
+        mis_priority,
+    )
+
+    edges = _rand_edges(pairs)
+    if not edges:
+        return
+    got = jp_coloring(edges, max_rounds=64)
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    seq = {}
+    for v in sorted(nbrs, key=mis_priority):
+        used = {seq[u] for u in nbrs[v] if u in seq}
+        c = 0
+        while c in used:
+            c += 1
+        seq[v] = c
+    assert {v: c for v, (c, _r) in got.items()} == seq
+    for a, b in edges:
+        assert got[a][0] != got[b][0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=60))
+def test_line_graph_mis_is_maximal_matching(pairs):
+    """MIS of the line graph is always a valid MAXIMAL matching of the
+    base graph (the reduction kg_maximal_matching rests on, fuzzed)."""
+    from bert_namedentityrecognition_spark.oracle.graph import mis_luby
+
+    edges = _rand_edges(pairs)
+    if not edges:
+        return
+    eid = {e: k for k, e in enumerate(edges)}
+    lg = []
+    for e in edges:
+        for f in edges:
+            if e < f and (set(e) & set(f)):
+                lg.append((eid[e], eid[f]))
+    iso = {eid[e] for e in edges if not any(eid[e] in p for p in lg)}
+    mis = set(mis_luby(lg, max_rounds=64)) | iso
+    matched = [e for e in edges if eid[e] in mis]
+    used = [v for e in matched for v in e]
+    assert len(used) == len(set(used))  # matching
+    for e in edges:  # maximal
+        if eid[e] not in mis:
+            assert any(set(e) & set(m) for m in matched), e
