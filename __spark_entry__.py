@@ -17081,6 +17081,109 @@ FROM p JOIN v ON v.u = p.u AND p.t >= v.t AND p.t <= v.t + 60
 """
 
 
+def _streaming_static_enrichment(spark, sf):
+    """STREAM-STATIC broadcast enrichment under the gate — the fifth
+    streaming shape (stateful dedup / windowed watermark / session
+    windows / stream-stream join / THIS): every micro-batch joins the
+    event stream against a STATIC dimension (user → tier, the broadcast
+    side Spark re-plans per batch), then a watermarked 1-hour tumbling
+    window aggregates per tier.  The stream reuses the 4-file
+    mtime-ordered harness; the dimension is arithmetic (tier = user %
+    3) so the twin rebuilds it in SQL.  Watermark 10 h — nothing drops
+    (emission via availableNow final watermark advance past all real
+    windows, the session-window advancer recipe: a far-future row from
+    the advancer user, EXCLUDED from the dim so it enriches nothing and
+    its own window never emits enriched rows... it is an inner join, so
+    the advancer row vanishes from the output entirely while still
+    advancing the watermark).  Output: (window start minute, tier,
+    n_events) — all integer."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    n = _warc_pages_for_events(_t(spark, sf, "events").count())
+    base_ts = dt.datetime.fromisoformat(_SW_BASE_TS)
+    rows = []
+    for i in range(n):
+        b = i * 4 // n
+        m = 600 * b + (i * 11) % 570
+        rows.append((i % 50, base_ts + dt.timedelta(minutes=m), b))
+    rows.append((999, base_ts + dt.timedelta(minutes=100000), 3))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, b int")
+    base = os.path.join(
+        _writable_base(), "var",
+        f"stream_enrich_{os.path.basename(os.path.normpath(sf))}",
+    )
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    for bb in range(4):
+        tmp = os.path.join(base, f"tmp{bb}")
+        df.filter(F.col("b") == bb).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"{bb:03d}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_000_000_000 + bb, 1_000_000_000 + bb))
+    dim = spark.range(50).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "10 hours")
+        .join(F.broadcast(dim), "user_id")
+    )
+    global _STREAM_IJ_SEQ
+    _STREAM_IJ_SEQ += 1
+    name = f"stream_enrich_out_{_STREAM_IJ_SEQ}"
+    q = (
+        stream.groupBy(F.window("ts", "1 hour"), "tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        F.expr(
+            "CAST(unix_micros(cast(window.start as timestamp_ltz))"
+            " DIV 60000000 AS BIGINT)"
+        ).alias("win_start_min"),
+        F.col("tier").cast("long").alias("tier"),
+        "n_events",
+    )
+
+
+def _streaming_static_enrichment_sql() -> str:
+    return f"""
+WITH params AS (
+  SELECT least({_WARC_PAGES_MAX}, greatest({_WARC_PAGES_MIN},
+    {_WARC_PAGES_MIN} * CAST(floor(sqrt(CAST((SELECT count(*) FROM events) // 1000 AS DOUBLE))) AS INT)
+  )) AS n
+),
+ids AS (SELECT unnest(range(0, (SELECT n FROM params))) AS i),
+ev AS (
+  SELECT i % 50 AS user_id,
+         600 * ((i * 4) // (SELECT n FROM params)) + (i * 11) % 570 AS m
+  FROM ids
+),
+base AS (SELECT epoch_us(TIMESTAMP '{_SW_BASE_TS}') // 60000000 AS base_min)
+SELECT CAST(base.base_min + (ev.m // 60) * 60 AS BIGINT) AS win_start_min,
+       CAST(ev.user_id % 3 AS BIGINT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ev, base
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17349,6 +17452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_ranker_agreement": _ir_ranker_agreement,
         "interval_overlap_audit": _interval_overlap_audit,
         "streaming_interval_join": _streaming_interval_join,
+        "streaming_static_enrichment": _streaming_static_enrichment,
     }
 
 
@@ -17642,4 +17746,5 @@ def oracle_sql() -> dict[str, str]:
         "ir_ranker_agreement": _ir_ranker_agreement_sql(),
         "interval_overlap_audit": _INTERVAL_OVERLAP_SQL,
         "streaming_interval_join": _streaming_interval_join_sql(),
+        "streaming_static_enrichment": _streaming_static_enrichment_sql(),
     }

@@ -539,3 +539,19 @@ def test_line_graph_mis_is_maximal_matching(pairs):
     for e in edges:  # maximal
         if eid[e] not in mis:
             assert any(set(e) & set(m) for m in matched), e
+
+
+def test_streaming_enrichment_totals_and_advancer_excluded(spark):
+    """Enriched totals equal the fixture row count (nothing late-dropped)
+    and the far-future advancer row never reaches the output."""
+    import __spark_entry__ as entry
+    from bert_namedentityrecognition_spark.oracle.bert_sql import (  # noqa: F401
+        pages_for_events,
+    )
+
+    rows = entry._streaming_static_enrichment(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = entry._warc_pages_for_events(1000)
+    assert sum(r["n_events"] for r in rows) == n
+    assert all(r["tier"] in (0, 1, 2) for r in rows)
