@@ -17184,6 +17184,98 @@ GROUP BY 1, 2
 """
 
 
+def _kg_orbit_counts(spark, sf):
+    """GRAPHLET ORBIT COUNTS (3-node graphlets, orbits 0-3) per node —
+    the structural-role fingerprint (Pržulj's graphlet degree vector)
+    that extends kg_triangle_counts/kg_clustering_coefficients from
+    "how many triangles" to "what ROLE does each node play": orbit0 =
+    degree, orbit1 = wedge END (path endpoint), orbit2 = wedge CENTER,
+    orbit3 = triangle corner.  All four derive in closed form from
+    degrees and triangle counts — orbit2 = C(d,2) − t, orbit1 =
+    Σ_{u∈N(v)}(d(u)−1) − 2t — so the whole vector costs ONE
+    neighbor-degree join + the already-gated oriented triangle
+    enumeration; no 3-node subgraph is ever materialized (the identity
+    IS the scale story).  Chain+skip fixture; all BIGINT (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        triangle_counts_df,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    e1 = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e2 = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    e = e1.union(e2)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    nbr_deg = (
+        sym.join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum(F.col("dd") - 1).cast("long").alias("snd"))
+    )
+    tri = triangle_counts_df(e).select(
+        "node", F.col("triangles").cast("long").alias("t")
+    )
+    j = (
+        deg.join(nbr_deg, "node", "left")
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("snd", F.lit(0)).alias("snd"),
+            F.coalesce("t", F.lit(0)).alias("t"),
+        )
+    )
+    return j.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").alias("orbit0_deg"),
+        (F.col("snd") - 2 * F.col("t")).cast("long").alias("orbit1_wedge_end"),
+        F.expr("deg * (deg - 1) DIV 2 - t").cast("long").alias(
+            "orbit2_wedge_center"
+        ),
+        F.col("t").alias("orbit3_triangle"),
+    )
+
+
+def _kg_orbit_counts_sql() -> str:
+    return f"""
+WITH tri_all AS MATERIALIZED ({_KG_TRIANGLE_COUNTS_SQL}),
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS n FROM events),
+e AS (
+  SELECT a.i AS u, a.i + 1 AS v FROM ids a, params WHERE a.i + 1 < params.n
+  UNION ALL
+  SELECT a.i AS u, a.i + 2 AS v FROM ids a, params
+  WHERE a.i + 2 < params.n AND a.i % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+),
+snd AS (
+  SELECT s.u AS node, CAST(sum(d.deg - 1) AS BIGINT) AS snd
+  FROM sym s JOIN deg d ON d.node = s.v GROUP BY s.u
+)
+SELECT CAST(deg.node AS BIGINT) AS node,
+       deg.deg AS orbit0_deg,
+       CAST(coalesce(snd.snd, 0) - 2 * coalesce(t.triangles, 0) AS BIGINT)
+         AS orbit1_wedge_end,
+       CAST(deg.deg * (deg.deg - 1) // 2 - coalesce(t.triangles, 0) AS BIGINT)
+         AS orbit2_wedge_center,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS orbit3_triangle
+FROM deg
+LEFT JOIN snd ON snd.node = deg.node
+LEFT JOIN tri_all t ON t.node = deg.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17453,6 +17545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_audit": _interval_overlap_audit,
         "streaming_interval_join": _streaming_interval_join,
         "streaming_static_enrichment": _streaming_static_enrichment,
+        "kg_orbit_counts": _kg_orbit_counts,
     }
 
 
@@ -17747,4 +17840,5 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_audit": _INTERVAL_OVERLAP_SQL,
         "streaming_interval_join": _streaming_interval_join_sql(),
         "streaming_static_enrichment": _streaming_static_enrichment_sql(),
+        "kg_orbit_counts": _kg_orbit_counts_sql(),
     }

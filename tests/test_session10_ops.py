@@ -555,3 +555,19 @@ def test_streaming_enrichment_totals_and_advancer_excluded(spark):
     n = entry._warc_pages_for_events(1000)
     assert sum(r["n_events"] for r in rows) == n
     assert all(r["tier"] in (0, 1, 2) for r in rows)
+
+
+def test_orbit_identities(spark):
+    """Orbit identities hold row-by-row: orbit2 == C(deg,2) - t, sum of
+    wedge-centers == total wedges - 3*triangles... and every orbit is
+    non-negative (the closed-form derivation is only valid if these
+    hold on the fixture)."""
+    import __spark_entry__ as entry
+
+    rows = entry._kg_orbit_counts(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        d = r["orbit0_deg"]
+        assert r["orbit2_wedge_center"] == d * (d - 1) // 2 - r["orbit3_triangle"]
+        assert r["orbit1_wedge_end"] >= 0
+        assert r["orbit2_wedge_center"] >= 0
