@@ -17276,6 +17276,216 @@ LEFT JOIN tri_all t ON t.node = deg.node
 """
 
 
+def _optimizer_join_cardinality_audit(spark, sf):
+    """JOIN-CARDINALITY estimation audit — the third CBO statistic
+    (after predicate independence and histograms): the textbook
+    ``|R⋈S| = |R|·|S| / max(ndv_R, ndv_S)`` estimate vs the TRUE join
+    size for four joins — three FK joins (where the formula is meant to
+    be exact) and one self-join on a skewed key (where the Jensen gap
+    makes it underestimate: true size is Σc², not n²/ndv).  True sizes
+    come from per-key count aggregation (Σ c_L(k)·c_R(k) — never the
+    materialized join), estimates from exact NDVs; q-error = max/min
+    ppm (rule 11).  One key-level agg per input side; everything
+    downstream is dimension-sized."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    p = _t(spark, sf, "part")
+
+    def keyed(df, k):
+        return df.groupBy(F.col(k).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    def audit(name, lk, rk):
+        j = lk.join(rk.select(F.col("k"), F.col("c").alias("c2")), "k")
+        act = j.agg(
+            F.sum(F.col("c") * F.col("c2")).cast("long").alias("act")
+        )
+        stats = (
+            lk.agg(
+                F.sum("c").cast("long").alias("n_l"),
+                F.count(F.lit(1)).cast("long").alias("ndv_l"),
+            )
+            .crossJoin(
+                rk.agg(
+                    F.sum("c").cast("long").alias("n_r"),
+                    F.count(F.lit(1)).cast("long").alias("ndv_r"),
+                )
+            )
+            .crossJoin(act)
+        )
+        return stats.select(
+            F.lit(name).alias("join_name"),
+            "n_l",
+            "n_r",
+            F.greatest("ndv_l", "ndv_r").alias("ndv_max"),
+            F.expr("(n_l * n_r) DIV greatest(ndv_l, ndv_r)").alias("est"),
+            F.col("act"),
+            F.expr(
+                "(1000000 * greatest((n_l * n_r) DIV greatest(ndv_l, ndv_r), act))"
+                " DIV greatest(least((n_l * n_r) DIV greatest(ndv_l, ndv_r), act), 1)"
+            ).alias("q_error_ppm"),
+        )
+
+    li_ok = keyed(li, "l_orderkey")
+    li_pk = keyed(li, "l_partkey")
+    o_ok = keyed(o, "o_orderkey")
+    o_ck = keyed(o, "o_custkey")
+    c_ck = keyed(c, "c_custkey")
+    p_pk = keyed(p, "p_partkey")
+    return (
+        audit("lineitem_orders", li_ok, o_ok)
+        .unionByName(audit("lineitem_part", li_pk, p_pk))
+        .unionByName(audit("orders_customer", o_ck, c_ck))
+        .unionByName(audit("lineitem_self_partkey", li_pk, li_pk))
+    )
+
+
+_OPTIMIZER_JOIN_CARD_SQL = """
+WITH
+li_ok AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+li_pk AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+o_ok AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+o_ck AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+c_ck AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM customer GROUP BY 1),
+p_pk AS (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM part GROUP BY 1),
+specs AS (
+  SELECT 'lineitem_orders' AS join_name,
+    (SELECT sum(c) FROM li_ok) AS n_l, (SELECT sum(c) FROM o_ok) AS n_r,
+    greatest((SELECT count(*) FROM li_ok), (SELECT count(*) FROM o_ok)) AS ndv_max,
+    (SELECT sum(a.c * b.c) FROM li_ok a JOIN o_ok b ON b.k = a.k) AS act
+  UNION ALL
+  SELECT 'lineitem_part',
+    (SELECT sum(c) FROM li_pk), (SELECT sum(c) FROM p_pk),
+    greatest((SELECT count(*) FROM li_pk), (SELECT count(*) FROM p_pk)),
+    (SELECT sum(a.c * b.c) FROM li_pk a JOIN p_pk b ON b.k = a.k)
+  UNION ALL
+  SELECT 'orders_customer',
+    (SELECT sum(c) FROM o_ck), (SELECT sum(c) FROM c_ck),
+    greatest((SELECT count(*) FROM o_ck), (SELECT count(*) FROM c_ck)),
+    (SELECT sum(a.c * b.c) FROM o_ck a JOIN c_ck b ON b.k = a.k)
+  UNION ALL
+  SELECT 'lineitem_self_partkey',
+    (SELECT sum(c) FROM li_pk), (SELECT sum(c) FROM li_pk),
+    (SELECT count(*) FROM li_pk),
+    (SELECT sum(c * c) FROM li_pk)
+)
+SELECT join_name,
+  CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r,
+  CAST(ndv_max AS BIGINT) AS ndv_max,
+  CAST((n_l * n_r) // ndv_max AS BIGINT) AS est,
+  CAST(act AS BIGINT) AS act,
+  CAST((1000000 * greatest((n_l * n_r) // ndv_max, act))
+       // greatest(least((n_l * n_r) // ndv_max, act), 1) AS BIGINT)
+    AS q_error_ppm
+FROM specs
+"""
+
+
+def _minhash_estimator_calibration(spark, sf):
+    """MINHASH ESTIMATOR CALIBRATION — grading the sketch against the
+    truth it estimates (the sketch-family analogue of ann_recall_eval):
+    for every banded-LSH candidate pair, the 16-permutation minhash
+    agreement fraction vs the TRUE shingle Jaccard, with the exact
+    per-pair signed-magnitude error in ppm.  This is the measurement
+    that justifies (or indicts) the 16-hash budget the whole gated
+    dedup family runs on — E[matches/16] = J, and the per-pair spread
+    around that is what the gate pins.  Spark: the SHARED
+    ``lsh_band_candidates`` stream + one (pair, seed)-keyed signature
+    join (16 rows per pair) + the shingle-intersection join the
+    contrastive query already uses.  All integers (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        token_shingles,
+    )
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        lsh_band_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf, "documents")
+    cand = lsh_band_candidates(docs).localCheckpoint(eager=True)
+    sig = minhash_signatures(docs)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mb")
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+            .cast("long")
+            .alias("est_matches")
+        )
+    )
+    sh = token_shingles(docs).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    j = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_matches",
+            F.coalesce("i", F.lit(0)).alias("i"),
+            (F.col("sza") + F.col("szb") - F.coalesce("i", F.lit(0))).alias("u"),
+        )
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_matches",
+        F.col("i").alias("inter"),
+        F.col("u").alias("uni"),
+        F.expr("(1000000 * est_matches) DIV 16").alias("est_ppm"),
+        F.expr("(1000000 * i) DIV u").alias("true_ppm"),
+        F.expr(
+            "abs((1000000 * est_matches) DIV 16 - (1000000 * i) DIV u)"
+        ).alias("abs_err_ppm"),
+    )
+
+
+_MINHASH_CALIBRATION_SQL = _MINHASH_CAND_CTES + """,
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT)
+           AS est_matches
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_matches,
+       CAST(coalesce(it.i, 0) AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - coalesce(it.i, 0) AS BIGINT) AS uni,
+       CAST((1000000 * e.est_matches) // 16 AS BIGINT) AS est_ppm,
+       CAST((1000000 * coalesce(it.i, 0))
+            // (sa.sz + sb.sz - coalesce(it.i, 0)) AS BIGINT) AS true_ppm,
+       CAST(abs((1000000 * e.est_matches) // 16
+                - (1000000 * coalesce(it.i, 0))
+                  // (sa.sz + sb.sz - coalesce(it.i, 0))) AS BIGINT)
+         AS abs_err_ppm
+FROM est e
+LEFT JOIN inter it ON it.doc_a = e.doc_a AND it.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17546,6 +17756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": _streaming_interval_join,
         "streaming_static_enrichment": _streaming_static_enrichment,
         "kg_orbit_counts": _kg_orbit_counts,
+        "optimizer_join_cardinality_audit": _optimizer_join_cardinality_audit,
+        "minhash_estimator_calibration": _minhash_estimator_calibration,
     }
 
 
@@ -17841,4 +18053,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_interval_join": _streaming_interval_join_sql(),
         "streaming_static_enrichment": _streaming_static_enrichment_sql(),
         "kg_orbit_counts": _kg_orbit_counts_sql(),
+        "optimizer_join_cardinality_audit": _OPTIMIZER_JOIN_CARD_SQL,
+        "minhash_estimator_calibration": _MINHASH_CALIBRATION_SQL,
     }

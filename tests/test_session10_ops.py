@@ -571,3 +571,28 @@ def test_orbit_identities(spark):
         assert r["orbit2_wedge_center"] == d * (d - 1) // 2 - r["orbit3_triangle"]
         assert r["orbit1_wedge_end"] >= 0
         assert r["orbit2_wedge_center"] >= 0
+
+
+def test_join_cardinality_fk_exact_self_underestimated(spark):
+    """FK joins: formula exact (q-error == 1.0); self-join on a skewed
+    key: Jensen gap makes the estimate low (act >= est)."""
+    import __spark_entry__ as entry
+
+    rows = {r["join_name"]: r for r in entry._optimizer_join_cardinality_audit(
+        spark, "/root/testdata/sf0.001").collect()}
+    for fk in ("lineitem_orders", "lineitem_part", "orders_customer"):
+        assert rows[fk]["q_error_ppm"] == 1000000, fk
+    s = rows["lineitem_self_partkey"]
+    assert s["act"] >= s["est"]
+
+
+def test_minhash_calibration_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = entry._minhash_estimator_calibration(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["est_matches"] <= 16
+        assert 0 <= r["true_ppm"] <= 1000000
+        assert r["abs_err_ppm"] == abs(r["est_ppm"] - r["true_ppm"])
