@@ -17486,6 +17486,65 @@ JOIN sizes sb ON sb.doc_id = e.doc_b
 """
 
 
+def _ann_hnsw_levels(spark, sf):
+    """HNSW LAYER ASSIGNMENT audit — the hierarchical piece of the ANN
+    family (IVF partitions, LSH buckets, PQ codes, kNN graph are gated;
+    HNSW's remaining novel ingredient is its GEOMETRIC level ladder):
+    node level = trailing-zero count of the scrambled vector hash — the
+    exact base-2 HNSW rule (P(level ≥ k) = 2⁻ᵏ) with zero RNG state,
+    the HLL register-rank trick reused as a level sampler.  The audit
+    compares per-level occupancy against the expected geometric mass
+    (n DIV 2^{k+1}) in ppm and pins the max level — the numbers that
+    size the upper-layer beam search.  Trailing zeros via the binary
+    tail: tz = bits(h) − bits(h >> tz)... computed portably as
+    ``bits(h XOR (h-1)) − 1`` = length of the lowest-set-bit run (both
+    engines' integer ops, rule 11).  One scan, one tiny agg."""
+    e = _t(spark, sf, "embeddings")
+    h = (
+        (F.col("vec_id") * F.lit(2654435761)) % F.lit(1000000007)
+    ) + F.lit(1)
+    lvl = (F.length(F.bin(h.bitwiseXOR(h - 1))) - 1).cast("long")
+    per = (
+        e.select(lvl.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    tot = per.agg(F.sum("n_nodes").cast("long").alias("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "level",
+        "n_nodes",
+        F.expr("n DIV (CAST(2 AS BIGINT) << CAST(level AS INT))").alias(
+            "expected_nodes"
+        ),
+        F.expr(
+            "(1000000 * n_nodes)"
+            " DIV greatest(n DIV (CAST(2 AS BIGINT) << CAST(level AS INT)), 1)"
+        ).alias("occupancy_ppm"),
+    )
+
+
+_ANN_HNSW_LEVELS_SQL = """
+WITH h AS (
+  SELECT ((vec_id * 2654435761) % 1000000007) + 1 AS hv FROM embeddings
+),
+lv AS (
+  SELECT CAST(length(format('{:b}', xor(hv, hv - 1))) - 1 AS BIGINT) AS level
+  FROM h
+),
+per AS (
+  SELECT level, CAST(count(*) AS BIGINT) AS n_nodes FROM lv GROUP BY level
+),
+tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM per)
+SELECT per.level, per.n_nodes,
+       CAST(tot.n // (CAST(2 AS BIGINT) << CAST(per.level AS INT)) AS BIGINT)
+         AS expected_nodes,
+       CAST((1000000 * per.n_nodes)
+            // greatest(tot.n // (CAST(2 AS BIGINT) << CAST(per.level AS INT)), 1)
+            AS BIGINT) AS occupancy_ppm
+FROM per, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17758,6 +17817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_orbit_counts": _kg_orbit_counts,
         "optimizer_join_cardinality_audit": _optimizer_join_cardinality_audit,
         "minhash_estimator_calibration": _minhash_estimator_calibration,
+        "ann_hnsw_levels": _ann_hnsw_levels,
     }
 
 
@@ -18055,4 +18115,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_orbit_counts": _kg_orbit_counts_sql(),
         "optimizer_join_cardinality_audit": _OPTIMIZER_JOIN_CARD_SQL,
         "minhash_estimator_calibration": _MINHASH_CALIBRATION_SQL,
+        "ann_hnsw_levels": _ANN_HNSW_LEVELS_SQL,
     }

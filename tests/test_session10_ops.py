@@ -596,3 +596,21 @@ def test_minhash_calibration_bounds(spark):
         assert 0 <= r["est_matches"] <= 16
         assert 0 <= r["true_ppm"] <= 1000000
         assert r["abs_err_ppm"] == abs(r["est_ppm"] - r["true_ppm"])
+
+
+def test_hnsw_levels_geometric(spark):
+    """Level masses follow the 2^-(k+1) ladder and the trailing-zero
+    formula is correct."""
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry._ann_hnsw_levels(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["level"],
+    )
+    n = sum(r["n_nodes"] for r in rows)
+    assert rows[0]["level"] == 0
+    # level 0 holds roughly half the nodes
+    assert abs(rows[0]["n_nodes"] - n // 2) < n // 5
+    for h in [1, 2, 3, 4, 8, 12, 1024]:
+        tz = (h ^ (h - 1)).bit_length() - 1
+        assert h % (1 << tz) == 0 and (h >> tz) % 2 == 1
