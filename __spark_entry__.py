@@ -17545,6 +17545,55 @@ FROM per, tot
 """
 
 
+def _timezone_rollup_audit(spark, sf):
+    """DST-CROSSING TIMEZONE ROLLUP — the cross-engine hazard class rule
+    5 exists for, finally pointed at the tz database itself: synthetic
+    UTC instants straddling BOTH 2024 US transitions (spring-forward
+    07:00 UTC Mar 10, fall-back 06:00 UTC Nov 3) rolled up by
+    America/New_York local date + hour.  The skipped local hour
+    (02:xx Mar 10) must be ABSENT and the repeated hour (01:xx Nov 3)
+    carries double mass — engine parity here means java.time and
+    DuckDB/ICU resolve the same IANA rules, which no amount of
+    arithmetic twinning can fake (probed identical on the critical
+    instants before gating).  The corpus data itself spans only
+    January, so instants are synthesized from the row count (rule 24).
+    One scan, one tiny (date, hour) agg."""
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    m = (F.col("id") / 2).cast("long") * 7 % 480
+    base = F.when(
+        F.col("id") % 2 == 0, F.lit("2024-03-10 04:00:00")
+    ).otherwise(F.lit("2024-11-03 03:00:00"))
+    local = F.expr(
+        "from_utc_timestamp(CAST(timestampadd(MINUTE, CAST(m AS INT),"
+        " CAST(b AS TIMESTAMP_NTZ)) AS TIMESTAMP_NTZ), 'America/New_York')"
+    )
+    t = ids.select(m.alias("m"), base.alias("b")).select(local.alias("lt"))
+    return (
+        t.groupBy(
+            F.to_date("lt").alias("local_date"),
+            F.hour("lt").cast("long").alias("local_hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_TIMEZONE_ROLLUP_SQL = """
+WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+t AS (
+  SELECT (CASE WHEN i % 2 = 0 THEN TIMESTAMP '2024-03-10 04:00:00'
+               ELSE TIMESTAMP '2024-11-03 03:00:00' END
+          + to_minutes(CAST(((i // 2) * 7) % 480 AS BIGINT)))
+           AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS lt
+  FROM ids
+)
+SELECT CAST(lt AS DATE) AS local_date,
+       CAST(hour(lt) AS BIGINT) AS local_hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17818,6 +17867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimizer_join_cardinality_audit": _optimizer_join_cardinality_audit,
         "minhash_estimator_calibration": _minhash_estimator_calibration,
         "ann_hnsw_levels": _ann_hnsw_levels,
+        "timezone_rollup_audit": _timezone_rollup_audit,
     }
 
 
@@ -18116,4 +18166,5 @@ def oracle_sql() -> dict[str, str]:
         "optimizer_join_cardinality_audit": _OPTIMIZER_JOIN_CARD_SQL,
         "minhash_estimator_calibration": _MINHASH_CALIBRATION_SQL,
         "ann_hnsw_levels": _ANN_HNSW_LEVELS_SQL,
+        "timezone_rollup_audit": _TIMEZONE_ROLLUP_SQL,
     }

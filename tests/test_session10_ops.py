@@ -614,3 +614,21 @@ def test_hnsw_levels_geometric(spark):
     for h in [1, 2, 3, 4, 8, 12, 1024]:
         tz = (h ^ (h - 1)).bit_length() - 1
         assert h % (1 << tz) == 0 and (h >> tz) % 2 == 1
+
+
+def test_timezone_rollup_dst_rules(spark):
+    """The skipped spring-forward hour is absent and the repeated
+    fall-back hour carries roughly double mass."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    rows = entry._timezone_rollup_audit(spark, "/root/testdata/sf0.001").collect()
+    mar = {r["local_hour"]: r["n"] for r in rows
+           if r["local_date"] == dt.date(2024, 3, 10)}
+    nov = {r["local_hour"]: r["n"] for r in rows
+           if r["local_date"] == dt.date(2024, 11, 3)}
+    assert 2 not in mar          # 02:xx never exists on Mar 10
+    assert 1 in mar and 3 in mar
+    # fall-back: 01:xx occurs twice (EDT and EST readings)
+    assert nov[1] > 1.5 * nov[2]
