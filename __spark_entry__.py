@@ -17594,6 +17594,87 @@ FROM t GROUP BY 1, 2
 """
 
 
+def _kg_motif_significance(spark, sf):
+    """TRIANGLE SIGNIFICANCE vs the CONFIGURATION-MODEL null — the
+    degree-preserving null comparison that turns kg_triangle_counts'
+    raw census into an analytics claim ("this graph is clustered, not
+    just dense"): Newman's expected triangle count under random
+    degree-preserving rewiring is ``E[T] = S³ / (6·(2m)³)`` with
+    ``S = Σ d(d−1)``, so the enrichment ratio ``T/E[T]`` is the pure
+    rational ``6·T·(2m)³ / S³`` — shipped in ppm through
+    decimal(38,0)/HUGEINT (the products pass 2^63 at sf0.1; rule 11's
+    heavy-arithmetic form).  Actual T reuses the gated oriented
+    triangle enumeration (Σ per-node / 3).  One degree agg + the
+    triangle kernel + a scalar combine."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        triangle_counts_df,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    e1 = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e2 = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    e = e1.union(e2)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    degs = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    stats = degs.agg(
+        F.expr("CAST(sum(d) DIV 2 AS BIGINT)").alias("m"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("s_dd1"),
+    )
+    tri = triangle_counts_df(e).agg(
+        F.expr("CAST(sum(triangles) DIV 3 AS BIGINT)").alias("t_actual")
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "m",
+        "s_dd1",
+        "t_actual",
+        F.expr(
+            f"CAST((1000000 * CAST(6 AS {_D38}) * CAST(t_actual AS {_D38})"
+            f" * CAST(2 * m AS {_D38}) * CAST(2 * m AS {_D38})"
+            f" * CAST(2 * m AS {_D38}))"
+            f" DIV (CAST(s_dd1 AS {_D38}) * CAST(s_dd1 AS {_D38})"
+            f" * CAST(s_dd1 AS {_D38})) AS BIGINT)"
+        ).alias("enrichment_ppm"),
+    )
+
+
+def _kg_motif_significance_sql() -> str:
+    return f"""
+WITH tri_all AS MATERIALIZED ({_KG_TRIANGLE_COUNTS_SQL}),
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS nn FROM events),
+e AS (
+  SELECT a.i AS u, a.i + 1 AS v FROM ids a, params WHERE a.i + 1 < params.nn
+  UNION ALL
+  SELECT a.i AS u, a.i + 2 AS v FROM ids a, params
+  WHERE a.i + 2 < params.nn AND a.i % 3 <> 0
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+degs AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+stats AS (
+  SELECT CAST(sum(d) // 2 AS BIGINT) AS m,
+         CAST(sum(d * (d - 1)) AS BIGINT) AS s_dd1
+  FROM degs
+),
+tri AS (SELECT CAST(sum(triangles) // 3 AS BIGINT) AS t_actual FROM tri_all)
+SELECT stats.m, stats.s_dd1, tri.t_actual,
+  CAST((1000000 * CAST(6 AS HUGEINT) * tri.t_actual
+        * CAST(2 * stats.m AS HUGEINT) * CAST(2 * stats.m AS HUGEINT)
+        * CAST(2 * stats.m AS HUGEINT))
+       // (CAST(stats.s_dd1 AS HUGEINT) * stats.s_dd1 * stats.s_dd1)
+       AS BIGINT) AS enrichment_ppm
+FROM stats, tri
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17868,6 +17949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimator_calibration": _minhash_estimator_calibration,
         "ann_hnsw_levels": _ann_hnsw_levels,
         "timezone_rollup_audit": _timezone_rollup_audit,
+        "kg_motif_significance": _kg_motif_significance,
     }
 
 
@@ -18167,4 +18249,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_estimator_calibration": _MINHASH_CALIBRATION_SQL,
         "ann_hnsw_levels": _ANN_HNSW_LEVELS_SQL,
         "timezone_rollup_audit": _TIMEZONE_ROLLUP_SQL,
+        "kg_motif_significance": _kg_motif_significance_sql(),
     }

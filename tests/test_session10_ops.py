@@ -632,3 +632,13 @@ def test_timezone_rollup_dst_rules(spark):
     assert 1 in mar and 3 in mar
     # fall-back: 01:xx occurs twice (EDT and EST readings)
     assert nov[1] > 1.5 * nov[2]
+
+
+def test_motif_enrichment_strongly_positive(spark):
+    """The chain+skip graph is locally clustered: triangle enrichment vs
+    the configuration model is orders of magnitude above 1x."""
+    import __spark_entry__ as entry
+
+    (r,) = entry._kg_motif_significance(spark, "/root/testdata/sf0.001").collect()
+    assert r["t_actual"] > 0
+    assert r["enrichment_ppm"] > 10 * 1000000  # > 10x the null model
