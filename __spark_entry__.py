@@ -17675,6 +17675,79 @@ FROM stats, tri
 """
 
 
+def _dedup_savings_report(spark, sf):
+    """DEDUP SAVINGS REPORT with QUALITY-AWARE canonical selection — the
+    production accounting layer over the gated fuzzy-dedup clusters:
+    per multi-document cluster, pick the canonical by CONTENT LENGTH
+    (longest doc, ties → min doc_id — the RefinedWeb-style "keep the
+    richest copy" rule, vs minhash_clusters' positional min-id keeper),
+    and report the storage the drop saves plus whether the quality pick
+    DISAGREES with the min-id pick (the rows where keeper policy
+    actually matters).  Struct-max argmax (rule 14); all counts BIGINT.
+    Spark: the gated cluster operator + one broadcast doc-length join +
+    one cluster agg; the twin wraps the SAME cluster SQL as a CTE (its
+    third reuse — zero drift by construction)."""
+    from bert_namedentityrecognition_spark.operators.dedup import (
+        minhash_dedup_clusters,
+    )
+
+    d = _t(spark, sf, "documents")
+    clus = minhash_dedup_clusters(d, jaccard_threshold=0.5)
+    j = clus.join(d.select("doc_id", "n_chars"), "doc_id")
+    agg = (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            ).alias("mx"),
+            F.min("doc_id").cast("long").alias("minid_doc"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+    return agg.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        (-F.col("mx.nid")).cast("long").alias("canonical_doc"),
+        F.col("mx.n_chars").cast("long").alias("canonical_chars"),
+        (F.col("total_chars") - F.col("mx.n_chars")).cast("long").alias(
+            "chars_dropped"
+        ),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        F.when(-F.col("mx.nid") != F.col("minid_doc"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("policy_disagrees"),
+    )
+
+
+def _dedup_savings_report_sql() -> str:
+    return f"""
+WITH clus AS MATERIALIZED ({_MINHASH_CLUSTERS_SQL}),
+j AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+),
+agg AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS cluster_size,
+         max((n_chars, -doc_id)) AS mx,
+         CAST(min(doc_id) AS BIGINT) AS minid_doc,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM j GROUP BY cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, cluster_size,
+       CAST(-(mx[2]) AS BIGINT) AS canonical_doc,
+       CAST(mx[1] AS BIGINT) AS canonical_chars,
+       CAST(total_chars - mx[1] AS BIGINT) AS chars_dropped,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped,
+       CAST(CASE WHEN -(mx[2]) <> minid_doc THEN 1 ELSE 0 END AS BIGINT)
+         AS policy_disagrees
+FROM agg WHERE cluster_size > 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -17950,6 +18023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_levels": _ann_hnsw_levels,
         "timezone_rollup_audit": _timezone_rollup_audit,
         "kg_motif_significance": _kg_motif_significance,
+        "dedup_savings_report": _dedup_savings_report,
     }
 
 
@@ -18250,4 +18324,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_hnsw_levels": _ANN_HNSW_LEVELS_SQL,
         "timezone_rollup_audit": _TIMEZONE_ROLLUP_SQL,
         "kg_motif_significance": _kg_motif_significance_sql(),
+        "dedup_savings_report": _dedup_savings_report_sql(),
     }

@@ -642,3 +642,15 @@ def test_motif_enrichment_strongly_positive(spark):
     (r,) = entry._kg_motif_significance(spark, "/root/testdata/sf0.001").collect()
     assert r["t_actual"] > 0
     assert r["enrichment_ppm"] > 10 * 1000000  # > 10x the null model
+
+
+def test_savings_report_invariants(spark):
+    import __spark_entry__ as entry
+
+    rows = entry._dedup_savings_report(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["cluster_size"] >= 2
+        assert r["n_dropped"] == r["cluster_size"] - 1
+        assert r["chars_dropped"] >= 0
+        assert r["policy_disagrees"] in (0, 1)
