@@ -17748,6 +17748,156 @@ FROM agg WHERE cluster_size > 1
 """
 
 
+def _kg_triad_balance(spark, sf):
+    """STRUCTURAL-BALANCE TRIAD CENSUS over a SIGNED version of the
+    triangle fixture — Heider/Cartwright-Harary balance theory, the
+    signed-graph analysis a trust/contradiction KG runs (kg_bgp_optional
+    finds contradicting EDGES; this classifies whole triads): edge sign
+    = parity of the scrambled portable edge hash (deterministic,
+    engine-identical — rule 11), a triangle is BALANCED iff its sign
+    product is positive (0 or 2 negative edges).  Output: triangles by
+    negative-edge count 0..3 + the balanced flag per class.  The
+    enumeration is the SAME id-oriented wedge join the gated triangle
+    kernel uses (counts already proven); signs are a narrow hash column
+    on top.  One wedge self-join bounded by max degree, one 4-key agg."""
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    e1 = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    e2 = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("u"), (F.col("id") + 2).alias("v")
+    )
+    e = e1.union(e2)
+
+    def sign(u, v):
+        # mod BEFORE the scramble multiply: (u*1000003+v)*MUL alone passes
+        # 2^63 at sf0.01+ (caught loudly by ANSI overflow)
+        return (
+            (((F.col(u) * 1000003 + F.col(v)) % F.lit(MIS_MOD)) * F.lit(MIS_MUL))
+            % F.lit(MIS_MOD)
+        ) % 2
+
+    ew = e.select("u", "v", sign("u", "v").alias("s")).localCheckpoint(
+        eager=True
+    )
+    w1 = ew.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("s").alias("s_ab"))
+    w2 = ew.select(F.col("u").alias("b"), F.col("v").alias("c"), F.col("s").alias("s_bc"))
+    w3 = ew.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("s").alias("s_ac"))
+    tri = w1.join(w2, "b").join(w3, ["a", "c"])
+    return (
+        tri.select(
+            (F.col("s_ab") + F.col("s_bc") + F.col("s_ac"))
+            .cast("long")
+            .alias("n_neg")
+        )
+        .groupBy("n_neg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .select(
+            "n_neg",
+            "n_triangles",
+            F.expr("CAST(CASE WHEN n_neg % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)")
+            .alias("balanced"),
+        )
+    )
+
+
+_KG_TRIAD_BALANCE_SQL = f"""
+WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS nn FROM events),
+e AS (
+  SELECT a.i AS u, a.i + 1 AS v FROM ids a, params WHERE a.i + 1 < params.nn
+  UNION ALL
+  SELECT a.i AS u, a.i + 2 AS v FROM ids a, params
+  WHERE a.i + 2 < params.nn AND a.i % 3 <> 0
+),
+ew AS MATERIALIZED (
+  SELECT u, v, ((((u * 1000003 + v) % {{mod}}) * {{mul}}) % {{mod}}) % 2 AS s FROM e
+),
+tri AS (
+  SELECT w1.s AS s_ab, w2.s AS s_bc, w3.s AS s_ac
+  FROM ew w1
+  JOIN ew w2 ON w2.u = w1.v
+  JOIN ew w3 ON w3.u = w1.u AND w3.v = w2.v
+)
+SELECT n_neg, CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN n_neg % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS balanced
+FROM (SELECT CAST(s_ab + s_bc + s_ac AS BIGINT) AS n_neg FROM tri)
+GROUP BY n_neg
+"""
+
+
+def _events_hazard_table(spark, sf):
+    """DISCRETE-TIME HAZARD TABLE — the life-table ingredients of a
+    Kaplan-Meier churn analysis (at-risk counts, event counts, hazard
+    per interval) kept EXACTLY integer by NOT forming the survival
+    product (the product of rationals is the one piece that genuinely
+    needs floats; every published life table ships these columns):
+    per user, "death" = the day offset of their LAST event (days since
+    their first event); day t's at-risk set = users whose lifetime ≥ t,
+    hazard_ppm = 10⁶·deaths(t) DIV at_risk(t).  Spark: one user agg →
+    one lifetime histogram → one REVERSE cumulative window over the
+    day frame (at-risk = suffix sum — computed as total − prefix,
+    map-side friendly)."""
+    e = _t(spark, sf, "events")
+    day = F.expr(
+        "CAST(unix_micros(cast(ts as timestamp_ltz)) DIV 86400000000 AS BIGINT)"
+    )
+    life = e.select("user_id", day.alias("d")).groupBy("user_id").agg(
+        (F.max("d") - F.min("d")).cast("long").alias("lifetime")
+    )
+    hist = life.groupBy("lifetime").agg(
+        F.count(F.lit(1)).cast("long").alias("deaths")
+    )
+    w = Window.orderBy("lifetime").rowsBetween(Window.unboundedPreceding, -1)
+    tot = hist.agg(F.sum("deaths").cast("long").alias("n_users"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lifetime").alias("day"),
+            "deaths",
+            (
+                F.col("n_users")
+                - F.coalesce(F.sum("deaths").over(w), F.lit(0))
+            )
+            .cast("long")
+            .alias("at_risk"),
+        )
+        .select(
+            "day",
+            "deaths",
+            "at_risk",
+            F.expr("(1000000 * deaths) DIV at_risk").alias("hazard_ppm"),
+        )
+    )
+
+
+_EVENTS_HAZARD_SQL = """
+WITH life AS (
+  SELECT user_id,
+         CAST(max(epoch_us(ts) // 86400000000)
+              - min(epoch_us(ts) // 86400000000) AS BIGINT) AS lifetime
+  FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT lifetime, CAST(count(*) AS BIGINT) AS deaths
+  FROM life GROUP BY lifetime
+),
+tot AS (SELECT CAST(sum(deaths) AS BIGINT) AS n_users FROM hist)
+SELECT hist.lifetime AS day, hist.deaths,
+       CAST(tot.n_users - coalesce(sum(hist.deaths) OVER (ORDER BY hist.lifetime
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS at_risk,
+       CAST((1000000 * hist.deaths)
+            // (tot.n_users - coalesce(sum(hist.deaths) OVER (ORDER BY hist.lifetime
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+            AS BIGINT) AS hazard_ppm
+FROM hist, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -18024,6 +18174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timezone_rollup_audit": _timezone_rollup_audit,
         "kg_motif_significance": _kg_motif_significance,
         "dedup_savings_report": _dedup_savings_report,
+        "kg_triad_balance": _kg_triad_balance,
+        "events_hazard_table": _events_hazard_table,
     }
 
 
@@ -18325,4 +18477,8 @@ def oracle_sql() -> dict[str, str]:
         "timezone_rollup_audit": _TIMEZONE_ROLLUP_SQL,
         "kg_motif_significance": _kg_motif_significance_sql(),
         "dedup_savings_report": _dedup_savings_report_sql(),
+        "kg_triad_balance": _KG_TRIAD_BALANCE_SQL.format(
+            mul=MIS_MUL_LIT, mod=MIS_MOD_LIT
+        ),
+        "events_hazard_table": _EVENTS_HAZARD_SQL,
     }

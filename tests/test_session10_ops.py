@@ -654,3 +654,27 @@ def test_savings_report_invariants(spark):
         assert r["n_dropped"] == r["cluster_size"] - 1
         assert r["chars_dropped"] >= 0
         assert r["policy_disagrees"] in (0, 1)
+
+
+def test_triad_balance_partition(spark):
+    """Signed census partitions all triangles; balanced == even negatives."""
+    import __spark_entry__ as entry
+
+    rows = entry._kg_triad_balance(spark, "/root/testdata/sf0.001").collect()
+    assert {r["n_neg"] for r in rows} <= {0, 1, 2, 3}
+    for r in rows:
+        assert r["balanced"] == (1 if r["n_neg"] % 2 == 0 else 0)
+    assert sum(r["n_triangles"] for r in rows) > 0
+
+
+def test_hazard_table_conservation(spark):
+    """At-risk counts telescope: at_risk(t) - deaths(t) == at_risk(next t)."""
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry._events_hazard_table(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["day"],
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["at_risk"] - prev["deaths"] >= cur["at_risk"] - cur["deaths"]
+    assert rows[0]["at_risk"] == sum(r["deaths"] for r in rows)
