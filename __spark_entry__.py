@@ -17898,6 +17898,170 @@ FROM hist, tot
 """
 
 
+WIDEST_ROUNDS = 6
+
+
+def _kg_widest_path(spark, sf):
+    """Bounded-round WIDEST PATH (bottleneck capacity) from the seed set
+    — the MAX-MIN counterpart of the gated kg_weighted_sssp, and the
+    receipt that the changed-frontier Bellman-Ford loop is
+    SEMIRING-GENERIC (``operators/graph.py:widest_path_bounded``: swap
+    (min,+) for (max,min), nothing else moves).  Served KG reading: the
+    weakest relation confidence on the strongest evidence chain tying
+    an entity to a trusted seed.  Directed chain+skip fixture with
+    hash-derived weights 1..97 (rule 11 scramble, mod-reduced before
+    the multiply — the kg_triad_balance overflow lesson), seeds every
+    251st node, 6 rounds; the twin relaxes ALL nodes per round —
+    identical maxima (sssp_sql's argument, flipped)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        widest_path_bounded,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+
+    def wgt(u, v):
+        return 1 + (
+            (((F.col(u) * 1000003 + F.col(v)) % F.lit(MIS_MOD)) * F.lit(MIS_MUL))
+            % F.lit(MIS_MOD)
+        ) % 97
+
+    chain = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    skip = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    e = chain.union(skip).select(
+        "src", "dst", wgt("src", "dst").cast("long").alias("weight")
+    )
+    seeds = ids.filter(F.col("id") % 251 == 0).select(F.col("id").alias("node"))
+    out = widest_path_bounded(e, seeds, rounds=WIDEST_ROUNDS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cap").cast("long").alias("cap"),
+    )
+
+
+def _kg_widest_path_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    w = (
+        f"1 + ((((a * 1000003 + b) % {MIS_MOD}) * {MIS_MUL}) % {MIS_MOD}) % 97"
+    )
+    parts = [
+        "WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),",
+        "params AS (SELECT count(*) AS nn FROM events),",
+        "e AS MATERIALIZED (SELECT a, b, " + w + " AS w FROM ("
+        "  SELECT x.i AS a, x.i + 1 AS b FROM ids x, params WHERE x.i + 1 < params.nn"
+        "  UNION ALL"
+        "  SELECT x.i AS a, x.i + 2 AS b FROM ids x, params"
+        "  WHERE x.i + 2 < params.nn AND x.i % 3 <> 0)),",
+        "d0 AS MATERIALIZED (SELECT i AS node, CAST(1000000000 AS BIGINT) AS cap"
+        " FROM ids WHERE i % 251 = 0),",
+    ]
+    for r in range(1, WIDEST_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, max(c) AS cap FROM ("
+            f"SELECT node, cap AS c FROM d{r - 1}"
+            f" UNION ALL "
+            f"SELECT e.b AS node, least(d.cap, e.w) AS c"
+            f" FROM d{r - 1} d JOIN e ON e.a = d.node) GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(cap AS BIGINT) AS cap"
+        f" FROM d{WIDEST_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
+def _corpus_boilerplate_ratio(spark, sf):
+    """CROSS-DOCUMENT BOILERPLATE detection — the CCNet/RefinedWeb
+    template screen doc_repetition_signals (intra-doc) does not cover:
+    a shingle occurring in more than 5% of documents is boilerplate
+    (navigation chrome, license footers); per document, the fraction of
+    its shingle mass that is boilerplate decides the strip/keep call.
+    Spark: the shared shingle stream, one df agg, one broadcast
+    template-set semi-join back (the template set is df-bounded — at
+    most 20·|templates| ≪ corpus), one doc agg; ratio in exact ppm
+    (rule 11)."""
+    from bert_namedentityrecognition_spark.operators.corpus import (
+        token_shingles,
+    )
+
+    d = _t(spark, sf, "documents")
+    # occurrence multiplicity (distinct=False): the strip decision weighs
+    # boilerplate MASS, not vocabulary — the twin enumerates positions
+    sh = token_shingles(d, distinct=False).select("doc_id", "shingle")
+    dedup = sh.distinct()
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    df_t = dedup.groupBy("shingle").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    templ = (
+        df_t.crossJoin(F.broadcast(tot))
+        .filter(F.col("df") * 20 > F.col("n_docs"))
+        .select("shingle", F.lit(1).alias("_tpl"))
+    )
+    per = (
+        sh.join(F.broadcast(templ), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_tpl"), F.lit(0)))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_boilerplate",
+        F.expr("(1000000 * n_boilerplate) DIV n_shingles").alias(
+            "boilerplate_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN 2 * n_boilerplate > n_shingles THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("strip_flag"),
+    )
+
+
+_CORPUS_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+),
+dedup AS (SELECT DISTINCT doc_id, shingle FROM sh),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+df_t AS (
+  SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM dedup GROUP BY shingle
+),
+templ AS (
+  SELECT df_t.shingle FROM df_t, tot WHERE df_t.df * 20 > tot.n_docs
+),
+per AS (
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN templ.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boilerplate
+  FROM sh LEFT JOIN templ ON templ.shingle = sh.shingle
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_boilerplate,
+       CAST((1000000 * n_boilerplate) // n_shingles AS BIGINT)
+         AS boilerplate_ppm,
+       CAST(CASE WHEN 2 * n_boilerplate > n_shingles THEN 1 ELSE 0 END
+            AS BIGINT) AS strip_flag
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -18176,6 +18340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings_report": _dedup_savings_report,
         "kg_triad_balance": _kg_triad_balance,
         "events_hazard_table": _events_hazard_table,
+        "kg_widest_path": _kg_widest_path,
+        "corpus_boilerplate_ratio": _corpus_boilerplate_ratio,
     }
 
 
@@ -18481,4 +18647,6 @@ def oracle_sql() -> dict[str, str]:
             mul=MIS_MUL_LIT, mod=MIS_MOD_LIT
         ),
         "events_hazard_table": _EVENTS_HAZARD_SQL,
+        "kg_widest_path": _kg_widest_path_sql(),
+        "corpus_boilerplate_ratio": _CORPUS_BOILERPLATE_SQL,
     }

@@ -1995,3 +1995,72 @@ def jones_plassmann_coloring(
         F.col("color").cast("long"),
         F.col("jp_round").cast("long"),
     )
+
+
+def widest_path_bounded(
+    wedges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+    source_cap: int = 1_000_000_000,
+) -> DataFrame:
+    """Bounded-round WIDEST PATH (max-min semiring): ``(node, cap)`` =
+    the maximum over ≤``rounds``-hop paths from any seed of the MINIMUM
+    edge weight along the path — the bottleneck-capacity / reliability
+    routing query, and the proof that :func:`sssp_bellman_ford`'s
+    changed-frontier loop is SEMIRING-GENERIC (swap (min, +) for
+    (max, min) and nothing else moves: same per-round join + agg, same
+    localCheckpoint discipline, same bit-exact integer state).  Seeds
+    start at ``source_cap`` (an "infinite" source).  Unreached nodes are
+    absent.  All-integer maxima ⇒ round-K state is engine- and
+    partitioning-independent; the unrolled SQL twin relaxes ALL nodes
+    per round — identical maxima (the sssp_sql argument, flipped)."""
+    e = (
+        wedges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    cap = (
+        seeds.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(source_cap).cast("long").alias("cap"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = cap
+    for _ in range(rounds):
+        relaxed = frontier.join(e, frontier.node == e.a).select(
+            F.col("b").alias("node"),
+            F.least(F.col("cap"), F.col("w")).alias("cap"),
+        )
+        nxt = (
+            cap.withColumn("__old", F.lit(1))
+            .unionByName(relaxed.withColumn("__old", F.lit(0)))
+            .groupBy("node")
+            .agg(
+                F.max("cap").alias("cap"),
+                (
+                    F.max("cap")
+                    > F.coalesce(
+                        F.max(F.when(F.col("__old") == 1, F.col("cap"))),
+                        F.lit(None),
+                    )
+                ).alias("__improved_vs_old"),
+                F.max("__old").alias("__had_old"),
+            )
+            .withColumn(
+                "__changed",
+                (F.col("__had_old") == 0)
+                | F.coalesce(F.col("__improved_vs_old"), F.lit(False)),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt.filter(F.col("__changed")).select("node", "cap")
+        cap = nxt.select("node", "cap").localCheckpoint(eager=True)
+    return cap

@@ -678,3 +678,29 @@ def test_hazard_table_conservation(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert prev["at_risk"] - prev["deaths"] >= cur["at_risk"] - cur["deaths"]
     assert rows[0]["at_risk"] == sum(r["deaths"] for r in rows)
+
+
+def test_widest_path_semiring_invariants(spark):
+    """Seeds carry the source cap; every other reached node's capacity is
+    a real edge weight (1..98) bounded by the max incident weight."""
+    import __spark_entry__ as entry
+
+    rows = entry._kg_widest_path(spark, "/root/testdata/sf0.001").collect()
+    caps = {r["node"]: r["cap"] for r in rows}
+    assert caps[0] == 1_000_000_000  # seed
+    non_seed = [c for n, c in caps.items() if n % 251 != 0]
+    assert non_seed and all(1 <= c <= 98 for c in non_seed)
+
+
+def test_boilerplate_mass_vs_vocab(spark):
+    import __spark_entry__ as entry
+
+    rows = entry._corpus_boilerplate_ratio(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boilerplate"] <= r["n_shingles"]
+        assert r["strip_flag"] == (1 if 2 * r["n_boilerplate"] > r["n_shingles"] else 0)
+    # the closed-vocab corpus has high-df shingles -> template detection live
+    # (no doc crosses the 50% strip threshold at sf0.001 — the flag rule is
+    # exercised by the gate's value hash, the detection by this assert)
+    assert any(r["n_boilerplate"] > 0 for r in rows)
