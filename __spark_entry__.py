@@ -17980,8 +17980,10 @@ def _kg_widest_path_sql() -> str:
 def _corpus_boilerplate_ratio(spark, sf):
     """CROSS-DOCUMENT BOILERPLATE detection — the CCNet/RefinedWeb
     template screen doc_repetition_signals (intra-doc) does not cover:
-    a shingle occurring in more than 5% of documents is boilerplate
-    (navigation chrome, license footers); per document, the fraction of
+    a shingle occurring in more than 1% of documents is boilerplate
+    (navigation chrome, license footers — threshold calibrated to the
+    corpus: max shingle df is ~1.8%, so 1% keeps the rule live at every
+    sf while 5% would never fire); per document, the fraction of
     its shingle mass that is boilerplate decides the strip/keep call.
     Spark: the shared shingle stream, one df agg, one broadcast
     template-set semi-join back (the template set is df-bounded — at
@@ -18002,7 +18004,7 @@ def _corpus_boilerplate_ratio(spark, sf):
     )
     templ = (
         df_t.crossJoin(F.broadcast(tot))
-        .filter(F.col("df") * 20 > F.col("n_docs"))
+        .filter(F.col("df") * 100 > F.col("n_docs"))
         .select("shingle", F.lit(1).alias("_tpl"))
     )
     per = (
@@ -18023,7 +18025,7 @@ def _corpus_boilerplate_ratio(spark, sf):
             "boilerplate_ppm"
         ),
         F.expr(
-            "CAST(CASE WHEN 2 * n_boilerplate > n_shingles THEN 1 ELSE 0 END"
+            "CAST(CASE WHEN 20 * n_boilerplate > n_shingles THEN 1 ELSE 0 END"
             " AS BIGINT)"
         ).alias("strip_flag"),
     )
@@ -18044,7 +18046,7 @@ df_t AS (
   FROM dedup GROUP BY shingle
 ),
 templ AS (
-  SELECT df_t.shingle FROM df_t, tot WHERE df_t.df * 20 > tot.n_docs
+  SELECT df_t.shingle FROM df_t, tot WHERE df_t.df * 100 > tot.n_docs
 ),
 per AS (
   SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
@@ -18056,7 +18058,7 @@ per AS (
 SELECT doc_id, n_shingles, n_boilerplate,
        CAST((1000000 * n_boilerplate) // n_shingles AS BIGINT)
          AS boilerplate_ppm,
-       CAST(CASE WHEN 2 * n_boilerplate > n_shingles THEN 1 ELSE 0 END
+       CAST(CASE WHEN 20 * n_boilerplate > n_shingles THEN 1 ELSE 0 END
             AS BIGINT) AS strip_flag
 FROM per
 """
