@@ -18064,6 +18064,166 @@ FROM per
 """
 
 
+BOOTSTRAP_REPS = 16
+
+
+def _orders_bootstrap_spread(spark, sf):
+    """DETERMINISTIC WEIGHTED BOOTSTRAP of the mean order value — the
+    uncertainty quantification the point estimates elsewhere (means,
+    medians, ppm ratios) ship without: 16 resample replicates whose
+    integer weights come from the portable hash (w ∈ {0,1,2} with mean
+    1 — the integer-weight bootstrap; classical multinomial resampling
+    needs shared RNG state, which rule 11 forbids, and the hash scheme
+    keeps every replicate reproducible on any engine or cluster size).
+    Output per replicate: total weight, weighted mean in cents (exact
+    DIV) — the spread across replicates IS the standard-error reading.
+    ONE scan fans out ×16 via a broadcast replicate frame; everything
+    aggregates map-side."""
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    o = _t(spark, sf, "orders")
+    cents = F.expr(f"CAST(CAST(o_totalprice AS {_DEC}) * 100 AS BIGINT)")
+    reps = F.broadcast(
+        spark.range(BOOTSTRAP_REPS).select(F.col("id").cast("long").alias("b"))
+    )
+    w = (
+        (((F.col("o_orderkey") * 1000003 + F.col("b")) % F.lit(MIS_MOD))
+         * F.lit(MIS_MUL))
+        % F.lit(MIS_MOD)
+    ) % 3
+    return (
+        o.select("o_orderkey", cents.alias("cents"))
+        .crossJoin(reps)
+        .select("b", w.cast("long").alias("w"), "cents")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("total_weight"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("wsum"),
+        )
+        .select(
+            "b",
+            "total_weight",
+            F.expr("wsum DIV total_weight").alias("wmean_cents"),
+        )
+    )
+
+
+_ORDERS_BOOTSTRAP_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+reps AS (SELECT unnest(range(0, {BOOTSTRAP_REPS})) AS b),
+wx AS (
+  SELECT reps.b,
+         ((((o.o_orderkey * 1000003 + reps.b) % {{mod}}) * {{mul}}) % {{mod}}) % 3 AS w,
+         o.cents
+  FROM o, reps
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(sum(w) AS BIGINT) AS total_weight,
+       CAST(sum(w * cents) // sum(w) AS BIGINT) AS wmean_cents
+FROM wx GROUP BY b
+"""
+
+
+def _kg_sssp_certificate(spark, sf):
+    """SHORTEST-PATH CONVERGENCE CERTIFICATE — the LP-duality
+    feasibility check (``dist(v) ≤ dist(u) + w`` over every
+    settled-settled edge) applied to the bounded-round kg_weighted_sssp
+    state: edges still violating the inequality are exactly the
+    RELAXATIONS THE ROUND BUDGET LEFT PENDING (a frontier node settled
+    in the final round could not yet relax its out-edges), so
+    ``pending_relaxations`` is the convergence meter a production run
+    drives to ZERO — at which point the same join IS the optimality
+    certificate, costing one edge scan instead of a recompute.  On this
+    fixture the budget is deliberately below the seed spacing, so the
+    pending count is live at every sf (measured: both twins agree on
+    the nonzero count — the audit reports the bounded state honestly);
+    the unit test proves pending == 0 on a converged graph.  TIGHT
+    edges (equality) are the shortest-path-tree support."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        sssp_bellman_ford,
+    )
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+
+    def wgt(u, v):
+        return 1 + (
+            (((F.col(u) * 1000003 + F.col(v)) % F.lit(MIS_MOD)) * F.lit(MIS_MUL))
+            % F.lit(MIS_MOD)
+        ) % 97
+
+    chain = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    skip = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    e = chain.union(skip).select(
+        "src", "dst", wgt("src", "dst").cast("long").alias("weight")
+    )
+    seeds = ids.filter(F.col("id") % 251 == 0).select(F.col("id").alias("node"))
+    dist = sssp_bellman_ford(e, seeds, rounds=6).localCheckpoint(eager=True)
+    du = dist.select(F.col("node").alias("src"), F.col("dist").alias("d_u"))
+    dv = dist.select(F.col("node").alias("dst"), F.col("dist").alias("d_v"))
+    j = e.join(du, "src").join(dv, "dst")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("edges_checked"),
+        F.sum(
+            F.when(F.col("d_v") > F.col("d_u") + F.col("weight"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pending_relaxations"),
+        F.sum(
+            F.when(F.col("d_v") == F.col("d_u") + F.col("weight"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tight_edges"),
+    )
+
+
+def _kg_sssp_certificate_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    w = f"1 + ((((a * 1000003 + b) % {MIS_MOD}) * {MIS_MUL}) % {MIS_MOD}) % 97"
+    parts = [
+        "WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),",
+        "params AS (SELECT count(*) AS nn FROM events),",
+        "e AS MATERIALIZED (SELECT a, b, " + w + " AS w FROM ("
+        "  SELECT x.i AS a, x.i + 1 AS b FROM ids x, params WHERE x.i + 1 < params.nn"
+        "  UNION ALL"
+        "  SELECT x.i AS a, x.i + 2 AS b FROM ids x, params"
+        "  WHERE x.i + 2 < params.nn AND x.i % 3 <> 0)),",
+        "d0 AS MATERIALIZED (SELECT i AS node, CAST(0 AS BIGINT) AS dist"
+        " FROM ids WHERE i % 251 = 0),",
+    ]
+    for r in range(1, 7):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, min(c) AS dist FROM ("
+            f"SELECT node, dist AS c FROM d{r - 1}"
+            f" UNION ALL "
+            f"SELECT e.b AS node, d.dist + e.w AS c"
+            f" FROM d{r - 1} d JOIN e ON e.a = d.node) GROUP BY node),"
+        )
+    parts.append(
+        "j AS (SELECT e.w, du.dist AS d_u, dv.dist AS d_v FROM e"
+        " JOIN d6 du ON du.node = e.a JOIN d6 dv ON dv.node = e.b)"
+    )
+    parts.append(
+        "SELECT CAST(count(*) AS BIGINT) AS edges_checked,"
+        " CAST(sum(CASE WHEN d_v > d_u + w THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS pending_relaxations,"
+        " CAST(sum(CASE WHEN d_v = d_u + w THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS tight_edges"
+        " FROM j"
+    )
+    return "\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -18344,6 +18504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hazard_table": _events_hazard_table,
         "kg_widest_path": _kg_widest_path,
         "corpus_boilerplate_ratio": _corpus_boilerplate_ratio,
+        "orders_bootstrap_spread": _orders_bootstrap_spread,
+        "kg_sssp_certificate": _kg_sssp_certificate,
     }
 
 
@@ -18651,4 +18813,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hazard_table": _EVENTS_HAZARD_SQL,
         "kg_widest_path": _kg_widest_path_sql(),
         "corpus_boilerplate_ratio": _CORPUS_BOILERPLATE_SQL,
+        "orders_bootstrap_spread": _ORDERS_BOOTSTRAP_SQL.format(
+            mul=MIS_MUL_LIT, mod=MIS_MOD_LIT
+        ),
+        "kg_sssp_certificate": _kg_sssp_certificate_sql(),
     }

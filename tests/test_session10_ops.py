@@ -703,3 +703,48 @@ def test_boilerplate_mass_vs_vocab(spark):
     # calibrated thresholds: detection AND the strip flag both fire
     assert any(r["n_boilerplate"] > 0 for r in rows)
     assert any(r["strip_flag"] == 1 for r in rows)
+
+
+def test_bootstrap_replicates_spread_around_mean(spark):
+    import __spark_entry__ as entry
+    import duckdb as _dd
+
+    rows = entry._orders_bootstrap_spread(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 16
+    (true_mean,) = _dd.sql(
+        "SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4))*100 AS BIGINT)) // count(*) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).fetchone()
+    means = [r["wmean_cents"] for r in rows]
+    assert len(set(means)) > 1  # replicates genuinely differ
+    # every replicate mean within 10% of the point estimate
+    for m in means:
+        assert abs(m - true_mean) < true_mean // 10
+
+
+def test_sssp_certificate_pending_and_converged(spark):
+    """Bounded budget leaves pending relaxations on the sparse-seed
+    fixture; a CONVERGED graph (diameter < rounds) certifies clean."""
+    from pyspark.sql import functions as SF
+
+    import __spark_entry__ as entry
+    from bert_namedentityrecognition_spark.operators.graph import (
+        sssp_bellman_ford,
+    )
+
+    (r,) = entry._kg_sssp_certificate(spark, "/root/testdata/sf0.001").collect()
+    assert r["pending_relaxations"] > 0  # budget < seed spacing, by design
+    assert r["tight_edges"] > 0 and r["edges_checked"] > 0
+
+    e = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 3), (0, 2, 10), (2, 3, 1)],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    d = sssp_bellman_ford(e, seeds, rounds=6)
+    du = d.select(SF.col("node").alias("src"), SF.col("dist").alias("d_u"))
+    dv = d.select(SF.col("node").alias("dst"), SF.col("dist").alias("d_v"))
+    j = e.join(du, "src").join(dv, "dst")
+    assert (
+        j.filter(SF.col("d_v") > SF.col("d_u") + SF.col("weight")).count() == 0
+    )
