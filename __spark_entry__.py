@@ -18224,6 +18224,106 @@ def _kg_sssp_certificate_sql() -> str:
     return "\n".join(parts)
 
 
+def _kg_pagerank_topk_stability(spark, sf):
+    """TOP-K RANK STABILITY across PageRank iteration depths — the
+    serving insight that the HEAD of the ranking converges far before
+    the tail (so a 100 TB job wanting "top entities" can stop early):
+    the top-k at 3 iterations vs 6 iterations (the gated depth),
+    overlap@k and footrule displacement for k ∈ {5, 20} — the
+    ir_ranker_agreement machinery pointed at iterative-state depth.
+    Both depths reuse the gated integer-exact kernel on the alias
+    graph; ties pin to node id.  The twin wraps TWO ``pagerank_sql``
+    unrolls as CTEs (rule 30 keeps each level MATERIALIZED)."""
+    from bert_namedentityrecognition_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter((F.col("id") > 0) & (F.col("id") % 40 != 0)).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    heads = ids.filter(
+        (F.col("id") > 0)
+        & (F.col("id") % 40 == 0)
+        & ((F.col("id") / 40).cast("long") % 3 != 0)
+    ).select(F.col("id").alias("src"), (F.col("id") - 40).alias("dst"))
+    e = chain.union(heads)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    def topk(iters, alias):
+        pr = pagerank_integer(sym, iterations=iters)
+        w = Window.orderBy(F.desc("rank_scaled"), F.asc("node"))
+        return (
+            pr.select("node", F.row_number().over(w).cast("long").alias(alias))
+            .filter(F.col(alias) <= 20)
+        )
+
+    a = topk(3, "ra")
+    b = topk(6, "rb")
+    j = a.join(b, "node")
+    ks = spark.range(2).select(
+        F.element_at(F.array(F.lit(5), F.lit(20)), (F.col("id") + 1).cast("int"))
+        .cast("long")
+        .alias("k")
+    )
+    return (
+        j.crossJoin(F.broadcast(ks))
+        .filter((F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            F.sum(F.abs(F.col("ra") - F.col("rb"))).cast("long").alias(
+                "footrule_sum"
+            ),
+        )
+        .select(
+            "k",
+            "n_overlap",
+            F.expr("(1000000 * n_overlap) DIV k").alias("overlap_ppm"),
+            "footrule_sum",
+        )
+    )
+
+
+def _kg_pagerank_topk_stability_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import pagerank_sql
+
+    graph_ctes = """
+ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+edges AS (
+  SELECT i AS a, i - 1 AS b FROM ids WHERE i > 0 AND i % 40 <> 0
+  UNION ALL
+  SELECT i AS a, i - 40 AS b FROM ids
+  WHERE i > 0 AND i % 40 = 0 AND (i // 40) % 3 <> 0
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges)
+"""
+    p3 = pagerank_sql(graph_ctes, iterations=3)
+    p6 = pagerank_sql(graph_ctes, iterations=6)
+    return f"""
+WITH pr3 AS MATERIALIZED ({p3}),
+pr6 AS MATERIALIZED ({p6}),
+a AS (
+  SELECT node, CAST(row_number() OVER (ORDER BY rank_scaled DESC, node) AS BIGINT) AS ra
+  FROM pr3 QUALIFY ra <= 20
+),
+b AS (
+  SELECT node, CAST(row_number() OVER (ORDER BY rank_scaled DESC, node) AS BIGINT) AS rb
+  FROM pr6 QUALIFY rb <= 20
+),
+j AS (SELECT a.node, a.ra, b.rb FROM a JOIN b ON b.node = a.node),
+ks(k) AS (VALUES (CAST(5 AS BIGINT)), (CAST(20 AS BIGINT)))
+SELECT ks.k, CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST((1000000 * count(*)) // ks.k AS BIGINT) AS overlap_ppm,
+       CAST(sum(abs(j.ra - j.rb)) AS BIGINT) AS footrule_sum
+FROM j, ks WHERE j.ra <= ks.k AND j.rb <= ks.k
+GROUP BY ks.k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -18506,6 +18606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_boilerplate_ratio": _corpus_boilerplate_ratio,
         "orders_bootstrap_spread": _orders_bootstrap_spread,
         "kg_sssp_certificate": _kg_sssp_certificate,
+        "kg_pagerank_topk_stability": _kg_pagerank_topk_stability,
     }
 
 
@@ -18817,4 +18918,5 @@ def oracle_sql() -> dict[str, str]:
             mul=MIS_MUL_LIT, mod=MIS_MOD_LIT
         ),
         "kg_sssp_certificate": _kg_sssp_certificate_sql(),
+        "kg_pagerank_topk_stability": _kg_pagerank_topk_stability_sql(),
     }

@@ -748,3 +748,14 @@ def test_sssp_certificate_pending_and_converged(spark):
     assert (
         j.filter(SF.col("d_v") > SF.col("d_u") + SF.col("weight")).count() == 0
     )
+
+
+def test_pagerank_topk_stability_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = {r["k"]: r for r in entry._kg_pagerank_topk_stability(
+        spark, "/root/testdata/sf0.001").collect()}
+    for k, r in rows.items():
+        assert 0 <= r["n_overlap"] <= k
+    # head stability: the top-5 at 3 iters largely survives to 6 iters
+    assert rows[5]["n_overlap"] >= 3
