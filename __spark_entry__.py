@@ -18324,6 +18324,125 @@ GROUP BY ks.k
 """
 
 
+def _events_did_estimator(spark, sf):
+    """DIFFERENCE-IN-DIFFERENCES estimator — the causal-inference
+    primitive the A/B family (events_conversion_chi2's 2×2 test,
+    classifier_auc_ranksum's effect size) has not covered: treatment =
+    the deterministic user_id%2 variant, periods = purchase-day halves
+    (split at the midpoint day), outcome = purchase value in cents
+    (rule 5 decimal→cents).  DiD = (ȳ_t1−ȳ_t0) − (ȳ_c1−ȳ_c0) is a
+    rational over the product of four cell counts — computed EXACTLY
+    through decimal(38,0)/HUGEINT with ONE final division; sign ships
+    separately so the micro-cent magnitude never divides negative
+    (rule 11).  Per-cell sums/counts are in the output, so the gate
+    pins the whole estimator, not just the scalar.  One scan, one
+    4-cell agg, one scalar combine."""
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    day = F.expr(
+        "CAST(unix_micros(cast(ts as timestamp_ltz)) DIV 86400000000 AS BIGINT)"
+    )
+    cents = F.expr(f"CAST(CAST(value AS {_DEC}) * 100 AS BIGINT)")
+    base = e.select(
+        (F.col("user_id") % 2).cast("long").alias("treat"),
+        day.alias("d"),
+        cents.alias("y"),
+    )
+    mid = base.agg(
+        F.expr("CAST((min(d) + max(d)) DIV 2 AS BIGINT)").alias("mid")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(mid))
+        .select(
+            "treat",
+            F.when(F.col("d") > F.col("mid"), 1).otherwise(0).alias("period"),
+            "y",
+        )
+        .groupBy("treat", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+    )
+    wide = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treat") == t) & (F.col("period") == pd), F.col(c)
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"{c}_{t}{pd}")
+            for t in (0, 1)
+            for pd in (0, 1)
+            for c in ("n", "s")
+        ]
+    )
+    d38 = lambda x: f"CAST({x} AS {_D38})"  # noqa: E731
+    num = (
+        f"({d38('s_11')} * {d38('n_10')} - {d38('s_10')} * {d38('n_11')})"
+        f" * ({d38('n_01')} * {d38('n_00')})"
+        f" - ({d38('s_01')} * {d38('n_00')} - {d38('s_00')} * {d38('n_01')})"
+        f" * ({d38('n_11')} * {d38('n_10')})"
+    )
+    den = f"({d38('n_11')} * {d38('n_10')} * {d38('n_01')} * {d38('n_00')})"
+    return wide.select(
+        "n_00", "n_01", "n_10", "n_11",
+        "s_00", "s_01", "s_10", "s_11",
+        F.expr(
+            f"CAST(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 ELSE 0 END"
+            f" AS BIGINT)"
+        ).alias("did_sign"),
+        F.expr(
+            f"CAST((1000000 * abs({num})) DIV {den} AS BIGINT)"
+        ).alias("abs_did_micro_cents"),
+    )
+
+
+_EVENTS_DID_SQL = """
+WITH base AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+),
+mid AS (SELECT CAST((min(d) + max(d)) // 2 AS BIGINT) AS mid FROM base),
+cells AS (
+  SELECT treat, CASE WHEN base.d > mid.mid THEN 1 ELSE 0 END AS period,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM base, mid GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    CAST(sum(CASE WHEN treat = 0 AND period = 0 THEN n ELSE 0 END) AS BIGINT) AS n_00,
+    CAST(sum(CASE WHEN treat = 0 AND period = 1 THEN n ELSE 0 END) AS BIGINT) AS n_01,
+    CAST(sum(CASE WHEN treat = 1 AND period = 0 THEN n ELSE 0 END) AS BIGINT) AS n_10,
+    CAST(sum(CASE WHEN treat = 1 AND period = 1 THEN n ELSE 0 END) AS BIGINT) AS n_11,
+    CAST(sum(CASE WHEN treat = 0 AND period = 0 THEN s ELSE 0 END) AS BIGINT) AS s_00,
+    CAST(sum(CASE WHEN treat = 0 AND period = 1 THEN s ELSE 0 END) AS BIGINT) AS s_01,
+    CAST(sum(CASE WHEN treat = 1 AND period = 0 THEN s ELSE 0 END) AS BIGINT) AS s_10,
+    CAST(sum(CASE WHEN treat = 1 AND period = 1 THEN s ELSE 0 END) AS BIGINT) AS s_11
+  FROM cells
+)
+SELECT n_00, n_01, n_10, n_11, s_00, s_01, s_10, s_11,
+  CAST(CASE WHEN (CAST(s_11 AS HUGEINT) * n_10 - CAST(s_10 AS HUGEINT) * n_11)
+                 * (CAST(n_01 AS HUGEINT) * n_00)
+               - (CAST(s_01 AS HUGEINT) * n_00 - CAST(s_00 AS HUGEINT) * n_01)
+                 * (CAST(n_11 AS HUGEINT) * n_10) > 0 THEN 1
+            WHEN (CAST(s_11 AS HUGEINT) * n_10 - CAST(s_10 AS HUGEINT) * n_11)
+                 * (CAST(n_01 AS HUGEINT) * n_00)
+               - (CAST(s_01 AS HUGEINT) * n_00 - CAST(s_00 AS HUGEINT) * n_01)
+                 * (CAST(n_11 AS HUGEINT) * n_10) < 0 THEN -1
+            ELSE 0 END AS BIGINT) AS did_sign,
+  CAST((1000000 * abs((CAST(s_11 AS HUGEINT) * n_10 - CAST(s_10 AS HUGEINT) * n_11)
+                      * (CAST(n_01 AS HUGEINT) * n_00)
+                    - (CAST(s_01 AS HUGEINT) * n_00 - CAST(s_00 AS HUGEINT) * n_01)
+                      * (CAST(n_11 AS HUGEINT) * n_10)))
+       // (CAST(n_11 AS HUGEINT) * n_10 * n_01 * n_00) AS BIGINT)
+    AS abs_did_micro_cents
+FROM wide
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -18607,6 +18726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bootstrap_spread": _orders_bootstrap_spread,
         "kg_sssp_certificate": _kg_sssp_certificate,
         "kg_pagerank_topk_stability": _kg_pagerank_topk_stability,
+        "events_did_estimator": _events_did_estimator,
     }
 
 
@@ -18919,4 +19039,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_sssp_certificate": _kg_sssp_certificate_sql(),
         "kg_pagerank_topk_stability": _kg_pagerank_topk_stability_sql(),
+        "events_did_estimator": _EVENTS_DID_SQL,
     }

@@ -759,3 +759,15 @@ def test_pagerank_topk_stability_bounds(spark):
         assert 0 <= r["n_overlap"] <= k
     # head stability: the top-5 at 3 iters largely survives to 6 iters
     assert rows[5]["n_overlap"] >= 3
+
+
+def test_did_cells_complete_and_bounded(spark):
+    import __spark_entry__ as entry
+
+    (r,) = entry._events_did_estimator(spark, "/root/testdata/sf0.001").collect()
+    for c in ("n_00", "n_01", "n_10", "n_11"):
+        assert r[c] > 0  # every treatment x period cell populated
+    assert r["did_sign"] in (-1, 0, 1)
+    # DiD magnitude bounded by the largest cell mean (sanity)
+    max_mean = max(r[f"s_{t}{p}"] // r[f"n_{t}{p}"] for t in (0, 1) for p in (0, 1))
+    assert r["abs_did_micro_cents"] <= 2 * 1000000 * max_mean
