@@ -18443,6 +18443,83 @@ FROM wide
 """
 
 
+def _kg_recency_weighted_degree(spark, sf):
+    """RECENCY-WEIGHTED DEGREE — temporal decay on the KG edge table
+    without a single float: edge age (deterministic hash bucket 0..8,
+    standing in for snapshot age) decays the edge's contribution by the
+    integer geometric ``256 >> age`` (half-life = one age bucket, rule
+    11 — the fixed-point form of exp-decay every "recent activity"
+    ranking uses).  Per node: plain degree vs decayed degree scaled
+    /256, plus the freshest incident age — the triple a KG serving
+    layer ranks "currently active" entities by (kg_entity_pagerank is
+    timeless; this is the time-aware companion).  One edge scan, one
+    node agg (map-side combinable)."""
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    n = _t(spark, sf, "events").count()
+    ids = spark.range(n)
+    chain = ids.filter(F.col("id") + 1 < n).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    skip = ids.filter((F.col("id") + 2 < n) & (F.col("id") % 3 != 0)).select(
+        F.col("id").alias("u"), (F.col("id") + 2).alias("v")
+    )
+    e = chain.union(skip)
+    age = (
+        (((F.col("u") * 1000003 + F.col("v")) % F.lit(MIS_MOD)) * F.lit(MIS_MUL))
+        % F.lit(MIS_MOD)
+    ) % 9
+    aged = e.select("u", "v", age.cast("long").alias("age"))
+    ep = aged.select(F.col("u").alias("node"), "age").union(
+        aged.select(F.col("v").alias("node"), "age")
+    )
+    return (
+        ep.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree"),
+            F.sum(F.expr("CAST(256 AS BIGINT) >> CAST(age AS INT)"))
+            .cast("long")
+            .alias("decayed_x256"),
+            F.min("age").cast("long").alias("freshest_age"),
+        )
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "degree",
+            "decayed_x256",
+            "freshest_age",
+        )
+    )
+
+
+def _kg_recency_weighted_degree_sql() -> str:
+    from bert_namedentityrecognition_spark.oracle.graph import MIS_MOD, MIS_MUL
+
+    return f"""
+WITH ids AS MATERIALIZED (SELECT row_number() OVER () - 1 AS i FROM events),
+params AS (SELECT count(*) AS nn FROM events),
+e AS (
+  SELECT x.i AS u, x.i + 1 AS v FROM ids x, params WHERE x.i + 1 < params.nn
+  UNION ALL
+  SELECT x.i AS u, x.i + 2 AS v FROM ids x, params
+  WHERE x.i + 2 < params.nn AND x.i % 3 <> 0
+),
+aged AS (
+  SELECT u, v,
+         ((((u * 1000003 + v) % {MIS_MOD}) * {MIS_MUL}) % {MIS_MOD}) % 9 AS age
+  FROM e
+),
+ep AS (
+  SELECT u AS node, age FROM aged UNION ALL SELECT v AS node, age FROM aged
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS degree,
+       CAST(sum(CAST(256 AS BIGINT) >> CAST(age AS INT)) AS BIGINT)
+         AS decayed_x256,
+       CAST(min(age) AS BIGINT) AS freshest_age
+FROM ep GROUP BY node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -18727,6 +18804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sssp_certificate": _kg_sssp_certificate,
         "kg_pagerank_topk_stability": _kg_pagerank_topk_stability,
         "events_did_estimator": _events_did_estimator,
+        "kg_recency_weighted_degree": _kg_recency_weighted_degree,
     }
 
 
@@ -19040,4 +19118,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_sssp_certificate": _kg_sssp_certificate_sql(),
         "kg_pagerank_topk_stability": _kg_pagerank_topk_stability_sql(),
         "events_did_estimator": _EVENTS_DID_SQL,
+        "kg_recency_weighted_degree": _kg_recency_weighted_degree_sql(),
     }

@@ -771,3 +771,15 @@ def test_did_cells_complete_and_bounded(spark):
     # DiD magnitude bounded by the largest cell mean (sanity)
     max_mean = max(r[f"s_{t}{p}"] // r[f"n_{t}{p}"] for t in (0, 1) for p in (0, 1))
     assert r["abs_did_micro_cents"] <= 2 * 1000000 * max_mean
+
+
+def test_recency_degree_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = entry._kg_recency_weighted_degree(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # each edge contributes between 1 (age 8) and 256 (age 0)
+        assert r["degree"] <= r["decayed_x256"] <= 256 * r["degree"]
+        assert 0 <= r["freshest_age"] <= 8
