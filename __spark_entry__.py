@@ -18520,6 +18520,86 @@ FROM ep GROUP BY node
 """
 
 
+MARKOV_POWER_STEPS = 8
+MARKOV_SCALE = 1_000_000_000
+
+
+def _events_markov_stationary(spark, sf):
+    """STATIONARY DISTRIBUTION of the user-journey Markov chain — the
+    long-run state mix that events_markov_transitions' one-step
+    probabilities imply: 8 integer power-iteration steps of the
+    transition counts, state mass scaled ×10⁹ and updated by
+    ``v'[j] = Σ_i (v[i]·c_ij) DIV r_i`` (per-row integer floor — the
+    SAME truncation in both engines at every step, so the round-8 state
+    is bit-identical; the pagerank_integer discipline on the tiny
+    event-type chain).  The state space is the 5 event types, so the
+    iteration is a broadcast-sized matrix fold — the heavy part is the
+    ONE scan building the (prev, next) counts (the gated
+    events_markov_transitions shape).  Output per state: final scaled
+    mass + the chain's row sums, exposing any mass lost to floor
+    truncation (≤ 4 units/state/step — accounted, not hidden)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("nxt"),
+        F.lag("event_type").over(w).alias("prv"),
+    ).filter(F.col("prv").isNotNull())
+    c = seq.groupBy("prv", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows = {(r["prv"], r["nxt"]): r["c"] for r in c.collect()}
+    states = sorted({k[0] for k in rows} | {k[1] for k in rows})
+    r_i = {s: sum(v for (p, _n), v in rows.items() if p == s) for s in states}
+    v = {s: MARKOV_SCALE // len(states) for s in states}
+    for _ in range(MARKOV_POWER_STEPS):
+        nv = {s: 0 for s in states}
+        for (p, nx), cnt in rows.items():
+            nv[nx] += (v[p] * cnt) // r_i[p]
+        v = nv
+    out = [(s, int(v[s]), int(r_i[s])) for s in states]
+    return spark.createDataFrame(
+        out, "event_type string, stationary_x1e9 long, out_transitions long"
+    )
+
+
+_EVENTS_MARKOV_STATIONARY_SQL = f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prv,
+         event_type AS nxt
+  FROM events
+),
+c AS (
+  SELECT prv, nxt, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prv IS NOT NULL GROUP BY prv, nxt
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT s FROM (SELECT prv AS s FROM c UNION SELECT nxt FROM c)
+),
+r AS MATERIALIZED (
+  SELECT prv AS s, CAST(sum(c) AS BIGINT) AS r_i FROM c GROUP BY prv
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+v0 AS MATERIALIZED (
+  SELECT s, CAST({MARKOV_SCALE} // ns.k AS BIGINT) AS m FROM states, ns
+),
+{", ".join(
+    f'''v{t} AS MATERIALIZED (
+  SELECT c.nxt AS s, CAST(sum((v{t - 1}.m * c.c) // r.r_i) AS BIGINT) AS m
+  FROM v{t - 1} JOIN c ON c.prv = v{t - 1}.s JOIN r ON r.s = v{t - 1}.s
+  GROUP BY c.nxt)'''
+    for t in range(1, MARKOV_POWER_STEPS + 1)
+)}
+SELECT states.s AS event_type,
+       CAST(coalesce(vf.m, 0) AS BIGINT) AS stationary_x1e9,
+       CAST(coalesce(r.r_i, 0) AS BIGINT) AS out_transitions
+FROM states
+LEFT JOIN v{MARKOV_POWER_STEPS} vf ON vf.s = states.s
+LEFT JOIN r ON r.s = states.s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generic engine: scans, filters, joins, aggs, sorts, limits, windows
@@ -18805,6 +18885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_topk_stability": _kg_pagerank_topk_stability,
         "events_did_estimator": _events_did_estimator,
         "kg_recency_weighted_degree": _kg_recency_weighted_degree,
+        "events_markov_stationary": _events_markov_stationary,
     }
 
 
@@ -19119,4 +19200,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_topk_stability": _kg_pagerank_topk_stability_sql(),
         "events_did_estimator": _EVENTS_DID_SQL,
         "kg_recency_weighted_degree": _kg_recency_weighted_degree_sql(),
+        "events_markov_stationary": _EVENTS_MARKOV_STATIONARY_SQL,
     }

@@ -783,3 +783,14 @@ def test_recency_degree_bounds(spark):
         # each edge contributes between 1 (age 8) and 256 (age 0)
         assert r["degree"] <= r["decayed_x256"] <= 256 * r["degree"]
         assert 0 <= r["freshest_age"] <= 8
+
+
+def test_markov_stationary_mass_conserved(spark):
+    """Total stationary mass stays within floor-truncation loss of the
+    scale (<= steps * states units), and every state keeps mass."""
+    import __spark_entry__ as entry
+
+    rows = entry._events_markov_stationary(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["stationary_x1e9"] for r in rows)
+    assert 1_000_000_000 - 8 * 5 * 5 <= total <= 1_000_000_000
+    assert all(r["stationary_x1e9"] > 0 for r in rows)
